@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders over a scale-factor directory of parquet files.
+  *
+  * Plays the role of the reference's MongoDB database handle
+  * (reference: index.js:105 binds one DB; index.js:356 enumerates its
+  * collections): a namespace of named tables. In production this would be
+  * the MongoDB Spark connector; for the harness each "collection" is one
+  * parquet file under the scale-factor dir (TESTDATA.md).
+  */
+object Tables {
+  /** All fixture tables (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to TimestampType
+    * via integer division ns -> us. Integer `div`, not `/`: a double
+    * division would round (ns-since-epoch > 2^53). The fixture values are
+    * us-grained, so the conversion is lossless.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+}

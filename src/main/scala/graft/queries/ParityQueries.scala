@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Catalog
+
+/** Reference-parity dataflow, re-expressed as declarative Spark plans.
+  *
+  * The reference's per-collection pipeline (index.js:177-278) is:
+  * paginated full scan -> per-row "prepare function" -> validity filter on
+  * `time` -> micro-batched sink write, with a written/skipped ledger
+  * (index.js:235-239, 271-272). Here each stage is a Catalyst-visible
+  * column operation so pruning/pushdown stay applicable (SURVEY.md §4.1);
+  * the scan partitioning replaces offset pagination wholesale.
+  *
+  * `events` plays the Mongo collection (FIXTURES.md): `event_id` is the
+  * `_id` analogue the example transform deletes, `ts` the `date` field it
+  * renames to `time` (examples/migrate.js:29-36).
+  */
+object ParityQueries {
+
+  /** The example prepare function as column ops: drop `_id`, `time` = date
+    * field, drop the original (examples/migrate.js:27-38).
+    */
+  def prepare(df: DataFrame): DataFrame =
+    df.withColumn("time", col("ts")).drop("ts", "event_id")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "p01_prepare_map",
+      "per-row prepare transform (drop id, rename ts->time) as Catalyst column ops",
+      (s, dir) => prepare(Tables.load(s, dir, "events")),
+      Some("""SELECT user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS time
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "p02_time_filter",
+      "time-validity filter: rows with null time are dropped (index.js:235-239)",
+      (s, dir) => prepare(Tables.load(s, dir, "events")).where(col("time").isNotNull),
+      Some("""SELECT user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS time
+             |FROM events WHERE ts IS NOT NULL""".stripMargin)),
+
+    QuerySpec(
+      "p03_skip_ledger",
+      "written/skipped/success-rate ledger in one pass (index.js:271-272)",
+      (s, dir) => {
+        val e = prepare(Tables.load(s, dir, "events"))
+        e.agg(
+          count(col("time")).as("written"),
+          (count(lit(1)) - count(col("time"))).as("skipped"),
+          ((count(col("time")) * lit(100)).cast("double") / count(lit(1)))
+            .as("success_rate"))
+      },
+      Some("""SELECT count(ts) AS written,
+             |       count(*) - count(ts) AS skipped,
+             |       CAST(100 * count(ts) AS DOUBLE) / count(*) AS success_rate
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "p04_catalog_counts",
+      "catalog scan + system-name filter + per-table count (index.js:356, 298, 281-287)",
+      (s, dir) => {
+        val names = Catalog.nonSystem(Catalog.listTables(dir))
+        names
+          .map { n =>
+            Catalog.table(s, dir, n)
+              .agg(count(lit(1)).as("n_rows"))
+              .select(lit(n).as("table_name"), col("n_rows"))
+          }
+          .reduce(_.unionAll(_))
+      },
+      Some(Tables.all.sorted
+        .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+        .mkString("", "\nUNION ALL\n", ""))),
+
+    QuerySpec(
+      "p05_count",
+      "whole-table count (index.js:281-287); parquet answers from footer metadata",
+      (s, dir) => Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n_rows")),
+      Some("SELECT count(*) AS n_rows FROM lineitem"))
+  )
+}

@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.queries.QuerySpec.decSum
+
+/** Relational query surface (SURVEY.md §2.1 / §7.2 M3): everything the
+  * reference lacks — joins, aggregation, windows, sorts, set ops, scalar
+  * functions — expressed as declarative DataFrame plans so Catalyst owns
+  * pushdown/pruning/join selection.
+  *
+  * Scale notes (100 TB stance):
+  *   - Dimension tables (`customer`, `supplier`, `nation`, `region`) are
+  *     explicitly `broadcast(...)` so fact-side scans never shuffle for them.
+  *   - Aggregations are hash aggregates with map-side partial combine — no
+  *     row ever leaves an executor un-reduced.
+  *   - Top-k is `ORDER BY ... LIMIT k` which Catalyst plans as
+  *     TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  *     never a global sort).
+  */
+object RelationalQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "r01_pricing_summary",
+      "TPC-H Q1-style pricing summary: filtered scan + hash aggregate (decimal-exact)",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (decSum(col("l_discount"), 6) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QuerySpec(
+      "r02_topk_revenue",
+      "TPC-H Q3-style: broadcast dim join + agg + fully tie-broken top-k",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") < to_timestamp(lit("1998-06-01")))
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") > to_timestamp(lit("1998-06-01")))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    QuerySpec(
+      "r03_local_supplier_volume",
+      "TPC-H Q5-style 6-way join (fact-fact shuffle join + broadcast dims)",
+      (s, dir) => {
+        val cust = broadcast(Tables.load(s, dir, "customer"))
+        val supp = broadcast(Tables.load(s, dir, "supplier"))
+        val nat = broadcast(Tables.load(s, dir, "nation"))
+        val reg = broadcast(Tables.load(s, dir, "region")
+          .where(col("r_name") === "ASIA"))
+        val ord = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+        val li = Tables.load(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1999-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    QuerySpec(
+      "r04_semi_join",
+      "left-semi join (EXISTS): customers that have orders",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val ord = Tables.load(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    QuerySpec(
+      "r05_anti_join",
+      "left-anti join (NOT EXISTS): customers with no orders",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val ord = Tables.load(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    QuerySpec(
+      "r06_outer_join_agg",
+      "left outer join + aggregate: per-customer order stats (null-safe)",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val ord = Tables.load(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            decSum(col("o_totalprice")).as("total_spent"))
+      },
+      Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_name""".stripMargin)),
+
+    QuerySpec(
+      "r07_distinct",
+      "distinct projection",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    QuerySpec(
+      "r08_count_distinct",
+      "exact distinct counts per group (expand + two-phase aggregate)",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    QuerySpec(
+      "r09_approx_count_distinct",
+      "HyperLogLog++ approximate distinct (sketch mergeable at any scale; no SQL oracle — approximate)",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts")),
+      None),
+
+    QuerySpec(
+      "r10_rollup",
+      "hierarchical rollup with grouping indicators",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          decSum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+             |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    QuerySpec(
+      "r11_cube",
+      "full cube over two dimensions",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    QuerySpec(
+      "r12_grouping_sets",
+      "explicit grouping sets (SQL surface comes free with Catalyst)",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    QuerySpec(
+      "r13_sort_topk",
+      "multi-column top-k (TakeOrderedAndProject: per-partition heap, no global sort)",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    QuerySpec(
+      "r14_union_all",
+      "union all + aggregate",
+      (s, dir) => {
+        val a = Tables.load(s, dir, "orders").select(col("o_custkey").as("key"))
+        val b = Tables.load(s, dir, "customer").select(col("c_custkey").as("key"))
+        a.unionAll(b).groupBy(col("key")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT key, count(*) AS n FROM (
+             |  SELECT o_custkey AS key FROM orders
+             |  UNION ALL
+             |  SELECT c_custkey AS key FROM customer
+             |) GROUP BY key""".stripMargin)),
+
+    QuerySpec(
+      "r15_intersect",
+      "set intersection (distinct semantics)",
+      (s, dir) => Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("key"))
+        .intersect(Tables.load(s, dir, "orders").select(col("o_orderkey").as("key"))),
+      Some("""SELECT l_orderkey AS key FROM lineitem
+             |INTERSECT
+             |SELECT o_orderkey AS key FROM orders""".stripMargin)),
+
+    QuerySpec(
+      "r16_except",
+      "set difference (distinct semantics): orders with no lineitems",
+      (s, dir) => Tables.load(s, dir, "orders").select(col("o_orderkey").as("key"))
+        .except(Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("key"))),
+      Some("""SELECT o_orderkey AS key FROM orders
+             |EXCEPT
+             |SELECT l_orderkey AS key FROM lineitem""".stripMargin)),
+
+    QuerySpec(
+      "r17_string_funcs",
+      "scalar string functions (codegen'd, no UDFs)",
+      (s, dir) => Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        regexp_replace(col("c_name"), "Customer#", "C-").as("short_name"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("long").as("name_num")),
+      Some("""SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+             |  substring(c_name, 1, 8) AS prefix,
+             |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+             |  regexp_replace(c_name, 'Customer#', 'C-') AS short_name,
+             |  CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num
+             |FROM customer""".stripMargin)),
+
+    QuerySpec(
+      "r18_date_funcs",
+      "scalar date/time functions",
+      (s, dir) => Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start")),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(day(o_orderdate) AS INT) AS d,
+             |  CAST(quarter(o_orderdate) AS INT) AS q,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+             |FROM orders""".stripMargin)),
+
+    QuerySpec(
+      "r19_math_funcs",
+      "scalar math functions (IEEE-deterministic only: no libm transcendentals)",
+      (s, dir) => Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_quantity") / lit(2.0)).as("half_floor"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        (col("l_linenumber") % lit(3)).as("mod3"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_discount - 0.05) AS disc_dev,
+             |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+             |  CAST(floor(l_quantity / 2.0) AS BIGINT) AS half_floor,
+             |  sqrt(l_extendedprice) AS price_sqrt,
+             |  l_linenumber % 3 AS mod3,
+             |  greatest(l_discount, l_tax) AS max_rate,
+             |  least(l_discount, l_tax) AS min_rate
+             |FROM lineitem""".stripMargin)),
+
+    QuerySpec(
+      "r20_case_when",
+      "conditional bucketing + aggregate",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("price_band",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 200000, "mid")
+            .otherwise("high"))
+        .groupBy(col("price_band"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price")),
+      Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+             |            WHEN o_totalprice < 200000 THEN 'mid'
+             |            ELSE 'high' END AS price_band,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "r21_json_extract",
+      "semi-structured JSON column: from_json on events.props (the Mongo dynamic-document analogue)",
+      (s, dir) => Tables.load(s, dir, "events").select(
+        col("event_id"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").as("k")),
+      Some("""SELECT event_id,
+             |  CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "r22_window_rank",
+      "ranking window functions, fully tie-broken",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          rank().over(Window.partitionBy(col("user_id")).orderBy(col("event_type")))
+            .as("type_rank"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INT) AS rn,
+             |  CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS type_rank
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "r23_window_running",
+      "running aggregate frame (decimal-exact cumulative sum)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double")
+            .as("running_value"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "r24_window_lag",
+      "lag/lead analytics: per-user inter-event deltas",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("value_delta"),
+          (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+            .as("secs_since_prev"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  value - lag(value, 1) OVER w AS value_delta,
+             |  date_diff('second',
+             |    lag(CAST(ts AS TIMESTAMP), 1) OVER w,
+             |    CAST(ts AS TIMESTAMP)) AS secs_since_prev
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin))
+  )
+}
