@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling-hash document fingerprint as a codegen'd Catalyst
+  * expression: a 64-bit-safe left fold over Unicode code points,
+  * `acc := (acc * 31 + cp) mod 1e9+7`, seeded with the first code point.
+  *
+  * Fold semantics are chosen to be expressible verbatim in the DuckDB
+  * oracle (`list_reduce` seeds with the first element and has no initial
+  * accumulator), so fingerprints hash-match cross-engine. Empty input
+  * fingerprints to NULL (list_reduce of an empty list is an error; NULL is
+  * the sane total version).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) null
+    else {
+      var acc = 0L
+      var first = true
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        if (first) { acc = cp.toLong; first = false }
+        else acc = (acc * 31L + cp) % 1000000007L
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val first = ctx.freshName("first")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |if ($s.isEmpty()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  boolean $first = true;
+         |  int $i = 0;
+         |  while ($i < $s.length()) {
+         |    int $cp = $s.codePointAt($i);
+         |    $i += Character.charCount($cp);
+         |    if ($first) { $acc = (long) $cp; $first = false; }
+         |    else { $acc = ($acc * 31L + $cp) % 1000000007L; }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+
+  /** Column API: rolling-hash fingerprint of a string column. */
+  def rollingHash(c: Column): Column =
+    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+
+  /** Whitespace tokens of trimmed text. The fixtures are single-spaced;
+    * a production corpus would pre-normalize whitespace upstream.
+    */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Distinct word k-shingles of a text column (default 3-word shingles):
+    * the standard near-dup unit — far more discriminative than unigrams
+    * when the vocabulary is small. Built from codegen-friendly collection
+    * functions; empty array when the document has fewer than k tokens.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

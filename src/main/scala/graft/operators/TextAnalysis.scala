@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text analysis for training-data curation: language ID (marker-word
+  * n-gram heuristic), quality scoring (length/punctuation/stopword
+  * ratios), token counting (whitespace + BPE-ish regex), and rolling-hash
+  * fingerprinting.
+  *
+  * Everything is per-row scalar column arithmetic — fully codegen'd, no
+  * shuffle, trivially scalable; and every formula is mirror-expressible in
+  * ANSI SQL for the DuckDB oracle (no libm transcendentals).
+  */
+object TextAnalysis {
+
+  private def hits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Marker-word counts per language. Kept deliberately simple and
+    * SQL-mirrorable; a production language ID would use char n-gram
+    * profiles, but the *shape* (per-row scalar scoring) is identical.
+    */
+  def langMarkerCounts(text: Column): Seq[(String, Column)] = Seq(
+    "en" -> hits(text, "\\b(the|and|of|is)\\b"),
+    "de" -> hits(text, "\\b(der|die|das|und)\\b"),
+    "es" -> hits(text, "\\b(el|los|las|que)\\b"),
+    "fr" -> hits(text, "\\b(le|les|et|est)\\b"))
+
+  /** Predicted language: CJK codepoint presence wins, else the marker
+    * language with the highest count (priority order en>de>es>fr on ties),
+    * else 'unknown'.
+    */
+  def langId(text: Column): Column = {
+    val counts = langMarkerCounts(text).toMap
+    val (en, de, es, fr) = (counts("en"), counts("de"), counts("es"), counts("fr"))
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(en > 0 && en >= de && en >= es && en >= fr, "en")
+      .when(de > 0 && de >= es && de >= fr, "de")
+      .when(es > 0 && es >= fr, "es")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** Quality features + a composite score in [0, ~1.5] (pure +,*,/ — no
+    * transcendentals, oracle-exact).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTokens = size(TextFunctions.tokens(t))
+    val nChars = length(t)
+    val noSpace = length(regexp_replace(t, " ", ""))
+    val punct = nChars - length(regexp_replace(t, "[.,;:!?]", ""))
+    val stop = hits(t, "\\b(the|a|of|and|is)\\b")
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("n_chars_m", nChars)
+      .withColumn("avg_token_len", noSpace.cast("double") / nTokens)
+      .withColumn("punct_ratio", punct.cast("double") / nChars)
+      .withColumn("stopword_ratio", stop.cast("double") / nTokens)
+      .withColumn("quality_score",
+        (lit(1.0) - col("punct_ratio")) *
+          (lit(0.5) + col("stopword_ratio")) *
+          when(nTokens >= 5, lit(1.0)).otherwise(lit(0.25)))
+  }
+
+  /** Whitespace vs BPE-ish regex token counts (letter runs, digit runs,
+    * single punctuation — the usual pre-tokenizer split shape).
+    */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(TextFunctions.tokens(t)))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_bytes", octet_length(t))
+  }
+
+  /** Rolling-hash document fingerprint (codegen'd Catalyst expression). */
+  def fingerprint(text: Column): Column = TextFunctions.rollingHash(text)
+}

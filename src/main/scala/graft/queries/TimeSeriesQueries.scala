@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.queries.QuerySpec.decSum
+
+/** Time-series operators over `events` (SURVEY.md §7.2 M4) — the batch
+  * faces of the reference's time-series domain. Streaming equivalents
+  * (watermarks, late data) live in graft.streaming and are exercised by
+  * ScalaTest, since a streaming Dataset cannot be dumped by Verify.
+  */
+object TimeSeriesQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "t01_tumbling_window",
+      "tumbling event-time window aggregate (batch face of streaming groupBy(window(...)))",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 6).as("sum_value"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+          col("sum_value")),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+             |  event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "t02_sliding_window",
+      "sliding window (2h window, 1h slide): each event lands in two buckets",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 6).as("sum_value"))
+        .select(col("w.start").as("bucket"), col("n"), col("sum_value")),
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h, value
+             |  FROM events),
+             |x AS (
+             |  SELECT h AS bucket, value FROM b
+             |  UNION ALL
+             |  SELECT h - INTERVAL 1 HOUR AS bucket, value FROM b)
+             |SELECT bucket, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM x GROUP BY bucket""".stripMargin)),
+
+    QuerySpec(
+      "t03_sessionize",
+      "gap-based sessionization (30 min) + per-session aggregate",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        Sessionize.byGap(e, "user_id", "ts", 1800L, "event_id")
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("duration_us"),
+            decSum(col("value"), 6).as("sum_value"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |      OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT *, CAST(SUM(new_s) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+             |  FROM f)
+             |SELECT user_id, session_id,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  count(*) AS n_events,
+             |  date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM g GROUP BY user_id, session_id""".stripMargin)),
+
+    QuerySpec(
+      "t04_asof_join",
+      "backward as-of join: each event picks the latest order of its user at event time",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val o = Tables.load(s, dir, "orders")
+        AsOfJoin.backward(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightPayload = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey")
+      },
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  o_orderkey, o_totalprice
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+             |LEFT JOIN orders o
+             |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY event_id
+             |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1""".stripMargin)),
+
+    QuerySpec(
+      "t05_range_join",
+      "banded range join: per event, count same-user events in the preceding hour",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val pairs = RangeJoin.bandedPairs(
+          e, e.select(col("event_id"), col("user_id"), col("ts")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rangeSeconds = 3600L)
+        val counts = pairs.groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_prev_hour"))
+        e.select(col("event_id"))
+          .join(counts, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("n_prev_hour"), lit(0L)).as("n_prev_hour"))
+      },
+      Some("""SELECT e.event_id, count(b.event_id) AS n_prev_hour
+             |FROM events e
+             |LEFT JOIN events b ON e.user_id = b.user_id
+             |  AND CAST(b.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             |  AND CAST(b.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)
+             |GROUP BY e.event_id""".stripMargin))
+  )
+}
