@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,7 +74,7 @@ object TextFunctions {
 
   /** Column API: rolling-hash fingerprint of a string column. */
   def rollingHash(c: Column): Column =
-    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+    GraftBridge.column(RollingHash(GraftBridge.expression(c)))
 
   /** Whitespace tokens of trimmed text. The fixtures are single-spaced;
     * a production corpus would pre-normalize whitespace upstream.
@@ -91,7 +91,7 @@ object TextFunctions {
     when(size(toks) >= k,
       array_distinct(transform(
         sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, k)))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Cosine similarity between two `array<float>` embedding columns as a
@@ -74,6 +74,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object VectorFunctions {
   /** Column API: cosine similarity of two array<float> columns. */
   def cosineSim(a: Column, b: Column): Column =
-    ExpressionUtils.column(CosineSimilarity(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }
