@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered query specs, grouped by module. */
   def allSpecs: Seq[QuerySpec] =
-    ParityQueries.specs ++ RelationalQueries.specs ++ TimeSeriesQueries.specs
+    ParityQueries.specs ++ RelationalQueries.specs ++ TimeSeriesQueries.specs ++
+      LlmQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole per-collection dataflow in one plan: prepare

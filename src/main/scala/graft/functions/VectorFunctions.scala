@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Cosine similarity between two `array<float>` embedding columns as a
   * native Catalyst expression with whole-stage codegen — one fused loop,
@@ -71,9 +71,72 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared vector-hash arithmetic, callable from both interpreted eval and
+  * generated Java (Scala emits static forwarders for top-level objects).
+  */
+object VectorHash {
+
+  /** Deterministic pseudo-random +-1 hyperplane component: sign of a 64-bit
+    * avalanche hash of (plane, dim). Reproducible across runs/engines — the
+    * hyperplanes are pure arithmetic, not RNG state.
+    */
+  def planeSign(plane: Int, dim: Int): Double = {
+    var h = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** b-bit random-hyperplane signature of a float vector: bit j is set iff
+    * the (sequential, per-row — deterministic) dot product with hyperplane j
+    * is > 0. Dim comes from the array itself — nothing hardcoded.
+    */
+  def signature(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        proj += arr.getFloat(d).toDouble * planeSign(j, d)
+        d += 1
+      }
+      if (proj > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Random-hyperplane LSH signature as a per-row expression: replaces the
+  * posexplode + plane-table-join + two-shuffle formulation (a rows x dim x
+  * bits row explosion) with zero-shuffle narrow evaluation — the plan shape
+  * that survives a 100 TB corpus.
+  */
+case class HyperplaneSignature(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VectorHash.signature(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHash.signature($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: cosine similarity of two array<float> columns. */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: b-bit hyperplane LSH signature of an array<float> column. */
+  def hyperplaneSig(v: Column, bits: Int): Column =
+    GraftBridge.column(HyperplaneSignature(GraftBridge.expression(v), bits))
 }

@@ -111,13 +111,16 @@ object Dedup {
     verified.select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over distinct whitespace tokens: per bit, sum +-1
-    * votes of the token hashes; bit = 1 iff the vote is positive.
+  /** 64-bit SimHash over distinct word k-shingles: per bit, sum +-1
+    * votes of the shingle hashes; bit = 1 iff the vote is positive.
+    * Shingles, not unigrams: on a small vocabulary every document's
+    * distinct-token set converges to the whole vocabulary and token-level
+    * SimHash collides everywhere; k-shingles keep the feature space wide.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol))))
-        .as("tok"))
+      explode(shingles(col(textCol), k)).as("tok"))
       .withColumn("hv", xxhash64(col("tok")))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("hv"), b).bitwiseAND(lit(1L)) === 1L, 1)

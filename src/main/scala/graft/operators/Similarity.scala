@@ -43,33 +43,16 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
   }
 
-  /** Deterministic pseudo-random +-1 hyperplane components: sign of a
-    * 64-bit avalanche hash of (plane, dim) — reproducible across runs and
-    * engines, no RNG state.
+  /** b-bit random-hyperplane signature per vector, as one narrow codegen'd
+    * expression per row (`HyperplaneSignature`): zero shuffle, dim taken
+    * from the array itself, deterministic per-row sequential FP fold.
+    * (Replaces an earlier posexplode + plane-table join + two-shuffle
+    * formulation — a rows x dim x bits intermediate explosion.)
     */
-  private def planeSign(plane: Int, dim: Int): Int = {
-    var h = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL
-    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-    if ((h & 1L) == 0L) 1 else -1
-  }
-
-  /** b-bit random-hyperplane signature per vector. */
   def hyperplaneSignatures(spark: SparkSession, df: DataFrame,
-      idCol: String, embCol: String, bits: Int = 16): DataFrame = {
-    import spark.implicits._
-    val dim = 64
-    val planes = broadcast(
-      (for { j <- 0 until bits; d <- 0 until dim }
-        yield (j, d, planeSign(j, d).toDouble)).toDF("pj", "pd", "psign"))
-    val contrib = df.select(col(idCol).as("v_id"),
-      posexplode(col(embCol)).as(Seq("pos", "comp")))
-    contrib.join(planes, col("pos") === col("pd"))
-      .groupBy(col("v_id"), col("pj"))
-      .agg(sum(col("comp").cast("double") * col("psign")).as("proj"))
-      .groupBy(col("v_id"))
-      .agg(sum(when(col("proj") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), pj)")).otherwise(0L)).as("sig"))
-  }
+      idCol: String, embCol: String, bits: Int = 16): DataFrame =
+    df.select(col(idCol).as("v_id"),
+      graft.functions.VectorFunctions.hyperplaneSig(col(embCol), bits).as("sig"))
 
   /** Approximate top-k: score only same-signature-bucket pairs. Queries
     * whose bucket has < k neighbours return fewer rows — the recall/cost
