@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.pipeline.{ParquetSink, Pipeline, PipelineConfig}
 import graft.sources.Catalog
 
 /** Reference-parity dataflow, re-expressed as declarative Spark plans.
@@ -80,5 +81,47 @@ object ParityQueries {
       "whole-table count (index.js:281-287); parquet answers from footer metadata",
       (s, dir) => Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n_rows")),
       Some("SELECT count(*) AS n_rows FROM lineitem"))
+  ) ++ pipelineSpecs
+
+  /** Time column each fixture table exposes as `time` under
+    * `Pipeline.defaultPrepare` (None = no time -> fully skip-counted).
+    */
+  private def timeColOf: Map[String, String] =
+    Map("events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+
+  private def tempSinkDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_sink_").toString
+
+  private def pipelineSpecs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "p06_migrate",
+      "end-to-end migration: catalog scan -> per-table prepare -> time filter -> parquet sink append, bounded cross-table concurrency, one-pass observe ledger (index.js:340-370)",
+      (s, dir) => Pipeline.migrate(s, dir, new ParquetSink(tempSinkDir())),
+      Some(Tables.all.sorted.map { t =>
+        timeColOf.get(t) match {
+          case Some(tc) =>
+            s"""SELECT '$t' AS table_name, count($tc) AS written,
+               |  count(*) - count($tc) AS skipped,
+               |  CAST(count($tc) * 100 AS DOUBLE) / count(*) AS success_rate
+               |FROM $t""".stripMargin
+          case None =>
+            s"""SELECT '$t' AS table_name, 0 AS written,
+               |  count(*) AS skipped, 0.0 AS success_rate
+               |FROM $t""".stripMargin
+        }
+      }.mkString("", "\nUNION ALL\n", ""))),
+
+    QuerySpec(
+      "p07_truncate_rerun",
+      "truncate mode (emptySeries, index.js:321-336): migrating twice with truncate yields exactly one copy in the sink",
+      (s, dir) => {
+        val sinkDir = tempSinkDir()
+        val sink = new ParquetSink(sinkDir)
+        val cfg = PipelineConfig(emptySeries = true)
+        Pipeline.migrateTable(s, dir, "events", Pipeline.defaultPrepare("events"), sink, cfg)
+        Pipeline.migrateTable(s, dir, "events", Pipeline.defaultPrepare("events"), sink, cfg)
+        s.read.parquet(s"$sinkDir/events").agg(count(lit(1)).as("n_rows"))
+      },
+      Some("SELECT count(ts) AS n_rows FROM events"))
   )
 }
