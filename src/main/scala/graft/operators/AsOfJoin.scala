@@ -69,8 +69,15 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // NULL-key contract: this is an equi-join on the key, so a NULL key
+    // matches nothing (SQL equality semantics — the t04 oracle's
+    // `e.user_id = o.o_custkey` never matches NULL). Window.partitionBy
+    // groups NULL keys into one partition, so without the guard a
+    // NULL-key left row would inherit a NULL-key right row's payload.
     taggedLeft.unionByName(rightPadded)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match",
+        when(col("__key").isNotNull,
+          last(col("__payload"), ignoreNulls = true).over(w)))
       .where(col("__side") === 1)
       .select((leftCols.map(col) ++
         rightPayload.map(c => col("__match").getField(c).as(c))): _*)

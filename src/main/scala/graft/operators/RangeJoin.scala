@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Epoch-second bucket of a timestamp column (integer arithmetic —
-    * no FP rounding at epoch magnitudes).
+  /** Range-sized bucket of a timestamp column. True integer division
+    * (SQL `div` via Catalyst IntegralDivide), so the bucketing is exact by
+    * construction — a double `/` would only be correct while epoch-µs
+    * values stay under 2^53.
     */
-  private def bucket(t: Column, rangeSeconds: Long): Column =
-    floor(unix_micros(t) / lit(rangeSeconds * 1000000L)).cast("long")
+  private def bucket(t: Column, rangeSeconds: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      GraftBridge.expression(unix_micros(t)),
+      GraftBridge.expression(lit(rangeSeconds * 1000000L))))
+  }
 
   /** Inner-join pairs; caller projects/aggregates. Left columns keep their
     * names, right columns get `rightPrefix`.

@@ -54,21 +54,50 @@ object Similarity {
     df.select(col(idCol).as("v_id"),
       graft.functions.VectorFunctions.hyperplaneSig(col(embCol), bits).as("sig"))
 
-  /** Approximate top-k: score only same-signature-bucket pairs. Queries
-    * whose bucket has < k neighbours return fewer rows — the recall/cost
-    * dial is `bits` (fewer bits = bigger buckets = higher recall).
+  /** One (table, bucket) row per vector per hash table: a single
+    * (bits*tables)-bit signature is computed per row (one narrow codegen'd
+    * expression), then sliced into `tables` independent b-bit bucket keys.
+    */
+  private def bucketed(df: DataFrame, idCol: String, embCol: String,
+      bits: Int, tables: Int): DataFrame = {
+    val mask = (1L << bits) - 1
+    val slices = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        shiftrightunsigned(col("__fullsig"), t * bits).bitwiseAND(lit(mask))
+          .as("sig"))
+    }
+    df.select(col(idCol).as("v_id"),
+        graft.functions.VectorFunctions.hyperplaneSig(col(embCol), bits * tables)
+          .as("__fullsig"))
+      .select(col("v_id"), explode(array(slices: _*)).as("x"))
+      .select(col("v_id"), col("x.tbl").as("tbl"), col("x.sig").as("sig"))
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH (standard
+    * OR-amplification): `tables` independent b-bit bucketings; a corpus
+    * vector is scored for a query iff they share a bucket in ANY table.
+    * Cost ~ tables/2^bits of the corpus per query; recall rises with
+    * `tables`, candidate count falls with `bits` — both dials independent.
+    * All signature work is per-row and shuffle-free; the only wide ops are
+    * the candidate equi-join and the final top-k window.
     */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      idCol: String, embCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val qSig = hyperplaneSignatures(spark, queries, idCol, embCol, bits)
-      .select(col("v_id").as("q_id"), col("sig").as("q_sig"))
-    val cSig = hyperplaneSignatures(spark, corpus, idCol, embCol, bits)
-      .select(col("v_id").as("c_id"), col("sig").as("c_sig"))
-    val q = renameQ(queries, idCol, embCol).join(qSig, Seq("q_id"))
+      idCol: String, embCol: String, k: Int, bits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val qB = bucketed(queries, idCol, embCol, bits, tables)
+      .select(col("v_id").as("q_id"), col("tbl"), col("sig"))
+    val cB = bucketed(corpus, idCol, embCol, bits, tables)
+      .select(col("v_id").as("c_id"), col("tbl").as("tbl2"), col("sig").as("sig2"))
+    val candidates = cB.join(broadcast(qB),
+        col("tbl") === col("tbl2") && col("sig") === col("sig2") &&
+          col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .distinct()
+    val q = renameQ(queries, idCol, embCol)
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-      .join(cSig, "c_id")
-    val scored = c.join(broadcast(q),
-        col("q_sig") === col("c_sig") && col("q_id") =!= col("c_id"))
+    val scored = candidates
+      .join(c, "c_id")
+      .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
         cosineSim(col("q_emb"), col("c_emb")).as("cos"))
     val w = Window.partitionBy(col("q_id"))

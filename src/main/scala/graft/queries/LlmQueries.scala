@@ -142,12 +142,12 @@ object LlmQueries {
 
     QuerySpec(
       "l07_lsh_topk",
-      "hyperplane-LSH bucketed approximate top-10 (4-bit signatures, zero-shuffle per-row signature expression); seeded-hash buckets -> rows-only check",
+      "multi-table hyperplane-LSH approximate top-10 (4 tables x 4 bits, zero-shuffle per-row signatures); seeded-hash buckets -> rows-only check",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         Similarity.lshTopK(s,
           e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding", 10,
-          bits = 4)
+          bits = 4, tables = 4)
       },
       None),
 

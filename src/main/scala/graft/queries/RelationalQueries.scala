@@ -55,7 +55,7 @@ object RelationalQueries {
 
     QuerySpec(
       "r02_topk_revenue",
-      "TPC-H Q3-style: broadcast dim join + agg + fully tie-broken top-k",
+      "TPC-H Q3-style: join + agg + fully tie-broken top-k (joins AQE-chosen: customer is SF-scaled, so no explicit broadcast hint)",
       (s, dir) => {
         val cust = Tables.load(s, dir, "customer")
           .where(col("c_mktsegment") === "BUILDING")
@@ -64,7 +64,7 @@ object RelationalQueries {
         val li = Tables.load(s, dir, "lineitem")
           .where(col("l_shipdate") > to_timestamp(lit("1998-06-01")))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
             .as("revenue"))
@@ -85,10 +85,10 @@ object RelationalQueries {
 
     QuerySpec(
       "r03_local_supplier_volume",
-      "TPC-H Q5-style 6-way join (fact-fact shuffle join + broadcast dims)",
+      "TPC-H Q5-style 6-way join: broadcast hints only on genuinely bounded dims (nation 25 rows, region 5); customer/supplier are SF-scaled, so AQE picks their join strategy",
       (s, dir) => {
-        val cust = broadcast(Tables.load(s, dir, "customer"))
-        val supp = broadcast(Tables.load(s, dir, "supplier"))
+        val cust = Tables.load(s, dir, "customer")
+        val supp = Tables.load(s, dir, "supplier")
         val nat = broadcast(Tables.load(s, dir, "nation"))
         val reg = broadcast(Tables.load(s, dir, "region")
           .where(col("r_name") === "ASIA"))
@@ -352,7 +352,7 @@ object RelationalQueries {
         from_json(col("props"), "k INT", Map.empty[String, String])
           .getField("k").as("k")),
       Some("""SELECT event_id,
-             |  CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k
+             |  CAST(json_extract(props, '$.k') AS INT) AS k
              |FROM events""".stripMargin)),
 
     QuerySpec(

@@ -9,8 +9,9 @@ import graft.queries.QuerySpec.decSum
 
 /** Time-series operators over `events` (SURVEY.md §7.2 M4) — the batch
   * faces of the reference's time-series domain. Streaming equivalents
-  * (watermarks, late data) live in graft.streaming and are exercised by
-  * ScalaTest, since a streaming Dataset cannot be dumped by Verify.
+  * (watermarks, late data) live in graft.streaming.StreamingOps and are
+  * exercised by ScalaTest (StreamingOpsSpec), since a streaming Dataset
+  * cannot be dumped by Verify.
   */
 object TimeSeriesQueries {
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity semantics, including the two checks the DuckDB
+  * oracle cannot express: LSH recall vs the exact baselines.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exactGroups: identical texts collapse to min-id keeper with count") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds a planted near-dup and scores it exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, "completely different words appear in this one here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("minhashLshPairs == exact jaccardPairs on the fixture corpus (recall check)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain planted near-dups")
+    assert(lsh === exact) // zero misses expected at this threshold/banding
+  }
+
+  test("simhashPairs recalls most planted near-dups, no wild false positives") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    // SimHash is a 64-bit sketch: weaker than MinHash — expect substantial
+    // but not perfect overlap with the exact pairs.
+    val recall = (sim intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low")
+    val precision = (sim intersect exact).size.toDouble / sim.size
+    assert(precision >= 0.5, s"precision $precision too low")
+  }
+
+  test("lshTopK recall vs bruteForceTopK on fixture embeddings") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(spark, queries, emb, "vec_id", "embedding", 10,
+      bits = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    // 4 tables x 4-bit buckets -> ~tables/2^bits = 25% of the corpus scored
+    // per query; recall is the tunable dial (more tables -> higher recall).
+    // Assert it clearly beats the scored fraction (random would be ~25%).
+    assert(recall >= 0.3, s"recall $recall not better than chance")
+  }
+
+  test("asof join: NULL-key left rows match nothing (equi-join semantics)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Option(10L), ts("2024-01-01 05:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 05:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (Option(10L), ts("2024-01-01 01:00:00"), "hit10"),
+      (Option.empty[Long], ts("2024-01-01 01:00:00"), "hitNull"))
+      .toDF("k", "t", "payload")
+    val got = graft.operators.AsOfJoin.backward(left, right,
+      "k", "k", "t", "t", Seq("payload"), "payload")
+      .orderBy("id").collect()
+    assert(got(0).getString(3) === "hit10")
+    assert(got(1).isNullAt(3), "NULL-key row must not inherit the NULL-key right payload")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions, VectorHash}
+
+/** Unit tests for the custom Catalyst expressions (both interpreted eval
+  * and the codegen path — local Spark runs whole-stage codegen, so a
+  * `select` exercises `doGenCode`).
+  */
+class FunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def refRollingHash(s: String): Option[Long] =
+    if (s.isEmpty) None
+    else {
+      var acc = 0L; var first = true; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); i += Character.charCount(cp)
+        if (first) { acc = cp.toLong; first = false }
+        else acc = (acc * 31L + cp) % 1000000007L
+      }
+      Some(acc)
+    }
+
+  test("RollingHash matches the reference fold; empty -> NULL; codepoints not chars") {
+    import spark.implicits._
+    val inputs = Seq("hello world", "", "a", "naïve café", "emoji 😀 test")
+    val got = inputs.toDF("s")
+      .select(TextFunctions.rollingHash(col("s")).as("h"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === inputs.map(refRollingHash))
+  }
+
+  test("CosineSimilarity matches a sequential double fold") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val Row(got: Double) = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()(0)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    assert(got === dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  test("shingles: fewer than k tokens -> empty; distinct 3-shingles otherwise") {
+    import spark.implicits._
+    val got = Seq("a b", "a b c d", "x y z x y z x y z")
+      .toDF("t").select(TextFunctions.shingles(col("t")).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq.empty)
+    assert(got(1) === Seq("a b c", "b c d"))
+    assert(got(2) === Seq("x y z", "y z x", "z x y")) // distinct keeps first occurrences
+  }
+
+  test("HyperplaneSignature derives dim from the array (no 64-dim hardcode)") {
+    import spark.implicits._
+    val v = Array.fill(80)(0.0f)
+    val v2 = v.clone(); v2(70) = 100.0f // only differs beyond dim 64
+    val sigs = Seq(("a", v), ("b", v2)).toDF("id", "e")
+      .select(VectorFunctions.hyperplaneSig(col("e"), 16).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) !== sigs(1), "components >= 64 must influence the signature")
+    // and matches the shared reference arithmetic
+    def refSig(arr: Array[Float], bits: Int): Long = {
+      var sig = 0L
+      for (j <- 0 until bits) {
+        var proj = 0.0
+        for (d <- arr.indices) proj += arr(d).toDouble * VectorHash.planeSign(j, d)
+        if (proj > 0) sig |= (1L << j)
+      }
+      sig
+    }
+    assert(sigs(0) === refSig(v, 16) && sigs(1) === refSig(v2, 16))
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.pipeline._
+import graft.sources.Catalog
+
+/** Reference-parity semantics (SURVEY.md §5): the system-substring name
+  * filter, null-time skip accounting, empty table, all-rows-skipped,
+  * micro-batch clamping, and the written+skipped==total ledger property.
+  */
+class PipelineSpec extends SparkSpec {
+  import PipelineSpec._
+
+  test("nonSystem skips any name CONTAINING 'system' (index.js:298)") {
+    val names = Seq("users", "system.indexes", "ecosystem_metrics", "orders")
+    assert(Catalog.nonSystem(names) === Seq("users", "orders"))
+  }
+
+  private def writeSrc(rows: Seq[(Long, Option[Timestamp], Double)]): String = {
+    val dir = Files.createTempDirectory("graft_src_").toString
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def report(src: String, sink: Sink = noopSink) =
+    Pipeline.migrateTable(spark, src, "events",
+      df => df.withColumn("time", col("ts")).drop("ts", "event_id"), sink)
+
+  test("null-time rows are skip-counted, not errored (index.js:235-239)") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val src = writeSrc(Seq((1L, Some(t), 1.0), (2L, None, 2.0), (3L, Some(t), 3.0)))
+    val r = report(src)
+    assert(r.written === 2)
+    assert(r.skipped === 1)
+    assert(math.abs(r.success_rate - 200.0 / 3) < 1e-12)
+  }
+
+  test("empty table migrates cleanly (0 pages edge, index.js:186)") {
+    val src = writeSrc(Seq.empty)
+    val r = report(src)
+    assert(r.written === 0 && r.skipped === 0)
+    assert(r.success_rate === 100.0)
+  }
+
+  test("all rows skipped -> success rate 0% (index.js:271-272)") {
+    val src = writeSrc(Seq((1L, None, 1.0), (2L, None, 2.0)))
+    val r = report(src)
+    assert(r.written === 0 && r.skipped === 2)
+    assert(r.success_rate === 0.0)
+  }
+
+  test("a prepare with no time column skips every row") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val src = writeSrc(Seq((1L, Some(t), 1.0)))
+    val r = Pipeline.migrateTable(spark, src, "events",
+      df => df.drop("ts"), noopSink)
+    assert(r.written === 0 && r.skipped === 1)
+  }
+
+  test("MicroBatchSink: insertLimit-sized batches, short last batch, no empty flush") {
+    batches.clear()
+    val sink = new MicroBatchSink(3, recordBatch)
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+    sink.append(df, "t")
+    val sizes = batches.asScala.toSeq.sorted
+    assert(sizes === Seq(1, 3, 3, 3)) // 10 rows, limit 3 -> 3,3,3,1 clamp
+    batches.clear()
+    sink.append(df.where(lit(false)), "t")
+    assert(batches.isEmpty) // zero rows -> zero flushes (fixes SURVEY §4.4.7)
+  }
+
+  test("line protocol renders fields and ns timestamp") {
+    import spark.implicits._
+    val row = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 1.5, 7L, "a\"b"))
+      .toDF("time", "value", "n", "s").collect()(0)
+    val line = InfluxLineProtocol.render("events", row)
+    assert(line.startsWith("events "))
+    assert(line.contains("value=1.5") && line.contains("n=7i"))
+    assert(line.contains("s=\"a\\\"b\""))
+    assert(line.endsWith((row.getAs[Timestamp]("time").getTime * 1000000L).toString))
+  }
+
+  test("property: written + skipped == input count (the reference ledger)") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val genRows = Gen.listOf(Gen.oneOf(true, false))
+    val prop = Prop.forAll(genRows) { rows =>
+      val data = rows.zipWithIndex.map { case (hasTime, i) =>
+        (i.toLong, if (hasTime) Some(t) else None, 1.0)
+      }
+      val r = report(writeSrc(data))
+      r.written + r.skipped == data.size &&
+        r.written == data.count(_._2.isDefined)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("migrate runs all non-system tables and reports a sorted ledger") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = Files.createTempDirectory("graft_src_").toString
+    import spark.implicits._
+    Seq((1L, t, 1.0)).toDF("event_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$dir/system_audit.parquet")
+    Seq((1L, "y")).toDF("id", "v").write.parquet(s"$dir/plain.parquet")
+    val sinkDir = Files.createTempDirectory("graft_sink_").toString
+    val rep = Pipeline.migrate(spark, dir, new ParquetSink(sinkDir),
+      Pipeline.defaultPrepare)
+    val rows = rep.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq("events", "plain")) // system_audit skipped
+    val byName = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byName("events") === ((1L, 0L)))
+    assert(byName("plain") === ((0L, 1L))) // no time column -> all skipped
+    // sink got exactly the written rows
+    assert(spark.read.parquet(s"$sinkDir/events").count() === 1)
+  }
+}
+
+object PipelineSpec {
+  /** Executor-side batch recorder (same JVM in local mode). */
+  val batches = new ConcurrentLinkedQueue[Int]()
+  val recordBatch: (String, Seq[Row]) => Unit = (_, b) => batches.add(b.size)
+  val noopSink: Sink = new Sink {
+    override def truncate(table: String): Unit = ()
+    override def append(df: DataFrame, table: String): Unit =
+      df.write.format("noop").mode("overwrite").save()
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming ops driven by MemoryStream: results must equal the
+  * batch faces on the same data (processing-time-independent), and the
+  * watermark must drop late rows — the streaming analogue of the
+  * reference's skip-don't-fail time rule.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(1, ts("2024-01-01 00:10:00"), 1, "a", 1.0),
+    Ev(2, ts("2024-01-01 00:20:00"), 1, "a", 2.0),
+    Ev(3, ts("2024-01-01 01:10:00"), 2, "b", 3.0),
+    Ev(4, ts("2024-01-01 01:40:00"), 2, "b", 4.0),
+    Ev(5, ts("2024-01-01 03:00:00"), 1, "a", 5.0))
+
+  private def runStream(name: String,
+      plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      batches: Seq[Seq[Ev]],
+      mode: String = "append"): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = plan(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumblingAgg (complete mode) equals the batch tumbling aggregate") {
+    import spark.implicits._
+    val got = runStream("t_tumble", StreamingOps.tumblingAgg(_),
+      Seq(events.take(3), events.drop(3)), mode = "complete")
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val exp = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(col("window.start"), col("event_type"), col("n"), col("s"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === exp)
+  }
+
+  test("watermark drops a too-late row (skip, don't fail)") {
+    // Batch 1 advances the watermark to 03:00 - 1h = 02:00; the straggler
+    // at 00:30 is behind it and must be dropped from the appended results.
+    val straggler = Ev(6, ts("2024-01-01 00:30:00"), 1, "a", 100.0)
+    val got = runStream("t_late", StreamingOps.tumblingAgg(_),
+      Seq(events, Seq(straggler), Seq(Ev(7, ts("2024-01-01 06:00:00"), 1, "a", 0.0))),
+      mode = "append")
+    val hourZero = got.filter(_.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(hourZero.length === 1)
+    assert(hourZero(0).getLong(2) === 2, "late row must not be counted")
+  }
+
+  test("sessionAgg merges events within the gap into one session") {
+    val got = runStream("t_sess", StreamingOps.sessionAgg(_),
+      Seq(events, Seq(Ev(8, ts("2024-01-01 08:00:00"), 9, "z", 0.0))),
+      mode = "append")
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    // user 1: events at 00:10/00:20 -> one 2-event session (03:00 is its own,
+    // maybe not yet emitted); user 2: 01:10/01:40 -> one 2-event session.
+    assert(got.contains((1L, ts("2024-01-01 00:10:00"), 2L)))
+    assert(got.contains((2L, ts("2024-01-01 01:10:00"), 2L)))
+  }
+
+  test("dedupStream keeps first occurrence within the watermark") {
+    val dup = Ev(1, ts("2024-01-01 00:10:00"), 1, "a", 999.0) // same event_id
+    val got = runStream("t_dedup",
+      df => StreamingOps.dedupStream(df, Seq("event_id")),
+      Seq(events.take(2), Seq(dup)), mode = "append")
+    assert(got.length === 2)
+    assert(got.find(_.getLong(0) == 1L).get.getDouble(4) === 1.0)
+  }
+}
