@@ -43,53 +43,46 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, k)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
-    val exA = sets.select(col("doc_id").as("a_id"), explode(col("sh")).as("g"))
-    val exB = exA.select(col("a_id").as("b_id"), col("g").as("g2"))
-    val inter = exA.join(exB, col("g") === col("g2") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+    // Size filter (exactness-preserving): j(a,b) >= t implies
+    // min(n_a,n_b) >= t * max(n_a,n_b), so size-mismatched pairs can be
+    // dropped inside the shingle join before the expensive aggregate.
+    val exA = sets.select(col("doc_id").as("a_id"), size(col("sh")).as("na"),
+      explode(col("sh")).as("g"))
+    val exB = exA.select(col("a_id").as("b_id"), col("na").as("nb"),
+      col("g").as("g2"))
+    val inter = exA.join(exB,
+        col("g") === col("g2") && col("a_id") < col("b_id") &&
+          col("na") >= lit(threshold) * col("nb") &&
+          col("nb") >= lit(threshold) * col("na"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signatures: perm p of doc d = min over d's shingles of
-    * xxhash64(shingle, p). One codegen'd aggregate over the exploded
-    * shingles — numPerms min-columns, map-side combined.
-    */
-  def minhashSignatures(sets: DataFrame, numPerms: Int): DataFrame = {
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-    val mins = (0 until numPerms).map(p =>
-      min(xxhash64(col("g"), lit(p))).as(s"h$p"))
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
-
   /** LSH candidate pairs -> exact-Jaccard verification >= threshold.
     * Output is identical to `jaccardPairs` up to the (tiny, tunable)
     * LSH miss probability.
+    *
+    * Scale shape: the whole MinHash signature + band bucketing is ONE
+    * narrow codegen'd expression per row (`MinHashBandHashes` — no
+    * shingle explosion, no 192-column aggregate, no shuffle); the only
+    * wide operations are the (band, hash) candidate equi-join and the
+    * final verify join — exactly what survives a 100 TB corpus.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numPerms: Int = 192, bands: Int = 32,
       k: Int = 3): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val rows = numPerms / bands
-    val sets = shingleSets(docs, idCol, textCol, k)
-    val sig = minhashSignatures(sets, numPerms)
-
-    // One hash per band over its `rows` signature slots; the band index
-    // is folded into the hash via a distinct seed column.
-    val bandStructs = (0 until bands).map { b =>
-      val slot = (b * rows until (b + 1) * rows).map(p => col(s"h$p"))
-      struct(lit(b).as("band"), xxhash64(slot :+ lit(10000 + b): _*).as("bh"))
-    }
-    val bandTab = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Sketch straight from the text (fused shingle+MinHash+banding, one
+    // narrow expression; NULL = no shingles -> posexplode drops the row,
+    // so empty documents never co-bucket).
+    val bandTab = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.SketchFunctions.minhashBandsFromText(
+        col(textCol), k, numPerms, bands)).as(Seq("band", "bh")))
 
     val candB = bandTab.select(col("doc_id").as("b_id"),
       col("band").as("band2"), col("bh").as("bh2"))
@@ -99,11 +92,19 @@ object Dedup {
       .select(col("doc_id").as("a_id"), col("b_id"))
       .distinct()
 
-    // Exact verification of candidates only (array_intersect on the
-    // distinct shingle sets).
+    // Exact verification of candidates only: shingle sets are materialized
+    // JUST for documents that appear in some candidate pair (left-semi
+    // prune), then compared with array_intersect.
+    val candIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id")))
+      .distinct()
+    val candSets = shingleSets(
+      docs.join(candIds,
+        docs(idCol) === candIds("doc_id"), "left_semi"),
+      idCol, textCol, k)
     val verified = candidates
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .join(candSets.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(candSets.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -116,21 +117,18 @@ object Dedup {
     * Shingles, not unigrams: on a small vocabulary every document's
     * distinct-token set converges to the whole vocabulary and token-level
     * SimHash collides everywhere; k-shingles keep the feature space wide.
+    *
+    * The sketch is one narrow codegen'd pass per row straight from the
+    * text (`SimHash64FromText`) — no shingle materialization, no 64-column
+    * vote aggregate, no shuffle. Documents with < k tokens sketch to NULL
+    * and are dropped (they have no near-dup signal).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), k)).as("tok"))
-      .withColumn("hv", xxhash64(col("tok")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("hv"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b"))
-    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    agg.select(col("doc_id"),
-      (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SketchFunctions.simhash64FromText(col(textCol), k)
+        .as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, banded
     * into four 16-bit chunks (a pair within distance 3 shares at least

@@ -152,6 +152,28 @@ object LlmQueries {
       None),
 
     QuerySpec(
+      "l15_hof_dot",
+      "higher-order-function dot product (zip_with + aggregate, codegen'd built-ins — the no-custom-Expression path): embedding . reverse(embedding) and |embedding|^2",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+        e.select(col("vec_id"),
+          dot(col("embedding"), col("embedding")).as("norm2"),
+          dot(col("embedding"), reverse(col("embedding"))).as("dot_rev"))
+      },
+      Some("""SELECT vec_id,
+             |  list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1),
+             |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+             |    (x,y) -> x+y) AS norm2,
+             |  list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1),
+             |    i -> CAST(embedding[i] AS DOUBLE)
+             |       * CAST(embedding[len(embedding)+1-i] AS DOUBLE))),
+             |    (x,y) -> x+y) AS dot_rev
+             |FROM embeddings""".stripMargin)),
+
+    QuerySpec(
       "l08_lang_id",
       "language ID per document (marker-word heuristic + CJK codepoint check) vs the labeled lang",
       (s, dir) => Tables.load(s, dir, "documents")

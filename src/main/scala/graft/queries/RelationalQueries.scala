@@ -411,6 +411,56 @@ object RelationalQueries {
              |    lag(CAST(ts AS TIMESTAMP), 1) OVER w,
              |    CAST(ts AS TIMESTAMP)) AS secs_since_prev
              |FROM events
-             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin))
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin)),
+
+    QuerySpec(
+      "r25_percentile",
+      "exact interpolated percentiles (quartiles of l_quantity); integer-valued data keeps the interpolation FP-exact cross-engine",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .agg(percentile(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("quartiles")),
+      Some("SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles FROM lineitem")),
+
+    QuerySpec(
+      "r26_pivot",
+      "pivot (groupBy + pivot on a bounded value set) == conditional aggregation",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_n"),
+          coalesce(col("O"), lit(0L)).as("o_n"),
+          coalesce(col("P"), lit(0L)).as("p_n")),
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (o_orderstatus = 'F') AS f_n,
+             |  count(*) FILTER (o_orderstatus = 'O') AS o_n,
+             |  count(*) FILTER (o_orderstatus = 'P') AS p_n
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "r27_sql_subquery",
+      "SQL surface: spark.sql with a correlated scalar subquery (Catalyst decorrelates it into a join)",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT count(*) FROM orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+                |FROM customer c""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+             |FROM customer c""".stripMargin)),
+
+    QuerySpec(
+      "r28_array_agg",
+      "grouped array aggregation, deterministically sorted",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys")),
+      Some("""SELECT o_orderstatus, list_sort(array_agg(o_orderkey)) AS keys
+             |FROM orders GROUP BY 1""".stripMargin))
   )
 }
