@@ -145,6 +145,63 @@ object SetSketch {
     sig
   }
 
+  /** Distinct k-shingle STRINGS of `text`, one byte pass. Every shingle of
+    * a single-space tokenization is an exact byte range of the trimmed
+    * text, so the output strings are built straight from ranges; dedup is
+    * by 64-bit hash with a byte-compare on hash equality (exact — no
+    * collision caveat). First-seen order, matching `array_distinct` over
+    * the position-ordered shingle list. Empty array when < k tokens.
+    */
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var nTok = 1
+    var i = lo
+    while (i < hi) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (hi == lo) nTok = 1
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTok)
+    starts(0) = lo
+    var t = 1
+    i = lo
+    while (i < hi) { if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    val nSh = nTok - k + 1
+    var cap = 4
+    while (cap < nSh * 2) cap <<= 1
+    val slotHash = new Array[Long](cap)
+    val slotFrom = new Array[Int](cap)
+    val slotUntil = new Array[Int](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Any](nSh)
+    var nOut = 0
+    var s = 0
+    while (s < nSh) {
+      val from = starts(s)
+      val until = if (s + k < nTok) starts(s + k) - 1 else hi
+      val h = fnv1aRange(bytes, from, until)
+      var slot = (fmix(h) & (cap - 1)).toInt
+      var fresh = true
+      while (used(slot) && {
+        if (slotHash(slot) == h &&
+          java.util.Arrays.equals(bytes, slotFrom(slot), slotUntil(slot),
+            bytes, from, until)) { fresh = false; false }
+        else true
+      }) slot = (slot + 1) & (cap - 1)
+      if (fresh) {
+        used(slot) = true; slotHash(slot) = h
+        slotFrom(slot) = from; slotUntil(slot) = until
+        out(nOut) = UTF8String.fromBytes(bytes, from, until - from)
+        nOut += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(
+      if (nOut == nSh) out else out.take(nOut))
+  }
+
   // Entry points used by generated code (static forwarders).
   def minhashBandsText(text: UTF8String, k: Int, numPerms: Int, bands: Int): ArrayData = {
     val hs = shingleHashes(text, k)
@@ -211,7 +268,34 @@ case class SimHash64FromText(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `string -> array<string>`: distinct word-k-shingles in one codegen'd
+  * byte pass — replaces a split/transform/slice/concat_ws/array_distinct
+  * tree that Catalyst's constraint inference would otherwise duplicate
+  * into filters and evaluate several times per row.
+  */
+case class ShinglesFromText(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SetSketch.shingleStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SetSketch.shingleStrings($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
+  /** Column API: distinct word-k-shingles of a text column. */
+  def shinglesFromText(text: Column, k: Int): Column =
+    GraftBridge.column(ShinglesFromText(GraftBridge.expression(text), k))
+
   /** Column API: per-band MinHash-LSH bucket hashes of a text column's
     * word-k-shingles (NULL if fewer than k tokens).
     */

@@ -83,15 +83,13 @@ object TextFunctions {
 
   /** Distinct word k-shingles of a text column (default 3-word shingles):
     * the standard near-dup unit — far more discriminative than unigrams
-    * when the vocabulary is small. Built from codegen-friendly collection
-    * functions; empty array when the document has fewer than k tokens.
+    * when the vocabulary is small. One codegen'd byte pass
+    * (`ShinglesFromText`); empty array when the document has fewer than k
+    * tokens. (The earlier split/transform/slice/concat_ws/array_distinct
+    * formulation was correct but Catalyst's constraint inference
+    * duplicated the whole tree into join-side filters, multiplying its
+    * cost; the single expression is both cheaper and duplication-proof.)
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    SketchFunctions.shinglesFromText(text, k)
 }

@@ -22,6 +22,11 @@ object BenchOne {
       "_shingles_only" -> ((s, dir) =>
         graft.operators.Dedup.shingleSets(Tables.load(s, dir, "documents"), "doc_id", "text")
           .selectExpr("doc_id", "size(sh) as n")))
+    if (sys.env.contains("BENCHONE_EXPLAIN"))
+      names.foreach { n =>
+        println(s"==== $n ====")
+        (SparkEntry.queries ++ extras)(n)(spark, sfDir).explain("formatted")
+      }
     for (name <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
       val df = (SparkEntry.queries ++ extras)(name)(spark, sfDir)
