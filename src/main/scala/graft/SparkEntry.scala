@@ -17,11 +17,12 @@ object SparkEntry {
       LlmQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's whole per-collection dataflow in one plan: prepare
-    * transform + time-validity filter (SURVEY.md §3.3).
+    * The reference's whole job end-to-end (SURVEY.md §3): enumerate the
+    * catalog, skip system tables, prepare + time-filter + sink-append every
+    * table, return the per-table written/skipped ledger.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("p02_time_filter")(spark, "/root/testdata/sf0.001")
+    queries("p06_migrate")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

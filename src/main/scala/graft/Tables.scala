@@ -26,7 +26,10 @@ object Tables {
     * us-grained, so the conversion is lossless.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Guarded set: avoid re-writing session conf (and invalidating cached
+    // plans) on every table load.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     val df = spark.read.parquet(path(dir, name))
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>

@@ -21,13 +21,18 @@ import graft.sources.Catalog
   *   - `emptySeries` (index.js:52, default false): truncate destination
   *     series before appending.
   *   - `systemMarker` (index.js:298): skip tables whose name CONTAINS it.
+  *   - `queryLimit` (index.js:47, default 100k rows/page): the reference's
+  *     read-page size existed only to bound single-process memory; the
+  *     Spark analogue is input-split sizing, so when set it becomes
+  *     `spark.sql.files.maxPartitionBytes` (bytes) for the migration.
   */
 final case class PipelineConfig(
     insertLimit: Int = 100,
     limit: Int = 2,
     emptySeries: Boolean = false,
     systemMarker: String = "system",
-    timeCol: String = "time")
+    timeCol: String = "time",
+    queryLimit: Option[Long] = None)
 
 /** Per-table migration ledger, mirroring the reference's end-of-collection
   * report (index.js:271-272): rows written, rows skipped for a null/absent
@@ -122,6 +127,8 @@ object Pipeline {
       sink: Sink,
       prepare: String => DataFrame => DataFrame = defaultPrepare,
       config: PipelineConfig = PipelineConfig()): DataFrame = {
+    config.queryLimit.foreach(b =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
     val tables = Catalog.nonSystem(Catalog.listTables(srcDir), config.systemMarker)
     val pool = Executors.newFixedThreadPool(math.max(1, config.limit))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Live progress/throughput metrics for migrations — the Spark face of the
+  * reference's 500 ms `bench()` sampler + `draw()` TUI (index.js:214-225,
+  * 111-155). The reference recomputes inserts/sec from counter deltas on a
+  * timer; here a `SparkListener` accumulates per-table output-row counts
+  * as tasks finish, and `snapshot()` derives rows/sec from elapsed time —
+  * poll it on any cadence you like (the reference's was 500 ms).
+  *
+  * Attribution uses the job description set by `Pipeline.migrate`
+  * ("migrate <table>"), the idiomatic listener-side channel for job
+  * identity. Kept deliberately thin (SURVEY.md §2 row 11: observability,
+  * not a correctness surface): no TUI, no ring-buffer log — callers render.
+  */
+final class ProgressListener extends SparkListener {
+
+  /** table -> (rows written so far, first-seen nanos). */
+  private val state = new ConcurrentHashMap[String, (Long, Long)]()
+  private val stageTable = new ConcurrentHashMap[Int, String]()
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val desc = jobStart.properties.getProperty("spark.job.description", "")
+    if (desc.startsWith("migrate ")) {
+      val table = desc.stripPrefix("migrate ")
+      jobStart.stageIds.foreach(sid => stageTable.put(sid, table))
+      state.putIfAbsent(table, (0L, System.nanoTime()))
+    }
+  }
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val written = Option(taskEnd.taskMetrics)
+      .map(_.outputMetrics.recordsWritten).getOrElse(0L)
+    if (written > 0) {
+      Option(stageTable.get(taskEnd.stageId)).foreach { table =>
+        state.computeIfPresent(table, (_, v) => (v._1 + written, v._2))
+      }
+    }
+  }
+
+  /** Per-table (rowsWritten, rowsPerSec) since first task. */
+  def snapshot(): Map[String, (Long, Double)] =
+    state.asScala.toMap.map { case (t, (rows, t0)) =>
+      val secs = math.max(1e-9, (System.nanoTime() - t0) / 1e9)
+      t -> (rows, rows / secs)
+    }
+
+  def register(spark: SparkSession): this.type = {
+    spark.sparkContext.addSparkListener(this); this
+  }
+
+  def unregister(spark: SparkSession): Unit =
+    spark.sparkContext.removeSparkListener(this)
+}

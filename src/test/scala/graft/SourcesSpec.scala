@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.pipeline.{ParquetSink, Pipeline, ProgressListener}
+import graft.sources.SchemaMerge
+
+/** Dynamic-schema merge (SURVEY §7.4) and the progress listener (§2 row 11). */
+class SourcesSpec extends SparkSpec {
+
+  test("unionRagged: union-of-fields, null-fill, first-seen column order") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val c = Seq(("y", 3L)).toDF("name", "id")
+    val got = SchemaMerge.unionRagged(Seq(a, b, c))
+    assert(got.columns.toSeq === Seq("id", "name", "score"))
+    val rows = got.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(1).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(2).getString(1) === "y")
+  }
+
+  test("unionRagged: conflicting types error out instead of coercing") {
+    import spark.implicits._
+    val a = Seq(Tuple1(1L)).toDF("id")
+    val b = Seq(Tuple1("1")).toDF("id")
+    assert(a.schema("id").dataType === LongType)
+    assert(b.schema("id").dataType === StringType)
+    val e = intercept[IllegalArgumentException] {
+      SchemaMerge.unionRagged(Seq(a, b))
+    }
+    assert(e.getMessage.contains("type conflict"))
+  }
+
+  test("ProgressListener reports per-table rows written during migrate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_src_").toString
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    (1 to 50).map(i => (i.toLong, t, i.toDouble)).toDF("event_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val listener = new ProgressListener().register(spark)
+    try {
+      val sinkDir = Files.createTempDirectory("graft_sink_").toString
+      Pipeline.migrate(spark, dir, new ParquetSink(sinkDir), Pipeline.defaultPrepare)
+      // listener events are delivered asynchronously — poll briefly
+      var snap = listener.snapshot()
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (snap.get("events").forall(_._1 < 50L) &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        snap = listener.snapshot()
+      }
+      assert(snap.contains("events"), s"snapshot keys: ${snap.keys}")
+      assert(snap("events")._1 === 50L)
+      assert(snap("events")._2 > 0.0)
+    } finally listener.unregister(spark)
+  }
+}
