@@ -73,6 +73,78 @@ object Similarity {
       .select(col("v_id"), col("x.tbl").as("tbl"), col("x.sig").as("sig"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other scale path next to
+    * LSH: corpus vectors are assigned to their nearest of `nCentroids`
+    * coarse centroids (one inverted list per centroid); each query probes
+    * only the `nProbe` centroids nearest to IT and scores those lists.
+    * Cost ~ nProbe/nCentroids of the corpus per query.
+    *
+    * The coarse quantizer is deterministic and training-free: centroids
+    * are corpus vectors sampled by id order (every n/nCentroids-th) — at
+    * 100 TB you'd swap in k-means centroids trained on a sample behind
+    * the same (queries, corpus, k) signature; list assignment, probing,
+    * and scoring (the scale-critical parts) are identical. Assignment is
+    * a broadcast of the small centroid set against the corpus — one
+    * narrow pass, no shuffle; the probe join shuffles only candidate
+    * (query, centroid) pairs.
+    */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    // Deterministic centroid sample: every (n/nCentroids)-th id — a
+    // pushed-down filter, no global sort of the corpus; the row_number
+    // that labels centroids runs over <= nCentroids rows.
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents = corpus
+      .where(col(idCol) % stride === 0)
+      .select(col(idCol).as("__src"), col(embCol).as("cent_emb"))
+      .limit(nCentroids)
+      .withColumn("cent_id",
+        (row_number().over(Window.orderBy(col("__src"))) - 1).cast("int"))
+      .drop("__src")
+
+    // Corpus assignment: argmax over the broadcast centroid set as a
+    // map-side-combinable aggregate (max of (sim, -cent_id) structs) —
+    // shuffles one row per corpus vector, not one per (vector, centroid).
+    // Ties break to the smallest cent_id, deterministically.
+    val lists = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .join(broadcast(cents))
+      .select(col("c_id"), col("cent_id"),
+        cosineSim(col("c_emb"), col("cent_emb")).as("__cs"))
+      .groupBy(col("c_id"))
+      .agg(max(struct(col("__cs"), (-col("cent_id")).as("negid"))).as("m"))
+      .select(col("c_id"), (-col("m.negid")).cast("int").as("cent_id"))
+
+    // Query probing: top-nProbe centroids per query; the query set is the
+    // small broadcast side, so a window is fine here.
+    val probes = {
+      val scored = renameQ(queries, idCol, embCol)
+        .join(broadcast(cents))
+        .select(col("q_id"), col("cent_id"),
+          cosineSim(col("q_emb"), col("cent_emb")).as("__cs"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("__cs").desc, col("cent_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .where(col("__r") <= nProbe)
+        .select(col("q_id"), col("cent_id"))
+    }
+
+    val candidates = lists.join(broadcast(probes), Seq("cent_id"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+    val q = renameQ(queries, idCol, embCol)
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val scored = candidates.join(c, "c_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"),
+        cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH (standard
     * OR-amplification): `tables` independent b-bit bucketings; a corpus
     * vector is scored for a query iff they share a bucket in ANY table.

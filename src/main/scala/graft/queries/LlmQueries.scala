@@ -152,6 +152,16 @@ object LlmQueries {
       None),
 
     QuerySpec(
+      "l16_ivf_topk",
+      "IVF approximate top-10 (16 deterministic coarse centroids, 4-probe); sample-derived centroids -> rows-only check",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(s,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding", 10)
+      },
+      None),
+
+    QuerySpec(
       "l15_hof_dot",
       "higher-order-function dot product (zip_with + aggregate, codegen'd built-ins — the no-custom-Expression path): embedding . reverse(embedding) and |embedding|^2",
       (s, dir) => {
