@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory — the engine's `connect` analogue (reference:
+  * index.js:81-109 builds its two clients; here one SparkSession carries
+  * both "connections"). Centralizes the configuration the engine expects
+  * so Verify/Bench/tests and library users agree:
+  *
+  *   - UTC session timezone (the fixtures' and oracle's contract).
+  *   - `nanosAsLong` for the TIMESTAMP(NANOS) parquet fixtures
+  *     (graft.Tables.load converts ns -> µs losslessly).
+  *   - AQE on (default in Spark 4.x) with skew-join handling: at 100 TB,
+  *     runtime re-planning — not hand-tuned hints — is what picks
+  *     broadcast vs shuffle joins and splits skewed partitions.
+  *   - shuffle partitions sized to the parallelism the caller states
+  *     (a local harness wants cores, not the 200 default; a cluster
+  *     deployment would size to ~2-3x total executor cores or rely on
+  *     AQE coalescing).
+  */
+object Engine {
+
+  def session(master: String, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Harness entry: local[cpus] with matching shuffle width. */
+  def local(cpus: Int): SparkSession = session(s"local[$cpus]", cpus)
+}

@@ -455,6 +455,20 @@ object RelationalQueries {
              |FROM customer c""".stripMargin)),
 
     QuerySpec(
+      "r29_map_funcs",
+      "map-typed semi-structured access: from_json to map<string,int>, keys/values/cardinality",
+      (s, dir) => Tables.load(s, dir, "events").select(
+        col("event_id"),
+        sort_array(map_keys(from_json(col("props"),
+          "map<string,int>", Map.empty[String, String]))).as("keys"),
+        size(from_json(col("props"), "map<string,int>",
+          Map.empty[String, String])).as("n_keys")),
+      Some("""SELECT event_id,
+             |  list_sort(json_keys(props)) AS keys,
+             |  len(json_keys(props)) AS n_keys
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
       "r28_array_agg",
       "grouped array aggregation, deterministically sorted",
       (s, dir) => Tables.load(s, dir, "orders")
