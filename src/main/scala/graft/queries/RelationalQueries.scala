@@ -469,6 +469,23 @@ object RelationalQueries {
              |FROM events""".stripMargin)),
 
     QuerySpec(
+      "r30_grouped_topk",
+      "grouped top-k via a typed Aggregator UDAF (map-side combinable: O(groups*k) shuffled, vs a window's full sort)",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.operators.GroupedTopK.topK(2)(
+          col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("p"))
+        .select(col("o_orderpriority"), col("p._1").as("o_totalprice"),
+          col("p._2").as("o_orderkey")),
+      Some("""SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+             |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 2""".stripMargin)),
+
+    QuerySpec(
       "r28_array_agg",
       "grouped array aggregation, deterministically sorted",
       (s, dir) => Tables.load(s, dir, "orders")
