@@ -24,9 +24,24 @@ import graft.functions.TextFunctions.shingles
   */
 object Dedup {
 
-  /** Exact dedup: one keeper (min id) per identical text + group size. */
+  /** Exact dedup: one keeper (min id) per identical text + group size.
+    * Groups directly on the text — fine when documents are small; at
+    * 100 TB prefer `exactGroupsByDigest`, which shuffles 32-byte digests
+    * instead of whole documents.
+    */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact dedup keyed on SHA-256(text): identical groups to
+    * `exactGroups` (a digest collision would need a SHA-256 break), but
+    * the shuffle carries 32-byte keys instead of full documents — the
+    * scale path for whole-corpus exact dedup.
+    */
+  def exactGroupsByDigest(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("__digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 

@@ -82,6 +82,14 @@ object LlmQueries {
              |FROM documents GROUP BY text""".stripMargin)),
 
     QuerySpec(
+      "l17_exact_dedup_digest",
+      "exact dedup keyed on SHA-256 digests (the 100 TB shuffle shape: 32-byte keys, not whole documents); same groups as l01",
+      (s, dir) => Dedup.exactGroupsByDigest(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY sha256(text)""".stripMargin)),
+
+    QuerySpec(
       "l02_jaccard_pairs",
       "exact word-3-shingle Jaccard near-dup pairs (j >= 0.5)",
       (s, dir) => Dedup.jaccardPairs(

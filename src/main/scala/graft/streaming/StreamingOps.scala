@@ -63,4 +63,13 @@ object StreamingOps {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-static enrichment: the streaming analogue of the per-row
+    * prepare transform looking up a dimension — each micro-batch joins
+    * against the (broadcastable) static table; no state, no watermark
+    * requirement, the static side is re-read per batch.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    events.join(dim, keys, joinType)
 }

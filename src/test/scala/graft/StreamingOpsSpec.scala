@@ -80,6 +80,16 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.contains((2L, ts("2024-01-01 01:10:00"), 2L)))
   }
 
+  test("enrich: stream-static left join attaches dimension values per batch") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val got = runStream("t_enrich",
+      df => StreamingOps.enrich(df, dim, Seq("user_id")),
+      Seq(events.take(3)), mode = "append")
+    val byId = got.map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(byId(1L) === "gold" && byId(2L) === "silver")
+  }
+
   test("dedupStream keeps first occurrence within the watermark") {
     val dup = Ev(1, ts("2024-01-01 00:10:00"), 1, "a", 999.0) // same event_id
     val got = runStream("t_dedup",
