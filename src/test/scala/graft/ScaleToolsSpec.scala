@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+
+/** The explicit scale levers: salted aggregation and bucketed joins. */
+class ScaleToolsSpec extends SparkSpec {
+
+  test("saltedAgg == plain groupBy aggregate (sum/count decomposition)") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a long tail
+    val rows = (1 to 1000).map { i =>
+      (if (i <= 900) "hot" else s"k${i % 17}", i.toLong, i.toDouble)
+    }
+    val df = rows.toDF("k", "uid", "v")
+    val expected = df.groupBy(col("k")).agg(
+        sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = Skew.saltedAgg(df,
+        key = col("k"), saltFrom = col("uid"), saltBuckets = 8,
+        partial = Seq(sum(col("v")).as("p_sum"), count(lit(1)).as("p_n")),
+        merge = Seq(sum(col("p_sum")).as("sum_v"), sum(col("p_n")).as("n")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("bucketed join plans with no Exchange on either side") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "av")
+    val b = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "bv")
+    Bucketing.writeBucketed(a, "graft_bkt_a", "id", 4, sortCol = Some("id"))
+    Bucketing.writeBucketed(b, "graft_bkt_b", "id", 4, sortCol = Some("id"))
+    val joined = Bucketing.bucketedJoin(spark, "graft_bkt_a", "graft_bkt_b", "id")
+    // disable broadcast so the join would otherwise need a shuffle
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Bucketing.bucketedJoin(spark, "graft_bkt_a", "graft_bkt_b", "id")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(joined.count() === 100)
+  }
+}
