@@ -136,10 +136,18 @@ object Pipeline {
       val futures = tables.map { name =>
         Future {
           spark.sparkContext.setJobDescription(s"migrate $name")
-          migrateTable(spark, srcDir, name, prepare(name), sink, config)
+          // Failure isolation mirrors the reference (index.js:264-268):
+          // a collection that errors is logged and excluded from the
+          // ledger; the other collections still migrate.
+          try Some(migrateTable(spark, srcDir, name, prepare(name), sink, config))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[pipeline] migrate $name failed: ${e.getMessage}")
+              None
+          }
         }
       }
-      val reports = Await.result(Future.sequence(futures), Duration.Inf)
+      val reports = Await.result(Future.sequence(futures), Duration.Inf).flatten
       import spark.implicits._
       reports.sortBy(_.table_name).toDF()
     } finally pool.shutdown()

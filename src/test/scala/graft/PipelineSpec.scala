@@ -92,6 +92,22 @@ class PipelineSpec extends SparkSpec {
     assert(line.endsWith((row.getAs[Timestamp]("time").getTime * 1000000L).toString))
   }
 
+  test("a failing table is logged and skipped; the rest still migrate") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = Files.createTempDirectory("graft_src_").toString
+    import spark.implicits._
+    Seq((1L, t, 1.0)).toDF("event_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, "y")).toDF("id", "v").write.parquet(s"$dir/other.parquet")
+    val sinkDir = Files.createTempDirectory("graft_sink_").toString
+    val prepare: String => (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      case "other" => df => df.select(col("no_such_column")) // analysis error
+      case n => Pipeline.defaultPrepare(n)
+    }
+    val rep = Pipeline.migrate(spark, dir, new ParquetSink(sinkDir), prepare)
+    assert(rep.collect().map(_.getString(0)).toSeq === Seq("events"))
+  }
+
   test("property: written + skipped == input count (the reference ledger)") {
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
     val genRows = Gen.listOf(Gen.oneOf(true, false))

@@ -30,6 +30,14 @@ class ScaleToolsSpec extends SparkSpec {
     import spark.implicits._
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "av")
     val b = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "bv")
+    // make re-runs idempotent: drop catalog entries AND stray locations
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
     Bucketing.writeBucketed(a, "graft_bkt_a", "id", 4, sortCol = Some("id"))
     Bucketing.writeBucketed(b, "graft_bkt_b", "id", 4, sortCol = Some("id"))
     val joined = Bucketing.bucketedJoin(spark, "graft_bkt_a", "graft_bkt_b", "id")
