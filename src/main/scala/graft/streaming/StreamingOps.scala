@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming faces of the engine's time-series operators
   * (SURVEY.md §7.2 M4). Each takes a STREAMING DataFrame (`readStream`)
@@ -63,6 +64,49 @@ object StreamingOps {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Custom keyed state via `mapGroupsWithState` (the escape hatch when
+    * built-in windows can't express the state machine): per key, an
+    * ever-running (count, sum) ledger emitted once per micro-batch —
+    * the streaming face of the reference's per-collection running
+    * written-counter (index.js:214-225). State is one small tuple per
+    * key, partitioned across executors. Pass `timeout = Some("1 hour")`
+    * to evict idle keys by processing-time timeout (production); note a
+    * processing-time timeout makes the engine schedule batches forever,
+    * so drain-to-idle test harnesses use `None`.
+    */
+  def runningTotals(events: DataFrame, keyCol: String, valueCol: String,
+      timeout: Option[String] = None): DataFrame = {
+    val pairs: Dataset[(Long, Double)] = events
+      .select(col(keyCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    val mode =
+      if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    pairs
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](mode) {
+        (key: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, s) = state.get
+            state.remove()
+            (key, n, s)
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0
+            var s = s0
+            rows.foreach { r => n += 1; s += r._2 }
+            state.update((n, s))
+            timeout.foreach(state.setTimeoutDuration)
+            (key, n, s)
+          }
+      }
+      .toDF("key", "n_events", "sum_value")
+  }
 
   /** Stream-static enrichment: the streaming analogue of the per-row
     * prepare transform looking up a dimension — each micro-batch joins

@@ -56,6 +56,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) === Seq("x y z", "y z x", "z x y")) // distinct keeps first occurrences
   }
 
+  test("property: byte-scan shingles == naive split/slide/distinct reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    def refShingles(text: String, k: Int): Seq[String] = {
+      val toks = text.trim.split(" ", -1).toSeq
+      if (toks.size < k) Seq.empty
+      else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct
+    }
+    val word = Gen.oneOf("a", "bb", "ccc", "δδ", "x", "")
+    val genText = Gen.listOf(word).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(20, genText)) { texts =>
+      val got = texts.toDF("t")
+        .select(TextFunctions.shingles(col("t")).as("sh"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      got.toSeq == texts.map(refShingles(_, 3))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("HyperplaneSignature derives dim from the array (no 64-dim hardcode)") {
     import spark.implicits._
     val v = Array.fill(80)(0.0f)

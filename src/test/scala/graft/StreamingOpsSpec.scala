@@ -90,6 +90,17 @@ class StreamingOpsSpec extends SparkSpec {
     assert(byId(1L) === "gold" && byId(2L) === "silver")
   }
 
+  test("runningTotals: custom mapGroupsWithState keeps per-key state across batches") {
+    val got = runStream("t_state",
+      df => StreamingOps.runningTotals(df, "user_id", "value"),
+      Seq(events.take(2), events.drop(2)), mode = "update")
+    // last update per key wins
+    val finalByKey = got.map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(finalByKey(1L) === ((3L, 8.0))) // events 1,2 then 5: 1+2+5
+    assert(finalByKey(2L) === ((2L, 7.0))) // events 3,4: 3+4
+  }
+
   test("dedupStream keeps first occurrence within the watermark") {
     val dup = Ev(1, ts("2024-01-01 00:10:00"), 1, "a", 999.0) // same event_id
     val got = runStream("t_dedup",
