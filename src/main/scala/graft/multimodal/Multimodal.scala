@@ -92,4 +92,46 @@ object Multimodal {
         posexplode(sequence(lit(0), col("meta.n_frames") - 1)))
       .where(col("pos") % stride === 0)
       .select(col("doc_id"), col("col").as("frame_idx"))
+
+  /** "Resize": a metadata transform scaling width/height by num/den
+    * (integer arithmetic, floor) — the real codec call would transform
+    * the blob too; the Spark-side shape (narrow column op over the meta
+    * struct) is identical.
+    */
+  def resizeMeta(decoded: DataFrame, num: Int, den: Int): DataFrame =
+    decoded.withColumn("meta", struct(
+      col("meta.n_bytes").as("n_bytes"),
+      (col("meta.width") * num / den).cast("int").as("width"),
+      (col("meta.height") * num / den).cast("int").as("height"),
+      col("meta.n_frames").as("n_frames"),
+      col("meta.format").as("format")))
+
+  /** Batched feature extraction: blob -> small float vector via
+    * mapPartitions (the model-inference plumbing shape: per-batch setup,
+    * rows in fixed-size groups, vector column out). The FAKE featurizer
+    * derives 4 floats from the decoded metadata and L2-normalizes —
+    * deterministic and oracle-mirrorable; a real image/audio model drops
+    * into the same loop.
+    */
+  def extractFeaturesBatched(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("feature", ArrayType(FloatType, containsNull = false))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch model/codec setup would happen here
+        batch.iterator.map { r =>
+          val (n, w, h, f, _) = fakeDecode(r.getAs[Array[Byte]](contentIdx))
+          val raw = Array(n.toDouble, w.toDouble, h.toDouble, f.toDouble)
+          var norm2 = 0.0
+          raw.foreach(x => norm2 += x * x)
+          val inv = 1.0 / math.sqrt(norm2)
+          Row(r.getLong(idIdx), raw.map(x => (x * inv).toFloat).toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

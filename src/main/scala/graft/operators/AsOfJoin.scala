@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` and an equal key. Same single-shuffle
+    * shape as `backward`, with the time axis reversed (ties on equal
+    * rightTime break to the largest `tieBreak`, as in `backward`).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tieBreak: String): DataFrame = {
+    // Reverse time ordering by negating epoch-µs on both inputs, reuse
+    // the backward machinery, then restore the original left columns.
+    val negL = left.withColumn("__negt",
+      -unix_micros(col(leftTime)))
+    val negR = right.withColumn("__negt",
+      -unix_micros(col(rightTime)))
+    backward(negL, negR, leftKey, rightKey, "__negt", "__negt",
+      rightPayload, tieBreak)
+      .drop("__negt")
+  }
+
   /** @param rightPayload right columns to attach (null when no match)
     * @param tieBreak     right column ordering ties on equal rightTime
     */

@@ -294,6 +294,25 @@ object LlmQueries {
       Some(decodeOracle)),
 
     QuerySpec(
+      "l18_mm_features",
+      "multimodal: batched feature extraction (blob -> normalized float vector via mapPartitions, the model-inference plumbing shape)",
+      (s, dir) => Multimodal.extractFeaturesBatched(
+          Multimodal.withBlob(Tables.load(s, dir, "documents"), "text"),
+          "doc_id")
+        .select(col("doc_id"), col("feature")),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(strlen(text) AS DOUBLE) AS n,
+             |    CAST(16 + strlen(text) % 64 AS DOUBLE) AS w,
+             |    CAST(16 + (strlen(text) * 7) % 64 AS DOUBLE) AS h,
+             |    CAST(1 + strlen(text) % 8 AS DOUBLE) AS f
+             |  FROM documents)
+             |SELECT doc_id,
+             |  list_transform([n, w, h, f],
+             |    x -> CAST(x * (1.0 / sqrt(n*n + w*w + h*h + f*f)) AS REAL)) AS feature
+             |FROM m""".stripMargin)),
+
+    QuerySpec(
       "l14_mm_frames",
       "multimodal: frame sampling generator (every 2nd frame index per decoded doc)",
       (s, dir) => Multimodal.sampleFrames(

@@ -38,6 +38,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(100L))
   }
 
+  test("forward as-of join picks the earliest right row at/after left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 5L, ts("2024-01-01 02:00:00")),
+      (2L, 5L, ts("2024-01-01 09:00:00"))) // after all rights -> no match
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (5L, ts("2024-01-01 01:00:00"), "past"),
+      (5L, ts("2024-01-01 02:00:00"), "now"),   // == t -> inclusive match
+      (5L, ts("2024-01-01 03:00:00"), "later"))
+      .toDF("k", "t", "payload")
+    val got = graft.operators.AsOfJoin.forward(left, right,
+      "k", "k", "t", "t", Seq("payload"), "payload")
+      .orderBy("id").collect()
+    assert(got(0).getString(3) === "now")
+    assert(got(1).isNullAt(3))
+  }
+
   test("sessionize: gap boundary is inclusive (gap == limit stays in session)") {
     import spark.implicits._
     val df = Seq(
