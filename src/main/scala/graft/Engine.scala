@@ -28,6 +28,11 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime bloom-filter semi-join reduction (off by default): inject
+      // a bloom filter built from the dim side into the fact scan, so a
+      // selective join prunes shuffle input at the source — the
+      // Spark-native form of the classic bloom-prune pattern.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
