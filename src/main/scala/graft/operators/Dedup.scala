@@ -127,6 +127,51 @@ object Dedup {
     verified.select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph: every document in
+    * some pair gets `cluster_id` = the smallest doc id reachable through
+    * pairs (the deterministic cluster keeper — a real dedup pipeline
+    * keeps `cluster_id` and drops the rest).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across the symmetrized edge list and keeps the per-node minimum;
+    * converges in O(graph diameter) rounds (near-dup clusters are tiny,
+    * so a handful). Each round is one equi-join + one map-side-combined
+    * min aggregate — the standard large-graph CC shape (label
+    * propagation, not union-find: no driver-side state). Results are
+    * persisted per round and the loop stops as soon as a round changes
+    * nothing (checked with a count, the same action that materializes
+    * the round).
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // candidate labels: own label plus every neighbour's label
+      val candidates = labels
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("lbl"))
+        .union(labels)
+      val next = candidates.groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .where(col("lbl") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over distinct word k-shingles: per bit, sum +-1
     * votes of the shingle hashes; bit = 1 iff the vote is positive.
     * Shingles, not unigrams: on a small vocabulary every document's

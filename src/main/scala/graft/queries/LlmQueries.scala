@@ -104,6 +104,28 @@ object LlmQueries {
       Some(jaccardOracle)),
 
     QuerySpec(
+      "l19_dedup_clusters",
+      "near-dup clustering: connected components over the exact-Jaccard pair graph (cluster_id = min reachable doc id, the keeper); oracle = DuckDB recursive CTE",
+      (s, dir) => Dedup.components(Dedup.jaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 0.5)),
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(a.s) + len(b.s) > 0
+              |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM p
+              |  UNION ALL SELECT b_id, a_id FROM p),
+              |reach(node, lbl) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+              |SELECT node AS doc_id, min(lbl) AS cluster_id
+              |FROM reach GROUP BY node""".stripMargin)),
+
+    QuerySpec(
       "l04_simhash_pairs",
       "64-bit shingle-SimHash near-dup pairs (hamming <= 3, 4x16-bit pigeonhole banding); seeded-hash sketch -> rows-only check",
       (s, dir) => Dedup.simhashPairs(

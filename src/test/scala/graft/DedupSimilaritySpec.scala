@@ -57,6 +57,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(precision >= 0.5, s"precision $precision too low")
   }
 
+  test("components: transitive pairs collapse to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one cluster), isolated pair 7-9
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
+      .toDF("a_id", "b_id", "jaccard")
+    val got = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("lshTopK recall vs bruteForceTopK on fixture embeddings") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.where(col("vec_id") % 25 === 0)
