@@ -214,6 +214,31 @@ object LlmQueries {
              |FROM embeddings""".stripMargin)),
 
     QuerySpec(
+      "l20_token_topk",
+      "corpus token-frequency profile: top-5 tokens per source (explode -> count -> tie-broken window top-k)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("tok"))
+        tok.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("source"), col("tok"), col("n"), col("rk"))
+      },
+      Some("""SELECT source, tok, n, rk FROM (
+             |  SELECT source, tok, count(*) AS n,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY count(*) DESC, tok) AS INT) AS rk
+             |  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY source, tok)
+             |WHERE rk <= 5""".stripMargin)),
+
+    QuerySpec(
       "l08_lang_id",
       "language ID per document (marker-word heuristic + CJK codepoint check) vs the labeled lang",
       (s, dir) => Tables.load(s, dir, "documents")

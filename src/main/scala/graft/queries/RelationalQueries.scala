@@ -486,6 +486,25 @@ object RelationalQueries {
              |WHERE rn <= 2""".stripMargin)),
 
     QuerySpec(
+      "r31_range_frame",
+      "time-RANGE window frame: per-user running sum over the trailing hour (value-based frame, not row-based)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        Tables.load(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("sum_1h"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
       "r28_array_agg",
       "grouped array aggregation, deterministically sorted",
       (s, dir) => Tables.load(s, dir, "orders")
