@@ -76,6 +76,21 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("GraftExtensions: custom expressions callable from plain SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash('hello world') AS h,
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |  shingles('a b c d', 3) AS sh,
+        |  simhash64('a b c d', 3) IS NOT NULL AS s
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) === refRollingHash("hello world").get)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getSeq[String](2) === Seq("a b c", "b c d"))
+    assert(r.getBoolean(3))
+  }
+
   test("HyperplaneSignature derives dim from the array (no 64-dim hardcode)") {
     import spark.implicits._
     val v = Array.fill(80)(0.0f)
