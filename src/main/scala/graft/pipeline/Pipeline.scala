@@ -32,7 +32,8 @@ final case class PipelineConfig(
     emptySeries: Boolean = false,
     systemMarker: String = "system",
     timeCol: String = "time",
-    queryLimit: Option[Long] = None)
+    queryLimit: Option[Long] = None,
+    logging: Boolean = true)
 
 /** Per-table migration ledger, mirroring the reference's end-of-collection
   * report (index.js:271-272): rows written, rows skipped for a null/absent
@@ -139,8 +140,15 @@ object Pipeline {
           // Failure isolation mirrors the reference (index.js:264-268):
           // a collection that errors is logged and excluded from the
           // ledger; the other collections still migrate.
-          try Some(migrateTable(spark, srcDir, name, prepare(name), sink, config))
-          catch {
+          try {
+            val r = migrateTable(spark, srcDir, name, prepare(name), sink, config)
+            // per-collection completion line (index.js:271-272), gated by
+            // the reference's `logging` flag (index.js:49)
+            if (config.logging)
+              System.err.println(f"[pipeline] $name: written=${r.written} " +
+                f"skipped=${r.skipped} success=${r.success_rate}%.1f%%")
+            Some(r)
+          } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[pipeline] migrate $name failed: ${e.getMessage}")
               None

@@ -76,6 +76,21 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("langId branches: CJK beats markers; marker priority; unknown fallback") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      "the cat and the dog is here", // en
+      "der hund und die katze",      // de
+      "el perro y los gatos que",    // es
+      "le chat et les chiens est",   // fr
+      "你好 the and of is",  // CJK wins over en markers
+      "zzz qqq www")                 // unknown
+    val got = cases.toDF("t")
+      .select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "de", "es", "fr", "zh", "unknown"))
+  }
+
   test("GraftExtensions: custom expressions callable from plain SQL") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
