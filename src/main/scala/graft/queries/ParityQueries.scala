@@ -122,6 +122,35 @@ object ParityQueries {
         Pipeline.migrateTable(s, dir, "events", Pipeline.defaultPrepare("events"), sink, cfg)
         s.read.parquet(s"$sinkDir/events").agg(count(lit(1)).as("n_rows"))
       },
-      Some("SELECT count(ts) AS n_rows FROM events"))
+      Some("SELECT count(ts) AS n_rows FROM events")),
+
+    QuerySpec(
+      "p08_microbatch_sink",
+      "micro-batched row-protocol sink path (foreachPartition + grouped(insertLimit), index.js:209-252): ledger + executor-side batch accounting must both equal the written count",
+      (s, dir) => {
+        ParityQueries.batchRows.reset()
+        val sink = new graft.pipeline.MicroBatchSink(
+          100, ParityQueries.countBatch)
+        val r = graft.pipeline.Pipeline.migrateTable(
+          s, dir, "events", Pipeline.defaultPrepare("events"), sink,
+          PipelineConfig(logging = false))
+        import s.implicits._
+        // rows seen by the sink's executor-side batches must equal the
+        // observe ledger — assert inside the query so the oracle check
+        // covers the sink path itself.
+        require(ParityQueries.batchRows.sum() == r.written,
+          s"sink saw ${ParityQueries.batchRows.sum()} rows, ledger says ${r.written}")
+        Seq((r.written, r.skipped, r.success_rate))
+          .toDF("written", "skipped", "success_rate")
+      },
+      Some("""SELECT count(ts) AS written,
+             |       count(*) - count(ts) AS skipped,
+             |       CAST(count(ts) * 100 AS DOUBLE) / count(*) AS success_rate
+             |FROM events""".stripMargin))
   )
+
+  /** Executor-side row counter for p08 (single-JVM local mode). */
+  val batchRows = new java.util.concurrent.atomic.LongAdder
+  val countBatch: (String, Seq[org.apache.spark.sql.Row]) => Unit =
+    (_, batch) => batchRows.add(batch.size)
 }
