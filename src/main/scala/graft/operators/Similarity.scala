@@ -99,9 +99,11 @@ object Similarity {
     val cents = corpus
       .where(col(idCol) % stride === 0)
       .select(col(idCol).as("__src"), col(embCol).as("cent_emb"))
-      .limit(nCentroids)
       .withColumn("cent_id",
         (row_number().over(Window.orderBy(col("__src"))) - 1).cast("int"))
+      // deterministic cap: smallest-id candidates win (a bare limit()
+      // would pick arbitrary rows when ids aren't dense)
+      .where(col("cent_id") < nCentroids)
       .drop("__src")
 
     // Corpus assignment: argmax over the broadcast centroid set as a
