@@ -505,6 +505,27 @@ object RelationalQueries {
              |FROM events""".stripMargin)),
 
     QuerySpec(
+      "r32_analytic_funcs",
+      "distribution analytics: ntile / percent_rank / cume_dist over a fully tie-broken ordering",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.load(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
+    QuerySpec(
       "r28_array_agg",
       "grouped array aggregation, deterministically sorted",
       (s, dir) => Tables.load(s, dir, "orders")
