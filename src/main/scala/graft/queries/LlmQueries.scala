@@ -342,22 +342,28 @@ object LlmQueries {
 
     QuerySpec(
       "l18_mm_features",
-      "multimodal: batched feature extraction (blob -> normalized float vector via mapPartitions, the model-inference plumbing shape)",
+      "multimodal: batched feature extraction (blob -> normalized float vector via mapPartitions, the model-inference plumbing shape); exploded to one row per element so the float bits are oracle-hashable",
       (s, dir) => Multimodal.extractFeaturesBatched(
           Multimodal.withBlob(Tables.load(s, dir, "documents"), "text"),
           "doc_id")
-        .select(col("doc_id"), col("feature")),
+        .select(col("doc_id"), posexplode(col("feature")))
+        .select(col("doc_id"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("fval")),
       Some("""WITH m AS (
              |  SELECT doc_id,
              |    CAST(strlen(text) AS DOUBLE) AS n,
              |    CAST(16 + strlen(text) % 64 AS DOUBLE) AS w,
              |    CAST(16 + (strlen(text) * 7) % 64 AS DOUBLE) AS h,
              |    CAST(1 + strlen(text) % 8 AS DOUBLE) AS f
-             |  FROM documents)
-             |SELECT doc_id,
-             |  list_transform([n, w, h, f],
-             |    x -> CAST(x * (1.0 / sqrt(n*n + w*w + h*h + f*f)) AS REAL)) AS feature
-             |FROM m""".stripMargin)),
+             |  FROM documents),
+             |fvec AS (
+             |  SELECT doc_id,
+             |    list_transform([n, w, h, f],
+             |      x -> CAST(x * (1.0 / sqrt(n*n + w*w + h*h + f*f)) AS REAL)) AS feature
+             |  FROM m)
+             |SELECT doc_id, CAST(idx AS INT) AS idx,
+             |  CAST(feature[idx + 1] AS DOUBLE) AS fval
+             |FROM (SELECT doc_id, feature, unnest(range(0, 4)) AS idx FROM fvec)""".stripMargin)),
 
     QuerySpec(
       "l14_mm_frames",

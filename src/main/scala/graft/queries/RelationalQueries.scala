@@ -459,12 +459,12 @@ object RelationalQueries {
       "map-typed semi-structured access: from_json to map<string,int>, keys/values/cardinality",
       (s, dir) => Tables.load(s, dir, "events").select(
         col("event_id"),
-        sort_array(map_keys(from_json(col("props"),
-          "map<string,int>", Map.empty[String, String]))).as("keys"),
+        array_join(sort_array(map_keys(from_json(col("props"),
+          "map<string,int>", Map.empty[String, String]))), ",").as("keys"),
         size(from_json(col("props"), "map<string,int>",
           Map.empty[String, String])).as("n_keys")),
       Some("""SELECT event_id,
-             |  list_sort(json_keys(props)) AS keys,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
              |  len(json_keys(props)) AS n_keys
              |FROM events""".stripMargin)),
 
@@ -527,11 +527,14 @@ object RelationalQueries {
 
     QuerySpec(
       "r28_array_agg",
-      "grouped array aggregation, deterministically sorted",
+      "grouped array aggregation, deterministically sorted; rendered as a CSV scalar so the array is oracle-hashable",
       (s, dir) => Tables.load(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys")),
-      Some("""SELECT o_orderstatus, list_sort(array_agg(o_orderkey)) AS keys
+        .agg(array_join(
+          transform(sort_array(collect_list(col("o_orderkey"))),
+            _.cast("string")), ",").as("keys")),
+      Some("""SELECT o_orderstatus,
+             |  array_to_string(list_sort(array_agg(o_orderkey)), ',') AS keys
              |FROM orders GROUP BY 1""".stripMargin))
   )
 }
