@@ -116,6 +116,9 @@ object VectorHash {
 case class HyperplaneSignature(child: Expression, bits: Int)
     extends UnaryExpression {
 
+  require(bits >= 1 && bits <= 64,
+    s"hyperplane signature must fit one long: bits=$bits not in [1,64]")
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 

@@ -157,9 +157,15 @@ object Dedup {
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("lbl"))
         .union(labels)
-      val next = candidates.groupBy(col("node"))
+      // Each round's plan references the previous persisted round, so a
+      // high-diameter graph accumulates lineage linearly; localCheckpoint
+      // every 5 rounds truncates it (persist alone keeps the full DAG for
+      // recomputation).
+      val next0 = candidates.groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
-        .persist()
+      val next =
+        if ((i + 1) % 5 == 0) next0.localCheckpoint(eager = false)
+        else next0.persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .where(col("lbl") =!= col("old"))
         .count()

@@ -60,6 +60,11 @@ object Similarity {
     */
   private def bucketed(df: DataFrame, idCol: String, embCol: String,
       bits: Int, tables: Int): DataFrame = {
+    // Beyond 64 the single-long signature silently aliases (Java shifts
+    // wrap mod 64): upper tables would duplicate table 0's buckets and
+    // recall would fall below the configured amplification with no error.
+    require(bits * tables <= 64,
+      s"bits*tables must fit in 64: $bits*$tables=${bits * tables}")
     val mask = (1L << bits) - 1
     val slices = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
@@ -71,6 +76,52 @@ object Similarity {
           .as("__fullsig"))
       .select(col("v_id"), explode(array(slices: _*)).as("x"))
       .select(col("v_id"), col("x.tbl").as("tbl"), col("x.sig").as("sig"))
+  }
+
+  /** Embedding near-dup *pairs* at scale — the LSH twin of the exact
+    * all-pairs cosine join, mirroring the Jaccard pairing in `Dedup`
+    * (exact `jaccardPairs` / scale `minhashLshPairs`): multi-table
+    * hyperplane bucketing generates candidates, every candidate is
+    * exact-verified with the codegen'd cosine, so false positives cost
+    * only the verify and the threshold filter is exact.
+    *
+    * Recall comes from OR-amplification plus Hamming<=1 multi-probe on
+    * one side of the self-join (the standard multi-probe LSH trick: probe
+    * the `bits` neighboring buckets too, trading candidate volume for
+    * tables). With the defaults (16 tables x 4 bits) the per-table
+    * candidate probability at cos=0.4 is p^4 + 4p^3(1-p) ~ 0.53
+    * (p = 1 - acos(0.4)/pi ~ 0.63), so a true pair escapes all 16 tables
+    * with probability ~ 0.47^16 ~ 6e-6 — and because the hyperplanes are
+    * seeded arithmetic, the result is a fixed deterministic set checked
+    * against the exact oracle, not a distribution.
+    *
+    * 100 TB shape: signatures are per-row and shuffle-free; the only wide
+    * ops are the (tbl, sig) candidate equi-join — whose buckets shrink as
+    * `bits` grows with corpus size — and the distinct. Nothing is O(n^2).
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bits: Int = 4, tables: Int = 16): DataFrame = {
+    val b = bucketed(df, idCol, embCol, bits, tables)
+    // Hamming<=1 probes of a b-bit signature: itself + each single bit
+    // flipped. One side only — pair (x, y) is found if sig_x is within
+    // Hamming 1 of sig_y in ANY table.
+    val probes = 0L +: (0 until bits).map(j => 1L << j)
+    val aSide = b.select(col("v_id").as("a_id"), col("tbl"),
+      explode(array(probes.map(m => col("sig").bitwiseXOR(lit(m))): _*))
+        .as("sig"))
+    val bSide = b.select(col("v_id").as("b_id"), col("tbl").as("tbl2"),
+      col("sig").as("sig2"))
+    val candidates = aSide.join(bSide,
+        col("tbl") === col("tbl2") && col("sig") === col("sig2") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val ea = df.select(col(idCol).as("a_id"), col(embCol).as("__ea"))
+    val eb = df.select(col(idCol).as("b_id"), col(embCol).as("__eb"))
+    candidates.join(ea, "a_id").join(eb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineSim(col("__ea"), col("__eb")).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** IVF (inverted-file) approximate top-k — the other scale path next to
@@ -91,20 +142,22 @@ object Similarity {
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    // Deterministic centroid sample: every (n/nCentroids)-th id — a
-    // pushed-down filter, no global sort of the corpus; the row_number
-    // that labels centroids runs over <= nCentroids rows.
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCentroids)
+    // Deterministic centroid sample with NO driver-side pass over the
+    // corpus (an earlier version ran corpus.count() just to derive a
+    // stride — a full extra scan at 100 TB): take the nCentroids rows
+    // with the smallest xxhash64(id) — a pseudo-random but seeded-
+    // deterministic sample, planned as TakeOrderedAndProject (per-
+    // partition top-k, no global sort); the labeling window then runs
+    // over exactly nCentroids rows.
     val cents = corpus
-      .where(col(idCol) % stride === 0)
-      .select(col(idCol).as("__src"), col(embCol).as("cent_emb"))
+      .select(col(idCol).as("__src"), col(embCol).as("cent_emb"),
+        xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"), col("__src"))
+      .limit(nCentroids)
       .withColumn("cent_id",
-        (row_number().over(Window.orderBy(col("__src"))) - 1).cast("int"))
-      // deterministic cap: smallest-id candidates win (a bare limit()
-      // would pick arbitrary rows when ids aren't dense)
-      .where(col("cent_id") < nCentroids)
-      .drop("__src")
+        (row_number().over(Window.orderBy(col("__h"), col("__src"))) - 1)
+          .cast("int"))
+      .drop("__src", "__h")
 
     // Corpus assignment: argmax over the broadcast centroid set as a
     // map-side-combinable aggregate (max of (sim, -cent_id) structs) —

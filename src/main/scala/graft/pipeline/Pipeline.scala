@@ -128,6 +128,10 @@ object Pipeline {
       sink: Sink,
       prepare: String => DataFrame => DataFrame = defaultPrepare,
       config: PipelineConfig = PipelineConfig()): DataFrame = {
+    // Split-size override is scoped to THIS migration: snapshot the conf
+    // and restore it in the finally below, so the reduced split size does
+    // not silently apply to every later query on the shared session.
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     config.queryLimit.foreach(b =>
       spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
     val tables = Catalog.nonSystem(Catalog.listTables(srcDir), config.systemMarker)
@@ -158,6 +162,12 @@ object Pipeline {
       val reports = Await.result(Future.sequence(futures), Duration.Inf).flatten
       import spark.implicits._
       reports.sortBy(_.table_name).toDF()
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      if (config.queryLimit.isDefined) savedSplit match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+    }
   }
 }

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Live progress/throughput metrics for migrations — the Spark face of the
@@ -24,15 +24,24 @@ final class ProgressListener extends SparkListener {
   /** table -> (rows written so far, first-seen nanos). */
   private val state = new ConcurrentHashMap[String, (Long, Long)]()
   private val stageTable = new ConcurrentHashMap[Int, String]()
+  // migrate-job id -> its stage ids, so onJobEnd can evict exactly what
+  // onJobStart registered — without this both maps grow for the lifetime
+  // of the listener (a slow leak on long-lived sessions).
+  private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
 
   override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
     val desc = jobStart.properties.getProperty("spark.job.description", "")
     if (desc.startsWith("migrate ")) {
       val table = desc.stripPrefix("migrate ")
       jobStart.stageIds.foreach(sid => stageTable.put(sid, table))
+      jobStages.put(jobStart.jobId, jobStart.stageIds)
       state.putIfAbsent(table, (0L, System.nanoTime()))
     }
   }
+
+  override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit =
+    Option(jobStages.remove(jobEnd.jobId))
+      .foreach(_.foreach(stageTable.remove(_)))
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val written = Option(taskEnd.taskMetrics)
@@ -50,6 +59,12 @@ final class ProgressListener extends SparkListener {
       val secs = math.max(1e-9, (System.nanoTime() - t0) / 1e9)
       t -> (rows, rows / secs)
     }
+
+  /** Forget a finished table's counters (snapshot rates for completed
+    * tables only drift down as wall time passes; callers that poll
+    * long-lived sessions reset per table once they've rendered it).
+    */
+  def reset(table: String): Unit = state.remove(table)
 
   def register(spark: SparkSession): this.type = {
     spark.sparkContext.addSparkListener(this); this

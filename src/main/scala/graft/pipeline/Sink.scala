@@ -1,6 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** Destination abstraction for the migration pipeline — the Spark face of
   * the reference's InfluxDB client surface: append a table's rows to a
@@ -26,19 +31,44 @@ trait Sink extends Serializable {
 final class ParquetSink(baseDir: String) extends Sink {
   private def path(table: String) = s"$baseDir/$table"
 
-  override def truncate(table: String): Unit = {
+  override def truncate(table: String): Unit =
     // SaveMode.Overwrite on the next append would also truncate, but the
     // reference exposes truncation as its own operation (index.js:321) —
     // mirror that so truncate-without-rewrite is expressible.
-    val dir = new java.io.File(path(table))
-    if (dir.exists()) {
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
-    }
-  }
+    SinkFiles.deleteRecursive(path(table))
 
   override def append(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path(table))
+}
+
+/** Filesystem helpers shared by the sinks: all paths go through the Hadoop
+  * `FileSystem` API so the same code works on local disk, HDFS, and object
+  * stores — and deletes are recursive (a driver-local `java.io.File` walk
+  * would silently skip nested dirs like an interrupted write's
+  * `_temporary`, leaving stale files for the next append to double-count).
+  */
+object SinkFiles {
+
+  /** Resolve the filesystem for `p`: the active session's Hadoop conf on
+    * the driver, a default conf on executors (no SparkSession there).
+    */
+  def fileSystem(p: Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration()))
+
+  /** Recursively delete `dir` and assert it is gone (FileSystem.delete
+    * returning false on a still-existing path would otherwise let the
+    * caller append next to stale data).
+    */
+  def deleteRecursive(dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = fileSystem(p)
+    if (fs.exists(p)) {
+      fs.delete(p, true)
+      require(!fs.exists(p), s"truncate failed to remove $p")
+    }
+  }
 }
 
 /** Record-batch sink: `foreachPartition` + `grouped(insertLimit)` — the
@@ -82,8 +112,21 @@ object InfluxLineProtocol {
   private def escapeMeasurement(s: String): String =
     s.replace(",", "\\,").replace(" ", "\\ ")
 
+  /** Field KEYS escape comma, equals, and space per the line-protocol
+    * spec — an unescaped key containing any of them corrupts the line.
+    */
+  private def escapeKey(s: String): String =
+    s.replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
+
   private def escapeFieldString(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Full-precision epoch nanoseconds: `getTime` alone is ms-grained and
+    * would silently drop the microsecond component the fixtures carry;
+    * `getNanos` holds the complete sub-second part.
+    */
+  private[pipeline] def epochNanos(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
 
   def renderField(v: Any): Option[String] = v match {
     case null => None
@@ -103,14 +146,57 @@ object InfluxLineProtocol {
     val fields = schema.fieldNames.iterator.zipWithIndex
       .filter { case (n, _) => n != timeCol }
       .flatMap { case (n, i) =>
-        renderField(row.get(i)).map(v => s"$n=$v")
+        renderField(row.get(i)).map(v => s"${escapeKey(n)}=$v")
       }
       .mkString(",")
     val ts = schema.fieldNames.indexOf(timeCol) match {
       case -1 => ""
       case i if row.isNullAt(i) => ""
-      case i => " " + row.getAs[java.sql.Timestamp](i).getTime * 1000000L
+      case i => " " + epochNanos(row.getAs[java.sql.Timestamp](i))
     }
     s"${escapeMeasurement(measurement)} $fields$ts"
   }
+}
+
+/** The wired fidelity path: `MicroBatchSink` batching composed with
+  * `InfluxLineProtocol` rendering, file-backed — each `insertLimit`-sized
+  * flush becomes one `.lp` file of rendered lines under
+  * `baseDir/<series>/` (reference: index.js:242-252, where each flush is
+  * one `writePoints` POST; in the sandbox the POST body lands on disk —
+  * a production variant swaps `writeFlush`'s output stream for an HTTP
+  * client and nothing else changes).
+  *
+  * Executors write their own flushes in parallel through the Hadoop
+  * `FileSystem` API (partition-id + uuid file names, no coordination), so
+  * the shape survives a real cluster and an object-store destination.
+  */
+final class LineProtocolSink(
+    baseDir: String, insertLimit: Int, timeCol: String = "time")
+    extends Sink {
+
+  private def seriesDir(table: String) = s"$baseDir/$table"
+
+  private val inner = new MicroBatchSink(
+    insertLimit,
+    (table, batch) => writeFlush(table, batch),
+    table => SinkFiles.deleteRecursive(seriesDir(table)))
+
+  /** Runs ON THE EXECUTOR: render the batch and write it as one file —
+    * the moral equivalent of one POST body.
+    */
+  private def writeFlush(table: String, batch: Seq[Row]): Unit = {
+    val body = batch.iterator
+      .map(r => InfluxLineProtocol.render(table, r, timeCol))
+      .mkString("", "\n", "\n")
+    val part = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+    val p = new Path(
+      s"${seriesDir(table)}/flush-$part-${java.util.UUID.randomUUID()}.lp")
+    val out = SinkFiles.fileSystem(p).create(p, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def truncate(table: String): Unit = inner.truncate(table)
+  override def append(df: DataFrame, table: String): Unit =
+    inner.append(df, table)
 }

@@ -71,6 +71,19 @@ object LlmQueries {
       |       ELSE 'video' END AS format
       |FROM documents""".stripMargin
 
+  /** Exact all-pairs cosine near-dup oracle, shared by l05 (exact plan)
+    * and l21 (LSH plan): the LSH path must reproduce the exact answer on
+    * the fixtures (miss probability ~6e-6 per pair at cos>=0.4, and the
+    * seeded hyperplanes make the outcome a fixed set, so equality is
+    * verified, not hoped for — the same contract as l03 vs l02).
+    */
+  private def embedPairsOracle(threshold: Double) =
+    s"""SELECT * FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |WHERE cos >= $threshold""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -144,11 +157,14 @@ object LlmQueries {
             graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
           .where(col("cos") >= 0.4)
       },
-      Some(s"""SELECT * FROM (
-              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-              |    ${cosSql("a.embedding", "b.embedding")} AS cos
-              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-              |WHERE cos >= 0.4""".stripMargin)),
+      Some(embedPairsOracle(0.4))),
+
+    QuerySpec(
+      "l21_embed_neardup_lsh",
+      "embedding-cosine near-dup pairs via multi-table hyperplane LSH + multi-probe + exact verify (the 100 TB twin of l05, mirroring l02/l03); oracle = exact all-pairs",
+      (s, dir) => Similarity.lshNearDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
+      Some(embedPairsOracle(0.4))),
 
     QuerySpec(
       "l06_cosine_topk",

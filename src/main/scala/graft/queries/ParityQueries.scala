@@ -128,9 +128,12 @@ object ParityQueries {
       "p08_microbatch_sink",
       "micro-batched row-protocol sink path (foreachPartition + grouped(insertLimit), index.js:209-252): ledger + executor-side batch accounting must both equal the written count",
       (s, dir) => {
-        ParityQueries.batchRows.reset()
+        // A Spark accumulator, not a JVM-local counter: executor-side adds
+        // merge back to the driver from any node, so the sink-vs-ledger
+        // invariant holds on a real cluster, not just local mode.
+        val batchRows = s.sparkContext.longAccumulator("p08_batch_rows")
         val sink = new graft.pipeline.MicroBatchSink(
-          100, ParityQueries.countBatch)
+          100, (_, batch) => batchRows.add(batch.size))
         val r = graft.pipeline.Pipeline.migrateTable(
           s, dir, "events", Pipeline.defaultPrepare("events"), sink,
           PipelineConfig(logging = false))
@@ -138,8 +141,8 @@ object ParityQueries {
         // rows seen by the sink's executor-side batches must equal the
         // observe ledger — assert inside the query so the oracle check
         // covers the sink path itself.
-        require(ParityQueries.batchRows.sum() == r.written,
-          s"sink saw ${ParityQueries.batchRows.sum()} rows, ledger says ${r.written}")
+        require(batchRows.value == r.written,
+          s"sink saw ${batchRows.value} rows, ledger says ${r.written}")
         Seq((r.written, r.skipped, r.success_rate))
           .toDF("written", "skipped", "success_rate")
       },
@@ -148,9 +151,4 @@ object ParityQueries {
              |       CAST(count(ts) * 100 AS DOUBLE) / count(*) AS success_rate
              |FROM events""".stripMargin))
   )
-
-  /** Executor-side row counter for p08 (single-JVM local mode). */
-  val batchRows = new java.util.concurrent.atomic.LongAdder
-  val countBatch: (String, Seq[org.apache.spark.sql.Row]) => Unit =
-    (_, batch) => batchRows.add(batch.size)
 }
