@@ -138,9 +138,11 @@ object Dedup {
     * so a handful). Each round is one equi-join + one map-side-combined
     * min aggregate — the standard large-graph CC shape (label
     * propagation, not union-find: no driver-side state). Results are
-    * persisted per round and the loop stops as soon as a round changes
-    * nothing (checked with a count, the same action that materializes
-    * the round).
+    * persisted per round, and convergence detection rides the SAME action
+    * that materializes the round: the previous label travels through the
+    * min-aggregate (tagged `own` rows), so one scan-aggregate job per
+    * round both caches the new labels and answers "did anything change?"
+    * — no separate join+count job.
     */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -149,28 +151,34 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .persist()
+    var owned = labels // handle owning the round's cache entry
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // candidate labels: own label plus every neighbour's label
+      // candidate labels: every neighbour's label, plus the node's own
+      // label tagged `own` so the aggregate can recover the previous
+      // round's label (exactly one own-row per node).
       val candidates = labels
         .join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("lbl"))
-        .union(labels)
+        .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
+        .union(labels.select(col("node"), col("lbl"), lit(true).as("own")))
       // Each round's plan references the previous persisted round, so a
       // high-diameter graph accumulates lineage linearly; localCheckpoint
       // every 5 rounds truncates it (persist alone keeps the full DAG for
       // recomputation).
       val next0 = candidates.groupBy(col("node"))
-        .agg(min(col("lbl")).as("lbl"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("__old"))
       val next =
         if ((i + 1) % 5 == 0) next0.localCheckpoint(eager = false)
         else next0.persist()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .where(col("lbl") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+      // ONE job: materializes `next` into cache and returns the flag.
+      val changedRow = next
+        .agg(max(when(col("lbl") =!= col("__old"), 1).otherwise(0))).first()
+      val changed = if (changedRow.isNullAt(0)) 0 else changedRow.getInt(0)
+      owned.unpersist()
+      owned = next
+      labels = next.select(col("node"), col("lbl"))
       converged = changed == 0
       i += 1
     }

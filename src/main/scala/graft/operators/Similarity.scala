@@ -65,7 +65,11 @@ object Similarity {
     // recall would fall below the configured amplification with no error.
     require(bits * tables <= 64,
       s"bits*tables must fit in 64: $bits*$tables=${bits * tables}")
-    val mask = (1L << bits) - 1
+    // -1L >>> (64 - bits), not (1L << bits) - 1: at the bits=64 boundary
+    // (tables=1) the shift wraps mod 64 and the naive mask is 0 — every
+    // row lands in bucket 0 and the candidate join degenerates to O(n^2)
+    // with no error (output stays correct via exact verify).
+    val mask = -1L >>> (64 - bits)
     val slices = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         shiftrightunsigned(col("__fullsig"), t * bits).bitwiseAND(lit(mask))
@@ -147,17 +151,17 @@ object Similarity {
     // stride — a full extra scan at 100 TB): take the nCentroids rows
     // with the smallest xxhash64(id) — a pseudo-random but seeded-
     // deterministic sample, planned as TakeOrderedAndProject (per-
-    // partition top-k, no global sort); the labeling window then runs
-    // over exactly nCentroids rows.
+    // partition top-k, no global sort). The sampled row's own id IS the
+    // centroid id: it only needs to be unique and deterministically
+    // ordered (for tie-breaks), not 0..n-1 — which kills the former
+    // global row_number window (an un-partitioned WindowExec that real
+    // clusters' log monitoring pages on).
     val cents = corpus
-      .select(col(idCol).as("__src"), col(embCol).as("cent_emb"),
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
         xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h"), col("__src"))
+      .orderBy(col("__h"), col("cent_id"))
       .limit(nCentroids)
-      .withColumn("cent_id",
-        (row_number().over(Window.orderBy(col("__h"), col("__src"))) - 1)
-          .cast("int"))
-      .drop("__src", "__h")
+      .drop("__h")
 
     // Corpus assignment: argmax over the broadcast centroid set as a
     // map-side-combinable aggregate (max of (sim, -cent_id) structs) —
@@ -169,7 +173,7 @@ object Similarity {
         cosineSim(col("c_emb"), col("cent_emb")).as("__cs"))
       .groupBy(col("c_id"))
       .agg(max(struct(col("__cs"), (-col("cent_id")).as("negid"))).as("m"))
-      .select(col("c_id"), (-col("m.negid")).cast("int").as("cent_id"))
+      .select(col("c_id"), (-col("m.negid")).as("cent_id"))
 
     // Query probing: top-nProbe centroids per query; the query set is the
     // small broadcast side, so a window is fine here.

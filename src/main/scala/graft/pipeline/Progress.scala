@@ -28,20 +28,34 @@ final class ProgressListener extends SparkListener {
   // onJobStart registered — without this both maps grow for the lifetime
   // of the listener (a slow leak on long-lived sessions).
   private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
+  // stage id -> number of live migrate jobs claiming it. A shuffle stage
+  // skipped/reused by a second concurrent job shares the first job's stage
+  // id; without the refcount the first job's end would evict the mapping
+  // while the second job's tasks are still attributing to it.
+  private val stageRefs = new ConcurrentHashMap[Int, Int]()
 
   override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
     val desc = jobStart.properties.getProperty("spark.job.description", "")
     if (desc.startsWith("migrate ")) {
       val table = desc.stripPrefix("migrate ")
-      jobStart.stageIds.foreach(sid => stageTable.put(sid, table))
+      jobStart.stageIds.foreach { sid =>
+        stageRefs.merge(sid, 1, (a, b) => a + b)
+        stageTable.put(sid, table)
+      }
       jobStages.put(jobStart.jobId, jobStart.stageIds)
       state.putIfAbsent(table, (0L, System.nanoTime()))
     }
   }
 
   override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit =
-    Option(jobStages.remove(jobEnd.jobId))
-      .foreach(_.foreach(stageTable.remove(_)))
+    Option(jobStages.remove(jobEnd.jobId)).foreach(_.foreach { sid =>
+      // drop the stage mapping only when no live job still claims it
+      val left = stageRefs.merge(sid, -1, (a, b) => a + b)
+      if (left <= 0) {
+        stageRefs.remove(sid)
+        stageTable.remove(sid)
+      }
+    })
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val written = Option(taskEnd.taskMetrics)

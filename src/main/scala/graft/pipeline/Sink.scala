@@ -49,12 +49,41 @@ final class ParquetSink(baseDir: String) extends Sink {
   */
 object SinkFiles {
 
-  /** Resolve the filesystem for `p`: the active session's Hadoop conf on
-    * the driver, a default conf on executors (no SparkSession there).
+  /** Serializable carrier for the driver's Hadoop configuration, so
+    * executor-side filesystem work (LineProtocolSink flushes) sees the
+    * session's `spark.hadoop.*` settings — object-store credentials,
+    * endpoints — instead of a bare `new Configuration()`. (Spark has its
+    * own SerializableConfiguration, but it is `private[spark]`.)
     */
-  def fileSystem(p: Path): org.apache.hadoop.fs.FileSystem =
-    p.getFileSystem(SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
+  final class SerializableHadoopConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** The driver's Hadoop conf wrapped for shipping to executors; None when
+    * no session is active at capture time (plain-JVM library use).
+    */
+  def captureConf(): Option[SerializableHadoopConf] =
+    SparkSession.getActiveSession
+      .map(s => new SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
+
+  /** Resolve the filesystem for `p`: a conf captured on the driver if the
+    * caller shipped one, else the active session's conf (driver side),
+    * else a default conf (last resort — loses `spark.hadoop.*` settings).
+    */
+  def fileSystem(p: Path,
+      captured: Option[SerializableHadoopConf] = None): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(captured.map(_.value)
+      .orElse(SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration))
       .getOrElse(new Configuration()))
 
   /** Recursively delete `dir` and assert it is gone (FileSystem.delete
@@ -136,7 +165,10 @@ object InfluxLineProtocol {
     case f: Float => Some(f.toString)
     case b: Boolean => Some(b.toString)
     case s: String => Some("\"" + escapeFieldString(s) + "\"")
-    case t: java.sql.Timestamp => Some(s"${t.getTime}i")
+    // Full ns precision, same as the trailing timestamp — `getTime` alone
+    // is ms-grained and would silently drop sub-ms digits on field values
+    // while the time column keeps them.
+    case t: java.sql.Timestamp => Some(s"${epochNanos(t)}i")
     case other => Some("\"" + escapeFieldString(other.toString) + "\"")
   }
 
@@ -176,6 +208,11 @@ final class LineProtocolSink(
 
   private def seriesDir(table: String) = s"$baseDir/$table"
 
+  // Captured on the driver at construction so executor-side flushes see
+  // the session's spark.hadoop.* settings (object-store auth) instead of
+  // a default Configuration.
+  private val hadoopConf = SinkFiles.captureConf()
+
   private val inner = new MicroBatchSink(
     insertLimit,
     (table, batch) => writeFlush(table, batch),
@@ -191,7 +228,7 @@ final class LineProtocolSink(
     val part = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
     val p = new Path(
       s"${seriesDir(table)}/flush-$part-${java.util.UUID.randomUUID()}.lp")
-    val out = SinkFiles.fileSystem(p).create(p, false)
+    val out = SinkFiles.fileSystem(p, hadoopConf).create(p, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -182,11 +182,18 @@ object RelationalQueries {
 
     QuerySpec(
       "r09_approx_count_distinct",
-      "HyperLogLog++ approximate distinct (sketch mergeable at any scale; no SQL oracle — approximate)",
+      "HyperLogLog++ approximate distinct with an in-query error bound: emits the exact count and whether the sketch landed within 5% of it, so sketch regressions are driver-visible without demanding bit-equality (oracle = exact side + literal true)",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts")),
-      None),
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("__approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")).cast("double")
+            <= lit(0.05) * col("n_exact")).as("within_5pct")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+             |  TRUE AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     QuerySpec(
       "r10_rollup",
