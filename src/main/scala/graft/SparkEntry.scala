@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered query specs, grouped by module. */
   def allSpecs: Seq[QuerySpec] =
     ParityQueries.specs ++ RelationalQueries.specs ++ TimeSeriesQueries.specs ++
-      LlmQueries.specs
+      LlmQueries.specs ++ ScaleQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole job end-to-end (SURVEY.md §3): enumerate the

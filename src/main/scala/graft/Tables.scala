@@ -25,7 +25,30 @@ object Tables {
     * division would round (ns-since-epoch > 2^53). The fixture values are
     * us-grained, so the conversion is lossless.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Config key that swaps every table load from the parquet fixtures to
+    * the MongoDB Spark connector — the production source of a mongo2x
+    * engine (reference: index.js:99-105 opens the live DB). The swap is
+    * config-only: no call site changes, `dir` is ignored, the collection
+    * name is the table name. The connector jar is a deploy-time
+    * dependency; when absent, Spark raises its standard
+    * DATA_SOURCE_NOT_FOUND error at load (covered by SourcesSpec).
+    */
+  val mongoUriKey = "spark.graft.mongo.uri"
+  val mongoDatabaseKey = "spark.graft.mongo.database"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.conf.getOption(mongoUriKey) match {
+      case Some(uri) =>
+        spark.read.format("mongodb")
+          .option("connection.uri", uri)
+          .option("database",
+            spark.conf.getOption(mongoDatabaseKey).getOrElse("graft"))
+          .option("collection", name)
+          .load()
+      case None => loadParquet(spark, dir, name)
+    }
+
+  private def loadParquet(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Guarded set: avoid re-writing session conf (and invalidating cached
     // plans) on every table load.
     val key = "spark.sql.legacy.parquet.nanosAsLong"

@@ -172,21 +172,66 @@ object InfluxLineProtocol {
     case other => Some("\"" + escapeFieldString(other.toString) + "\"")
   }
 
+  /** Shared line assembly: `names(i)`/`value(i)` over `n` columns, with
+    * `timeIdx` (or -1) rendered as the trailing ns timestamp.
+    */
+  private def assemble(measurement: String, n: Int, names: Int => String,
+      value: Int => Any, timeIdx: Int): String = {
+    val fields = (0 until n).iterator
+      .filter(_ != timeIdx)
+      .flatMap(i => renderField(value(i)).map(v => s"${escapeKey(names(i))}=$v"))
+      .mkString(",")
+    val ts = timeIdx match {
+      case -1 => ""
+      case i => value(i) match {
+        case null => ""
+        case t: java.sql.Timestamp => " " + epochNanos(t)
+        case other => " " + other
+      }
+    }
+    s"${escapeMeasurement(measurement)} $fields$ts"
+  }
+
   /** Render one row; `timeCol` (TimestampType) becomes the ns timestamp. */
   def render(measurement: String, row: Row, timeCol: String = "time"): String = {
     val schema = row.schema
-    val fields = schema.fieldNames.iterator.zipWithIndex
-      .filter { case (n, _) => n != timeCol }
-      .flatMap { case (n, i) =>
-        renderField(row.get(i)).map(v => s"${escapeKey(n)}=$v")
+    assemble(measurement, schema.length, schema.fieldNames(_), row.get(_),
+      schema.fieldNames.indexOf(timeCol))
+  }
+
+  /** Render one InternalRow (the DSv2 writer path — no Row conversion in
+    * the per-row hot loop): internal values are mapped to the JVM types
+    * `renderField` speaks; TimestampType's internal epoch-µs long becomes
+    * full-precision ns.
+    */
+  def renderInternal(measurement: String,
+      schema: org.apache.spark.sql.types.StructType, timeCol: String,
+      row: org.apache.spark.sql.catalyst.InternalRow): String = {
+    import org.apache.spark.sql.types._
+    def jvm(i: Int): Any =
+      if (row.isNullAt(i)) null
+      else schema(i).dataType match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i)
+        case DoubleType => row.getDouble(i)
+        case FloatType => row.getFloat(i)
+        case BooleanType => row.getBoolean(i)
+        case StringType => row.getUTF8String(i).toString
+        case TimestampType =>
+          val us = row.getLong(i)
+          val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          t
+        case ShortType => row.getShort(i).toLong
+        case ByteType => row.getByte(i).toLong
+        case DateType => row.getInt(i).toLong
+        case dt: DecimalType => row.getDecimal(i, dt.precision, dt.scale).toDouble
+        case dt =>
+          throw new IllegalArgumentException(
+            s"graft-influx cannot render column '${schema(i).name}' of type $dt")
       }
-      .mkString(",")
-    val ts = schema.fieldNames.indexOf(timeCol) match {
-      case -1 => ""
-      case i if row.isNullAt(i) => ""
-      case i => " " + epochNanos(row.getAs[java.sql.Timestamp](i))
-    }
-    s"${escapeMeasurement(measurement)} $fields$ts"
+    assemble(measurement, schema.length, schema.fieldNames(_), jvm,
+      schema.fieldNames.indexOf(timeCol))
   }
 }
 

@@ -71,6 +71,25 @@ object LlmQueries {
       |       ELSE 'video' END AS format
       |FROM documents""".stripMargin
 
+  /** Exact brute-force cosine top-10 oracle for the vec_id%25 query set,
+    * shared by l06 (the exact plan) and the l22/l23 recall gates (where
+    * only its COUNT is needed — the approximate side is seeded-
+    * deterministic, so "recall >= floor" is a fixed boolean the oracle
+    * can assert as literal TRUE).
+    */
+  private def cosineTopkOracle =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |s AS (
+       |  SELECT q_id, vec_id AS c_id,
+       |    ${cosSql("q_emb", "embedding")} AS cos
+       |  FROM q JOIN embeddings ON vec_id <> q_id)
+       |SELECT q_id, c_id, cos, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rk
+       |  FROM s) WHERE rk <= 10""".stripMargin
+
   /** Exact all-pairs cosine near-dup oracle, shared by l05 (exact plan)
     * and l21 (LSH plan): the LSH path must reproduce the exact answer on
     * the fixtures (miss probability ~6e-6 per pair at cos>=0.4, and the
@@ -174,17 +193,7 @@ object LlmQueries {
         Similarity.bruteForceTopK(
           e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding", 10)
       },
-      Some(s"""WITH q AS (
-              |  SELECT vec_id AS q_id, embedding AS q_emb
-              |  FROM embeddings WHERE vec_id % 25 = 0),
-              |s AS (
-              |  SELECT q_id, vec_id AS c_id,
-              |    ${cosSql("q_emb", "embedding")} AS cos
-              |  FROM q JOIN embeddings ON vec_id <> q_id)
-              |SELECT q_id, c_id, cos, rk FROM (
-              |  SELECT *, CAST(row_number() OVER (
-              |    PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rk
-              |  FROM s) WHERE rk <= 10""".stripMargin)),
+      Some(cosineTopkOracle)),
 
     QuerySpec(
       "l07_lsh_topk",
@@ -392,6 +401,80 @@ object LlmQueries {
              |  SELECT doc_id,
              |    unnest(range(0, CAST(1 + strlen(text) % 8 AS BIGINT))) AS frame_idx
              |  FROM documents)
-             |WHERE frame_idx % 2 = 0""".stripMargin))
+             |WHERE frame_idx % 2 = 0""".stripMargin)),
+
+    // ----- recall gates: the approximate paths (l07/l16/l04), driver-graded.
+    // The sketches are seeded-deterministic, so recall vs the exact twin is
+    // a FIXED number per fixture, and "recall >= floor" is a stable boolean
+    // the DuckDB oracle asserts as literal TRUE (same contract as r09's HLL
+    // error bound). Floors sit under the measured values at sf0.001/0.01/0.1
+    // (RecallProbe: LSH 0.41-0.49, IVF 0.48-0.54, SimHash r 0.49-0.56 /
+    // p 1.0) with margin, so a real regression — a broken signature, a
+    // dropped table, an aliased bucket mask — flips the boolean and fails
+    // the hash, while fixture-scale noise cannot. Integer cross-multiply,
+    // no FP.
+
+    QuerySpec(
+      "l22_lsh_recall",
+      "recall gate for l07: |lshTopK intersect exact topk| >= 35% of the exact set (measured 0.41-0.49 across sf); oracle = exact side count + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.where(col("vec_id") % 25 === 0)
+        val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("c_id"))
+        val approx = Similarity.lshTopK(s, q, e, "vec_id", "embedding", 10,
+            bits = 4, tables = 4)
+          .select(col("q_id"), col("c_id"))
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nHit = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("__n_hit"))
+        nExact.crossJoin(nHit)
+          .select(col("n_exact"),
+            (col("__n_hit") * 100 >= col("n_exact") * 35).as("recall_ok"))
+      },
+      Some(s"""SELECT count(*) AS n_exact, TRUE AS recall_ok
+              |FROM ($cosineTopkOracle) x""".stripMargin)),
+
+    QuerySpec(
+      "l23_ivf_recall",
+      "recall gate for l16: |ivfTopK intersect exact topk| >= 40% of the exact set (measured 0.48-0.54 across sf); oracle = exact side count + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.where(col("vec_id") % 25 === 0)
+        val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("c_id"))
+        val approx = Similarity.ivfTopK(s, q, e, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("c_id"))
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nHit = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("__n_hit"))
+        nExact.crossJoin(nHit)
+          .select(col("n_exact"),
+            (col("__n_hit") * 100 >= col("n_exact") * 40).as("recall_ok"))
+      },
+      Some(s"""SELECT count(*) AS n_exact, TRUE AS recall_ok
+              |FROM ($cosineTopkOracle) x""".stripMargin)),
+
+    QuerySpec(
+      "l24_simhash_gate",
+      "precision/recall gate for l04: simhashPairs vs the exact Jaccard pairs — recall >= 40% (measured 0.49-0.56) and precision >= 95% (measured 1.0); oracle = exact pair count + literal trues",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+          .select(col("a_id"), col("b_id"))
+        val pred = Dedup.simhashPairs(docs, "doc_id", "text")
+          .select(col("a_id"), col("b_id"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nPred = pred.agg(count(lit(1)).as("__n_pred"))
+        val nHit = pred.join(truth, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("__n_hit"))
+        nTruth.crossJoin(nHit).crossJoin(nPred)
+          .select(col("n_truth"),
+            (col("__n_hit") * 100 >= col("n_truth") * 40).as("recall_ok"),
+            (col("__n_hit") * 100 >= col("__n_pred") * 95).as("precision_ok"))
+      },
+      Some(s"""SELECT count(*) AS n_truth, TRUE AS recall_ok,
+              |  TRUE AS precision_ok
+              |FROM ($jaccardOracle) x""".stripMargin))
   )
 }

@@ -149,6 +149,49 @@ object ParityQueries {
       Some("""SELECT count(ts) AS written,
              |       count(*) - count(ts) AS skipped,
              |       CAST(count(ts) * 100 AS DOUBLE) / count(*) AS success_rate
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "p09_dsv2_lineprotocol",
+      "DSv2 line-protocol sink round-trip (writePoints/emptySeries as a Spark Table, index.js:242-252, 321-336): write events via format(\"graft-influx\") in overwrite(=truncate) mode, read the rendered flush files back as text, parse the lines, and emit count/id/timestamp invariants the oracle recomputes from the source table",
+      (s, dir) => {
+        val out = tempSinkDir()
+        Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull && col("event_id").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .write.format("graft-influx")
+          .option("path", out).option("measurement", "events")
+          .option("timecol", "ts").option("insertlimit", "500")
+          .mode("overwrite").save()
+        // Write twice in overwrite mode: DSv2 truncate must leave exactly
+        // one copy (the p07 contract, now at the writer-API level).
+        Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull && col("event_id").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .write.format("graft-influx")
+          .option("path", out).option("measurement", "events")
+          .option("timecol", "ts").option("insertlimit", "500")
+          .mode("overwrite").save()
+        s.read.text(s"$out/events")
+          .select(
+            regexp_extract(col("value"), "event_id=(-?\\d+)i", 1)
+              .cast("long").as("eid"),
+            regexp_extract(col("value"), " (-?\\d+)$", 1)
+              .cast("long").as("ts_ns"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            countDistinct(col("eid")).as("n_ids"),
+            sum(col("eid").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("sum_id"),
+            min(col("ts_ns")).as("min_ts_ns"),
+            max(col("ts_ns")).as("max_ts_ns"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  count(DISTINCT event_id) AS n_ids,
+             |  CAST(SUM(event_id) AS DECIMAL(38,0)) AS sum_id,
+             |  min(epoch_ns(CAST(ts AS TIMESTAMP))) AS min_ts_ns,
+             |  max(epoch_ns(CAST(ts AS TIMESTAMP))) AS max_ts_ns
+             |FROM events
+             |WHERE ts IS NOT NULL AND event_id IS NOT NULL""".stripMargin))
   )
 }

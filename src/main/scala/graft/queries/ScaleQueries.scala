@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.Skew
+import graft.sources.{Bucketing, SchemaMerge}
+
+/** The explicit 100×-scale levers (salting, bucketing, ragged-schema
+  * merge), registered as driver-graded queries whose oracle is the PLAIN
+  * formulation: each lever must be result-preserving, bit-for-bit, or it
+  * is not a lever but a bug. (Unit tests in ScaleToolsSpec/SourcesSpec
+  * check mechanics — no-Exchange plans, type-conflict errors; these
+  * specs make the equivalence visible to the driver's DuckDB compare.)
+  */
+object ScaleQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "s01_salted_agg",
+      "two-stage salted aggregation (16 salt buckets off l_orderkey) over lineitem grouped by l_returnflag — the hot-key lever; must hash-match the plain one-stage group-by (oracle). Decimal partials keep the re-aggregation exact.",
+      (s, dir) => Skew.saltedAgg(
+        Tables.load(s, dir, "lineitem"),
+        key = col("l_returnflag"),
+        saltFrom = col("l_orderkey"),
+        saltBuckets = 16,
+        partial = Seq(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).as("__p_sum"),
+          count(lit(1)).as("__p_n")),
+        merge = Seq(
+          sum(col("__p_sum")).cast("double").as("sum_qty"),
+          sum(col("__p_n")).as("n"))),
+      Some("""SELECT l_returnflag AS key,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    QuerySpec(
+      "s02_bucketed_join",
+      "bucketed co-located join: customer and orders pre-bucketed+sorted on custkey, joined with broadcast disabled — the join stage must plan with ZERO Exchange (asserted in-query) and the result must hash-match the plain join (oracle)",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        // Idempotence across JVMs: DROP TABLE clears this session's
+        // in-memory catalog, but a previous run's managed-table LOCATION
+        // survives on disk and saveAsTable refuses it
+        // (LOCATION_ALREADY_EXISTS) — remove stray locations too.
+        val warehouse = s.conf.get("spark.sql.warehouse.dir")
+        Seq("graft_s02_cust", "graft_s02_ord").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          graft.pipeline.SinkFiles.deleteRecursive(s"$warehouse/$t")
+        }
+        Bucketing.writeBucketed(cust, "graft_s02_cust", "custkey", 8,
+          sortCol = Some("custkey"))
+        Bucketing.writeBucketed(ord, "graft_s02_ord", "custkey", 8,
+          sortCol = Some("custkey"))
+        // Disable broadcast while PLANNING the join so the no-Exchange
+        // assertion exercises the shuffle path bucketing is meant to
+        // eliminate (a broadcast join has no Exchange trivially).
+        val key = "spark.sql.autoBroadcastJoinThreshold"
+        val prev = s.conf.get(key)
+        val joined =
+          try {
+            s.conf.set(key, "-1")
+            val j = Bucketing.bucketedJoin(
+              s, "graft_s02_cust", "graft_s02_ord", "custkey")
+            val plan = j.queryExecution.executedPlan.toString
+            require(!plan.contains("Exchange"),
+              s"bucketed join should not shuffle:\n$plan")
+            j
+          } finally s.conf.set(key, prev)
+        // The aggregate on top shuffles on c_mktsegment as usual — the
+        // lever removes the JOIN's two fact-table exchanges, not the
+        // final small-cardinality agg.
+        joined.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            QuerySpec.decSum(col("o_totalprice")).as("sum_price"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    QuerySpec(
+      "s03_schema_merge",
+      "ragged-schema union (union-of-fields, null-fill — SURVEY §7.4's schemaless-Mongo hard part): three different column subsets of customer re-merged; oracle = explicit null-filled UNION ALL",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        SchemaMerge.unionRagged(Seq(
+          c.where(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), col("c_name")),
+          c.where(col("c_custkey") % 3 === 1)
+            .select(col("c_custkey"), col("c_acctbal")),
+          c.where(col("c_custkey") % 3 === 2)
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey"))))
+      },
+      Some("""SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
+             |  CAST(NULL AS INTEGER) AS c_nationkey
+             |FROM customer WHERE c_custkey % 3 = 0
+             |UNION ALL
+             |SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal,
+             |  CAST(NULL AS INTEGER)
+             |FROM customer WHERE c_custkey % 3 = 1
+             |UNION ALL
+             |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_nationkey
+             |FROM customer WHERE c_custkey % 3 = 2""".stripMargin))
+  )
+}

@@ -11,7 +11,7 @@ class HarnessSpec extends SparkSpec {
     assert(names.distinct.size === names.size, "duplicate query names")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // naming convention: module prefix + 2-digit index
-    assert(names.forall(_.matches("[prtl]\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("[prtl]\\d{2}_[a-z0-9_]+")).mkString(","))
+    assert(names.forall(_.matches("[prtls]\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("[prtls]\\d{2}_[a-z0-9_]+")).mkString(","))
   }
 
   test("flagship entry returns rows (driver smoke contract)") {

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** DSv2 line-protocol sink (SURVEY §7.3(c)): append/truncate semantics
+  * through the writer API, flush-file batching, and spec escaping.
+  */
+class InfluxDsv2Spec extends SparkSpec {
+
+  private def src() = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha", 1.5, Timestamp.valueOf("2024-01-01 00:00:00.000001")),
+      (2L, "beta \"q\"", 2.5, Timestamp.valueOf("2024-01-01 00:00:01")),
+      (3L, "gamma", 3.5, Timestamp.valueOf("2024-01-01 00:00:02")),
+      (4L, "delta", 4.5, Timestamp.valueOf("2024-01-01 00:00:03")),
+      (5L, "epsilon", 5.5, Timestamp.valueOf("2024-01-01 00:00:04"))
+    ).toDF("id", "name", "score", "time").repartition(1)
+  }
+
+  private def lines(dir: String): Seq[String] =
+    spark.read.text(s"$dir/m").collect().map(_.getString(0)).toSeq.sorted
+
+  test("append mode appends; overwrite mode truncates to one copy") {
+    val dir = Files.createTempDirectory("graft_dsv2_").toString
+    def write(mode: String): Unit =
+      src().write.format("graft-influx")
+        .option("path", dir).option("measurement", "m")
+        .mode(mode).save()
+    write("append")
+    assert(lines(dir).size === 5)
+    write("append")
+    assert(lines(dir).size === 10)
+    write("overwrite")
+    assert(lines(dir).size === 5)
+  }
+
+  test("rendered lines carry fields + full-ns timestamp, spec-escaped") {
+    val dir = Files.createTempDirectory("graft_dsv2_").toString
+    src().write.format("graft-influx")
+      .option("path", dir).option("measurement", "m")
+      .mode("overwrite").save()
+    val ls = lines(dir)
+    // 2024-01-01T00:00:00.000001 UTC = 1704067200 s + 1 µs
+    assert(ls.contains("m id=1i,name=\"alpha\",score=1.5 1704067200000001000"))
+    // embedded quotes escape per the line-protocol spec
+    assert(ls.exists(_.contains("name=\"beta \\\"q\\\"\"")))
+  }
+
+  test("insertlimit bounds each flush file (one simulated POST per file)") {
+    val dir = Files.createTempDirectory("graft_dsv2_").toString
+    src().write.format("graft-influx")
+      .option("path", dir).option("measurement", "m")
+      .option("insertlimit", "2")
+      .mode("overwrite").save()
+    // local-FS Hadoop writes .crc shadows; only the .lp flushes count
+    val files = new java.io.File(s"$dir/m").listFiles().map(_.getName)
+      .filter(_.endsWith(".lp")).sorted
+    assert(files.length === 3, files.mkString(","))  // 2 + 2 + 1 rows
+    assert(files.forall(_.endsWith(".lp")))
+    assert(lines(dir).size === 5)
+  }
+
+  test("missing required options error clearly") {
+    val e = intercept[Exception] {
+      src().write.format("graft-influx").mode("append").save()
+    }
+    assert(e.getMessage.contains("path") || e.getMessage.contains("PATH"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+/** Dev-only: print recall/precision of the approximate paths vs their
+  * exact twins at a given sf, to pick CORRECTNESS gate floors.
+  * Usage: sbt 'Test/runMain graft.RecallProbe <sfDir>'
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.where(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rp(name: String, approx: Set[(Long, Long)], base: Set[(Long, Long)]): Unit = {
+      val hits = (approx intersect base).size
+      println(f"[probe] $name recall=${hits.toDouble / base.size}%.3f precision=${hits.toDouble / math.max(1, approx.size)}%.3f approx=${approx.size} base=${base.size}")
+    }
+    val lsh = Similarity.lshTopK(spark, q, emb, "vec_id", "embedding", 10, bits = 4, tables = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rp("lshTopK(4x4)", lsh, exact)
+    val ivf = Similarity.ivfTopK(spark, q, emb, "vec_id", "embedding", 10)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rp("ivfTopK(16/4)", ivf, exact)
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rp("simhashPairs", sim, jac)
+    spark.stop()
+  }
+}

@@ -59,4 +59,19 @@ class SourcesSpec extends SparkSpec {
       assert(snap("events")._2 > 0.0)
     } finally listener.unregister(spark)
   }
+
+  test("mongo URI conf swaps the source and fails cleanly without the connector jar") {
+    // The production swap is config-only (Tables.mongoUriKey); this
+    // sandbox has no MongoDB connector on the classpath, so the load must
+    // surface Spark's standard missing-data-source error — not silently
+    // fall back to parquet.
+    spark.conf.set(Tables.mongoUriKey, "mongodb://localhost:27017")
+    try {
+      val e = intercept[Exception] {
+        Tables.load(spark, "/root/testdata/sf0.001", "events").count()
+      }
+      assert(e.getMessage.toLowerCase.contains("mongodb"),
+        s"expected a data-source-not-found error naming mongodb: ${e.getMessage}")
+    } finally spark.conf.unset(Tables.mongoUriKey)
+  }
 }
