@@ -48,6 +48,30 @@ object Tables {
       case None => loadParquet(spark, dir, name)
     }
 
+  /** Streaming face of `load`: the same fixture table as an unbounded
+    * `readStream` file source (schema pinned from the batch read, same
+    * ns->µs ts conversion). In production the analogous swap is a Kafka /
+    * Mongo change-stream source behind the same column contract.
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    val p = path(dir, name)
+    // The fixture "table" is a single parquet file; the streaming file
+    // source accepts a directory or a GLOB, not a bare file path — wrap
+    // the file name in a brace-glob and anchor basePath at the parent.
+    val df = spark.readStream
+      .schema(spark.read.parquet(p).schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{$name.parquet}")
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
   private def loadParquet(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Guarded set: avoid re-writing session conf (and invalidating cached
     // plans) on every table load.

@@ -9,11 +9,31 @@ import graft.queries.QuerySpec.decSum
 
 /** Time-series operators over `events` (SURVEY.md §7.2 M4) — the batch
   * faces of the reference's time-series domain. Streaming equivalents
-  * (watermarks, late data) live in graft.streaming.StreamingOps and are
-  * exercised by ScalaTest (StreamingOpsSpec), since a streaming Dataset
-  * cannot be dumped by Verify.
+  * (watermarks, late data) live in graft.streaming.StreamingOps; t06-t08
+  * drive them through the REAL streaming engine (file source ->
+  * Trigger.AvailableNow -> memory sink, run to completion) so the driver
+  * grades streaming results against the batch oracles, and
+  * StreamingOpsSpec covers the unbounded-only behaviors (late-row drops,
+  * incremental state) MemoryStream-style.
   */
 object TimeSeriesQueries {
+
+  /** Run a streaming plan to completion on currently-available data and
+    * return the result table. Memory sink is the bounded-harness surface
+    * only (the aggregate results are small); production plans point the
+    * same writeStream at a real sink.
+    */
+  private def runBounded(s: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop() // deregister so re-runs in the same session can reuse the name
+    s.table(name)
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -127,6 +147,62 @@ object TimeSeriesQueries {
              |LEFT JOIN events b ON e.user_id = b.user_id
              |  AND CAST(b.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR
              |  AND CAST(b.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)
-             |GROUP BY e.event_id""".stripMargin))
+             |GROUP BY e.event_id""".stripMargin)),
+
+    QuerySpec(
+      "t06_stream_tumbling",
+      "Structured Streaming tumbling aggregate run end-to-end (parquet file source -> watermark -> groupBy(window) -> AvailableNow -> memory sink); must equal the batch t01 oracle exactly",
+      (s, dir) => runBounded(s,
+        graft.streaming.StreamingOps.tumblingAgg(
+          Tables.loadStream(s, dir, "events"),
+          aggs = Seq(count(lit(1)).as("n"),
+            decSum(col("value"), 6).as("sum_value"))),
+        "t06_stream_tumbling_mem", "complete"),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+             |  event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "t07_stream_sessionize",
+      "Structured Streaming native session_window aggregation run end-to-end; must equal the batch gap-sessionization (session_end = last event + gap, per the session_window contract)",
+      (s, dir) => runBounded(s,
+        graft.streaming.StreamingOps.sessionAgg(
+          Tables.loadStream(s, dir, "events"),
+          aggs = Seq(count(lit(1)).as("n_events"),
+            decSum(col("value"), 6).as("sum_value"))),
+        "t07_stream_sessionize_mem", "complete"),
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |      OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT *, SUM(new_s) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT user_id,
+             |  min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    QuerySpec(
+      "t08_stream_enrich",
+      "stream-static enrichment join run end-to-end (stateless append mode): each event looks up its user's market segment from the static customer dim",
+      (s, dir) => runBounded(s,
+        graft.streaming.StreamingOps.enrich(
+          Tables.loadStream(s, dir, "events")
+            .select(col("event_id"), col("user_id")),
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          Seq("user_id"), "left"),
+        "t08_stream_enrich_mem", "append"),
+      Some("""SELECT event_id, user_id, c_mktsegment
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin))
   )
 }

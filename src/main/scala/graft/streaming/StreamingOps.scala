@@ -23,16 +23,20 @@ object StreamingOps {
 
   /** Tumbling event-time counts/sums per event_type — streaming face of
     * t01. Late rows beyond `lateness` are dropped (watermark), mirroring
-    * the skip-don't-fail contract.
+    * the skip-don't-fail contract. `aggs` overrides the aggregate list
+    * (e.g. decimal-exact sums for the oracle determinism contract).
     */
   def tumblingAgg(events: DataFrame, lateness: String = "1 hour",
-      windowLen: String = "1 hour"): DataFrame =
-    events
+      windowLen: String = "1 hour",
+      aggs: Seq[org.apache.spark.sql.Column] =
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))): DataFrame = {
+    val out = events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
-        col("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+    out.select(col("w.start").as("bucket") +:
+      out.columns.filterNot(_ == "w").map(col): _*)
+  }
 
   /** Sliding-window aggregate — streaming face of t02. */
   def slidingAgg(events: DataFrame, lateness: String = "1 hour",
@@ -48,13 +52,17 @@ object StreamingOps {
     * session operator, whose state merges windows within the gap).
     */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",
-      lateness: String = "1 hour"): DataFrame =
-    events
+      lateness: String = "1 hour",
+      aggs: Seq[org.apache.spark.sql.Column] =
+        Seq(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))): DataFrame = {
+    val out = events
       .withWatermark("ts", lateness)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+    out.select(col("user_id") +: col("w.start").as("session_start") +:
+      col("w.end").as("session_end") +:
+      out.columns.filterNot(c => c == "w" || c == "user_id").map(col): _*)
+  }
 
   /** Streaming exact dedup on a key, with watermark-bounded state —
     * the streaming face of `Dedup.exactGroups`' keep-first semantics.
