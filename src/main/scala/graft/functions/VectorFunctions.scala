@@ -142,4 +142,22 @@ object VectorFunctions {
   /** Column API: b-bit hyperplane LSH signature of an array<float> column. */
   def hyperplaneSig(v: Column, bits: Int): Column =
     GraftBridge.column(HyperplaneSignature(GraftBridge.expression(v), bits))
+
+  /** Symmetric per-row int8 scalar quantization of an array<float>
+    * column: q_i = floor(x_i / max|x| * 127 + 0.5), emitted as long
+    * (Spark's floor of a double is BIGINT). All codegen'd built-ins
+    * (transform/aggregate/greatest), per-row and shuffle-free;
+    * `floor(t + 0.5)` instead of `round(t)` because floor is
+    * bit-identical across engines while round's half-way rule is
+    * engine-specific (HALF_UP vs half-even) — the oracle must reproduce
+    * the exact values. Zero vectors quantize to zeros (scale guard).
+    */
+  def int8Quantize(emb: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val m = aggregate(
+      transform(emb, x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    val scale = when(m === 0.0, lit(1.0)).otherwise(m)
+    transform(emb, x => floor(x.cast("double") / scale * 127 + 0.5))
+  }
 }

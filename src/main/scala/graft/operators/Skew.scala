@@ -35,4 +35,24 @@ object Skew {
       .agg(merge.head, merge.tail: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /** Salted equi-join for a hot join key: left rows spread over
+    * `saltBuckets` deterministic sub-keys, the right side replicated once
+    * per bucket, joined on (key, salt) — the hot key's probe work lands
+    * on `saltBuckets` reducers instead of one. Replication costs
+    * `|right| * saltBuckets` shuffled rows, so the lever fits
+    * big-skewed-left x modest-right joins (the classic fact x dim case
+    * AQE's split can't fix when a SINGLE key dominates). Result is
+    * bit-identical to the plain join (oracle-checked by s04).
+    */
+  def saltedJoin(left: DataFrame, leftKey: String, saltFrom: Column,
+      right: DataFrame, rightKey: String, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val sl = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(saltBuckets)))
+    val sr = right.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(b => lit(b.toLong)): _*)))
+    sl.join(sr,
+        sl("__salt") === sr("__salt") && sl(leftKey) === sr(rightKey))
+      .drop("__salt")
+  }
 }

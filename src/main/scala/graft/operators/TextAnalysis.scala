@@ -79,4 +79,34 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint (codegen'd Catalyst expression). */
   def fingerprint(text: Column): Column = TextFunctions.rollingHash(text)
+
+  /** Per-document salient terms: top-k tokens by a TF-IDF-style score
+    * tf * N / df. The idf is the RATIONAL N/df rather than ln(N/df) so the
+    * score stays inside the oracle determinism contract (no libm); a
+    * production deployment can swap `ln` in — the plan shape (and the
+    * [doc, token]-grouped ranking) is identical.
+    *
+    * 100 TB shape: tokens explode narrowly; tf is one (doc, token) hash
+    * aggregate; df re-aggregates tf's (already-deduplicated) output by
+    * token — no second pass over raw tokens; N is a metadata-served count;
+    * the tf-df equi-join shuffles on token (a skewed-key candidate —
+    * `Skew.saltedJoin` is the lever if one stopword dominates); the final
+    * per-doc top-k is a bounded window.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "tok").crossJoin(n)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("__n") / col("df")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
 }

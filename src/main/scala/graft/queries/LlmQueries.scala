@@ -475,6 +475,45 @@ object LlmQueries {
       },
       Some(s"""SELECT count(*) AS n_truth, TRUE AS recall_ok,
               |  TRUE AS precision_ok
-              |FROM ($jaccardOracle) x""".stripMargin))
+              |FROM ($jaccardOracle) x""".stripMargin)),
+
+    QuerySpec(
+      "l25_tfidf_topk",
+      "per-document salient terms: top-3 tokens by tf * N/df (rational-idf TF-IDF — no libm, oracle-exact); tf = one (doc,token) hash agg, df re-aggregates tf's output, bounded per-doc window",
+      (s, dir) => TextAnalysis.tfIdfTopK(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, tok, tf, df, score, rk FROM (
+             |  SELECT doc_id, tok, tf, df,
+             |    CAST(tf AS DOUBLE) * n / df AS score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY CAST(tf AS DOUBLE) * n / df DESC, tok) AS INT) AS rk
+             |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+             |WHERE rk <= 3""".stripMargin)),
+
+    QuerySpec(
+      "l26_int8_quantize",
+      "symmetric int8 scalar quantization of the embedding column (floor(x/max|x|*127+0.5), per-row codegen'd built-ins, shuffle-free), exploded to one row per element for oracle hashing",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(
+          graft.functions.VectorFunctions.int8Quantize(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("int").as("idx"),
+          col("col").as("q")),
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_prepend(0.0,
+             |        list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             |      (a, b) -> greatest(a, b)) AS mx
+             |  FROM embeddings)
+             |SELECT vec_id, CAST(idx AS INT) AS idx,
+             |  CAST(floor(CAST(embedding[idx + 1] AS DOUBLE)
+             |    / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) * 127 + 0.5) AS BIGINT) AS q
+             |FROM (SELECT vec_id, embedding, mx,
+             |        unnest(range(0, len(embedding))) AS idx FROM m)""".stripMargin))
   )
 }

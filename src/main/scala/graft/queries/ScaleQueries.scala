@@ -107,6 +107,21 @@ object ScaleQueries {
              |FROM customer WHERE c_custkey % 3 = 1
              |UNION ALL
              |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_nationkey
-             |FROM customer WHERE c_custkey % 3 = 2""".stripMargin))
+             |FROM customer WHERE c_custkey % 3 = 2""".stripMargin)),
+
+    QuerySpec(
+      "s04_salted_join",
+      "salted equi-join (8 salt buckets, right side replicated): lineitem x part on partkey then brand rollup — the hot-join-key lever; must hash-match the plain join (oracle)",
+      (s, dir) => Skew.saltedJoin(
+          Tables.load(s, dir, "lineitem"), "l_partkey", col("l_orderkey"),
+          Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          "p_partkey", 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          QuerySpec.decSum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin))
   )
 }

@@ -26,6 +26,35 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("saltedJoin == plain join (hot left key, replicated right)") {
+    import spark.implicits._
+    // 90% of left rows hit key 7
+    val left = (1 to 500).map(i => (if (i <= 450) 7L else (i % 23).toLong, i.toLong))
+      .toDF("k", "uid")
+    val right = (0 to 22).map(k => (k.toLong, s"v$k")).toDF("rk", "payload")
+    val expected = left.join(right, col("k") === col("rk"))
+      .select("k", "uid", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = Skew.saltedJoin(left, "k", col("uid"), right, "rk", 8)
+      .select("k", "uid", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === expected)
+  }
+
+  test("int8Quantize: values in [-127, 127], max maps to ±127, zero vector to zeros") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "emb")
+    val q = df.select(col("id"), VectorFunctions.int8Quantize(col("emb")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(q(1L) === Seq(64L, -127L, 32L)) // floor(0.5*127+0.5)=64, floor(0.25*127+0.5)=32
+    assert(q(2L) === Seq(0L, 0L, 0L))
+    assert(q.values.flatten.forall(v => v >= -127 && v <= 127))
+  }
+
   test("bucketed join plans with no Exchange on either side") {
     import spark.implicits._
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "av")
