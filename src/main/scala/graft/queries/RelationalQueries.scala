@@ -184,9 +184,18 @@ object RelationalQueries {
       "r09_approx_count_distinct",
       "HyperLogLog++ approximate distinct with an in-query error bound: emits the exact count and whether the sketch landed within 5% of it, so sketch regressions are driver-visible without demanding bit-equality (oracle = exact side + literal true)",
       (s, dir) => Tables.load(s, dir, "lineitem")
+        // Dedup (flag, partkey) FIRST (one map-side-combined aggregate),
+        // then count + sketch the deduplicated set: HLL over a
+        // deduplicated input is bit-identical to HLL over the raw column
+        // (it sees the same distinct hashes), while putting countDistinct
+        // and approx_count_distinct in ONE agg triggers Catalyst's
+        // mixed-distinct rewrite that keeps a full HLL buffer (1640
+        // longs at rsd=0.01) per (flag, partkey) group — gigabytes of
+        // aggregation state at sf0.1, and unbounded at 100 TB.
+        .groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)))
         .groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_partkey")).as("n_exact"),
+          count(lit(1)).as("n_exact"),
           approx_count_distinct(col("l_partkey"), 0.01).as("__approx"))
         .select(col("l_returnflag"), col("n_exact"),
           (abs(col("__approx") - col("n_exact")).cast("double")
