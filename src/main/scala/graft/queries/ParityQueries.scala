@@ -156,22 +156,22 @@ object ParityQueries {
       "DSv2 line-protocol sink round-trip (writePoints/emptySeries as a Spark Table, index.js:242-252, 321-336): write events via format(\"graft-influx\") in overwrite(=truncate) mode, read the rendered flush files back as text, parse the lines, and emit count/id/timestamp invariants the oracle recomputes from the source table",
       (s, dir) => {
         val out = tempSinkDir()
-        Tables.load(s, dir, "events")
+        // insertlimit 5000: one flush file per ~5000-row POST body. (The
+        // batching mechanics are covered at insertlimit=2 by
+        // InfluxDsv2Spec; here the knob is sized so the flush-file count
+        // stays O(partitions), not O(rows/500), as a real deployment
+        // would size its POST bodies.)
+        def write(): Unit = Tables.load(s, dir, "events")
           .where(col("ts").isNotNull && col("event_id").isNotNull)
           .select(col("event_id"), col("user_id"), col("ts"))
           .write.format("graft-influx")
           .option("path", out).option("measurement", "events")
-          .option("timecol", "ts").option("insertlimit", "500")
+          .option("timecol", "ts").option("insertlimit", "5000")
           .mode("overwrite").save()
         // Write twice in overwrite mode: DSv2 truncate must leave exactly
         // one copy (the p07 contract, now at the writer-API level).
-        Tables.load(s, dir, "events")
-          .where(col("ts").isNotNull && col("event_id").isNotNull)
-          .select(col("event_id"), col("user_id"), col("ts"))
-          .write.format("graft-influx")
-          .option("path", out).option("measurement", "events")
-          .option("timecol", "ts").option("insertlimit", "500")
-          .mode("overwrite").save()
+        write()
+        write()
         s.read.text(s"$out/events")
           .select(
             regexp_extract(col("value"), "event_id=(-?\\d+)i", 1)
