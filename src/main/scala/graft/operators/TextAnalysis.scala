@@ -93,6 +93,52 @@ object TextAnalysis {
     * `Skew.saltedJoin` is the lever if one stopword dominates); the final
     * per-doc top-k is a bounded window.
     */
+  /** Deterministic content-hash train/val/test split plus mixture
+    * sampling — the reproducibility workhorses of a training-data
+    * pipeline: the assignment depends only on the DOCUMENT CONTENT
+    * (rolling-hash fingerprint), so re-runs, re-shards, and re-ingests
+    * land every document in the same split, and near-dup copies of a
+    * leaked eval document land in the same split as the original.
+    * `keepRate` (percent, 0-100) is evaluated per row — pass a CASE over
+    * the source column for mixture weighting. Split uses fp%100, the
+    * keep decision (fp/100)%100 — decorrelated hash windows. Per-row
+    * arithmetic only: shuffle-free, codegen'd, oracle-exact.
+    */
+  def hashSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int, valPct: Int, keepRate: Column): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "split percentages must fit in [0, 100]")
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.rollingHash(col(textCol)).as("__fp"),
+        keepRate.as("__rate"))
+      .select(col("doc_id"),
+        when(col("__fp") % 100 < trainPct, "train")
+          .when(col("__fp") % 100 < trainPct + valPct, "val")
+          .otherwise("test").as("split"),
+        (expr("__fp div 100") % 100 < col("__rate")).as("kept"))
+  }
+
+  /** Fixed token-window chunking with overlap (context-window packing
+    * prep): chunk i covers tokens [i*stride, i*stride+window); starts
+    * enumerate while start < n_tokens. One narrow generate per row — no
+    * shuffle; emits (doc_id, n_tok, start_tok, chunk_idx, chunk_tokens).
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs.select(col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_tok") - 1, lit(stride.toLong)))
+          .as("start_tok"))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok div $stride").as("chunk_idx"),
+        least(lit(window.toLong), col("n_tok") - col("start_tok"))
+          .as("chunk_tokens"))
+  }
+
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("doc_id"),

@@ -514,6 +514,41 @@ object LlmQueries {
              |  CAST(floor(CAST(embedding[idx + 1] AS DOUBLE)
              |    / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) * 127 + 0.5) AS BIGINT) AS q
              |FROM (SELECT vec_id, embedding, mx,
-             |        unnest(range(0, len(embedding))) AS idx FROM m)""".stripMargin))
+             |        unnest(range(0, len(embedding))) AS idx FROM m)""".stripMargin)),
+
+    QuerySpec(
+      "l27_hash_split",
+      "deterministic content-hash train/val/test split (80/10/10 on fp%100) + per-source mixture sampling (even-suffix sources 60%, odd 30%, on (fp div 100)%100): re-runs and near-dup copies land identically; per-row, shuffle-free",
+      (s, dir) => TextAnalysis.hashSplit(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 80, 10,
+        keepRate = when(
+          substring(col("source"), 4, 10).cast("int") % 2 === 0, 60)
+          .otherwise(30)),
+      Some("""WITH f AS (
+             |  SELECT doc_id, source,
+             |    list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
+             |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) AS fp
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN fp % 100 < 80 THEN 'train'
+             |       WHEN fp % 100 < 90 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  ((fp // 100) % 100) < (CASE WHEN CAST(source[4:] AS INT) % 2 = 0
+             |                              THEN 60 ELSE 30 END) AS kept
+             |FROM f""".stripMargin)),
+
+    QuerySpec(
+      "l28_chunk_windows",
+      "fixed token-window chunking with overlap (window 32, stride 24 — context-window packing prep): one narrow generate per doc, no shuffle",
+      (s, dir) => TextAnalysis.chunkWindows(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+             |  FROM documents)
+             |SELECT doc_id, n_tok, start_tok,
+             |  start_tok // 24 AS chunk_idx,
+             |  least(32, n_tok - start_tok) AS chunk_tokens
+             |FROM (SELECT doc_id, n_tok, unnest(range(0, n_tok, 24)) AS start_tok
+             |      FROM d WHERE n_tok > 0)""".stripMargin))
   )
 }
