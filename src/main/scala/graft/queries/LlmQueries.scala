@@ -420,15 +420,19 @@ object LlmQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val q = e.where(col("vec_id") % 25 === 0)
+        // One pass over each side: a full-outer join carries presence
+        // markers so n_exact and the hit count come out of a single
+        // aggregate (separate count jobs would recompute the top-k
+        // plans once per count).
         val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
-          .select(col("q_id"), col("c_id"))
+          .select(col("q_id"), col("c_id"), lit(1).as("__e"))
         val approx = Similarity.lshTopK(s, q, e, "vec_id", "embedding", 10,
             bits = 4, tables = 4)
-          .select(col("q_id"), col("c_id"))
-        val nExact = exact.agg(count(lit(1)).as("n_exact"))
-        val nHit = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
-          .agg(count(lit(1)).as("__n_hit"))
-        nExact.crossJoin(nHit)
+          .select(col("q_id"), col("c_id"), lit(1).as("__a"))
+        exact.join(approx, Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__e")).as("n_exact"),
+            count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+              .as("__n_hit"))
           .select(col("n_exact"),
             (col("__n_hit") * 100 >= col("n_exact") * 35).as("recall_ok"))
       },
@@ -442,13 +446,13 @@ object LlmQueries {
         val e = Tables.load(s, dir, "embeddings")
         val q = e.where(col("vec_id") % 25 === 0)
         val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
-          .select(col("q_id"), col("c_id"))
+          .select(col("q_id"), col("c_id"), lit(1).as("__e"))
         val approx = Similarity.ivfTopK(s, q, e, "vec_id", "embedding", 10)
-          .select(col("q_id"), col("c_id"))
-        val nExact = exact.agg(count(lit(1)).as("n_exact"))
-        val nHit = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
-          .agg(count(lit(1)).as("__n_hit"))
-        nExact.crossJoin(nHit)
+          .select(col("q_id"), col("c_id"), lit(1).as("__a"))
+        exact.join(approx, Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__e")).as("n_exact"),
+            count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+              .as("__n_hit"))
           .select(col("n_exact"),
             (col("__n_hit") * 100 >= col("n_exact") * 40).as("recall_ok"))
       },
@@ -460,15 +464,18 @@ object LlmQueries {
       "precision/recall gate for l04: simhashPairs vs the exact Jaccard pairs — recall >= 40% (measured 0.49-0.56) and precision >= 95% (measured 1.0); oracle = exact pair count + literal trues",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        // One pass over the exact pair join and one over the sketch
+        // (full-outer + markers + single agg): separate count jobs would
+        // run the expensive exact-Jaccard self-join once per count.
         val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
-          .select(col("a_id"), col("b_id"))
+          .select(col("a_id"), col("b_id"), lit(1).as("__t"))
         val pred = Dedup.simhashPairs(docs, "doc_id", "text")
-          .select(col("a_id"), col("b_id"))
-        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-        val nPred = pred.agg(count(lit(1)).as("__n_pred"))
-        val nHit = pred.join(truth, Seq("a_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).as("__n_hit"))
-        nTruth.crossJoin(nHit).crossJoin(nPred)
+          .select(col("a_id"), col("b_id"), lit(1).as("__p"))
+        truth.join(pred, Seq("a_id", "b_id"), "full_outer")
+          .agg(count(col("__t")).as("n_truth"),
+            count(col("__p")).as("__n_pred"),
+            count(when(col("__t").isNotNull && col("__p").isNotNull, 1))
+              .as("__n_hit"))
           .select(col("n_truth"),
             (col("__n_hit") * 100 >= col("n_truth") * 40).as("recall_ok"),
             (col("__n_hit") * 100 >= col("__n_pred") * 95).as("precision_ok"))
