@@ -78,7 +78,8 @@ final class InfluxTable(tableSchema: StructType,
   override def name(): String = s"graft-influx:$seriesDir"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new InfluxWriteBuilder(info.schema(), seriesDir, measurement, timeCol,
@@ -100,7 +101,47 @@ final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
     override def toBatch: BatchWrite =
       new InfluxBatchWrite(schema, seriesDir, measurement, timeCol,
         insertLimit, truncateFirst)
+
+    /** Continuous migration: `writeStream.format("graft-influx")` in
+      * append mode — each micro-batch's tasks flush their own
+      * epoch-stamped files. Delivery is at-least-once across task
+      * retries (flushes are not transactional — neither are the
+      * reference's line-protocol POSTs); truncate-at-start supports
+      * a clean re-run.
+      */
+    override def toStreaming: streaming.StreamingWrite =
+      new InfluxStreamingWrite(schema, seriesDir, measurement, timeCol,
+        insertLimit, truncateFirst)
   }
+}
+
+final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
+    measurement: String, timeCol: String, insertLimit: Int,
+    truncateFirst: Boolean) extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    // Driver-side at query start (called once per run, before epoch 0).
+    if (truncateFirst) SinkFiles.deleteRecursive(seriesDir)
+    InfluxStreamingWriterFactory(schema, seriesDir, measurement, timeCol,
+      insertLimit, SinkFiles.captureConf())
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class InfluxStreamingWriterFactory(schema: StructType,
+    seriesDir: String, measurement: String, timeCol: String,
+    insertLimit: Int, conf: Option[SinkFiles.SerializableHadoopConf])
+    extends streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new InfluxDataWriter(schema, seriesDir, measurement, timeCol,
+      insertLimit, conf, partitionId, taskId, epochTag = s"e$epochId-")
 }
 
 final case class InfluxCommit(files: Long, rows: Long)
@@ -135,13 +176,14 @@ final case class InfluxWriterFactory(schema: StructType, seriesDir: String,
 /** Runs ON THE EXECUTOR: buffers rendered lines and writes one flush file
   * per `insertLimit` rows — the moral equivalent of one POST body
   * (reference index.js:209-232 re-chunks pages into insertlimit-sized
-  * writePoints calls). File names carry (partition, task, flush-seq) so
-  * concurrent tasks and speculative re-attempts never collide.
+  * writePoints calls). File names carry (epoch, partition, task,
+  * flush-seq) so concurrent tasks, epochs, and speculative re-attempts
+  * never collide.
   */
 final class InfluxDataWriter(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     conf: Option[SinkFiles.SerializableHadoopConf], partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, epochTag: String = "") extends DataWriter[InternalRow] {
 
   private val buf = new ArrayBuffer[String](insertLimit)
   private var flushSeq = 0
@@ -155,7 +197,7 @@ final class InfluxDataWriter(schema: StructType, seriesDir: String,
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    val p = new Path(s"$seriesDir/flush-$partitionId-$taskId-$flushSeq.lp")
+    val p = new Path(s"$seriesDir/flush-$epochTag$partitionId-$taskId-$flushSeq.lp")
     flushSeq += 1
     val out = SinkFiles.fileSystem(p, conf).create(p, false)
     try out.write(buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))

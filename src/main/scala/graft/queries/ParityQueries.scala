@@ -192,6 +192,45 @@ object ParityQueries {
              |  min(epoch_ns(CAST(ts AS TIMESTAMP))) AS min_ts_ns,
              |  max(epoch_ns(CAST(ts AS TIMESTAMP))) AS max_ts_ns
              |FROM events
+             |WHERE ts IS NOT NULL AND event_id IS NOT NULL""".stripMargin)),
+
+    QuerySpec(
+      "p10_stream_migrate",
+      "continuous migration: the reference's whole job as a STREAM — readStream(events) -> prepare/filter -> writeStream.format(\"graft-influx\") (DSv2 STREAMING_WRITE, epoch-stamped flush files), run to completion with AvailableNow, then the rendered lines are parsed back and checked against the source-table oracle",
+      (s, dir) => {
+        val out = tempSinkDir()
+        val q = graft.Tables.loadStream(s, dir, "events")
+          .where(col("ts").isNotNull && col("event_id").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .writeStream.format("graft-influx")
+          .option("path", out).option("measurement", "events")
+          .option("timecol", "ts").option("insertlimit", "5000")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        s.read.text(s"$out/events")
+          .select(
+            regexp_extract(col("value"), "event_id=(-?\\d+)i", 1)
+              .cast("long").as("eid"),
+            regexp_extract(col("value"), " (-?\\d+)$", 1)
+              .cast("long").as("ts_ns"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            countDistinct(col("eid")).as("n_ids"),
+            sum(col("eid").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("sum_id"),
+            min(col("ts_ns")).as("min_ts_ns"),
+            max(col("ts_ns")).as("max_ts_ns"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  count(DISTINCT event_id) AS n_ids,
+             |  CAST(SUM(event_id) AS DECIMAL(38,0)) AS sum_id,
+             |  min(epoch_ns(CAST(ts AS TIMESTAMP))) AS min_ts_ns,
+             |  max(epoch_ns(CAST(ts AS TIMESTAMP))) AS max_ts_ns
+             |FROM events
              |WHERE ts IS NOT NULL AND event_id IS NOT NULL""".stripMargin))
   )
 }

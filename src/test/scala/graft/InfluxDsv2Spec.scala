@@ -64,6 +64,30 @@ class InfluxDsv2Spec extends SparkSpec {
     assert(lines(dir).size === 5)
   }
 
+  test("streaming write: epoch-stamped flush files, lines match the batch render") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_dsv2_src_").toString
+    src().write.parquet(s"$srcDir/rows.parquet")
+    val dir = Files.createTempDirectory("graft_dsv2_st_").toString
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/rows.parquet").schema)
+      .parquet(s"$srcDir/{rows.parquet}")
+      .writeStream.format("graft-influx")
+      .option("path", dir).option("measurement", "m")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    assert(lines(dir).size === 5)
+    assert(lines(dir).contains(
+      "m id=1i,name=\"alpha\",score=1.5 1704067200000001000"))
+    val files = new java.io.File(s"$dir/m").listFiles().map(_.getName)
+      .filter(_.endsWith(".lp"))
+    assert(files.forall(_.startsWith("flush-e")), files.mkString(","))
+  }
+
   test("missing required options error clearly") {
     val e = intercept[Exception] {
       src().write.format("graft-influx").mode("append").save()
