@@ -24,12 +24,23 @@ object TimeSeriesQueries {
     * same writeStream at a real sink.
     */
   private def runBounded(s: org.apache.spark.sql.SparkSession,
-      plan: org.apache.spark.sql.DataFrame, name: String,
-      mode: String): org.apache.spark.sql.DataFrame = {
-    val q = plan.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      plan: org.apache.spark.sql.DataFrame, name: String, mode: String,
+      statePartitions: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    // Streaming state partitioning is pinned from shuffle.partitions at
+    // query START (into the checkpoint); every state store instance pays
+    // per-batch snapshot/delta file IO, and a stream-stream join keeps
+    // FOUR stores per partition — size the partition count to the state
+    // volume, exactly as a production job would, and restore after start.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val q =
+      try {
+        statePartitions.foreach(n => s.conf.set(key, n.toString))
+        plan.writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally statePartitions.foreach(_ => s.conf.set(key, prev))
     q.awaitTermination()
     q.stop() // deregister so re-runs in the same session can reuse the name
     s.table(name)
@@ -157,7 +168,7 @@ object TimeSeriesQueries {
           Tables.loadStream(s, dir, "events"),
           aggs = Seq(count(lit(1)).as("n"),
             decSum(col("value"), 6).as("sum_value"))),
-        "t06_stream_tumbling_mem", "complete"),
+        "t06_stream_tumbling_mem", "complete", statePartitions = Some(8)),
       Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
              |  event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -171,7 +182,7 @@ object TimeSeriesQueries {
           Tables.loadStream(s, dir, "events"),
           aggs = Seq(count(lit(1)).as("n_events"),
             decSum(col("value"), 6).as("sum_value"))),
-        "t07_stream_sessionize_mem", "complete"),
+        "t07_stream_sessionize_mem", "complete", statePartitions = Some(8)),
       Some("""WITH e AS (
              |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
              |f AS (
@@ -203,6 +214,36 @@ object TimeSeriesQueries {
           Seq("user_id"), "left"),
         "t08_stream_enrich_mem", "append"),
       Some("""SELECT event_id, user_id, c_mktsegment
-             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin))
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
+
+    QuerySpec(
+      "t09_stream_stream_join",
+      "stream-stream interval join run end-to-end (both sides watermarked, state bounded by the interval): same-user event pairs within the preceding hour for a 1-in-10 user subset — the streaming face of t05; pair totals checked against the batch join oracle",
+      (s, dir) => {
+        // user_id % 10 = 0 on both sides: the state store must absorb
+        // every input row of a side, so the harness query bounds the
+        // subset (the join machinery — watermarks, cross-side interval
+        // condition, state eviction — is identical at any rate).
+        def side(prefix: String) = Tables.loadStream(s, dir, "events")
+          .where(col("user_id").isNotNull && col("user_id") % 10 === 0)
+          .select(col("event_id").as(s"${prefix}event_id"),
+            col("user_id").as(s"${prefix}user_id"),
+            col("ts").as(s"${prefix}ts"))
+        val pairs = graft.streaming.StreamingOps.intervalJoin(
+          side("a_"), side("b_"),
+          leftKey = "a_user_id", rightKey = "b_user_id",
+          leftTime = "a_ts", rightTime = "b_ts")
+          .select(col("a_event_id"), col("b_event_id"))
+        runBounded(s, pairs, "t09_stream_stream_join_mem", "append",
+            statePartitions = Some(4))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("a_event_id")).as("n_events_with_prev"))
+      },
+      Some("""SELECT count(*) AS n_pairs,
+             |  count(DISTINCT e.event_id) AS n_events_with_prev
+             |FROM events e JOIN events b ON e.user_id = b.user_id
+             |  AND CAST(b.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             |  AND CAST(b.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)
+             |WHERE e.user_id IS NOT NULL AND e.user_id % 10 = 0""".stripMargin))
   )
 }

@@ -124,4 +124,24 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String],
       joinType: String = "left"): DataFrame =
     events.join(dim, keys, joinType)
+
+  /** Stream-stream interval join: right rows within `[leftTime -
+    * lookback, leftTime)` for the same key — the streaming face of the
+    * batch banded range join (t05). Both sides carry watermarks and the
+    * join condition bounds event time on BOTH sides, so Spark can
+    * evict each side's state once the watermark passes the interval —
+    * the state-bounding contract stream-stream joins require at scale.
+    * Column names must be disjoint across the two inputs (rename before
+    * calling), since the time-interval condition is a cross-side
+    * expression.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lateness: String = "1 hour", lookback: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTime, lateness)
+      .join(right.withWatermark(rightTime, lateness),
+        expr(s"""$leftKey = $rightKey
+                |AND $rightTime >= $leftTime - INTERVAL $lookback
+                |AND $rightTime < $leftTime""".stripMargin))
 }
