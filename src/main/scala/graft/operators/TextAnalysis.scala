@@ -93,6 +93,19 @@ object TextAnalysis {
     * `Skew.saltedJoin` is the lever if one stopword dominates); the final
     * per-doc top-k is a bounded window.
     */
+  /** Boilerplate scrub for curation: strip URLs and emails, collapse
+    * whitespace runs, trim. Per-row regexp_replace chain — codegen'd,
+    * shuffle-free, and each pattern is ANSI-regex so the oracle replays
+    * it verbatim. Production pipelines append their own patterns; the
+    * chain shape (and cost: one pass per pattern) is the real content.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://\\S+", ""),
+        "\\S+@\\S+", ""),
+      "\\s+", " "))
+
   /** Deterministic content-hash train/val/test split plus mixture
     * sampling — the reproducibility workhorses of a training-data
     * pipeline: the assignment depends only on the DOCUMENT CONTENT

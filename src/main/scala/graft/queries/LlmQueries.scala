@@ -556,6 +556,24 @@ object LlmQueries {
              |  start_tok // 24 AS chunk_idx,
              |  least(32, n_tok - start_tok) AS chunk_tokens
              |FROM (SELECT doc_id, n_tok, unnest(range(0, n_tok, 24)) AS start_tok
-             |      FROM d WHERE n_tok > 0)""".stripMargin))
+             |      FROM d WHERE n_tok > 0)""".stripMargin)),
+
+    QuerySpec(
+      "l29_clean_text",
+      "curation scrub: strip URLs/emails, collapse whitespace, trim (per-row regexp chain); emits the cleaned text plus chars-removed so the transform itself is hash-checked",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.cleanText(col("text")).as("clean_text"))
+        .select(col("doc_id"), col("clean_text"),
+          (length(col("text")) - length(col("clean_text"))).cast("long")
+            .as("n_removed")),
+      Some("""SELECT doc_id, clean_text,
+             |  length(text) - length(clean_text) AS n_removed
+             |FROM (
+             |  SELECT doc_id, text,
+             |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+             |      'https?://\S+', '', 'g'), '\S+@\S+', '', 'g'),
+             |      '\s+', ' ', 'g')) AS clean_text
+             |  FROM documents)""".stripMargin))
   )
 }

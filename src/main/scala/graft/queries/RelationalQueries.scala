@@ -551,6 +551,38 @@ object RelationalQueries {
             _.cast("string")), ",").as("keys")),
       Some("""SELECT o_orderstatus,
              |  array_to_string(list_sort(array_agg(o_orderkey)), ',') AS keys
-             |FROM orders GROUP BY 1""".stripMargin))
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "r33_lateral_join",
+      "correlated LATERAL subquery: top-2 orders per customer (per-row dependent subquery with ORDER BY + LIMIT — the SQL face of grouped top-k)",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("cust_lat")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("ord_lat")
+        s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+                |FROM cust_lat, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM ord_lat
+                |  WHERE o_custkey = c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l""".stripMargin)),
+
+    QuerySpec(
+      "r34_unpivot",
+      "unpivot/melt: wide per-part numeric columns to (part, attribute, value) long form",
+      (s, dir) => Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "attr", "val"),
+      Some("""SELECT p_partkey, attr, val FROM (
+             |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+             |    p_retailprice AS retailprice
+             |  FROM part)
+             |UNPIVOT (val FOR attr IN (size, retailprice))""".stripMargin))
   )
 }
