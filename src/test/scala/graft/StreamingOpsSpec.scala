@@ -101,6 +101,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(finalByKey(2L) === ((2L, 7.0))) // events 3,4: 3+4
   }
 
+  test("intervalJoin: stream-stream pairs match the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    def side(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("event_id").as(s"${p}id"), col("user_id").as(s"${p}uid"),
+        col("ts").as(s"${p}ts"))
+    val q = StreamingOps.intervalJoin(
+        side(stream.toDF(), "a_"), side(stream.toDF(), "b_"),
+        leftKey = "a_uid", rightKey = "b_uid",
+        leftTime = "a_ts", rightTime = "b_ts",
+        lookback = "1 hour")
+      .select(col("a_id"), col("b_id"))
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("t_ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = events.toDF()
+      val exp = side(batch, "a_").join(side(batch, "b_"),
+          expr("a_uid = b_uid AND b_ts >= a_ts - INTERVAL 1 HOUR AND b_ts < a_ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got === exp)
+      assert(exp.contains((2L, 1L))) // 00:20 sees 00:10 for user 1
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first occurrence within the watermark") {
     val dup = Ev(1, ts("2024-01-01 00:10:00"), 1, "a", 999.0) // same event_id
     val got = runStream("t_dedup",
