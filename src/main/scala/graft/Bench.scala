@@ -12,6 +12,10 @@ object Bench {
     try SparkEntry.queries("p05_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Settle the JVM between queries: accumulated garbage from a heavy
+      // predecessor otherwise lands in a successor's measurement (observed
+      // one-off 10-20x outliers for queries that bench at ~1s isolated).
+      System.gc()
       val t0 = System.nanoTime()
       // Force FULL materialization of every output column: a bare count()
       // lets Catalyst prune the projection away and flatters the number.

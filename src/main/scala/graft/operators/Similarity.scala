@@ -134,18 +134,18 @@ object Similarity {
     * only the `nProbe` centroids nearest to IT and scores those lists.
     * Cost ~ nProbe/nCentroids of the corpus per query.
     *
-    * The coarse quantizer is deterministic and training-free: centroids
-    * are corpus vectors sampled by id order (every n/nCentroids-th) — at
-    * 100 TB you'd swap in k-means centroids trained on a sample behind
-    * the same (queries, corpus, k) signature; list assignment, probing,
-    * and scoring (the scale-critical parts) are identical. Assignment is
-    * a broadcast of the small centroid set against the corpus — one
-    * narrow pass, no shuffle; the probe join shuffles only candidate
-    * (query, centroid) pairs.
+    * The coarse quantizer defaults to deterministic and training-free
+    * (centroids = a seeded hash-sample of corpus vectors); pass
+    * `trainIters > 0` for Lloyd k-means rounds over a deterministic 10%
+    * sample — list assignment, probing, and scoring (the scale-critical
+    * parts) are identical either way. Assignment is a broadcast of the
+    * small centroid set against the corpus — one narrow pass, no
+    * shuffle; the probe join shuffles only candidate (query, centroid)
+    * pairs.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     // Deterministic centroid sample with NO driver-side pass over the
     // corpus (an earlier version ran corpus.count() just to derive a
     // stride — a full extra scan at 100 TB): take the nCentroids rows
@@ -156,12 +156,50 @@ object Similarity {
     // ordered (for tie-breaks), not 0..n-1 — which kills the former
     // global row_number window (an un-partitioned WindowExec that real
     // clusters' log monitoring pages on).
-    val cents = corpus
+    var cents = corpus
       .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
         xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h"), col("cent_id"))
       .limit(nCentroids)
       .drop("__h")
+
+    // Optional coarse-quantizer training: `trainIters` Lloyd rounds over
+    // a deterministic 10% hash-sample of the corpus (at 100 TB the
+    // quantizer trains on a sample — never the full corpus). Each round:
+    // argmax-assign the sample (broadcast centroids, map-side-combinable
+    // max-of-struct carrying the vector), then per-(centroid, dim) mean
+    // via posexplode. Centroid ids are stable across rounds; a centroid
+    // that captures no sample rows keeps its previous vector. Means are
+    // shuffled-double averages (not bit-deterministic) — fine for this
+    // recall-path operator, which is gated by l23, not hash-compared.
+    if (trainIters > 0) {
+      val sample = corpus
+        .select(col(idCol).as("t_id"), col(embCol).as("t_emb"))
+        .where(pmod(xxhash64(col("t_id")), lit(10)) === 0)
+      for (_ <- 1 to trainIters) {
+        val assigned = sample.join(broadcast(cents))
+          .select(col("t_id"), col("t_emb"), col("cent_id"),
+            cosineSim(col("t_emb"), col("cent_emb")).as("__cs"))
+          .groupBy(col("t_id"))
+          // (__cs, negid) is unique per centroid, so the carried vector
+          // never participates in the ordering.
+          .agg(max(struct(col("__cs"), (-col("cent_id")).as("negid"),
+            col("t_emb").as("e"))).as("m"))
+          .select((-col("m.negid")).as("cent_id"), col("m.e").as("t_emb"))
+        val means = assigned
+          .select(col("cent_id"), posexplode(col("t_emb")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("m"))
+          .groupBy(col("cent_id"))
+          .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+          .select(col("cent_id"),
+            transform(array_sort(col("pm")), x => x.getField("m").cast("float"))
+              .as("new_emb"))
+        cents = cents.join(means, Seq("cent_id"), "left")
+          .select(col("cent_id"),
+            coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
+      }
+    }
 
     // Corpus assignment: argmax over the broadcast centroid set as a
     // map-side-combinable aggregate (max of (sim, -cent_id) structs) —

@@ -96,6 +96,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall not better than chance")
   }
 
+  test("ivfTopK with Lloyd-trained centroids keeps the recall floor") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Similarity.ivfTopK(spark, queries, emb, "vec_id", "embedding", 10,
+      nCentroids = 16, nProbe = 4, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trained.nonEmpty)
+    val recall = (trained intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"trained recall $recall below floor")
+  }
+
   test("asof join: NULL-key left rows match nothing (equi-join semantics)") {
     import spark.implicits._
     import java.sql.Timestamp
