@@ -173,6 +173,25 @@ final case class InfluxWriterFactory(schema: StructType, seriesDir: String,
       conf, partitionId, taskId)
 }
 
+/** `graft.pipeline.Sink` adapter over the DSv2 writer, so
+  * `Pipeline.migrate` (the reference's whole-catalog orchestration)
+  * composes with the `format("graft-influx")` path unchanged: append maps
+  * to a DSv2 append, truncate to the recursive series delete the DSv2
+  * truncate also uses.
+  */
+final class InfluxDsv2Sink(baseDir: String, insertLimit: Int = 1000,
+    timeCol: String = "time") extends Sink {
+
+  override def truncate(table: String): Unit =
+    SinkFiles.deleteRecursive(s"$baseDir/$table")
+
+  override def append(df: org.apache.spark.sql.DataFrame, table: String): Unit =
+    df.write.format("graft-influx")
+      .option("path", baseDir).option("measurement", table)
+      .option("timecol", timeCol).option("insertlimit", insertLimit.toString)
+      .mode("append").save()
+}
+
 /** Runs ON THE EXECUTOR: buffers rendered lines and writes one flush file
   * per `insertLimit` rows — the moral equivalent of one POST body
   * (reference index.js:209-232 re-chunks pages into insertlimit-sized

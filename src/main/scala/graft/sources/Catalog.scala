@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.io.File
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Source-catalog enumeration — the Spark analogue of the reference's
@@ -16,13 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
-  /** Names of all tables (parquet files) in a scale-factor directory,
-    * sorted for determinism.
+  /** Names of all tables (parquet files/dirs) in a scale-factor
+    * directory, sorted for determinism. Listed through the Hadoop
+    * `FileSystem` API — a `java.io.File` walk would silently return
+    * nothing for an `hdfs://`/`s3a://` catalog dir on a real cluster.
     */
   def listTables(dir: String): Seq[String] = {
-    val fs = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-    fs.iterator
-      .map(_.getName)
+    val p = new Path(dir)
+    val fs = graft.pipeline.SinkFiles.fileSystem(p)
+    val entries =
+      if (fs.exists(p)) fs.listStatus(p) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    entries.iterator
+      .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(_.stripSuffix(".parquet"))
       .toSeq

@@ -88,6 +88,23 @@ class InfluxDsv2Spec extends SparkSpec {
     assert(files.forall(_.startsWith("flush-e")), files.mkString(","))
   }
 
+  test("Pipeline.migrateTable composes with the DSv2-backed sink") {
+    import graft.pipeline.{InfluxDsv2Sink, Pipeline, PipelineConfig}
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_dsv2_mig_").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    (1 to 40).map(i => (i.toLong, t0, i * 1.0))
+      .toDF("event_id", "ts", "value")
+      .write.parquet(s"$srcDir/events.parquet")
+    val sinkDir = Files.createTempDirectory("graft_dsv2_mig_out_").toString
+    val r = Pipeline.migrateTable(spark, srcDir, "events",
+      Pipeline.defaultPrepare("events"), new InfluxDsv2Sink(sinkDir),
+      PipelineConfig(emptySeries = true, logging = false))
+    assert(r.written === 40)
+    val got = spark.read.text(s"$sinkDir/events").count()
+    assert(got === 40)
+  }
+
   test("missing required options error clearly") {
     val e = intercept[Exception] {
       src().write.format("graft-influx").mode("append").save()
