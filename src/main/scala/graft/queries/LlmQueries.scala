@@ -485,6 +485,32 @@ object LlmQueries {
               |FROM ($jaccardOracle) x""".stripMargin)),
 
     QuerySpec(
+      "l30_embed_lsh_scaled_bits",
+      "the l21 bits-vs-corpus dial made driver-visible: same LSH near-dup pipeline at 6 bits x 10 tables (64 vs 16 buckets/table -> ~4x smaller candidate volume) traded for a bounded recall dip — measured 0.97-1.0 across sf, gated at >= 90% of the exact pair set",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val exact = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
+              .as("cos"))
+          .where(col("cos") >= 0.4)
+          .select(col("a_id"), col("b_id"), lit(1).as("__e"))
+        val scaled = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.4,
+            bits = 6, tables = 10)
+          .select(col("a_id"), col("b_id"), lit(1).as("__a"))
+        exact.join(scaled, Seq("a_id", "b_id"), "full_outer")
+          .agg(count(col("__e")).as("n_exact"),
+            count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+              .as("__n_hit"))
+          .select(col("n_exact"),
+            (col("__n_hit") * 100 >= col("n_exact") * 90).as("recall_ok"))
+      },
+      Some(s"""SELECT count(*) AS n_exact, TRUE AS recall_ok
+              |FROM (${embedPairsOracle(0.4)}) x""".stripMargin)),
+
+    QuerySpec(
       "l25_tfidf_topk",
       "per-document salient terms: top-3 tokens by tf * N/df (rational-idf TF-IDF — no libm, oracle-exact); tf = one (doc,token) hash agg, df re-aggregates tf's output, bounded per-doc window",
       (s, dir) => TextAnalysis.tfIdfTopK(

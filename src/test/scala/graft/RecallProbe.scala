@@ -32,6 +32,22 @@ object RecallProbe {
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     rp("ivfTopK(16/4)", ivf, exact)
 
+    val ep = {
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
+        .where(col("cos") >= 0.4)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    Seq((4, 16), (6, 10), (8, 8)).foreach { case (bits, tables) =>
+      val got = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+          bits = bits, tables = tables)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rp(s"lshNearDupPairs(${bits}x$tables)", got, ep)
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
