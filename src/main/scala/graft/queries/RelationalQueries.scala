@@ -438,6 +438,23 @@ object RelationalQueries {
       Some("SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles FROM lineitem")),
 
     QuerySpec(
+      "r35_approx_percentile",
+      "approximate percentile (GK sketch) with an in-query error bound vs the exact interpolated median, per return flag — same driver-visible contract as r09's HLL bound",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("__p50_approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("__p50_approx") - col("p50_exact"))
+            <= lit(0.05) * col("p50_exact")).as("within_5pct")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+             |  TRUE AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    QuerySpec(
       "r26_pivot",
       "pivot (groupBy + pivot on a bounded value set) == conditional aggregation",
       (s, dir) => Tables.load(s, dir, "orders")

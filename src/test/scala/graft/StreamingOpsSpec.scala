@@ -101,6 +101,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(finalByKey(2L) === ((2L, 7.0))) // events 3,4: 3+4
   }
 
+  test("tumblingAgg under the RocksDB state store (the spill-to-disk backend for 100 TB-scale state)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = runStream("t_rocks", StreamingOps.tumblingAgg(_),
+        Seq(events.take(3), events.drop(3)), mode = "complete")
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // identical result to the default (HDFS-backed) provider
+      assert(got.contains((ts("2024-01-01 00:00:00"), "a", 2L)))
+      assert(got.contains((ts("2024-01-01 01:00:00"), "b", 2L)))
+      assert(got.contains((ts("2024-01-01 03:00:00"), "a", 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("intervalJoin: stream-stream pairs match the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
