@@ -27,8 +27,15 @@ trait Sink extends Serializable {
   * is the row-group/file structure parquet already has, so no re-chunking
   * layer is added (SURVEY.md §2 row 7: insertlimit exists only to bound a
   * single HTTP POST; a bulk columnar sink has no such constraint).
+  *
+  * `partitionCols` lays each series out hive-partitioned (the 100 TB
+  * time-series layout: partition by date so readers' time filters prune
+  * at the directory level and retention is a partition drop, not a
+  * rewrite — the scalable form of the reference's `DELETE WHERE time <
+  * now()` truncate, index.js:328).
   */
-final class ParquetSink(baseDir: String) extends Sink {
+final class ParquetSink(baseDir: String, partitionCols: Seq[String] = Nil)
+    extends Sink {
   private def path(table: String) = s"$baseDir/$table"
 
   override def truncate(table: String): Unit =
@@ -37,8 +44,11 @@ final class ParquetSink(baseDir: String) extends Sink {
     // mirror that so truncate-without-rewrite is expressible.
     SinkFiles.deleteRecursive(path(table))
 
-  override def append(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(table))
+  override def append(df: DataFrame, table: String): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path(table))
+  }
 }
 
 /** Filesystem helpers shared by the sinks: all paths go through the Hadoop

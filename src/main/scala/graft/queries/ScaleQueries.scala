@@ -122,6 +122,32 @@ object ScaleQueries {
       Some("""SELECT p_brand, count(*) AS n,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |GROUP BY p_brand""".stripMargin))
+             |GROUP BY p_brand""".stripMargin)),
+
+    QuerySpec(
+      "s05_partitioned_sink",
+      "time-partitioned sink layout: events migrated into a date-partitioned series, read back with a one-day filter that must prune at the partition level (asserted in-query via PartitionFilters); aggregate checked against the source-table oracle",
+      (s, dir) => {
+        val sinkDir =
+          java.nio.file.Files.createTempDirectory("graft_sink_").toString
+        val sink = new graft.pipeline.ParquetSink(sinkDir,
+          partitionCols = Seq("p_date"))
+        val e = ParityQueries.prepare(Tables.load(s, dir, "events"))
+          .where(col("time").isNotNull)
+          .withColumn("p_date", to_date(col("time")))
+        sink.append(e, "events")
+        val rd = s.read.parquet(s"$sinkDir/events")
+          .where(col("p_date") === to_date(lit("2024-01-15")))
+        val plan = rd.queryExecution.executedPlan.toString
+        require(plan.contains("PartitionFilters: [") &&
+          !plan.replace(" ", "").contains("PartitionFilters:[]"),
+          s"date filter must prune partitions:\n$plan")
+        rd.agg(count(lit(1)).as("n"),
+          QuerySpec.decSum(col("value"), 6).as("sum_value"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE ts IS NOT NULL AND CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin))
   )
 }
