@@ -88,6 +88,30 @@ class InfluxDsv2Spec extends SparkSpec {
     assert(files.forall(_.startsWith("flush-e")), files.mkString(","))
   }
 
+  test("streaming re-run against the same checkpoint adds nothing (source offsets committed)") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_dsv2_ck_").toString
+    src().write.parquet(s"$srcDir/rows.parquet")
+    val dir = Files.createTempDirectory("graft_dsv2_ck_out_").toString
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(s"$srcDir/rows.parquet").schema)
+        .parquet(s"$srcDir/{rows.parquet}")
+        .writeStream.format("graft-influx")
+        .option("path", dir).option("measurement", "m")
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
+    run()
+    assert(lines(dir).size === 5)
+    run() // no new source data + committed offsets -> no new flush files
+    assert(lines(dir).size === 5)
+  }
+
   test("Pipeline.migrateTable composes with the DSv2-backed sink") {
     import graft.pipeline.{InfluxDsv2Sink, Pipeline, PipelineConfig}
     import spark.implicits._
