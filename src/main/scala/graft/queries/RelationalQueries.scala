@@ -455,6 +455,26 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     QuerySpec(
+      "r36_recursive_gapfill",
+      "recursive CTE (Spark 4 WITH RECURSIVE): generate a 30-day date spine and gap-fill daily event counts (empty days emit 0) — the classic time-series densification",
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_r36")
+        s.sql("""WITH RECURSIVE spine(d) AS (
+                |  SELECT DATE '2024-01-01'
+                |  UNION ALL SELECT date_add(d, 1) FROM spine
+                |  WHERE d < DATE '2024-01-30')
+                |SELECT d, count(e.ts) AS n
+                |FROM spine LEFT JOIN events_r36 e ON CAST(e.ts AS DATE) = d
+                |GROUP BY d""".stripMargin)
+      },
+      Some("""WITH RECURSIVE spine(d) AS (
+             |  SELECT DATE '2024-01-01'
+             |  UNION ALL SELECT d + 1 FROM spine WHERE d < DATE '2024-01-30')
+             |SELECT d, count(e.ts) AS n
+             |FROM spine LEFT JOIN events e ON CAST(ts AS DATE) = d
+             |GROUP BY d""".stripMargin)),
+
+    QuerySpec(
       "r26_pivot",
       "pivot (groupBy + pivot on a bounded value set) == conditional aggregation",
       (s, dir) => Tables.load(s, dir, "orders")
