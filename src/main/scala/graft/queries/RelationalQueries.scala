@@ -475,6 +475,55 @@ object RelationalQueries {
              |GROUP BY d""".stripMargin)),
 
     QuerySpec(
+      "r37_full_outer_join",
+      "full outer join: customers and suppliers aligned on nation, unmatched sides null-preserved (completes the join-type matrix next to inner/left/semi/anti/lateral/asof/range)",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nk_c"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = Tables.load(s, dir, "supplier")
+          .groupBy(col("s_nationkey").as("nk_s"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+          .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             |  COALESCE(c.n_cust, 0) AS n_cust,
+             |  COALESCE(s.n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp
+             |      FROM supplier GROUP BY 1) s ON c.nk = s.nk""".stripMargin)),
+
+    QuerySpec(
+      "r38_setops_all",
+      "bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) over order keys, multiplicity-preserving — the distinct variants are r15/r16",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("key"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("key"))
+        val inter = li.intersectAll(ord)
+          .groupBy().agg(count(lit(1)).as("n"))
+          .select(lit("intersect_all").as("op"), col("n"))
+        val exc = li.exceptAll(ord)
+          .groupBy().agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("op"), col("n"))
+        inter.unionAll(exc)
+      },
+      Some("""SELECT 'intersect_all' AS op, count(*) AS n FROM (
+             |  SELECT l_orderkey AS key FROM lineitem
+             |  INTERSECT ALL
+             |  SELECT o_orderkey FROM orders)
+             |UNION ALL
+             |SELECT 'except_all' AS op, count(*) AS n FROM (
+             |  SELECT l_orderkey AS key FROM lineitem
+             |  EXCEPT ALL
+             |  SELECT o_orderkey FROM orders)""".stripMargin)),
+
+    QuerySpec(
       "r26_pivot",
       "pivot (groupBy + pivot on a bounded value set) == conditional aggregation",
       (s, dir) => Tables.load(s, dir, "orders")
