@@ -585,6 +585,29 @@ object LlmQueries {
              |      FROM d WHERE n_tok > 0)""".stripMargin)),
 
     QuerySpec(
+      "l31_split_leakage",
+      "train/test leakage guarantee of the content-hash split: identical documents CANNOT land in different splits (assignment is a function of the text alone) — counts duplicate pairs and asserts zero cross-split ones; oracle recomputes the pair count and the guaranteed zero",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tagged = docs
+          .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+          .join(TextAnalysis.hashSplit(docs, "doc_id", "text", 80, 10,
+            keepRate = lit(100)).select(col("doc_id"), col("split")), "doc_id")
+        val a = tagged.select(col("doc_id").as("a_id"), col("dig"),
+          col("split").as("a_split"))
+        val b = tagged.select(col("doc_id").as("b_id"),
+          col("dig").as("dig_b"), col("split").as("b_split"))
+        a.join(b, col("dig") === col("dig_b") && col("a_id") < col("b_id"))
+          .agg(count(lit(1)).as("n_dup_pairs"),
+            count(when(col("a_split") =!= col("b_split"), 1))
+              .as("n_cross_split"))
+      },
+      Some("""SELECT count(*) AS n_dup_pairs,
+             |  CAST(0 AS BIGINT) AS n_cross_split
+             |FROM documents a JOIN documents b
+             |  ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id""".stripMargin)),
+
+    QuerySpec(
       "l29_clean_text",
       "curation scrub: strip URLs/emails, collapse whitespace, trim (per-row regexp chain); emits the cleaned text plus chars-removed so the transform itself is hash-checked",
       (s, dir) => Tables.load(s, dir, "documents")
