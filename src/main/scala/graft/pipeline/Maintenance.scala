@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Sink-side maintenance: the two operations a file-backed time-series
+  * destination needs at scale and the reference's one-shot migrator never
+  * grew —
+  *
+  *   - **Compaction**: a micro-batching sink (DSv2 flushes, streaming
+  *     epochs) accumulates many small files; readers then pay per-file
+  *     open/footer costs and schedulers per-file tasks. Rewrite a series
+  *     to ~`targetBytes` files.
+  *   - **Retention**: for a date-partitioned series (ParquetSink
+  *     partitionCols), dropping expired data is a partition delete —
+  *     O(partitions) metadata work, no rewrite. This is the scalable
+  *     form of the reference's `DELETE FROM <series> WHERE time < now()`
+  *     (index.js:328), which on a real store is a full-series scan.
+  *
+  * Both go through the Hadoop FileSystem API (HDFS/object-store safe).
+  * Compaction is NOT atomic for concurrent readers (swap-in-place); at
+  * 100 TB you run it per-partition during quiet windows or move to a
+  * table format with snapshot isolation — documented trade-off, same as
+  * every raw-file layout.
+  */
+object Maintenance {
+
+  /** Rewrite a parquet series dir into ~`targetBytes`-sized files.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new Path(dir)
+    val fs = SinkFiles.fileSystem(p)
+    def parquetFiles() =
+      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent, p.getName + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // Swap: remove old data files + their .crc shadows, move new ones in.
+    before.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet.crc"))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(p, f.getPath.getName)))
+    fs.delete(tmp, true)
+    (before.length, parquetFiles().length)
+  }
+
+  /** Drop partitions of a `col=value` hive layout whose VALUE is strictly
+    * below `cutoff` (string comparison — ISO dates compare correctly).
+    * Returns the dropped partition values.
+    */
+  def dropPartitionsBelow(dir: String, partitionCol: String,
+      cutoff: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = SinkFiles.fileSystem(p)
+    if (!fs.exists(p)) return Seq.empty
+    val prefix = partitionCol + "="
+    fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
+      .filter { case (_, v) => v < cutoff }
+      .map { case (path, v) =>
+        fs.delete(path, true)
+        v
+      }
+  }
+}

@@ -148,6 +148,35 @@ object ScaleQueries {
       Some("""SELECT count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events
-             |WHERE ts IS NOT NULL AND CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin))
+             |WHERE ts IS NOT NULL AND CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin)),
+
+    QuerySpec(
+      "s06_compact_retain",
+      "sink maintenance end-to-end: date-partitioned migrate -> small-file compaction of one partition (asserted fewer files) -> retention drop of days before 2024-01-16 (partition delete, no rewrite) -> remaining aggregate checked against the source oracle",
+      (s, dir) => {
+        val base =
+          java.nio.file.Files.createTempDirectory("graft_sink_").toString
+        val sink = new graft.pipeline.ParquetSink(base,
+          partitionCols = Seq("p_date"))
+        sink.append(
+          ParityQueries.prepare(Tables.load(s, dir, "events"))
+            .where(col("time").isNotNull)
+            .withColumn("p_date", to_date(col("time")))
+            .repartition(8), // force several files per partition
+          "events")
+        val (nBefore, nAfter) = graft.pipeline.Maintenance.compactParquet(
+          s, s"$base/events/p_date=2024-01-20")
+        require(nBefore > nAfter && nAfter == 1,
+          s"compaction must shrink files: $nBefore -> $nAfter")
+        graft.pipeline.Maintenance.dropPartitionsBelow(
+          s"$base/events", "p_date", cutoff = "2024-01-16")
+        s.read.parquet(s"$base/events")
+          .agg(count(lit(1)).as("n"),
+            QuerySpec.decSum(col("value"), 6).as("sum_value"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE ts IS NOT NULL AND CAST(ts AS DATE) >= DATE '2024-01-16'""".stripMargin))
   )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Maintenance, ParquetSink}
+
+/** Sink maintenance: small-file compaction and partition-drop retention. */
+class MaintenanceSpec extends SparkSpec {
+
+  test("compactParquet: fewer files, identical data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/series"
+    val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    df.repartition(16).write.parquet(dir)
+    val filesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore === 16)
+    val (before, after) = Maintenance.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(before === 16 && after === 1, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    assert(back.agg(sum(col("v"))).first().getDouble(0) === (1 to 1000).map(_ * 2.0).sum)
+  }
+
+  test("dropPartitionsBelow: date-partition retention drops only expired days") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_retain_").toString
+    val sink = new ParquetSink(base, partitionCols = Seq("p_date"))
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00")),
+      (3L, Timestamp.valueOf("2024-01-03 10:00:00")))
+    sink.append(rows.toDF("id", "time").withColumn("p_date", to_date(col("time"))),
+      "events")
+    val dropped = Maintenance.dropPartitionsBelow(
+      s"$base/events", "p_date", cutoff = "2024-01-03")
+    assert(dropped.sorted === Seq("2024-01-01", "2024-01-02"))
+    val remaining = spark.read.parquet(s"$base/events")
+    assert(remaining.select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+}
