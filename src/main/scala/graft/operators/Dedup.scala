@@ -144,6 +144,32 @@ object Dedup {
     * round both caches the new labels and answers "did anything change?"
     * — no separate join+count job.
     */
+  /** Pick the KEEPER of each near-dup cluster by a quality score rather
+    * than min id — the production curation flow: cluster (connected
+    * components over the pair graph), then per cluster keep the
+    * highest-quality member (ties broken by smallest id, so the choice
+    * is deterministic). `scored` must carry (idCol, scoreCol); documents
+    * in no pair are their own keeper. One join + one max-of-struct
+    * aggregate on top of `components` — map-side combinable, no extra
+    * shuffle structure.
+    */
+  def keepBest(scored: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val comp = components(pairs) // (doc_id, cluster_id) — paired docs only
+    val labeled = scored
+      .select(col(idCol).as("doc_id"), col(scoreCol).as("__score"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("__score"))
+    labeled.groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("__score"), (-col("doc_id")).as("negid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.negid")).as("keep_id"),
+        col("n_members"))
+  }
+
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))

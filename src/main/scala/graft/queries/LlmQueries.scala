@@ -585,6 +585,55 @@ object LlmQueries {
              |      FROM d WHERE n_tok > 0)""".stripMargin)),
 
     QuerySpec(
+      "l32_keep_best",
+      "quality-keeper dedup (the production curation flow): near-dup clusters via connected components, keeper = highest quality_score per cluster (ties to smallest id), singletons keep themselves; oracle composes the recursive-CTE clustering with the l09 quality formula",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val scored = TextAnalysis.qualityFeatures(
+            docs.select(col("doc_id"), col("text")), "text")
+          .select(col("doc_id"), col("quality_score"))
+        Dedup.keepBest(scored,
+          Dedup.jaccardPairs(docs, "doc_id", "text", 0.5),
+          "doc_id", "quality_score")
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(a.s) + len(b.s) > 0
+              |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM p
+              |  UNION ALL SELECT b_id, a_id FROM p),
+              |reach(node, lbl) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |comp AS (
+              |  SELECT node AS doc_id, min(lbl) AS cluster_id
+              |  FROM reach GROUP BY node),
+              |q AS (
+              |  SELECT doc_id,
+              |    (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+              |             / length(text))
+              |    * (0.5 + CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b')) AS DOUBLE)
+              |             / len(string_split(trim(text), ' ')))
+              |    * (CASE WHEN len(string_split(trim(text), ' ')) >= 5
+              |            THEN 1.0 ELSE 0.25 END) AS score
+              |  FROM documents),
+              |lab AS (
+              |  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+              |    q.score
+              |  FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id)
+              |SELECT cluster_id, keep_id, n_members FROM (
+              |  SELECT cluster_id, doc_id AS keep_id,
+              |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY score DESC, doc_id) AS rk
+              |  FROM lab) WHERE rk = 1""".stripMargin)),
+
+    QuerySpec(
       "l31_split_leakage",
       "train/test leakage guarantee of the content-hash split: identical documents CANNOT land in different splits (assignment is a function of the text alone) — counts duplicate pairs and asserts zero cross-split ones; oracle recomputes the pair count and the guaranteed zero",
       (s, dir) => {
