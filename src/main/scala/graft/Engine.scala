@@ -41,4 +41,30 @@ object Engine {
 
   /** Harness entry: local[cpus] with matching shuffle width. */
   def local(cpus: Int): SparkSession = session(s"local[$cpus]", cpus)
+
+  /** The conf a multi-executor deployment of this engine starts from,
+    * derived from total executor cores (e.g. 1000 executors x 8 cores ->
+    * totalCores = 8000). Encodes the sizing rules the local harness can't
+    * exercise but the scaladocs assume:
+    *   - shuffle width 2x total cores (AQE coalesces down; undersized
+    *     shuffles spill, oversized ones pay scheduler overhead),
+    *   - 256 MiB scan splits (fewer, fuller input tasks at PB scan sizes),
+    *   - AQE + skew-join + runtime bloom filters (same as `session`),
+    *   - RocksDB state store for streaming state that outgrows heap.
+    * Apply via `SparkSession.builder.config(...)` per pair, or merge into
+    * spark-defaults; `session` stays the single source for the semantics
+    * confs (UTC, nanosAsLong) which apply at any scale.
+    */
+  def clusterDefaults(totalCores: Int): Map[String, String] = {
+    require(totalCores > 0, "totalCores must be positive")
+    Map(
+      "spark.sql.shuffle.partitions" -> (totalCores * 2).toString,
+      "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
 }

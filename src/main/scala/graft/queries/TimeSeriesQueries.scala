@@ -244,6 +244,33 @@ object TimeSeriesQueries {
              |FROM events e JOIN events b ON e.user_id = b.user_id
              |  AND CAST(b.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR
              |  AND CAST(b.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)
-             |WHERE e.user_id IS NOT NULL AND e.user_id % 10 = 0""".stripMargin))
+             |WHERE e.user_id IS NOT NULL AND e.user_id % 10 = 0""".stripMargin)),
+
+    QuerySpec(
+      "t10_windowed_dedup",
+      "windowed deduplication: keep the earliest event per (hour, user, type) — the batch face of dropDuplicatesWithinWatermark (StreamingOps.dedupStream); fully tie-broken by event_id",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .select(window(col("ts"), "1 hour").getField("start").as("bucket"),
+            col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        val w = Window.partitionBy(col("bucket"), col("user_id"),
+            col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        e.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("bucket"), col("user_id"), col("event_type"),
+            col("event_id").as("keep_event_id"))
+      },
+      Some("""SELECT bucket, user_id, event_type, event_id AS keep_event_id
+             |FROM (
+             |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             |      AS bucket,
+             |    user_id, event_type, event_id,
+             |    row_number() OVER (
+             |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
+             |        user_id, event_type
+             |      ORDER BY ts, event_id) AS rk
+             |  FROM events) WHERE rk = 1""".stripMargin))
   )
 }

