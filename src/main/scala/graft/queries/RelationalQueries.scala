@@ -475,6 +475,56 @@ object RelationalQueries {
              |GROUP BY d""".stripMargin)),
 
     QuerySpec(
+      "r39_moments",
+      "mean/stddev/covariance/correlation per return flag WITHOUT FP-shuffle nondeterminism: the five raw moments aggregate exactly in DECIMAL, then the statistics derive per-row in IEEE doubles with the identical formula on both sides — built-in corr()/stddev() would hash-differ by merge order",
+      (s, dir) => {
+        // DECIMAL(18,4): the pairwise products then type as (37,8) —
+        // still inside the 38-digit cap, so they stay EXACT in both
+        // engines. At (28,4) the product needs precision 57 and each
+        // engine degrades differently (Spark rounds the scale down,
+        // DuckDB falls back to DOUBLE) — observed as a covar mismatch in
+        // the 12th digit.
+        val x = col("l_quantity").cast(DecimalType(18, 4))
+        val y = col("l_extendedprice").cast(DecimalType(18, 4))
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
+            sum(x * x).cast("double").as("__sxx"),
+            sum(y * y).cast("double").as("__syy"),
+            sum(x * y).cast("double").as("__sxy"))
+          .select(col("l_returnflag"), col("n"),
+            (col("__sx") / col("n")).as("mean_qty"),
+            sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+              / (col("n") * (col("n") - 1))).as("stddev_qty"),
+            ((col("n") * col("__sxy") - col("__sx") * col("__sy"))
+              / (col("n") * (col("n") - 1))).as("covar_qty_price"),
+            ((col("n") * col("__sxy") - col("__sx") * col("__sy"))
+              / (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx"))
+                * sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))))
+              .as("corr_qty_price"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             |           * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+             |           * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy,
+             |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             |           * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  sx / n AS mean_qty,
+             |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+             |  (n * sxy - sx * sy) / (n * (n - 1)) AS covar_qty_price,
+             |  (n * sxy - sx * sy)
+             |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             |    AS corr_qty_price
+             |FROM m""".stripMargin)),
+
+    QuerySpec(
       "r37_full_outer_join",
       "full outer join: customers and suppliers aligned on nation, unmatched sides null-preserved (completes the join-type matrix next to inner/left/semi/anti/lateral/asof/range)",
       (s, dir) => {
