@@ -29,13 +29,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * epoch-ns timestamp; default "time"), `insertlimit` (rows per flush
   * file = per simulated POST body; default 1000).
   *
-  * Scale shape: each task writes its own `insertlimit`-sized flush files
-  * through the Hadoop FileSystem API with the driver's captured Hadoop
-  * conf (object-store credentials survive), no inter-task coordination,
-  * no driver-side rows. Flushes land directly (a line-protocol POST is
-  * not transactional either — the reference's writePoints has no
-  * rollback); idempotent re-runs come from overwrite/truncate mode,
-  * matching the reference's emptyseries-then-rewrite recovery story.
+  * Commit protocol (exactly-once visibility under task retries): each
+  * task attempt stages its flush files under
+  * `<series>/_staging/<writeId>/<attemptDir>/`, named deterministically
+  * `flush-<tag><partition>-<seq>.lp` (tag = epoch for streaming, short write-id for batch). Only the DRIVER-side
+  * commit — with the one committed attempt per partition Spark hands
+  * it — renames staged files into the series dir; abort (task- or
+  * job-level) deletes the staging dir. So a failed/speculative/zombie
+  * attempt's files never become visible (readers filter `_`-prefixed
+  * dirs), a streaming epoch replayed after a checkpoint race rewrites
+  * the SAME final file names (idempotent), and overwrite-truncate runs
+  * at commit time so a failed overwrite job leaves the old series
+  * intact. The rename is per flush file on the driver — O(rows /
+  * insertlimit), no row bytes — the same shape as a parquet commit
+  * protocol; on rename-as-copy object stores a production deployment
+  * would swap `writeFlush` for the actual HTTP POST and retire the file
+  * layer entirely.
   */
 final class InfluxDataSource extends TableProvider with DataSourceRegister {
 
@@ -103,11 +112,11 @@ final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
         insertLimit, truncateFirst)
 
     /** Continuous migration: `writeStream.format("graft-influx")` in
-      * append mode — each micro-batch's tasks flush their own
-      * epoch-stamped files. Delivery is at-least-once across task
-      * retries (flushes are not transactional — neither are the
-      * reference's line-protocol POSTs); truncate-at-start supports
-      * a clean re-run.
+      * append mode — each micro-batch's tasks stage epoch-tagged flush
+      * files and the epoch commit publishes them. Final names are
+      * deterministic per (epoch, partition, flush-seq), so an epoch
+      * replayed after a failed checkpoint update republishes the same
+      * files instead of duplicating them.
       */
     override def toStreaming: streaming.StreamingWrite =
       new InfluxStreamingWrite(schema, seriesDir, measurement, timeCol,
@@ -115,62 +124,160 @@ final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
   }
 }
 
+/** Staging-dir layout + driver-side publish shared by the batch and
+  * streaming commit paths.
+  */
+private[graft] object InfluxCommitProtocol {
+
+  def stagingRoot(seriesDir: String): String = s"$seriesDir/_staging"
+
+  def stagingDir(seriesDir: String, writeId: String): String =
+    s"${stagingRoot(seriesDir)}/$writeId"
+
+  /** Driver-side: move each staged file of each committed attempt to
+    * `<seriesDir>/<finalName>`, overwriting any previous copy (epoch
+    * replay), then drop the write's staging dir (taking failed-attempt
+    * leftovers with it).
+    */
+  def publish(seriesDir: String, writeId: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(seriesDir)
+    val fs = SinkFiles.fileSystem(root)
+    fs.mkdirs(root)
+    messages.foreach {
+      case InfluxCommit(attemptDir, names, _) =>
+        names.foreach { name =>
+          val src = new Path(s"$attemptDir/$name")
+          val dst = new Path(s"$seriesDir/$name")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+        }
+      case null => () // skipped partition (Spark may pass nulls)
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+    SinkFiles.deleteRecursive(stagingDir(seriesDir, writeId))
+  }
+
+  /** Truncate the published series contents without touching `_staging`
+    * (a commit-time overwrite must not delete the files it is about to
+    * publish).
+    */
+  def truncatePublished(seriesDir: String): Unit = {
+    val p = new Path(seriesDir)
+    val fs = SinkFiles.fileSystem(p)
+    if (fs.exists(p)) {
+      fs.listStatus(p).foreach { st =>
+        if (st.getPath.getName != "_staging") fs.delete(st.getPath, true)
+      }
+    }
+  }
+}
+
 final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     truncateFirst: Boolean) extends streaming.StreamingWrite {
+
+  // One staging namespace per query run; stale staging from a crashed
+  // previous run is cleared at start (no concurrent writers per series —
+  // the same assumption every file commit protocol makes).
+  private val writeId = java.util.UUID.randomUUID().toString
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     // Driver-side at query start (called once per run, before epoch 0).
     if (truncateFirst) SinkFiles.deleteRecursive(seriesDir)
+    else SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingRoot(seriesDir))
+    // Final names are epoch-keyed with NO writeId: epoch numbering is
+    // monotonic under one checkpoint across restarts, so a restart that
+    // replays the one epoch whose sink commit raced the offset-WAL update
+    // overwrites that epoch's files instead of duplicating them.
     InfluxStreamingWriterFactory(schema, seriesDir, measurement, timeCol,
-      insertLimit, SinkFiles.captureConf())
+      insertLimit, SinkFiles.captureConf(), writeId)
   }
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+      messages: Array[WriterCommitMessage]): Unit = {
+    // Publish only this epoch's attempts; later epochs of the same run
+    // reuse the staging namespace, so drop attempt dirs — not the root.
+    val fs = SinkFiles.fileSystem(new Path(seriesDir))
+    fs.mkdirs(new Path(seriesDir))
+    messages.foreach {
+      case InfluxCommit(attemptDir, names, _) =>
+        names.foreach { name =>
+          val src = new Path(s"$attemptDir/$name")
+          val dst = new Path(s"$seriesDir/$name")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+        }
+        SinkFiles.deleteRecursive(attemptDir)
+      case null => ()
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+  }
+
   override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case InfluxCommit(attemptDir, _, _) => SinkFiles.deleteRecursive(attemptDir)
+      case _ => ()
+    }
 }
 
 final case class InfluxStreamingWriterFactory(schema: StructType,
     seriesDir: String, measurement: String, timeCol: String,
-    insertLimit: Int, conf: Option[SinkFiles.SerializableHadoopConf])
-    extends streaming.StreamingDataWriterFactory {
+    insertLimit: Int, conf: Option[SinkFiles.SerializableHadoopConf],
+    writeId: String) extends streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new InfluxDataWriter(schema, seriesDir, measurement, timeCol,
-      insertLimit, conf, partitionId, taskId, epochTag = s"e$epochId-")
+      insertLimit, conf, partitionId, taskId, writeId,
+      nameTag = s"e$epochId-")
 }
 
-final case class InfluxCommit(files: Long, rows: Long)
-    extends WriterCommitMessage
+/** Commit message: the attempt's staging dir plus the deterministic
+  * final names of the flush files it wrote (rows for ledger/debug).
+  */
+final case class InfluxCommit(attemptDir: String, fileNames: Seq[String],
+    rows: Long) extends WriterCommitMessage
 
 final class InfluxBatchWrite(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     truncateFirst: Boolean) extends BatchWrite {
 
+  private val writeId = java.util.UUID.randomUUID().toString
+
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side, before any task launches: truncate maps to a recursive
-    // Hadoop-FS delete of the series dir (works on HDFS/object stores).
-    if (truncateFirst) SinkFiles.deleteRecursive(seriesDir)
+      info: PhysicalWriteInfo): DataWriterFactory =
     InfluxWriterFactory(schema, seriesDir, measurement, timeCol, insertLimit,
-      SinkFiles.captureConf())
+      SinkFiles.captureConf(), writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // Overwrite semantics resolve HERE, not at job start: a failed
+    // overwrite leaves the previous series contents untouched.
+    if (truncateFirst) InfluxCommitProtocol.truncatePublished(seriesDir)
+    InfluxCommitProtocol.publish(seriesDir, writeId, messages)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingDir(seriesDir, writeId))
 }
 
 final case class InfluxWriterFactory(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
-    conf: Option[SinkFiles.SerializableHadoopConf]) extends DataWriterFactory {
+    conf: Option[SinkFiles.SerializableHadoopConf],
+    writeId: String) extends DataWriterFactory {
 
+  // Batch final names carry a short writeId so successive APPEND writes
+  // don't collide, while retries within one write (same writeId) still
+  // regenerate identical names.
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new InfluxDataWriter(schema, seriesDir, measurement, timeCol, insertLimit,
-      conf, partitionId, taskId)
+      conf, partitionId, taskId, writeId, nameTag = writeId.take(8) + "-")
 }
 
 /** `graft.pipeline.Sink` adapter over the DSv2 writer, so
@@ -192,21 +299,27 @@ final class InfluxDsv2Sink(baseDir: String, insertLimit: Int = 1000,
       .mode("append").save()
 }
 
-/** Runs ON THE EXECUTOR: buffers rendered lines and writes one flush file
+/** Runs ON THE EXECUTOR: buffers rendered lines and STAGES one flush file
   * per `insertLimit` rows — the moral equivalent of one POST body
   * (reference index.js:209-232 re-chunks pages into insertlimit-sized
-  * writePoints calls). File names carry (epoch, partition, task,
-  * flush-seq) so concurrent tasks, epochs, and speculative re-attempts
-  * never collide.
+  * writePoints calls). Files land under the attempt's staging dir with
+  * deterministic final names `flush-<tag><partition>-<seq>.lp` (tag = epoch for streaming, short write-id for batch);
+  * only the driver-side commit makes them visible, and `abort` removes
+  * the attempt dir, so retried/speculative attempts cannot leave
+  * duplicates behind.
   */
 final class InfluxDataWriter(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     conf: Option[SinkFiles.SerializableHadoopConf], partitionId: Int,
-    taskId: Long, epochTag: String = "") extends DataWriter[InternalRow] {
+    taskId: Long, writeId: String, nameTag: String = "")
+    extends DataWriter[InternalRow] {
+
+  private val attemptDir =
+    s"${InfluxCommitProtocol.stagingDir(seriesDir, writeId)}/$nameTag$partitionId-$taskId"
 
   private val buf = new ArrayBuffer[String](insertLimit)
   private var flushSeq = 0
-  private var files = 0L
+  private val names = new ArrayBuffer[String]()
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -216,20 +329,32 @@ final class InfluxDataWriter(schema: StructType, seriesDir: String,
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    val p = new Path(s"$seriesDir/flush-$epochTag$partitionId-$taskId-$flushSeq.lp")
+    val name = s"flush-$nameTag$partitionId-$flushSeq.lp"
     flushSeq += 1
+    val p = new Path(s"$attemptDir/$name")
     val out = SinkFiles.fileSystem(p, conf).create(p, false)
     try out.write(buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    files += 1
+    names += name
     buf.clear()
   }
 
   override def commit(): WriterCommitMessage = {
     flush()
-    InfluxCommit(files, rows)
+    InfluxCommit(attemptDir, names.toSeq, rows)
   }
 
-  override def abort(): Unit = buf.clear()
+  override def abort(): Unit = {
+    buf.clear()
+    // Best-effort: remove this attempt's staged files (job-level abort
+    // sweeps the whole staging dir for attempts that never got here).
+    // Uses the captured driver conf — executors have no active session.
+    try {
+      val p = new Path(attemptDir)
+      val fs = SinkFiles.fileSystem(p, conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    } catch { case _: java.io.IOException => () }
+  }
+
   override def close(): Unit = ()
 }

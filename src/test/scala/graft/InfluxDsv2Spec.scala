@@ -129,6 +129,87 @@ class InfluxDsv2Spec extends SparkSpec {
     assert(got === 40)
   }
 
+  test("zombie task attempt leaves no visible lines (commit publishes only the committed attempt)") {
+    import graft.pipeline._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft_dsv2_retry_").toString
+    val seriesDir = s"$dir/m"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val writeId = "w1"
+    def runAttempt(taskId: Long, tag: String): InfluxCommit = {
+      val w = new InfluxDataWriter(schema, seriesDir, "m", "time", 2,
+        None, partitionId = 0, taskId = taskId, writeId = writeId)
+      (1 to 5).foreach(i => w.write(InternalRow(i.toLong,
+        UTF8String.fromString(s"$tag$i"))))
+      w.commit().asInstanceOf[InfluxCommit]
+    }
+    // Attempt 1 stages all its flushes but is never committed (zombie:
+    // Spark lost the executor after the task finished writing).
+    val zombie = runAttempt(100L, "zombie")
+    assert(zombie.fileNames.size === 3)
+    // Attempt 2 (the retry Spark actually commits) stages the same rows.
+    val committed = runAttempt(101L, "row")
+    // Driver-side publish with ONLY the committed attempt's message.
+    InfluxCommitProtocol.publish(seriesDir, writeId, Array(committed))
+    val got = lines(dir)
+    assert(got.size === 5, got.mkString("|"))
+    assert(got.forall(_.contains("name=\"row")), got.mkString("|"))
+    // the zombie's staged files are swept with the write's staging dir
+    assert(!new java.io.File(s"$seriesDir/_staging/$writeId").exists())
+  }
+
+  test("epoch replay republishes the same file names (no duplicates)") {
+    import graft.pipeline._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft_dsv2_replay_").toString
+    val seriesDir = s"$dir/m"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    def stageEpoch(taskId: Long): InfluxCommit = {
+      val w = new InfluxDataWriter(schema, seriesDir, "m", "time", 10,
+        None, partitionId = 0, taskId = taskId, writeId = "w1",
+        nameTag = "e7-")
+      (1 to 4).foreach(i => w.write(InternalRow(i.toLong,
+        UTF8String.fromString(s"v$i"))))
+      w.commit().asInstanceOf[InfluxCommit]
+    }
+    val sw = new InfluxStreamingWrite(schema, seriesDir, "m", "time", 10,
+      truncateFirst = false)
+    sw.commit(7L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      stageEpoch(1L)))
+    assert(lines(dir).size === 4)
+    // The checkpoint update raced a failure: epoch 7 re-runs end to end.
+    sw.commit(7L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      stageEpoch(2L)))
+    assert(lines(dir).size === 4) // same final names overwritten, not added
+  }
+
+  test("failed overwrite leaves the old series intact (truncate at commit, not start)") {
+    val dir = Files.createTempDirectory("graft_dsv2_ow_").toString
+    src().write.format("graft-influx")
+      .option("path", dir).option("measurement", "m")
+      .mode("overwrite").save()
+    assert(lines(dir).size === 5)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val boom = udf((i: Long) => {
+      if (i == 3L) throw new RuntimeException("boom"); i
+    })
+    intercept[Exception] {
+      src().select(boom(col("id")).as("id"), col("name"), col("time"))
+        .write.format("graft-influx")
+        .option("path", dir).option("measurement", "m")
+        .mode("overwrite").save()
+    }
+    // old contents survive the failed overwrite
+    assert(lines(dir).size === 5)
+  }
+
   test("missing required options error clearly") {
     val e = intercept[Exception] {
       src().write.format("graft-influx").mode("append").save()
