@@ -39,13 +39,27 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // Also land the JSON on disk: the driver's stdout capture truncates
-    // long runs (BENCH_r0{2,3} both lost their first queries to a `tail`),
-    // and a file survives whole.
+    // Land the complete JSON on disk — the driver's stdout capture keeps
+    // only the last ~2 KB, which a 97-query line overflows.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
+    // LAST stdout line: a compact summary that FITS the driver's tail
+    // window so it parses — total + a fixed headline subset (stable
+    // round-over-round), 3-decimal times, pointer to the full file.
+    val headline = Seq(
+      "p06_migrate", "p09_dsv2_lineprotocol", "l01_exact_dedup",
+      "l03_minhash_lsh_pairs", "l17_exact_dedup_digest", "l19_dedup_clusters",
+      "l21_embed_neardup_lsh", "l06_cosine_topk", "l16_ivf_topk",
+      "l25_tfidf_topk", "r01_pricing_summary", "r22_window_rank",
+      "s02_bucketed_join", "t03_sessionize", "t09_stream_stream_join")
+    val rm = results.toMap
+    val hq = headline.flatMap(n => rm.get(n).map(v => f""""$n":$v%.3f"""))
+      .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"full":"$out"}""")
     spark.stop()
   }
 }
