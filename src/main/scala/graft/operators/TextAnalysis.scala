@@ -168,4 +168,151 @@ object TextAnalysis {
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
   }
+
+  /** Repetition signals (the Gopher/MassiveText-style filters adapted to
+    * the newline-less fixture text): per document, the distinct-token
+    * ratio, the most-frequent token's mass fraction, and the
+    * most-frequent bigram's mass fraction. High top-fraction = the
+    * degenerate repeated-boilerplate documents curation drops first.
+    *
+    * 100 TB shape: wordcount-shaped — tokens explode narrowly, the
+    * (doc, gram) count is a map-side-combined hash aggregate, the
+    * per-doc top pick is a doc_id-partitioned window (bounded by a
+    * document's vocabulary), and the final joins are on doc_id. Ties on
+    * count break to the lexicographically smallest gram on both engines.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    def topOf(grams: DataFrame): DataFrame = {
+      // grams: (doc_id, g); -> (doc_id, top_c) with smallest-gram tie-break
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, col("g"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("c"))
+    }
+    val uni = base.select(col("doc_id"), explode(col("t")).as("g"))
+    val nDistinct = uni.groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_distinct"))
+    val topUni = topOf(uni).withColumnRenamed("c", "top_tok_c")
+    val bi = base.where(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, cast(n_tokens as int) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("g"))
+    val topBi = topOf(bi).withColumnRenamed("c", "top_bi_c")
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(nDistinct, "doc_id").join(topUni, "doc_id")
+      .join(topBi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"),
+        (col("top_tok_c").cast("double") / col("n_tokens"))
+          .as("top_token_fraction"),
+        coalesce(col("top_bi_c").cast("double") / (col("n_tokens") - 1),
+          lit(0.0)).as("top_bigram_fraction"))
+  }
+
+  /** Pack documents into fixed-token-budget training shards in a
+    * deterministic content-hash pseudo-shuffle order: shard i holds the
+    * docs whose running token total lands in [i*budget, (i+1)*budget).
+    * Re-runs (and re-ingests of the same corpus) reproduce the exact
+    * same shard layout — the property distributed training resumption
+    * needs.
+    *
+    * 100 TB shape: a global ordered prefix-sum done the scalable way —
+    * range-partition by the order key, per-partition local cumsum
+    * (window partitioned by the range id), then one tiny P-row offset
+    * window broadcast back. No single-partition window over the data,
+    * no driver-side rows; the two shuffles are both on the order key.
+    */
+  def shardPack(docs: DataFrame, idCol: String, textCol: String,
+      shardTokens: Long, nRanges: Int = 32): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"),
+        TextFunctions.rollingHash(col(textCol)).as("fp"))
+      .repartitionByRange(nRanges, col("fp"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // local cumsum within each range partition; ranges are ordered, so
+    // (pid, local order) == global (fp, doc_id) order
+    val local = keyed.withColumn("local_cum",
+      sum(col("n_tok")).over(Window.partitionBy(col("pid"))
+        .orderBy(col("fp"), col("doc_id"))))
+    // per-range totals -> exclusive offsets: P rows (P = nRanges, tiny
+    // by construction), so the single-partition window is bounded
+    val offsets = local.groupBy(col("pid"))
+      .agg(max(col("local_cum")).as("ptotal"))
+      .withColumn("offset",
+        coalesce(sum(col("ptotal")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum_before", col("offset") + col("local_cum") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"cum_before div ${shardTokens}L").as("shard"))
+  }
+
+  /** Quality-filter chain with a drop ledger — the curation funnel
+    * report: every document is attributed to the FIRST rule (in the
+    * given order) that rejects it, and each rule also reports its total
+    * independent hit count. Output: one row per rule
+    * (rule, first_drop, total_fail) plus a trailing ("kept", n, n) row.
+    * One pass, one tiny aggregate — per-row predicates stay codegen'd.
+    */
+  def filterLedger(docs: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val flagged = docs.select(
+      rules.map { case (n, c) => c.cast("boolean").as(s"__f_$n") }: _*)
+    // first failing rule per row (null = kept)
+    val firstFail = rules.tail.foldLeft(
+      when(col(s"__f_${rules.head._1}"), lit(rules.head._1))) {
+      case (acc, (n, _)) => acc.when(col(s"__f_$n"), lit(n))
+    }.otherwise(lit(null)).as("__first")
+    val aggCols =
+      sum(when(col("__first").isNull, 1L).otherwise(0L)).as("__kept") +:
+        rules.flatMap { case (n, _) => Seq(
+          sum(when(col("__first") === n, 1L).otherwise(0L)).as(s"__fd_$n"),
+          sum(col(s"__t_$n")).as(s"__tf_$n")) }
+    val agg = flagged.select(firstFail +: rules.map { case (n, _) =>
+        col(s"__f_$n").cast("long").as(s"__t_$n") }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val rows = rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col(s"__fd_$n").as("first_drop"),
+        col(s"__tf_$n").as("total_fail"))
+    } :+ struct(lit("kept").as("rule"), col("__kept").as("first_drop"),
+      col("__kept").as("total_fail"))
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Eval-set decontamination: flag corpus documents sharing any word
+    * k-shingle with an eval/benchmark document (self-matches excluded),
+    * with the shared-shingle count and the number of distinct eval docs
+    * hit. The standard pre-training leak check.
+    *
+    * 100 TB shape: shingle sets are one codegen'd per-row expression
+    * (no re-tokenization); the eval side is tiny and explodes to a
+    * (shingle -> eval_doc) table that broadcasts; the corpus side
+    * explodes narrowly and the match is a broadcast equi-join — no
+    * wide shuffle touches the corpus.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("g"))
+    val evalSh = evalSet.select(col(idCol).as("eval_id"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("g2"))
+    corpusSh.join(broadcast(evalSh),
+        col("g") === col("g2") && col("doc_id") =!= col("eval_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
 }

@@ -672,6 +672,110 @@ object LlmQueries {
              |    trim(regexp_replace(regexp_replace(regexp_replace(text,
              |      'https?://\S+', '', 'g'), '\S+@\S+', '', 'g'),
              |      '\s+', ' ', 'g')) AS clean_text
-             |  FROM documents)""".stripMargin))
+             |  FROM documents)""".stripMargin)),
+
+    QuerySpec(
+      "l33_repetition",
+      "Gopher-style repetition signals per doc: distinct-token ratio, top-token mass fraction, top-bigram mass fraction (wordcount-shaped: map-side-combined (doc,gram) counts, doc-partitioned top pick, lexicographic tie-break)",
+      (s, dir) => TextAnalysis.repetitionSignals(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |base AS (
+             |  SELECT doc_id, t, len(t) AS n_tokens FROM toks WHERE len(t) > 0),
+             |uni AS (SELECT doc_id, unnest(t) AS g FROM base),
+             |uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+             |nd AS (SELECT doc_id, count(*) AS n_distinct FROM uc GROUP BY 1),
+             |tu AS (SELECT doc_id, c FROM (
+             |  SELECT doc_id, c,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+             |  FROM uc) WHERE rk = 1),
+             |bi AS (SELECT doc_id,
+             |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+             |  FROM base WHERE n_tokens >= 2),
+             |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+             |tb AS (SELECT doc_id, c FROM (
+             |  SELECT doc_id, c,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+             |  FROM bc) WHERE rk = 1)
+             |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+             |  CAST(nd.n_distinct AS DOUBLE) / b.n_tokens AS distinct_ratio,
+             |  CAST(tu.c AS DOUBLE) / b.n_tokens AS top_token_fraction,
+             |  coalesce(CAST(tb.c AS DOUBLE) / (b.n_tokens - 1), 0.0)
+             |    AS top_bigram_fraction
+             |FROM base b JOIN nd USING (doc_id) JOIN tu USING (doc_id)
+             |LEFT JOIN tb USING (doc_id)""".stripMargin)),
+
+    QuerySpec(
+      "l34_shard_pack",
+      "deterministic training-shard packing: content-hash pseudo-shuffle order, scalable range-partitioned prefix sum of token counts, shard = floor(cum_before / 2048) — re-runs reproduce the layout exactly",
+      (s, dir) => TextAnalysis.shardPack(
+        Tables.load(s, dir, "documents"), "doc_id", "text", shardTokens = 2048L),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+             |    list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
+             |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) AS fp
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY fp, doc_id) - n_tok AS BIGINT)
+             |      AS cum_before
+             |  FROM f)
+             |SELECT doc_id, n_tok, CAST(cum_before // 2048 AS BIGINT) AS shard
+             |FROM c""".stripMargin)),
+
+    QuerySpec(
+      "l35_filter_ledger",
+      "curation funnel report: ordered filter chain (too_short -> wrong_lang -> blocked_source) with first-failing-rule attribution plus independent per-rule hit counts and a kept row, in one pass",
+      (s, dir) => TextAnalysis.filterLedger(
+        Tables.load(s, dir, "documents"), Seq(
+          "too_short" -> (col("n_chars") < 250),
+          "wrong_lang" -> !col("lang").isin("en", "de"),
+          "blocked_source" ->
+            (substring(col("source"), 4, 10).cast("int") % 7 === 0))),
+      Some("""WITH f AS (SELECT
+             |    n_chars < 250 AS f1,
+             |    lang NOT IN ('en', 'de') AS f2,
+             |    (CAST(substr(source, 4) AS INT) % 7) = 0 AS f3
+             |  FROM documents),
+             |a AS (SELECT
+             |    count(*) FILTER (WHERE f1) AS t1,
+             |    count(*) FILTER (WHERE f2) AS t2,
+             |    count(*) FILTER (WHERE f3) AS t3,
+             |    count(*) FILTER (WHERE f1) AS d1,
+             |    count(*) FILTER (WHERE NOT f1 AND f2) AS d2,
+             |    count(*) FILTER (WHERE NOT f1 AND NOT f2 AND f3) AS d3,
+             |    count(*) FILTER (WHERE NOT f1 AND NOT f2 AND NOT f3) AS kept
+             |  FROM f)
+             |SELECT 'too_short' AS rule, d1 AS first_drop, t1 AS total_fail FROM a
+             |UNION ALL SELECT 'wrong_lang', d2, t2 FROM a
+             |UNION ALL SELECT 'blocked_source', d3, t3 FROM a
+             |UNION ALL SELECT 'kept', kept, kept FROM a""".stripMargin)),
+
+    QuerySpec(
+      "l36_decontam",
+      "eval-set decontamination: corpus docs sharing any word 4-shingle with an eval doc (doc_id % 50 = 0 plays the benchmark set), broadcast eval shingles, self-matches excluded — the pre-training leak check",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.decontaminate(docs,
+          docs.where(col("doc_id") % 50 === 0), "doc_id", "text", k = 4)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 4
+             |      THEN list_distinct([array_to_string(t[i:i+3], ' ')
+             |                          for i in range(1, len(t)-2)])
+             |      ELSE [] END AS s
+             |  FROM toks),
+             |ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh
+             |       WHERE doc_id % 50 = 0),
+             |co AS (SELECT doc_id, unnest(s) AS g FROM sh)
+             |SELECT co.doc_id, count(*) AS n_shared_shingles,
+             |  count(DISTINCT ev.eval_id) AS n_eval_docs
+             |FROM co JOIN ev ON co.g = ev.g AND co.doc_id <> ev.eval_id
+             |GROUP BY 1""".stripMargin))
   )
 }
