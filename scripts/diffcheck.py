@@ -9,6 +9,7 @@ Usage: python3 scripts/diffcheck.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -42,8 +43,11 @@ def main(sf_dir, out_dir):
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1  # not dumped (SPARK_GRAFT_ONLY subset run)
+            continue
         try:
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -69,7 +73,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             print(f"  spark-only: {diff_a}")
             print(f"  oracle-only: {diff_b}")
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    print(f"\n{n_ok} ok, {n_bad} failed, {n_skip} not dumped")
     return 1 if n_bad else 0
 
 

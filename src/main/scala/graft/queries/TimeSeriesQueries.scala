@@ -271,6 +271,54 @@ object TimeSeriesQueries {
              |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
              |        user_id, event_type
              |      ORDER BY ts, event_id) AS rk
-             |  FROM events) WHERE rk = 1""".stripMargin))
+             |  FROM events) WHERE rk = 1""".stripMargin)),
+
+    QuerySpec(
+      "t11_stream_dedup",
+      "streaming exact dedup run end-to-end (dropDuplicatesWithinWatermark on (user_id, event_type), watermark-bounded state): WHICH row survives per key is arrival-order-dependent, so the checked output is the deterministic kept-key census per event_type",
+      (s, dir) => {
+        val kept = runBounded(s,
+          graft.streaming.StreamingOps.dedupStream(
+            Tables.loadStream(s, dir, "events")
+              .where(col("ts").isNotNull && col("user_id").isNotNull &&
+                col("event_type").isNotNull),
+            Seq("user_id", "event_type")),
+          "t11_stream_dedup_mem", "append", statePartitions = Some(8))
+        kept.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_kept
+             |FROM events
+             |WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |  AND event_type IS NOT NULL
+             |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t12_stream_stateful",
+      "custom keyed state via mapGroupsWithState run end-to-end (per-user running event ledger, Update mode): per-key counts are exact and batch-count-invariant (max per key over emissions), checked as (n_users, total, max-per-user); FP sums are excluded by design (per-key fold order is shuffle-dependent)",
+      (s, dir) => {
+        val emitted = runBounded(s,
+          graft.streaming.StreamingOps.runningTotals(
+            Tables.loadStream(s, dir, "events")
+              .where(col("user_id").isNotNull && col("value").isNotNull),
+            "user_id", "value"),
+          "t12_stream_stateful_mem", "update", statePartitions = Some(8))
+        // one row per (key, micro-batch) in update mode; counts are
+        // monotone, so max-per-key is the final ledger regardless of how
+        // AvailableNow chopped the input into batches
+        emitted.groupBy(col("key"))
+          .agg(max(col("n_events")).as("n"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n")).as("n_events_total"),
+            max(col("n")).as("max_events_per_user"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, count(*) AS c FROM events
+             |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1)
+             |SELECT count(*) AS n_users,
+             |  CAST(sum(c) AS BIGINT) AS n_events_total,
+             |  CAST(max(c) AS BIGINT) AS max_events_per_user
+             |FROM c""".stripMargin))
   )
 }
