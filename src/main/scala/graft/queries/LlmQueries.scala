@@ -776,6 +776,22 @@ object LlmQueries {
              |SELECT co.doc_id, count(*) AS n_shared_shingles,
              |  count(DISTINCT ev.eval_id) AS n_eval_docs
              |FROM co JOIN ev ON co.g = ev.g AND co.doc_id <> ev.eval_id
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "l37_cms_heavy_hitters",
+      "Count-Min-sketch heavy hitters with checkable error bounds: exact top-20 tokens (the l20 shape) each gated by the CMS guarantees — estimate >= exact (always) and <= exact + ceil(eps*N) (at the configured confidence; deterministic for the seeded fixture) — a sketch regression flips a boolean and fails the hash",
+      (s, dir) => graft.operators.Sketches.cmsHeavyHitters(
+        Tables.load(s, dir, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        "tok", k = 20),
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(trim(text), ' ')) AS item
+             |  FROM documents),
+             |c AS (SELECT item, count(*) AS exact_cnt FROM tok GROUP BY 1
+             |      ORDER BY exact_cnt DESC, item LIMIT 20)
+             |SELECT item, exact_cnt, true AS ge_exact, true AS within_eps
+             |FROM c""".stripMargin))
   )
 }

@@ -139,6 +139,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === 4L)
   }
 
+  test("cmsHeavyHitters: bounds hold, estimate is partitioning-invariant") {
+    import spark.implicits._
+    // planted zipf-ish counts: item i appears (50 - i) times
+    val rows = (1 to 40).flatMap(i => Seq.fill(50 - i)(s"w$i"))
+    val items = rows.toDF("tok")
+    val got = graft.operators.Sketches
+      .cmsHeavyHitters(items, "tok", k = 5, eps = 0.01)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.length === 5)
+    assert(got.map(_._1).toSeq === Seq("w1", "w2", "w3", "w4", "w5"))
+    assert(got.forall(_._3), "CMS must never undercount")
+    assert(got.forall(_._4), "estimate must be within eps*N of exact")
+    // merge-order independence: same result at a different partitioning
+    val got2 = graft.operators.Sketches
+      .cmsHeavyHitters(items.repartition(7), "tok", k = 5, eps = 0.01)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got2.toSeq === got.toSeq)
+  }
+
   test("decontaminate: finds planted overlap, excludes self-matches") {
     import spark.implicits._
     val corpus = Seq(
