@@ -52,4 +52,33 @@ object Sketches {
         (col("cms_est") >= col("exact_cnt")).as("ge_exact"),
         (col("cms_est") <= col("exact_cnt") + col("bound")).as("within_eps"))
   }
+
+  /** Blocklist removal with a bloom pre-filter — result IDENTICAL to the
+    * plain anti-join (false positives die in the exact verify), but the
+    * expensive shuffle only ever sees the bloom-maybe rows.
+    *
+    * Why the split-union shape: for an ANTI join a bloom cannot drop
+    * rows outright (a bloom-negative row is KEPT, not discarded), so the
+    * pre-filter's value is routing — definite-negatives (the vast
+    * majority against any real blocklist) bypass the join entirely and
+    * shuffle nothing; only maybes (true hits + fpp of the rest) pay the
+    * anti-join. One extra pass over the (cheap, pruned, codegen'd) scan
+    * buys a shuffle bounded by hits + fpp·N — the winning trade whenever
+    * shuffle dominates scan, i.e. at exactly the scale a blocklist is
+    * big. The blocklist-side `count()` is metadata-served for columnar
+    * sources and sizes the filter; the built filter moves to the driver
+    * as ONE fixed-size scalar (the scalar-subquery pattern), never rows.
+    */
+  def blocklistFilter(corpus: DataFrame, blocklist: DataFrame,
+      corpusKey: String, blockKey: String, fpp: Double = 0.01): DataFrame = {
+    val expected = blocklist.count()
+    val bf = graft.functions.BloomFunctions.buildBloom(
+      blocklist, blockKey, expected, fpp)
+    val might = graft.functions.BloomFunctions.mightContain(bf, col(corpusKey))
+    val clean = corpus.where(!might)
+    val verified = corpus.where(might)
+      .join(blocklist.select(col(blockKey).as("__bk")).distinct(),
+        col(corpusKey) === col("__bk"), "left_anti")
+    clean.unionByName(verified)
+  }
 }

@@ -792,6 +792,22 @@ object LlmQueries {
              |c AS (SELECT item, count(*) AS exact_cnt FROM tok GROUP BY 1
              |      ORDER BY exact_cnt DESC, item LIMIT 20)
              |SELECT item, exact_cnt, true AS ge_exact, true AS within_eps
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    QuerySpec(
+      "l38_blocklist_bloom",
+      "bloom-routed blocklist removal: drop corpus docs whose sha-256 digest is on a blocklist (docs with doc_id % 37 = 0 play the list, so their exact dupes are caught too); bloom-negative rows bypass the anti-join shuffle, maybes are exactly verified — result must hash-match the plain anti-join",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+        val block = docs.where(col("doc_id") % 37 === 0).select(col("dig"))
+        graft.operators.Sketches
+          .blocklistFilter(docs, block, "dig", "dig", fpp = 0.05)
+          .select(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, sha256(text) AS dig FROM documents),
+             |b AS (SELECT dig FROM d WHERE doc_id % 37 = 0)
+             |SELECT doc_id FROM d
+             |WHERE dig NOT IN (SELECT dig FROM b)""".stripMargin))
   )
 }

@@ -160,6 +160,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got2.toSeq === got.toSeq)
   }
 
+  test("blocklistFilter equals the plain anti-join even at a collision-heavy fpp") {
+    import spark.implicits._
+    val corpus = (1L to 500L).map(i => (i, s"key$i")).toDF("id", "k")
+    val block = (1L to 500L by 7).map(i => s"key$i").toDF("bk")
+    // fpp 0.3 on a tiny filter: plenty of bloom false positives, all of
+    // which the exact verify must eliminate
+    val got = graft.operators.Sketches
+      .blocklistFilter(corpus, block, "k", "bk", fpp = 0.3)
+      .select("id").as[Long].collect().sorted
+    val want = (1L to 500L).filterNot(i => (i - 1) % 7 == 0)
+    assert(got.toSeq === want)
+  }
+
+  test("bloom probe: no false negatives, codegen and interpreted paths agree") {
+    import graft.functions.BloomFunctions
+    import spark.implicits._
+    val keys = (1L to 1000L).map(i => s"k$i").toDF("k")
+    val bf = BloomFunctions.buildBloom(keys, "k", 1000L, 0.01)
+    val probed = (1L to 2000L).map(i => s"k$i").toDF("k")
+      .select(col("k"), BloomFunctions.mightContain(bf, col("k")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (1L to 1000L).foreach(i => assert(probed(s"k$i"), s"false negative k$i"))
+    val fps = (1001L to 2000L).count(i => probed(s"k$i"))
+    assert(fps < 100, s"implausible false-positive count $fps")
+  }
+
   test("decontaminate: finds planted overlap, excludes self-matches") {
     import spark.implicits._
     val corpus = Seq(
