@@ -70,4 +70,33 @@ object Maintenance {
         v
       }
   }
+
+  /** Last-writer-wins upsert: merge an updates batch into a base table
+    * keyed by `keys` and versioned by `versionCol` (higher wins; on a
+    * version tie the updates side wins). Null keys must be excluded by
+    * the caller — a key is an identity, and SQL NULL is not one.
+    *
+    * The re-migration story the reference lacks (its only recovery is
+    * emptySeries + full rewrite, index.js:321-336): changed source rows
+    * merge into the already-migrated series without rewriting it all.
+    *
+    * 100 TB shape: one shuffle on the merge keys (the window's
+    * partitioning), map-side-pruned by AQE; against a date-partitioned
+    * sink, restrict the base scan to the partitions present in the
+    * updates batch first (join on distinct partition values) so the
+    * rewrite touches only affected partitions.
+    */
+  def upsert(base: org.apache.spark.sql.DataFrame,
+      updates: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      versionCol: String): org.apache.spark.sql.DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc_nulls_last, col("__src").desc)
+    tagged.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk", "__src")
+  }
 }

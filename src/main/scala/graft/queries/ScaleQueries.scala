@@ -177,6 +177,34 @@ object ScaleQueries {
       Some("""SELECT count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events
-             |WHERE ts IS NOT NULL AND CAST(ts AS DATE) >= DATE '2024-01-16'""".stripMargin))
+             |WHERE ts IS NOT NULL AND CAST(ts AS DATE) >= DATE '2024-01-16'""".stripMargin)),
+
+    QuerySpec(
+      "s07_upsert",
+      "last-writer-wins upsert (the incremental re-migration the reference can only do as full rewrite): a changed-rows batch (every 10th event, value+1000, ts+1h) merges into the base keyed by event_id versioned by ts; one shuffle on the key",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "events")
+          .where(col("event_id").isNotNull)
+        val updates = base.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") + 1000)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        graft.pipeline.Maintenance.upsert(
+          base, updates, Seq("event_id"), "ts")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, event_type, value, props,
+             |    CAST(ts AS TIMESTAMP) AS ts, 0 AS src
+             |  FROM events WHERE event_id IS NOT NULL),
+             |u AS (
+             |  SELECT event_id, user_id, event_type, value + 1000 AS value,
+             |    props, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts, 1 AS src
+             |  FROM events
+             |  WHERE event_id IS NOT NULL AND event_id % 10 = 0),
+             |m AS (SELECT * FROM b UNION ALL SELECT * FROM u),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY event_id
+             |    ORDER BY ts DESC NULLS LAST, src DESC) AS rk FROM m)
+             |SELECT event_id, ts, user_id, event_type, value, props
+             |FROM r WHERE rk = 1""".stripMargin))
   )
 }

@@ -41,4 +41,24 @@ class MaintenanceSpec extends SparkSpec {
     val remaining = spark.read.parquet(s"$base/events")
     assert(remaining.select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
+
+  test("upsert: newer wins, version tie prefers the update, new keys insert") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 10L, "old"), // will be updated by newer version
+      (2L, 10L, "old"), // tie on version: update must win
+      (3L, 10L, "old")  // untouched
+    ).toDF("k", "v", "payload")
+    val updates = Seq(
+      (1L, 20L, "new"),
+      (2L, 10L, "new"),
+      (4L, 5L, "new")   // key not in base: plain insert
+    ).toDF("k", "v", "payload")
+    val got = graft.pipeline.Maintenance
+      .upsert(base, updates, Seq("k"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 20L, "new"), (2L, 10L, "new"), (3L, 10L, "old"), (4L, 5L, "new")))
+  }
 }
