@@ -19,9 +19,10 @@ object PlanAudit {
     "l06_cosine_topk", "l07_lsh_topk", "l16_ivf_topk",
     "t04_asof_join", "t05_range_join", "t09_stream_stream_join",
     "r25_percentile", "r33_lateral_join",
-    // single-row scalar attach (corpus count N broadcast into the score):
-    // a 1-row BroadcastNestedLoopJoin IS the right plan for a scalar
-    "l25_tfidf_topk")
+    // single-row scalar attach (corpus count N / the serialized CMS
+    // broadcast into a k-row side): a 1-row BroadcastNestedLoopJoin IS
+    // the right plan for a scalar
+    "l25_tfidf_topk", "l37_cms_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
