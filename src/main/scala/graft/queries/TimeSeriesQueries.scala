@@ -319,6 +319,61 @@ object TimeSeriesQueries {
              |SELECT count(*) AS n_users,
              |  CAST(sum(c) AS BIGINT) AS n_events_total,
              |  CAST(max(c) AS BIGINT) AS max_events_per_user
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    QuerySpec(
+      "t13_stream_upsert",
+      "continuous CDC-style migration: readStream -> foreachBatch -> last-writer-wins upsert into a parquet state table (latest event per (user, type), versioned by (ts, event_id)) — the deployment shape for incremental re-migration; final state checked against the batch LWW oracle",
+      (s, dir) => {
+        val out =
+          java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+        val stateDir = s"$out/state"
+        val mergeBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (batch, _) => {
+            val sp = batch.sparkSession
+            val fs = graft.pipeline.SinkFiles.fileSystem(
+              new org.apache.hadoop.fs.Path(stateDir))
+            val withV = batch
+              .withColumn("__v", struct(col("ts"), col("event_id")))
+            val base =
+              if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+                sp.read.parquet(stateDir)
+                  .withColumn("__v", struct(col("ts"), col("event_id")))
+              else withV.limit(0)
+            val merged = graft.pipeline.Maintenance
+              .upsert(base, withV, Seq("user_id", "event_type"), "__v")
+              .drop("__v")
+            // rewrite via a temp dir + swap: upsert reads the same files
+            // it replaces, and parquet overwrite would clobber its input
+            val tmp = s"$out/state_next"
+            merged.write.mode("overwrite").parquet(tmp)
+            graft.pipeline.SinkFiles.deleteRecursive(stateDir)
+            require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+              new org.apache.hadoop.fs.Path(stateDir)), "state swap failed")
+          }
+        val q = Tables.loadStream(s, dir, "events")
+          .where(col("event_id").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull && col("ts").isNotNull)
+          .writeStream
+          .foreachBatch(mergeBatch)
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        s.read.parquet(stateDir)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+      },
+      Some("""SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             |  event_id, value
+             |FROM (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rk
+             |  FROM events
+             |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+             |    AND event_type IS NOT NULL AND ts IS NOT NULL)
+             |WHERE rk = 1""".stripMargin))
   )
 }
