@@ -205,6 +205,43 @@ object ScaleQueries {
              |    PARTITION BY event_id
              |    ORDER BY ts DESC NULLS LAST, src DESC) AS rk FROM m)
              |SELECT event_id, ts, user_id, event_type, value, props
-             |FROM r WHERE rk = 1""".stripMargin))
+             |FROM r WHERE rk = 1""".stripMargin)),
+
+    QuerySpec(
+      "s08_zorder_layout",
+      "Z-order (Morton) layout key over (user_id, day): per z-range bucket, the (user, day) bounding box — each bucket covers a small rectangle in BOTH dimensions, the property that lets min/max file stats prune scans on either one; codegen'd bit-interleave expression, integer-exact oracle",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id").cast("long").as("x"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("y"))
+          .where(col("y") >= 0 && col("x") < 65536 && col("y") < 65536)
+        e.select(col("x"), col("y"),
+            graft.functions.LayoutFunctions.zorder16(col("x"), col("y"))
+              .as("z"))
+          .groupBy(expr("z div 1024").as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_user"), max(col("x")).as("max_user"),
+            min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS BIGINT) AS x,
+             |    CAST(date_diff('day', DATE '2024-01-01',
+             |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS y
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |f AS (SELECT x, y FROM e
+             |      WHERE y >= 0 AND x < 65536 AND y < 65536),
+             |z AS (
+             |  SELECT x, y,
+             |    list_reduce([((x >> k) & 1) * (CAST(1 AS BIGINT) << (2*k))
+             |        + ((y >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1))
+             |      for k in range(0, 16)], (a, b) -> a + b) AS z
+             |  FROM f)
+             |SELECT z // 1024 AS z_bucket, count(*) AS n,
+             |  min(x) AS min_user, max(x) AS max_user,
+             |  min(y) AS min_day, max(y) AS max_day
+             |FROM z GROUP BY 1""".stripMargin))
   )
 }

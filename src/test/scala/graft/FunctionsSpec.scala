@@ -126,4 +126,22 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(sigs(0) === refSig(v, 16) && sigs(1) === refSig(v2, 16))
   }
+
+  test("ZOrder16 interleaves bits; codegen matches a reference fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((z, k) =>
+        z | (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1)))
+    // known value: x=0b101, y=0b011 -> z bits {0,4} from x, {1,3} from y = 27
+    assert(ref(5L, 3L) === 27L)
+    val pairs = Seq((0L, 0L), (5L, 3L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L))
+    val got = pairs.toDF("x", "y")
+      .select(graft.functions.LayoutFunctions.zorder16(col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === pairs.map { case (x, y) => ref(x, y) })
+    // locality: nearby points interleave to nearby keys (same high bits)
+    assert((ref(100L, 200L) >> 8) === (ref(101L, 201L) >> 8))
+  }
 }
