@@ -719,6 +719,32 @@ object RelationalQueries {
              |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
              |    p_retailprice AS retailprice
              |  FROM part)
-             |UNPIVOT (val FOR attr IN (size, retailprice))""".stripMargin))
+             |UNPIVOT (val FOR attr IN (size, retailprice))""".stripMargin)),
+
+    QuerySpec(
+      "r40_exists_scalar",
+      "SQL surface: EXISTS / NOT EXISTS semi-predicates plus an uncorrelated scalar subquery threshold (decimal-exact average, so the comparison is bit-deterministic); Catalyst plans EXISTS as semi/anti joins and the scalar as a one-row broadcast",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c.c_custkey, c.c_mktsegment,
+                |  EXISTS (SELECT 1 FROM orders o
+                |          WHERE o.o_custkey = c.c_custkey
+                |            AND o.o_totalprice >
+                |              (SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                |               FROM orders o2)) AS has_big_order,
+                |  NOT EXISTS (SELECT 1 FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey) AS is_inactive
+                |FROM customer c""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, c.c_mktsegment,
+             |  EXISTS (SELECT 1 FROM orders o
+             |          WHERE o.o_custkey = c.c_custkey
+             |            AND o.o_totalprice >
+             |              (SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+             |               FROM orders o2)) AS has_big_order,
+             |  NOT EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey) AS is_inactive
+             |FROM customer c""".stripMargin))
   )
 }
