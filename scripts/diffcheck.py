@@ -43,10 +43,19 @@ def main(sf_dir, out_dir):
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Skip a missing result dir ONLY when SPARK_GRAFT_ONLY excluded the
+    # query from the dump; in a full run a missing dir means the query
+    # CRASHED in Verify and must fail the gate.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    subset = {s.strip() for s in only.split(",")} if only else None
     n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1  # not dumped (SPARK_GRAFT_ONLY subset run)
+            if subset is not None and name not in subset:
+                n_skip += 1  # deliberately not dumped
+                continue
+            print(f"FAIL {name}: no result dir (query crashed in Verify?)")
+            n_bad += 1
             continue
         try:
             got_rel = con.sql(

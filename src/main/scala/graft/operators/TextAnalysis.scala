@@ -235,9 +235,15 @@ object TextAnalysis {
       shardTokens: Long, nRanges: Int = 32): DataFrame = {
     require(shardTokens > 0, "shardTokens must be positive")
     import org.apache.spark.sql.expressions.Window
+    // Materialize the 3-column projection BEFORE range partitioning:
+    // RangePartitioner samples its child to pick boundaries, which would
+    // otherwise re-run tokenization + the rolling hash over the corpus a
+    // second time. The checkpointed projection is (id, long, long) —
+    // a sliver of the input — and its storage is reclaimed on GC.
     val keyed = docs.select(col(idCol).as("doc_id"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"),
         TextFunctions.rollingHash(col(textCol)).as("fp"))
+      .localCheckpoint(eager = true)
       .repartitionByRange(nRanges, col("fp"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     // local cumsum within each range partition; ranges are ordered, so
@@ -269,8 +275,12 @@ object TextAnalysis {
   def filterLedger(docs: DataFrame,
       rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    // NULL verdicts (rule over a NULL column) count as "rule does not
+    // fire" — pinned with coalesce so Spark's when-chain and any SQL
+    // replay agree instead of silently diverging on three-valued logic.
     val flagged = docs.select(
-      rules.map { case (n, c) => c.cast("boolean").as(s"__f_$n") }: _*)
+      rules.map { case (n, c) =>
+        coalesce(c.cast("boolean"), lit(false)).as(s"__f_$n") }: _*)
     // first failing rule per row (null = kept)
     val firstFail = rules.tail.foldLeft(
       when(col(s"__f_${rules.head._1}"), lit(rules.head._1))) {

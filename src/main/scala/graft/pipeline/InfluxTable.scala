@@ -134,12 +134,13 @@ private[graft] object InfluxCommitProtocol {
   def stagingDir(seriesDir: String, writeId: String): String =
     s"${stagingRoot(seriesDir)}/$writeId"
 
-  /** Driver-side: move each staged file of each committed attempt to
+  /** Driver-side publish shared by batch and streaming commits: move
+    * each staged file of each committed attempt to
     * `<seriesDir>/<finalName>`, overwriting any previous copy (epoch
-    * replay), then drop the write's staging dir (taking failed-attempt
-    * leftovers with it).
+    * replay / retried commit), then drop the attempt dir. Callers add
+    * their own wider cleanup (batch: the whole write's staging dir).
     */
-  def publish(seriesDir: String, writeId: String,
+  def publishAttempts(seriesDir: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(seriesDir)
     val fs = SinkFiles.fileSystem(root)
@@ -153,10 +154,19 @@ private[graft] object InfluxCommitProtocol {
           if (!fs.rename(src, dst))
             throw new java.io.IOException(s"commit rename failed: $src -> $dst")
         }
+        SinkFiles.deleteRecursive(attemptDir)
       case null => () // skipped partition (Spark may pass nulls)
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
+  }
+
+  /** Batch commit: publish, then drop the write's whole staging dir
+    * (sweeping failed/zombie attempts that never sent a message).
+    */
+  def publish(seriesDir: String, writeId: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    publishAttempts(seriesDir, messages)
     SinkFiles.deleteRecursive(stagingDir(seriesDir, writeId))
   }
 
@@ -198,26 +208,10 @@ final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
   }
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
+      messages: Array[WriterCommitMessage]): Unit =
     // Publish only this epoch's attempts; later epochs of the same run
     // reuse the staging namespace, so drop attempt dirs — not the root.
-    val fs = SinkFiles.fileSystem(new Path(seriesDir))
-    fs.mkdirs(new Path(seriesDir))
-    messages.foreach {
-      case InfluxCommit(attemptDir, names, _) =>
-        names.foreach { name =>
-          val src = new Path(s"$attemptDir/$name")
-          val dst = new Path(s"$seriesDir/$name")
-          if (fs.exists(dst)) fs.delete(dst, false)
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(s"commit rename failed: $src -> $dst")
-        }
-        SinkFiles.deleteRecursive(attemptDir)
-      case null => ()
-      case other =>
-        throw new IllegalStateException(s"unexpected commit message: $other")
-    }
-  }
+    InfluxCommitProtocol.publishAttempts(seriesDir, messages)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -252,9 +246,17 @@ final class InfluxBatchWrite(schema: StructType, seriesDir: String,
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // Driver-side, before any task launches: sweep staging left by a
+    // CRASHED previous write (its driver died between task completion
+    // and commit/abort, so nothing ever cleaned its writeId dir) —
+    // same single-writer-per-series assumption the streaming path and
+    // every file commit protocol make. Readers never see staging, but
+    // orphans are real storage on the object stores the sink targets.
+    SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingRoot(seriesDir))
     InfluxWriterFactory(schema, seriesDir, measurement, timeCol, insertLimit,
       SinkFiles.captureConf(), writeId)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // Overwrite semantics resolve HERE, not at job start: a failed

@@ -800,12 +800,17 @@ object LlmQueries {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+          // pin NULL semantics: a NULL digest (NULL text) is neither
+          // blockable nor matchable — excluded on both engines, so the
+          // anti-join and the oracle's NOT IN can never diverge on it
+          .where(col("dig").isNotNull)
         val block = docs.where(col("doc_id") % 37 === 0).select(col("dig"))
         graft.operators.Sketches
           .blocklistFilter(docs, block, "dig", "dig", fpp = 0.05)
           .select(col("doc_id"))
       },
-      Some("""WITH d AS (SELECT doc_id, sha256(text) AS dig FROM documents),
+      Some("""WITH d AS (SELECT doc_id, sha256(text) AS dig FROM documents
+             |        WHERE sha256(text) IS NOT NULL),
              |b AS (SELECT dig FROM d WHERE doc_id % 37 = 0)
              |SELECT doc_id FROM d
              |WHERE dig NOT IN (SELECT dig FROM b)""".stripMargin))

@@ -277,12 +277,17 @@ object TimeSeriesQueries {
       "t11_stream_dedup",
       "streaming exact dedup run end-to-end (dropDuplicatesWithinWatermark on (user_id, event_type), watermark-bounded state): WHICH row survives per key is arrival-order-dependent, so the checked output is the deterministic kept-key census per event_type",
       (s, dir) => {
+        // Watermark delay must cover the dedup horizon: the fixture
+        // spans ~30 days, so a 1-hour delay would evict a key's state
+        // mid-run if the source were ever chopped into multiple
+        // micro-batches and re-emit late duplicates. 90 days = dedup
+        // over the whole span regardless of batch boundaries.
         val kept = runBounded(s,
           graft.streaming.StreamingOps.dedupStream(
             Tables.loadStream(s, dir, "events")
               .where(col("ts").isNotNull && col("user_id").isNotNull &&
                 col("event_type").isNotNull),
-            Seq("user_id", "event_type")),
+            Seq("user_id", "event_type"), lateness = "90 days"),
           "t11_stream_dedup_mem", "append", statePartitions = Some(8))
         kept.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_kept"))
