@@ -64,6 +64,11 @@ object Engine {
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // Straggler mitigation: at 1000 executors one slow disk stalls the
+      // stage tail. Safe for this engine's writes — parquet's commit
+      // protocol and the graft-influx staging/publish protocol both
+      // discard the losing attempt's files.
+      "spark.speculation" -> "true",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
   }
