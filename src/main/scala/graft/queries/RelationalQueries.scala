@@ -745,6 +745,25 @@ object RelationalQueries {
              |               FROM orders o2)) AS has_big_order,
              |  NOT EXISTS (SELECT 1 FROM orders o
              |              WHERE o.o_custkey = c.c_custkey) AS is_inactive
-             |FROM customer c""".stripMargin))
+             |FROM customer c""".stripMargin)),
+
+    QuerySpec(
+      "r41_group_by_all",
+      "SQL surface: GROUP BY ALL (Spark 4 / modern-SQL shorthand — every non-aggregate select item becomes a grouping key); decimal-exact sum keeps it hash-comparable",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  count(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                |    AS sum_price
+                |FROM orders
+                |GROUP BY ALL""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_price
+             |FROM orders
+             |GROUP BY ALL""".stripMargin))
   )
 }
