@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness tail-parses the LAST stdout line of `runMain graft.Bench`
+// as JSON. Two sbt behaviors break that: forked-run output is logged
+// with an "[info] " prefix (LoggedOutput), and a "[success] Total time"
+// epilogue prints after the program's last line. Pass program output
+// through raw and drop the epilogue so Bench's compact summary line is
+// the genuine final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, Test / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

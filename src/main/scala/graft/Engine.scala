@@ -65,9 +65,13 @@ object Engine {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       // Straggler mitigation: at 1000 executors one slow disk stalls the
-      // stage tail. Safe for this engine's writes — parquet's commit
-      // protocol and the graft-influx staging/publish protocol both
-      // discard the losing attempt's files.
+      // stage tail. Safe for this engine's COMMITTED sinks — parquet's
+      // commit protocol and the graft-influx staging/publish protocol
+      // (which LineProtocolSink now routes through) both discard the
+      // losing attempt's files. NOT safe for a raw MicroBatchSink with a
+      // side-effecting flushFn (HTTP POST, message bus): that path is
+      // at-least-once under speculation and the flushFn must be
+      // idempotent — see the MicroBatchSink scaladoc.
       "spark.speculation" -> "true",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -1,10 +1,7 @@
 package graft.pipeline
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** Destination abstraction for the migration pipeline — the Spark face of
@@ -117,6 +114,15 @@ object SinkFiles {
   * (reference: index.js:209-232 re-chunks pages into insertlimit-sized
   * writePoints calls). `writeBatch` runs ON THE EXECUTOR — it must be
   * serializable and must not capture driver-only state.
+  *
+  * Delivery contract: AT-LEAST-ONCE. `foreachPartition` has no commit
+  * protocol, so a retried or speculative task attempt re-issues its
+  * batches and nothing here discards the duplicates — `writeBatch` must
+  * be idempotent (upsert by key, dedup by batch id) if the destination
+  * cannot tolerate replays. For exactly-once file/series visibility use
+  * `LineProtocolSink`/`InfluxDsv2Sink`, which stage attempts and publish
+  * only the committed one. This is the caveat `Engine.clusterDefaults`
+  * attaches to `spark.speculation`.
   *
   * Empty batches are never issued (`grouped` emits no empty groups) —
   * deliberately diverging from the reference, which POSTs empty point
@@ -245,48 +251,28 @@ object InfluxLineProtocol {
   }
 }
 
-/** The wired fidelity path: `MicroBatchSink` batching composed with
-  * `InfluxLineProtocol` rendering, file-backed — each `insertLimit`-sized
-  * flush becomes one `.lp` file of rendered lines under
-  * `baseDir/<series>/` (reference: index.js:242-252, where each flush is
-  * one `writePoints` POST; in the sandbox the POST body lands on disk —
-  * a production variant swaps `writeFlush`'s output stream for an HTTP
-  * client and nothing else changes).
+/** The wired fidelity path: line-protocol rendering + `insertLimit`-sized
+  * flush files under `baseDir/<series>/` (reference: index.js:242-252,
+  * where each flush is one `writePoints` POST; in the sandbox the POST
+  * body lands on disk).
   *
-  * Executors write their own flushes in parallel through the Hadoop
-  * `FileSystem` API (partition-id + uuid file names, no coordination), so
-  * the shape survives a real cluster and an object-store destination.
+  * Routed through the DSv2 `graft-influx` writer, NOT a bare
+  * `foreachPartition`: the earlier direct-write form published
+  * `flush-<part>-<uuid>.lp` straight into the series dir, so a retried or
+  * SPECULATIVE duplicate task attempt left a second copy of its rows that
+  * nothing discarded — unsafe under `Engine.clusterDefaults`'
+  * `spark.speculation=true`. The DSv2 path stages every attempt's files
+  * under `_staging/` and only the driver-side commit — fed exactly one
+  * winning attempt per partition by Spark — publishes deterministic final
+  * names (`InfluxTable.scala` commit protocol), so losing attempts are
+  * swept, never visible. Same flush-file output, real exactly-once
+  * visibility.
   */
 final class LineProtocolSink(
     baseDir: String, insertLimit: Int, timeCol: String = "time")
     extends Sink {
 
-  private def seriesDir(table: String) = s"$baseDir/$table"
-
-  // Captured on the driver at construction so executor-side flushes see
-  // the session's spark.hadoop.* settings (object-store auth) instead of
-  // a default Configuration.
-  private val hadoopConf = SinkFiles.captureConf()
-
-  private val inner = new MicroBatchSink(
-    insertLimit,
-    (table, batch) => writeFlush(table, batch),
-    table => SinkFiles.deleteRecursive(seriesDir(table)))
-
-  /** Runs ON THE EXECUTOR: render the batch and write it as one file —
-    * the moral equivalent of one POST body.
-    */
-  private def writeFlush(table: String, batch: Seq[Row]): Unit = {
-    val body = batch.iterator
-      .map(r => InfluxLineProtocol.render(table, r, timeCol))
-      .mkString("", "\n", "\n")
-    val part = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
-    val p = new Path(
-      s"${seriesDir(table)}/flush-$part-${java.util.UUID.randomUUID()}.lp")
-    val out = SinkFiles.fileSystem(p, hadoopConf).create(p, false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private val inner = new InfluxDsv2Sink(baseDir, insertLimit, timeCol)
 
   override def truncate(table: String): Unit = inner.truncate(table)
   override def append(df: DataFrame, table: String): Unit =

@@ -161,9 +161,10 @@ object ParityQueries {
         // InfluxDsv2Spec; here the knob is sized so the flush-file count
         // stays O(partitions), not O(rows/500), as a real deployment
         // would size its POST bodies.)
-        def write(): Unit = Tables.load(s, dir, "events")
+        val src = Tables.load(s, dir, "events")
           .where(col("ts").isNotNull && col("event_id").isNotNull)
           .select(col("event_id"), col("user_id"), col("ts"))
+        def write(): Unit = src
           .write.format("graft-influx")
           .option("path", out).option("measurement", "events")
           .option("timecol", "ts").option("insertlimit", "5000")
@@ -172,6 +173,13 @@ object ParityQueries {
         // one copy (the p07 contract, now at the writer-API level).
         write()
         write()
+        // Loud sink-duplication invariant (the p08 pattern): any retried /
+        // speculative attempt whose flush file survives commit shows up
+        // here as a count mismatch, not as a silent hash diff downstream.
+        val expected = src.count()
+        val rendered = s.read.text(s"$out/events").count()
+        require(rendered == expected,
+          s"sink rendered $rendered lines, source has $expected rows")
         s.read.text(s"$out/events")
           .select(
             regexp_extract(col("value"), "event_id=(-?\\d+)i", 1)
@@ -181,14 +189,16 @@ object ParityQueries {
           .agg(
             count(lit(1)).as("n_lines"),
             countDistinct(col("eid")).as("n_ids"),
-            sum(col("eid").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-              .as("sum_id"),
+            // BIGINT, not DECIMAL: a sum of event_ids fits int64 with room
+            // to spare, and decimal is the one type whose canonical form
+            // differs between Spark parquet and the DuckDB oracle hasher.
+            sum(col("eid")).as("sum_id"),
             min(col("ts_ns")).as("min_ts_ns"),
             max(col("ts_ns")).as("max_ts_ns"))
       },
       Some("""SELECT count(*) AS n_lines,
              |  count(DISTINCT event_id) AS n_ids,
-             |  CAST(SUM(event_id) AS DECIMAL(38,0)) AS sum_id,
+             |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
              |  min(epoch_ns(CAST(ts AS TIMESTAMP))) AS min_ts_ns,
              |  max(epoch_ns(CAST(ts AS TIMESTAMP))) AS max_ts_ns
              |FROM events
@@ -211,6 +221,13 @@ object ParityQueries {
           .start()
         q.awaitTermination()
         q.stop()
+        // Same loud invariant as p09: a duplicated epoch flush (replayed
+        // micro-batch, speculative attempt) fails as a count, not a hash.
+        val expected = Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull && col("event_id").isNotNull).count()
+        val rendered = s.read.text(s"$out/events").count()
+        require(rendered == expected,
+          s"stream sink rendered $rendered lines, source has $expected rows")
         s.read.text(s"$out/events")
           .select(
             regexp_extract(col("value"), "event_id=(-?\\d+)i", 1)
@@ -220,14 +237,14 @@ object ParityQueries {
           .agg(
             count(lit(1)).as("n_lines"),
             countDistinct(col("eid")).as("n_ids"),
-            sum(col("eid").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-              .as("sum_id"),
+            // BIGINT for the same decimal-canonicalization reason as p09.
+            sum(col("eid")).as("sum_id"),
             min(col("ts_ns")).as("min_ts_ns"),
             max(col("ts_ns")).as("max_ts_ns"))
       },
       Some("""SELECT count(*) AS n_lines,
              |  count(DISTINCT event_id) AS n_ids,
-             |  CAST(SUM(event_id) AS DECIMAL(38,0)) AS sum_id,
+             |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
              |  min(epoch_ns(CAST(ts AS TIMESTAMP))) AS min_ts_ns,
              |  max(epoch_ns(CAST(ts AS TIMESTAMP))) AS max_ts_ns
              |FROM events

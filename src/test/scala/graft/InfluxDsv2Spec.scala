@@ -210,6 +210,45 @@ class InfluxDsv2Spec extends SparkSpec {
     assert(lines(dir).size === 5)
   }
 
+  test("legacy LineProtocolSink: duplicated speculative attempt publishes once") {
+    import graft.pipeline._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft_lp_spec_").toString
+    // 1) A real append through the legacy sink: multi-partition write must
+    //    render every row exactly once and leave no staging behind.
+    val sink = new LineProtocolSink(dir, insertLimit = 2)
+    sink.append(src().repartition(3), "m")
+    assert(lines(dir).size === 5)
+    // the write's staging namespace is swept (the _staging root may remain
+    // as an empty dir — readers skip _-prefixed paths)
+    val staged = Option(new java.io.File(s"$dir/m/_staging").listFiles())
+      .map(_.toSeq).getOrElse(Nil)
+    assert(staged.isEmpty, staged.mkString(","))
+    // 2) The speculation scenario clusterDefaults enables: TWO attempts of
+    //    the same partition run to completion (same writeId — one write),
+    //    Spark commits only the winner. The loser's staged flushes must
+    //    never become visible and must be swept by the job-level publish.
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    def attempt(taskId: Long): InfluxCommit = {
+      val w = new InfluxDataWriter(schema, s"$dir/spec", "spec", "time", 2,
+        None, partitionId = 0, taskId = taskId, writeId = "w-spec")
+      (1 to 5).foreach(i => w.write(InternalRow(i.toLong,
+        UTF8String.fromString(s"v$i"))))
+      w.commit().asInstanceOf[InfluxCommit]
+    }
+    val winner = attempt(1L)
+    attempt(2L) // the speculative duplicate — finishes, is never committed
+    InfluxCommitProtocol.publish(s"$dir/spec", "w-spec", Array(winner))
+    val got = spark.read.text(s"$dir/spec").collect().map(_.getString(0))
+    assert(got.length === 5, got.mkString("|")) // once, not twice
+    val specStaged = Option(new java.io.File(s"$dir/spec/_staging").listFiles())
+      .map(_.toSeq).getOrElse(Nil)
+    assert(specStaged.isEmpty, specStaged.mkString(",")) // loser swept
+  }
+
   test("missing required options error clearly") {
     val e = intercept[Exception] {
       src().write.format("graft-influx").mode("append").save()
