@@ -174,8 +174,15 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // Hash-to-min seeding: each node starts at min(self, neighbors) —
+    // one shuffle-aggregate, the same cost the bare distinct() init paid,
+    // but for the clique/star components a near-dup pair graph is mostly
+    // made of it lands the final label immediately, so the loop spends
+    // its rounds confirming instead of propagating (one whole round — a
+    // job plus its cold plan/codegen — saved on the common shape).
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("node"), col("lbl"))
       .persist()
     var owned = labels // handle owning the round's cache entry
     var converged = false
