@@ -20,7 +20,8 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
-Global / excludeLintKeys ++= Set(run / outputStrategy, Test / outputStrategy)
+Global / excludeLintKeys ++= Set(
+  run / outputStrategy, Test / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

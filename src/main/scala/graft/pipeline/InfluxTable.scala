@@ -81,6 +81,14 @@ final class InfluxTable(tableSchema: StructType,
   private val timeCol = opt("timecol").getOrElse("time")
   private val insertLimit = opt("insertlimit").map(_.toInt).getOrElse(1000)
   require(insertLimit > 0, "insertlimit must be positive")
+  // transport=file (default: staged flush files under path/measurement)
+  // or transport=http (POST each flush to `url` — the production form).
+  private val transport = opt("transport").getOrElse("file")
+  private val httpUrl = opt("url")
+  require(transport == "file" || transport == "http",
+    s"graft-influx transport must be 'file' or 'http', got '$transport'")
+  require(transport != "http" || httpUrl.isDefined,
+    "graft-influx transport=http requires option 'url'")
 
   private def seriesDir = s"$baseDir/$measurement"
 
@@ -92,24 +100,39 @@ final class InfluxTable(tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new InfluxWriteBuilder(info.schema(), seriesDir, measurement, timeCol,
-      insertLimit, truncateFirst = false)
+      insertLimit, truncateFirst = false, transport, httpUrl)
 }
 
 final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
-    truncateFirst: Boolean) extends WriteBuilder with SupportsTruncate {
+    truncateFirst: Boolean, transport: String = "file",
+    httpUrl: Option[String] = None)
+    extends WriteBuilder with SupportsTruncate {
 
   /** DSv2 truncate (= SaveMode.Overwrite): empty the series, then append —
-    * the reference's emptyseries flag (index.js:321-336).
+    * the reference's emptyseries flag (index.js:321-336). The http
+    * transport cannot truncate a remote database from here: rejected up
+    * front rather than silently appending.
     */
-  override def truncate(): WriteBuilder =
+  override def truncate(): WriteBuilder = {
+    require(transport != "http",
+      "graft-influx transport=http is append-only; truncate the " +
+        "destination measurement server-side instead of mode(overwrite)")
     new InfluxWriteBuilder(schema, seriesDir, measurement, timeCol,
-      insertLimit, truncateFirst = true)
+      insertLimit, truncateFirst = true, transport, httpUrl)
+  }
+
+  // Driver-side at factory creation: the file transport captures the
+  // session's hadoop conf for executor-side staging writes.
+  private def makeTransport(): FlushTransport = transport match {
+    case "http" => new HttpFlushTransport(httpUrl.get)
+    case _ => new FileFlushTransport(SinkFiles.captureConf())
+  }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new InfluxBatchWrite(schema, seriesDir, measurement, timeCol,
-        insertLimit, truncateFirst)
+        insertLimit, truncateFirst, makeTransport())
 
     /** Continuous migration: `writeStream.format("graft-influx")` in
       * append mode — each micro-batch's tasks stage epoch-tagged flush
@@ -120,8 +143,91 @@ final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
       */
     override def toStreaming: streaming.StreamingWrite =
       new InfluxStreamingWrite(schema, seriesDir, measurement, timeCol,
-        insertLimit, truncateFirst)
+        insertLimit, truncateFirst, makeTransport())
   }
+}
+
+/** Where a rendered flush body lands — the one seam between the sandbox
+  * (file) and production (HTTP POST) forms of the sink. Runs ON THE
+  * EXECUTOR; implementations must be serializable.
+  *
+  *   - [[FileFlushTransport]] stages the body as a file under the task
+  *     attempt's staging dir; visibility is deferred to the driver-side
+  *     commit rename (exactly-once, see `InfluxCommitProtocol`).
+  *   - [[HttpFlushTransport]] POSTs the body immediately (the reference's
+  *     `writePoints` POST, index.js:242-252). Delivery is AT-LEAST-ONCE
+  *     under task retries/speculation — safe against InfluxDB because a
+  *     line-protocol point is an upsert keyed by (measurement, tagset,
+  *     timestamp): a replayed flush rewrites identical points, so the
+  *     destination state equals once-delivered state. Append-only:
+  *     overwrite mode requires a destination-side truncate and is
+  *     rejected up front.
+  */
+sealed trait FlushTransport extends Serializable {
+  /** Deliver one flush body. `attemptDir`/`fileName` name the staged file
+    * for the file transport; the http transport ignores them.
+    */
+  def deliver(attemptDir: String, fileName: String, body: Array[Byte]): Unit
+
+  /** Whether delivered flushes sit STAGED pending the driver commit
+    * (file) or are already durable at the destination (http).
+    */
+  def staged: Boolean
+
+  /** Best-effort cleanup of an aborted attempt's deliveries. */
+  def abortAttempt(attemptDir: String): Unit
+}
+
+final class FileFlushTransport(conf: Option[SinkFiles.SerializableHadoopConf])
+    extends FlushTransport {
+
+  override def deliver(attemptDir: String, fileName: String,
+      body: Array[Byte]): Unit = {
+    val p = new Path(s"$attemptDir/$fileName")
+    val out = SinkFiles.fileSystem(p, conf).create(p, false)
+    try out.write(body)
+    finally out.close()
+  }
+
+  override def staged: Boolean = true
+
+  override def abortAttempt(attemptDir: String): Unit =
+    try {
+      val p = new Path(attemptDir)
+      val fs = SinkFiles.fileSystem(p, conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    } catch { case _: java.io.IOException => () }
+}
+
+final class HttpFlushTransport(url: String) extends FlushTransport {
+
+  /** One POST per flush — the production request the file transport only
+    * simulates. `HttpURLConnection`, not a pooled client: the object must
+    * serialize to executors, and one connection per insertLimit-sized
+    * body matches the reference's `{pool: false}` (index.js:242).
+    */
+  override def deliver(attemptDir: String, fileName: String,
+      body: Array[Byte]): Unit = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+      conn.setFixedLengthStreamingMode(body.length)
+      val out = conn.getOutputStream
+      try out.write(body) finally out.close()
+      val code = conn.getResponseCode
+      // Influx answers 204; treat any 2xx as delivered. A failure throws
+      // and the TASK retries — at-least-once, idempotent at the server.
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"flush POST to $url returned $code")
+      conn.getInputStream.close()
+    } finally conn.disconnect()
+  }
+
+  override def staged: Boolean = false
+  override def abortAttempt(attemptDir: String): Unit = ()
 }
 
 /** Staging-dir layout + driver-side publish shared by the batch and
@@ -142,10 +248,18 @@ private[graft] object InfluxCommitProtocol {
     */
   def publishAttempts(seriesDir: String,
       messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.filter {
+      // http-transport attempts delivered directly; nothing staged to move
+      case InfluxCommit(attemptDir, _, _) => attemptDir.nonEmpty
+      case null => false // skipped partition (Spark may pass nulls)
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+    if (staged.isEmpty) return // pure-http write: no local series dir at all
     val root = new Path(seriesDir)
     val fs = SinkFiles.fileSystem(root)
     fs.mkdirs(root)
-    messages.foreach {
+    staged.foreach {
       case InfluxCommit(attemptDir, names, _) =>
         names.foreach { name =>
           val src = new Path(s"$attemptDir/$name")
@@ -155,7 +269,6 @@ private[graft] object InfluxCommitProtocol {
             throw new java.io.IOException(s"commit rename failed: $src -> $dst")
         }
         SinkFiles.deleteRecursive(attemptDir)
-      case null => () // skipped partition (Spark may pass nulls)
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
@@ -187,7 +300,9 @@ private[graft] object InfluxCommitProtocol {
 
 final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
-    truncateFirst: Boolean) extends streaming.StreamingWrite {
+    truncateFirst: Boolean,
+    transport: FlushTransport = new FileFlushTransport(None))
+    extends streaming.StreamingWrite {
 
   // One staging namespace per query run; stale staging from a crashed
   // previous run is cleared at start (no concurrent writers per series —
@@ -197,14 +312,17 @@ final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     // Driver-side at query start (called once per run, before epoch 0).
-    if (truncateFirst) SinkFiles.deleteRecursive(seriesDir)
-    else SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingRoot(seriesDir))
+    // File transport only — the http transport has no local series dir.
+    if (transport.staged) {
+      if (truncateFirst) SinkFiles.deleteRecursive(seriesDir)
+      else SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingRoot(seriesDir))
+    }
     // Final names are epoch-keyed with NO writeId: epoch numbering is
     // monotonic under one checkpoint across restarts, so a restart that
     // replays the one epoch whose sink commit raced the offset-WAL update
     // overwrites that epoch's files instead of duplicating them.
     InfluxStreamingWriterFactory(schema, seriesDir, measurement, timeCol,
-      insertLimit, SinkFiles.captureConf(), writeId)
+      insertLimit, transport, writeId)
   }
 
   override def commit(epochId: Long,
@@ -223,13 +341,13 @@ final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
 
 final case class InfluxStreamingWriterFactory(schema: StructType,
     seriesDir: String, measurement: String, timeCol: String,
-    insertLimit: Int, conf: Option[SinkFiles.SerializableHadoopConf],
+    insertLimit: Int, transport: FlushTransport,
     writeId: String) extends streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new InfluxDataWriter(schema, seriesDir, measurement, timeCol,
-      insertLimit, conf, partitionId, taskId, writeId,
+      insertLimit, transport, partitionId, taskId, writeId,
       nameTag = s"e$epochId-")
 }
 
@@ -241,7 +359,9 @@ final case class InfluxCommit(attemptDir: String, fileNames: Seq[String],
 
 final class InfluxBatchWrite(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean,
+    transport: FlushTransport = new FileFlushTransport(None))
+    extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -253,9 +373,10 @@ final class InfluxBatchWrite(schema: StructType, seriesDir: String,
     // same single-writer-per-series assumption the streaming path and
     // every file commit protocol make. Readers never see staging, but
     // orphans are real storage on the object stores the sink targets.
-    SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingRoot(seriesDir))
+    if (transport.staged)
+      SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingRoot(seriesDir))
     InfluxWriterFactory(schema, seriesDir, measurement, timeCol, insertLimit,
-      SinkFiles.captureConf(), writeId)
+      transport, writeId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -271,7 +392,7 @@ final class InfluxBatchWrite(schema: StructType, seriesDir: String,
 
 final case class InfluxWriterFactory(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
-    conf: Option[SinkFiles.SerializableHadoopConf],
+    transport: FlushTransport,
     writeId: String) extends DataWriterFactory {
 
   // Batch final names carry a short writeId so successive APPEND writes
@@ -279,7 +400,7 @@ final case class InfluxWriterFactory(schema: StructType, seriesDir: String,
   // regenerate identical names.
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new InfluxDataWriter(schema, seriesDir, measurement, timeCol, insertLimit,
-      conf, partitionId, taskId, writeId, nameTag = writeId.take(8) + "-")
+      transport, partitionId, taskId, writeId, nameTag = writeId.take(8) + "-")
 }
 
 /** `graft.pipeline.Sink` adapter over the DSv2 writer, so
@@ -312,7 +433,7 @@ final class InfluxDsv2Sink(baseDir: String, insertLimit: Int = 1000,
   */
 final class InfluxDataWriter(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
-    conf: Option[SinkFiles.SerializableHadoopConf], partitionId: Int,
+    transport: FlushTransport, partitionId: Int,
     taskId: Long, writeId: String, nameTag: String = "")
     extends DataWriter[InternalRow] {
 
@@ -333,29 +454,27 @@ final class InfluxDataWriter(schema: StructType, seriesDir: String,
   private def flush(): Unit = if (buf.nonEmpty) {
     val name = s"flush-$nameTag$partitionId-$flushSeq.lp"
     flushSeq += 1
-    val p = new Path(s"$attemptDir/$name")
-    val out = SinkFiles.fileSystem(p, conf).create(p, false)
-    try out.write(buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    names += name
+    transport.deliver(attemptDir, name,
+      buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    if (transport.staged) names += name
     buf.clear()
   }
 
   override def commit(): WriterCommitMessage = {
     flush()
-    InfluxCommit(attemptDir, names.toSeq, rows)
+    // http transport: already durable at the destination — nothing staged
+    // for the driver to publish (empty attemptDir marks that).
+    if (transport.staged) InfluxCommit(attemptDir, names.toSeq, rows)
+    else InfluxCommit("", Nil, rows)
   }
 
   override def abort(): Unit = {
     buf.clear()
     // Best-effort: remove this attempt's staged files (job-level abort
     // sweeps the whole staging dir for attempts that never got here).
-    // Uses the captured driver conf — executors have no active session.
-    try {
-      val p = new Path(attemptDir)
-      val fs = SinkFiles.fileSystem(p, conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    } catch { case _: java.io.IOException => () }
+    // The file transport carries the captured driver conf — executors
+    // have no active session; http has nothing to clean.
+    transport.abortAttempt(attemptDir)
   }
 
   override def close(): Unit = ()

@@ -141,7 +141,8 @@ class InfluxDsv2Spec extends SparkSpec {
     val writeId = "w1"
     def runAttempt(taskId: Long, tag: String): InfluxCommit = {
       val w = new InfluxDataWriter(schema, seriesDir, "m", "time", 2,
-        None, partitionId = 0, taskId = taskId, writeId = writeId)
+        new FileFlushTransport(None), partitionId = 0, taskId = taskId,
+        writeId = writeId)
       (1 to 5).foreach(i => w.write(InternalRow(i.toLong,
         UTF8String.fromString(s"$tag$i"))))
       w.commit().asInstanceOf[InfluxCommit]
@@ -172,8 +173,8 @@ class InfluxDsv2Spec extends SparkSpec {
       StructField("name", StringType)))
     def stageEpoch(taskId: Long): InfluxCommit = {
       val w = new InfluxDataWriter(schema, seriesDir, "m", "time", 10,
-        None, partitionId = 0, taskId = taskId, writeId = "w1",
-        nameTag = "e7-")
+        new FileFlushTransport(None), partitionId = 0, taskId = taskId,
+        writeId = "w1", nameTag = "e7-")
       (1 to 4).foreach(i => w.write(InternalRow(i.toLong,
         UTF8String.fromString(s"v$i"))))
       w.commit().asInstanceOf[InfluxCommit]
@@ -234,7 +235,8 @@ class InfluxDsv2Spec extends SparkSpec {
       StructField("name", StringType)))
     def attempt(taskId: Long): InfluxCommit = {
       val w = new InfluxDataWriter(schema, s"$dir/spec", "spec", "time", 2,
-        None, partitionId = 0, taskId = taskId, writeId = "w-spec")
+        new FileFlushTransport(None), partitionId = 0, taskId = taskId,
+        writeId = "w-spec")
       (1 to 5).foreach(i => w.write(InternalRow(i.toLong,
         UTF8String.fromString(s"v$i"))))
       w.commit().asInstanceOf[InfluxCommit]
@@ -247,6 +249,51 @@ class InfluxDsv2Spec extends SparkSpec {
     val specStaged = Option(new java.io.File(s"$dir/spec/_staging").listFiles())
       .map(_.toSeq).getOrElse(Nil)
     assert(specStaged.isEmpty, specStaged.mkString(",")) // loser swept
+  }
+
+  test("http transport POSTs each flush to the configured url (production seam)") {
+    // A real localhost HTTP round-trip through the DSv2 writer — the
+    // production form of the sink, exercised against a JDK-built-in
+    // server standing in for InfluxDB's /write endpoint.
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/write", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      received.add(body)
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/write"
+      val unusedPath = s"${Files.createTempDirectory("graft_http_").toString}/never"
+      src().write.format("graft-influx")
+        .option("path", unusedPath).option("measurement", "m")
+        .option("transport", "http").option("url", url)
+        .option("insertlimit", "2")
+        .mode("append").save()
+      import scala.jdk.CollectionConverters._
+      val bodies = received.asScala.toSeq
+      assert(bodies.size === 3, s"expected 3 POSTs (2+2+1 rows): $bodies")
+      val allLines = bodies.flatMap(_.split("\n")).filter(_.nonEmpty).sorted
+      assert(allLines.size === 5)
+      assert(allLines.contains(
+        "m id=1i,name=\"alpha\",score=1.5 1704067200000001000"))
+      // nothing lands on disk through the http transport
+      assert(!new java.io.File(unusedPath).exists())
+    } finally server.stop(0)
+  }
+
+  test("http transport rejects overwrite mode up front (append-only)") {
+    val e = intercept[Exception] {
+      src().write.format("graft-influx")
+        .option("path", "/unused").option("measurement", "m")
+        .option("transport", "http").option("url", "http://127.0.0.1:9/w")
+        .mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
   test("missing required options error clearly") {
