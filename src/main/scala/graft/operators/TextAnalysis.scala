@@ -265,6 +265,72 @@ object TextAnalysis {
         expr(s"cum_before div ${shardTokens}L").as("shard"))
   }
 
+  /** Per-group cardinality cap — the domain-mix rebalancer: keep at most
+    * `cap` documents per group (language, source domain), chosen
+    * DETERMINISTICALLY by content hash (order (fingerprint, id)), so
+    * re-runs and re-shards keep the exact same documents and an
+    * over-represented group (the crawl-corpus domain glut) is trimmed
+    * without a random generator. Emits kept rows as (doc_id, group, rk).
+    *
+    * Scale shape: `row_number() <= cap` over a group window is the form
+    * Spark 4's InferWindowGroupLimit rule recognizes — it inserts a
+    * WindowGroupLimit BEFORE the shuffle as well as after, so each map
+    * task forwards at most `cap` rows per group it sees and a skewed
+    * group costs a map-side top-cap heap, never a full-group sort spill.
+    */
+  def capPerGroup(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol).as("doc_id"), col(groupCol),
+        TextFunctions.rollingHash(col(textCol)).as("__fp"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__fp"), col("doc_id"))).cast("long"))
+      .where(col("rk") <= cap)
+      .select(col("doc_id"), col(groupCol), col("rk"))
+  }
+
+  /** Deterministic global training order — the "global shuffle" an epoch
+    * pipeline needs before writing shards: a content-hash permutation of
+    * the corpus, materialized as (shard, pos) so writers can emit shard
+    * files directly. Re-runs reproduce the same order (the hash is the
+    * seed), yet the order is uncorrelated with ingest order, source, or
+    * any content feature a model could exploit.
+    *
+    * Same decomposition as `shardPack`: NO global window. Range-partition
+    * by (fingerprint, id), row_number within each range, then the P
+    * per-range counts (P = nRanges, tiny) turn local ranks into global
+    * positions via one broadcast of exclusive offsets.
+    */
+  def trainingOrder(docs: DataFrame, idCol: String, textCol: String,
+      shardSize: Long, nRanges: Int = 32): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // Checkpoint the 2-column key projection for the same reason as
+    // shardPack: RangePartitioner samples its child, which would re-run
+    // the rolling hash over the corpus a second time.
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.rollingHash(col(textCol)).as("fp"))
+      .localCheckpoint(eager = true)
+      .repartitionByRange(nRanges, col("fp"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = keyed.withColumn("local_rn",
+      row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("fp"), col("doc_id"))).cast("long"))
+    val offsets = local.groupBy(col("pid"))
+      .agg(max(col("local_rn")).as("pcount"))
+      .withColumn("offset",
+        coalesce(sum(col("pcount")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("offset") + col("local_rn") - 1)
+      .select(col("doc_id"),
+        expr(s"rn div ${shardSize}L").as("shard"),
+        (col("rn") % shardSize).as("pos"))
+  }
+
   /** Quality-filter chain with a drop ledger — the curation funnel
     * report: every document is attributed to the FIRST rule (in the
     * given order) that rejects it, and each rule also reports its total

@@ -51,6 +51,14 @@ object LlmQueries {
   /** DuckDB-side cosine between two list(float) expressions: sequential
     * left-fold dot/norms in double — bit-equal to `CosineSimilarity`.
     */
+  /** DuckDB-side rolling-hash fingerprint over `text` — the same
+    * left-fold `TextFunctions.rollingHash` computes (the l27 formula,
+    * shared by the deterministic sampling/ordering oracles).
+    */
+  private def fpSql: String =
+    """list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
+      |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
@@ -813,6 +821,73 @@ object LlmQueries {
              |        WHERE sha256(text) IS NOT NULL),
              |b AS (SELECT dig FROM d WHERE doc_id % 37 = 0)
              |SELECT doc_id FROM d
-             |WHERE dig NOT IN (SELECT dig FROM b)""".stripMargin))
+             |WHERE dig NOT IN (SELECT dig FROM b)""".stripMargin)),
+
+    QuerySpec(
+      "l39_group_cap",
+      "domain-mix rebalancing: cap each language at 100 documents, chosen deterministically by content hash (re-runs keep the same docs); Spark 4 plans the rank filter as a map-side WindowGroupLimit, so skewed groups never fully sort",
+      (s, dir) => TextAnalysis.capPerGroup(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang", 100),
+      Some(s"""WITH f AS (SELECT doc_id, lang, $fpSql AS fp FROM documents)
+              |SELECT doc_id, lang, rk FROM (
+              |  SELECT doc_id, lang,
+              |    row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk
+              |  FROM f) WHERE rk <= 100""".stripMargin)),
+
+    QuerySpec(
+      "l40_training_order",
+      "deterministic global shuffle into training shards: content-hash permutation -> (shard, pos), shard size 64; computed with NO global window (range partitions + broadcast offsets, the l34 decomposition), oracle = one global ROW_NUMBER",
+      (s, dir) => TextAnalysis.trainingOrder(
+        Tables.load(s, dir, "documents"), "doc_id", "text", shardSize = 64),
+      Some(s"""WITH f AS (SELECT doc_id, $fpSql AS fp FROM documents),
+              |r AS (SELECT doc_id,
+              |        row_number() OVER (ORDER BY fp, doc_id) - 1 AS rn
+              |      FROM f)
+              |SELECT doc_id, rn // 64 AS shard, rn % 64 AS pos FROM r""".stripMargin)),
+
+    QuerySpec(
+      "l41_semdedup_keep",
+      "SemDeDup-style embedding-cluster keeper: connected components over the LSH near-dup pair graph (hash-proven equal to the exact pair set, l21), keeper = largest-squared-norm member (ties to smallest id), singletons keep themselves; oracle = recursive CTE over exact pairs + the l15 fold norm",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val scored = e.select(col("vec_id"),
+          aggregate(
+            zip_with(col("embedding"), col("embedding"),
+              (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x).as("sqnorm"))
+        Dedup.keepBest(scored,
+          Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.4),
+          "vec_id", "sqnorm")
+      },
+      Some(s"""WITH RECURSIVE p AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM p
+              |  UNION ALL SELECT b_id, a_id FROM p),
+              |reach(node, lbl) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |comp AS (
+              |  SELECT node AS vec_id, min(lbl) AS cluster_id
+              |  FROM reach GROUP BY node),
+              |q AS (
+              |  SELECT vec_id,
+              |    list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1),
+              |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+              |      (x,y) -> x+y) AS sqnorm
+              |  FROM embeddings),
+              |lab AS (
+              |  SELECT q.vec_id, COALESCE(c.cluster_id, q.vec_id) AS cluster_id,
+              |    q.sqnorm
+              |  FROM q LEFT JOIN comp c ON q.vec_id = c.vec_id)
+              |SELECT cluster_id, keep_id, n_members FROM (
+              |  SELECT cluster_id, vec_id AS keep_id,
+              |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY sqnorm DESC, vec_id) AS rk
+              |  FROM lab) WHERE rk = 1""".stripMargin))
   )
 }

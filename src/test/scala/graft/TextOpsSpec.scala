@@ -186,6 +186,48 @@ class TextOpsSpec extends SparkSpec {
     assert(fps < 100, s"implausible false-positive count $fps")
   }
 
+  test("capPerGroup: cap respected, deterministic, map-side group limit planned") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, s"text body number $i", if (i <= 150) "big" else "small"))
+      .toDF("doc_id", "text", "lang")
+    val capped = TextAnalysis.capPerGroup(docs, "doc_id", "text", "lang", 20)
+    val byGroup = capped.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup("big") === 20)   // 150 trimmed to the cap
+    assert(byGroup("small") === 20) // 50 trimmed to the cap
+    // deterministic: the same documents survive a re-run
+    val a = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TextAnalysis.capPerGroup(docs, "doc_id", "text", "lang", 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // the rank filter must plan as a WindowGroupLimit (map-side top-cap
+    // before the group shuffle), not a full per-group sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("trainingOrder: exact permutation into fixed-size shards") {
+    import spark.implicits._
+    val docs = (1L to 333L).map(i => (i, s"document content $i"))
+      .toDF("doc_id", "text")
+    val ord = TextAnalysis.trainingOrder(docs, "doc_id", "text",
+      shardSize = 50, nRanges = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ord.length === 333)
+    // (shard, pos) pairs are a bijection onto positions 0..332
+    val positions = ord.map { case (_, s, p) => s * 50 + p }.sorted
+    assert(positions.toSeq === (0L until 333L))
+    // every shard is full except the last
+    val sizes = ord.groupBy(_._2).map { case (s, rs) => s -> rs.length }
+    assert(sizes(0L) === 50 && sizes(6L) === 33)
+    // deterministic permutation: same input -> same order
+    val again = TextAnalysis.trainingOrder(docs, "doc_id", "text",
+      shardSize = 50, nRanges = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(again.toSeq === ord.sorted.toSeq)
+  }
+
   test("decontaminate: finds planted overlap, excludes self-matches") {
     import spark.implicits._
     val corpus = Seq(
