@@ -219,6 +219,28 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Repeated-passage detector — the substring-level dup diagnostic from
+    * the deduplicating-training-data line of work: word k-shingles
+    * contained in at least `minDocs` documents, i.e. the passages a model
+    * would see verbatim many times (memorization risk) and the input to
+    * substring-level dedup decisions. `shinglesFromText` emits DISTINCT
+    * shingles per document in one codegen'd byte pass, so `count(*)`
+    * after the explode IS the containing-document count — a
+    * wordcount-shaped, map-side-combinable aggregate; the top-k is a
+    * TakeOrdered, never a full sort.
+    */
+  def dupPassages(docs: DataFrame, textCol: String, k: Int = 6,
+      minDocs: Int = 2, topK: Int = 50): DataFrame = {
+    require(k >= 2 && minDocs >= 2 && topK > 0, "need k>=2, minDocs>=2, topK>0")
+    docs.select(explode(
+        graft.functions.TextFunctions.shingles(col(textCol), k)).as("passage"))
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("passage"))
+      .limit(topK)
+  }
+
   /** 64-bit SimHash over distinct word k-shingles: per bit, sum +-1
     * votes of the shingle hashes; bit = 1 iff the vote is positive.
     * Shingles, not unigrams: on a small vocabulary every document's

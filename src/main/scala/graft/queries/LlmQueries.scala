@@ -888,6 +888,25 @@ object LlmQueries {
               |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
               |    row_number() OVER (PARTITION BY cluster_id
               |      ORDER BY sqnorm DESC, vec_id) AS rk
-              |  FROM lab) WHERE rk = 1""".stripMargin))
+              |  FROM lab) WHERE rk = 1""".stripMargin)),
+
+    QuerySpec(
+      "l42_dup_passages",
+      "repeated-passage detector (substring-level dedup diagnostic): word 6-shingles contained in >=2 documents, top-50 by containing-doc count with lexicographic tie-break — the verbatim passages a model would memorize",
+      (s, dir) => Dedup.dupPassages(
+        Tables.load(s, dir, "documents"), "text", k = 6),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 6
+             |    THEN list_distinct([array_to_string(t[i:i+5], ' ')
+             |                        for i in range(1, len(t)-4)])
+             |    ELSE [] END AS s
+             |  FROM toks),
+             |e AS (SELECT doc_id, unnest(s) AS passage FROM sh)
+             |SELECT passage, n_docs FROM (
+             |  SELECT passage, count(*) AS n_docs FROM e GROUP BY passage
+             |  HAVING count(*) >= 2)
+             |ORDER BY n_docs DESC, passage LIMIT 50""".stripMargin))
   )
 }

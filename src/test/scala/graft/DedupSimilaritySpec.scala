@@ -57,6 +57,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(precision >= 0.5, s"precision $precision too low")
   }
 
+  test("dupPassages: planted shared passage surfaces with its doc count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one"),
+      (2L, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+      (3L, "totally different content with no shared runs at all here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupPassages(docs, "text", k = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the one 6-token run docs 1 and 2 share
+    assert(got.toSeq === Seq(("alpha beta gamma delta epsilon zeta", 2L)))
+  }
+
   test("components: transitive pairs collapse to min-id clusters") {
     import spark.implicits._
     // chain 1-2, 2-3 (one cluster), isolated pair 7-9
