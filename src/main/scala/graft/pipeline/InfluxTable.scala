@@ -74,8 +74,6 @@ final class InfluxTable(tableSchema: StructType,
     Option(m.get(key))
   }
 
-  private val baseDir = opt("path").getOrElse(
-    throw new IllegalArgumentException("graft-influx requires option 'path'"))
   private val measurement = opt("measurement").getOrElse(
     throw new IllegalArgumentException("graft-influx requires option 'measurement'"))
   private val timeCol = opt("timecol").getOrElse("time")
@@ -89,6 +87,14 @@ final class InfluxTable(tableSchema: StructType,
     s"graft-influx transport must be 'file' or 'http', got '$transport'")
   require(transport != "http" || httpUrl.isDefined,
     "graft-influx transport=http requires option 'url'")
+  private val httpTimeoutMs = opt("httptimeoutms").map(_.toInt).getOrElse(60000)
+  // `path` is the file transport's destination; the http transport never
+  // touches the local filesystem, so it needs none (the placeholder only
+  // feeds cosmetic names).
+  private val baseDir = opt("path").getOrElse {
+    if (transport == "http") "graft-influx-http-unused"
+    else throw new IllegalArgumentException("graft-influx requires option 'path'")
+  }
 
   private def seriesDir = s"$baseDir/$measurement"
 
@@ -100,13 +106,13 @@ final class InfluxTable(tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new InfluxWriteBuilder(info.schema(), seriesDir, measurement, timeCol,
-      insertLimit, truncateFirst = false, transport, httpUrl)
+      insertLimit, truncateFirst = false, transport, httpUrl, httpTimeoutMs)
 }
 
 final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     truncateFirst: Boolean, transport: String = "file",
-    httpUrl: Option[String] = None)
+    httpUrl: Option[String] = None, httpTimeoutMs: Int = 60000)
     extends WriteBuilder with SupportsTruncate {
 
   /** DSv2 truncate (= SaveMode.Overwrite): empty the series, then append —
@@ -119,13 +125,13 @@ final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
       "graft-influx transport=http is append-only; truncate the " +
         "destination measurement server-side instead of mode(overwrite)")
     new InfluxWriteBuilder(schema, seriesDir, measurement, timeCol,
-      insertLimit, truncateFirst = true, transport, httpUrl)
+      insertLimit, truncateFirst = true, transport, httpUrl, httpTimeoutMs)
   }
 
   // Driver-side at factory creation: the file transport captures the
   // session's hadoop conf for executor-side staging writes.
   private def makeTransport(): FlushTransport = transport match {
-    case "http" => new HttpFlushTransport(httpUrl.get)
+    case "http" => new HttpFlushTransport(httpUrl.get, httpTimeoutMs)
     case _ => new FileFlushTransport(SinkFiles.captureConf())
   }
 
@@ -199,7 +205,19 @@ final class FileFlushTransport(conf: Option[SinkFiles.SerializableHadoopConf])
     } catch { case _: java.io.IOException => () }
 }
 
-final class HttpFlushTransport(url: String) extends FlushTransport {
+/** POSTs each flush to `url`. CAVEAT on the at-least-once safety claim:
+  * the idempotent-replay argument (a replayed flush rewrites identical
+  * points) holds only when every row is unique per (measurement, tagset,
+  * timestamp) — InfluxDB's point identity. This sink renders all columns
+  * as FIELDS (no tags), so two distinct source rows sharing a timestamp
+  * merge at the destination even under once-delivery; deployments whose
+  * rows collide on time must carry a discriminating tag column or accept
+  * last-write-wins. The file transport has no such merge (every line is
+  * kept), which is also why the p09/p10 count invariants only gate the
+  * file path.
+  */
+final class HttpFlushTransport(url: String, timeoutMs: Int = 60000)
+    extends FlushTransport {
 
   /** One POST per flush — the production request the file transport only
     * simulates. `HttpURLConnection`, not a pooled client: the object must
@@ -213,6 +231,10 @@ final class HttpFlushTransport(url: String) extends FlushTransport {
     try {
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
+      // A hung endpoint must FAIL the task (so Spark retries it), not
+      // block the executor forever — the JDK default is no timeout.
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
       conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
       conn.setFixedLengthStreamingMode(body.length)
       val out = conn.getOutputStream
@@ -246,36 +268,42 @@ private[graft] object InfluxCommitProtocol {
     * replay / retried commit), then drop the attempt dir. Callers add
     * their own wider cleanup (batch: the whole write's staging dir).
     */
-  def publishAttempts(seriesDir: String,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.filter {
-      // http-transport attempts delivered directly; nothing staged to move
-      case InfluxCommit(attemptDir, _, _) => attemptDir.nonEmpty
-      case null => false // skipped partition (Spark may pass nulls)
+  /** The staged (file-transport) commits among `messages`: nulls are
+    * skipped partitions, empty attemptDirs are http-transport attempts
+    * (already durable, nothing local to act on), anything else is a bug.
+    */
+  def stagedCommits(messages: Array[WriterCommitMessage]): Seq[InfluxCommit] =
+    messages.toSeq.flatMap {
+      case c: InfluxCommit => if (c.attemptDir.nonEmpty) Some(c) else None
+      case null => None
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
+
+  def publishAttempts(seriesDir: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staged = stagedCommits(messages)
     if (staged.isEmpty) return // pure-http write: no local series dir at all
     val root = new Path(seriesDir)
     val fs = SinkFiles.fileSystem(root)
     fs.mkdirs(root)
-    staged.foreach {
-      case InfluxCommit(attemptDir, names, _) =>
-        names.foreach { name =>
-          val src = new Path(s"$attemptDir/$name")
-          val dst = new Path(s"$seriesDir/$name")
-          if (fs.exists(dst)) fs.delete(dst, false)
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(s"commit rename failed: $src -> $dst")
-        }
-        SinkFiles.deleteRecursive(attemptDir)
-      case other =>
-        throw new IllegalStateException(s"unexpected commit message: $other")
+    staged.foreach { c =>
+      c.fileNames.foreach { name =>
+        val src = new Path(s"${c.attemptDir}/$name")
+        val dst = new Path(s"$seriesDir/$name")
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+      }
+      SinkFiles.deleteRecursive(c.attemptDir)
     }
   }
 
-  /** Batch commit: publish, then drop the write's whole staging dir
-    * (sweeping failed/zombie attempts that never sent a message).
+  /** Batch commit for the FILE transport: publish, then drop the write's
+    * whole staging dir (sweeping failed/zombie attempts that never sent a
+    * message). `InfluxBatchWrite.commit` inlines the transport.staged
+    * guard around the sweep; this composed form serves direct
+    * protocol-level callers (tests, recovery tooling).
     */
   def publish(seriesDir: String, writeId: String,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -301,7 +329,10 @@ private[graft] object InfluxCommitProtocol {
 final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     truncateFirst: Boolean,
-    transport: FlushTransport = new FileFlushTransport(None))
+    // Default evaluated AT CALL TIME on the driver, so a direct
+    // construction (bypassing InfluxWriteBuilder) still captures the
+    // session's hadoop conf for executor-side staging writes.
+    transport: FlushTransport = new FileFlushTransport(SinkFiles.captureConf()))
     extends streaming.StreamingWrite {
 
   // One staging namespace per query run; stale staging from a crashed
@@ -333,10 +364,11 @@ final class InfluxStreamingWrite(schema: StructType, seriesDir: String,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case InfluxCommit(attemptDir, _, _) => SinkFiles.deleteRecursive(attemptDir)
-      case _ => ()
-    }
+    // stagedCommits skips http-transport messages (empty attemptDir —
+    // deleteRecursive("") would throw and mask the task failure that
+    // triggered the abort) and null skipped partitions.
+    InfluxCommitProtocol.stagedCommits(messages)
+      .foreach(c => SinkFiles.deleteRecursive(c.attemptDir))
 }
 
 final case class InfluxStreamingWriterFactory(schema: StructType,
@@ -360,7 +392,8 @@ final case class InfluxCommit(attemptDir: String, fileNames: Seq[String],
 final class InfluxBatchWrite(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     truncateFirst: Boolean,
-    transport: FlushTransport = new FileFlushTransport(None))
+    // Call-time default: direct constructions capture the driver conf too.
+    transport: FlushTransport = new FileFlushTransport(SinkFiles.captureConf()))
     extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
@@ -383,11 +416,17 @@ final class InfluxBatchWrite(schema: StructType, seriesDir: String,
     // Overwrite semantics resolve HERE, not at job start: a failed
     // overwrite leaves the previous series contents untouched.
     if (truncateFirst) InfluxCommitProtocol.truncatePublished(seriesDir)
-    InfluxCommitProtocol.publish(seriesDir, writeId, messages)
+    InfluxCommitProtocol.publishAttempts(seriesDir, messages)
+    // Sweep the write's staging namespace (catches failed/zombie attempts
+    // that never sent a message). File transport only: an http write has
+    // no local footprint — and `seriesDir` may be a placeholder.
+    if (transport.staged)
+      SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingDir(seriesDir, writeId))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingDir(seriesDir, writeId))
+    if (transport.staged)
+      SinkFiles.deleteRecursive(InfluxCommitProtocol.stagingDir(seriesDir, writeId))
 }
 
 final case class InfluxWriterFactory(schema: StructType, seriesDir: String,

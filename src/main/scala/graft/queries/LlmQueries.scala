@@ -48,17 +48,17 @@ object LlmQueries {
        |  WHERE len(a.s) + len(b.s) > 0)
        |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
 
-  /** DuckDB-side cosine between two list(float) expressions: sequential
-    * left-fold dot/norms in double — bit-equal to `CosineSimilarity`.
-    */
   /** DuckDB-side rolling-hash fingerprint over `text` — the same
-    * left-fold `TextFunctions.rollingHash` computes (the l27 formula,
-    * shared by the deterministic sampling/ordering oracles).
+    * left-fold `TextFunctions.rollingHash` computes; shared by every
+    * oracle that fingerprints (split, sampling, ordering, shard packing).
     */
   private def fpSql: String =
     """list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
       |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)""".stripMargin
 
+  /** DuckDB-side cosine between two list(float) expressions: sequential
+    * left-fold dot/norms in double — bit-equal to `CosineSimilarity`.
+    */
   private def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
@@ -347,10 +347,8 @@ object LlmQueries {
       (s, dir) => Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp")),
-      Some("""SELECT doc_id,
-             |  list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
-             |    (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) AS fp
-             |FROM documents""".stripMargin)),
+      Some(s"""SELECT doc_id, $fpSql AS fp
+              |FROM documents""".stripMargin)),
 
     QuerySpec(
       "l12_mm_decode",
@@ -565,11 +563,10 @@ object LlmQueries {
         keepRate = when(
           substring(col("source"), 4, 10).cast("int") % 2 === 0, 60)
           .otherwise(30)),
-      Some("""WITH f AS (
-             |  SELECT doc_id, source,
-             |    list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
-             |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) AS fp
-             |  FROM documents)
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, source,
+              |    $fpSql AS fp
+              |  FROM documents)
              |SELECT doc_id,
              |  CASE WHEN fp % 100 < 80 THEN 'train'
              |       WHEN fp % 100 < 90 THEN 'val'
@@ -720,12 +717,11 @@ object LlmQueries {
       "deterministic training-shard packing: content-hash pseudo-shuffle order, scalable range-partitioned prefix sum of token counts, shard = floor(cum_before / 2048) — re-runs reproduce the layout exactly",
       (s, dir) => TextAnalysis.shardPack(
         Tables.load(s, dir, "documents"), "doc_id", "text", shardTokens = 2048L),
-      Some("""WITH f AS (
-             |  SELECT doc_id,
-             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
-             |    list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
-             |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) AS fp
-             |  FROM documents),
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+              |    $fpSql AS fp
+              |  FROM documents),
              |c AS (SELECT doc_id, n_tok,
              |    CAST(sum(n_tok) OVER (ORDER BY fp, doc_id) - n_tok AS BIGINT)
              |      AS cum_before

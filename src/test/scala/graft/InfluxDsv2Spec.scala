@@ -268,9 +268,10 @@ class InfluxDsv2Spec extends SparkSpec {
     server.start()
     try {
       val url = s"http://127.0.0.1:${server.getAddress.getPort}/write"
-      val unusedPath = s"${Files.createTempDirectory("graft_http_").toString}/never"
+      // NO path option: the http transport never touches the local
+      // filesystem, so none is required.
       src().write.format("graft-influx")
-        .option("path", unusedPath).option("measurement", "m")
+        .option("measurement", "m")
         .option("transport", "http").option("url", url)
         .option("insertlimit", "2")
         .mode("append").save()
@@ -281,15 +282,13 @@ class InfluxDsv2Spec extends SparkSpec {
       assert(allLines.size === 5)
       assert(allLines.contains(
         "m id=1i,name=\"alpha\",score=1.5 1704067200000001000"))
-      // nothing lands on disk through the http transport
-      assert(!new java.io.File(unusedPath).exists())
     } finally server.stop(0)
   }
 
   test("http transport rejects overwrite mode up front (append-only)") {
     val e = intercept[Exception] {
       src().write.format("graft-influx")
-        .option("path", "/unused").option("measurement", "m")
+        .option("measurement", "m")
         .option("transport", "http").option("url", "http://127.0.0.1:9/w")
         .mode("overwrite").save()
     }
@@ -300,6 +299,13 @@ class InfluxDsv2Spec extends SparkSpec {
     val e = intercept[Exception] {
       src().write.format("graft-influx").mode("append").save()
     }
-    assert(e.getMessage.contains("path") || e.getMessage.contains("PATH"))
+    // measurement is validated first; path is required for the (default)
+    // file transport — either way the message names the missing option
+    assert(e.getMessage.contains("measurement") || e.getMessage.contains("path"))
+    val e2 = intercept[Exception] {
+      src().write.format("graft-influx").option("measurement", "m")
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("path"), e2.getMessage)
   }
 }
