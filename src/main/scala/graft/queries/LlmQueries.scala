@@ -843,7 +843,7 @@ object LlmQueries {
 
     QuerySpec(
       "l41_semdedup_keep",
-      "SemDeDup-style embedding-cluster keeper: connected components over the LSH near-dup pair graph (hash-proven equal to the exact pair set, l21), keeper = largest-squared-norm member (ties to smallest id), singletons keep themselves; oracle = recursive CTE over exact pairs + the l15 fold norm",
+      "SemDeDup-style embedding-cluster keeper: connected components over the LSH near-dup pair graph (exact-verified candidates, the l21 recall contract at an easier threshold), keeper = largest-squared-norm member (ties to smallest id), singletons keep themselves; oracle = recursive CTE over exact pairs + the l15 fold norm. Threshold 0.5, NOT l05/l21's 0.4: on the random fixture embeddings 0.4 sits in the cosine distribution's bulk at sf0.1 and percolates ~60% of the corpus into one diameter-15 chain blob (16 propagation rounds of pure fixture artifact); 0.5 yields the cliquish components semantic dedup actually targets, which the seeded label propagation lands in one round",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val scored = e.select(col("vec_id"),
@@ -852,13 +852,13 @@ object LlmQueries {
               (x, y) => x.cast("double") * y.cast("double")),
             lit(0.0), (acc, x) => acc + x).as("sqnorm"))
         Dedup.keepBest(scored,
-          Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.4),
+          Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.5),
           "vec_id", "sqnorm")
       },
       Some(s"""WITH RECURSIVE p AS (
               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
               |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-              |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+              |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5),
               |edges AS (
               |  SELECT a_id AS src, b_id AS dst FROM p
               |  UNION ALL SELECT b_id, a_id FROM p),
