@@ -242,6 +242,39 @@ object ScaleQueries {
              |SELECT z // 1024 AS z_bucket, count(*) AS n,
              |  min(x) AS min_user, max(x) AS max_user,
              |  min(y) AS min_day, max(y) AS max_day
-             |FROM z GROUP BY 1""".stripMargin))
+             |FROM z GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "s09_skew_probe",
+      "pre-join skew probe — the diagnostic run BEFORE choosing salting/AQE settings: per-key group-size distribution of the join key (key count, total rows, max/avg group size, skew factor = max/avg, and the top heavy-hitter key). Two tiny map-side-combinable aggregates; nothing wide beyond the key count itself",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        g.agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("n")).as("total_rows"),
+            max(col("n")).as("max_group"),
+            (sum(col("n")).cast("double") / count(lit(1))).as("avg_group"),
+            // heaviest key, ties to smallest key — the row you'd salt
+            max(struct(col("n"), (-col("user_id")).as("negk"))).as("m"))
+          .select(col("n_keys"), col("total_rows"), col("max_group"),
+            col("avg_group"),
+            (col("max_group").cast("double") / col("avg_group"))
+              .as("skew_factor"),
+            (-col("m.negk")).as("top_key"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, count(*) AS n FROM events
+             |  WHERE user_id IS NOT NULL GROUP BY user_id)
+             |SELECT count(*) AS n_keys,
+             |  CAST(sum(n) AS BIGINT) AS total_rows,
+             |  max(n) AS max_group,
+             |  CAST(sum(n) AS DOUBLE) / count(*) AS avg_group,
+             |  CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*))
+             |    AS skew_factor,
+             |  (SELECT user_id FROM g ORDER BY n DESC, user_id LIMIT 1)
+             |    AS top_key
+             |FROM g""".stripMargin))
   )
 }
