@@ -764,6 +764,28 @@ object RelationalQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
              |    AS sum_price
              |FROM orders
-             |GROUP BY ALL""".stripMargin))
+             |GROUP BY ALL""".stripMargin)),
+
+    QuerySpec(
+      "r42_filtered_agg",
+      "SQL surface: FILTER-clause aggregates (conditional aggregation in ONE pass — the modern replacement for CASE-WHEN pivoting or per-condition self-joins); decimal-exact sums keep it hash-comparable",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("count(*)").as("n_all"),
+          expr("count(*) FILTER (WHERE l_returnflag = 'R')").as("n_returned"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) " +
+            "FILTER (WHERE l_discount > 0.05) AS DOUBLE)").as("qty_discounted"),
+          expr("count(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0)")
+            .as("n_supp_taxfree")),
+      Some("""SELECT l_linestatus,
+             |  count(*) AS n_all,
+             |  count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+             |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted,
+             |  count(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0)
+             |    AS n_supp_taxfree
+             |FROM lineitem
+             |GROUP BY l_linestatus""".stripMargin))
   )
 }

@@ -379,6 +379,37 @@ object TimeSeriesQueries {
              |  FROM events
              |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
              |    AND event_type IS NOT NULL AND ts IS NOT NULL)
-             |WHERE rk = 1""".stripMargin))
+             |WHERE rk = 1""".stripMargin)),
+
+    QuerySpec(
+      "t14_stream_blocklist",
+      "streaming blocklist filter: a bloom of blocked user_ids (built batch-side at stream start, shipped as a codegen'd probe constant) routes the LIVE stream — bloom-negative rows pass with no join at all, bloom-maybes are exactly verified by a broadcast stream-static left-outer join; run end-to-end with AvailableNow, census must equal the batch anti-join",
+      (s, dir) => {
+        val blocked = Tables.load(s, dir, "events")
+          .where(col("user_id").isNotNull && col("user_id") % 17 === 0)
+          .select(col("user_id").as("bk")).distinct()
+        val bloom = graft.functions.BloomFunctions.buildBloom(
+          blocked, "bk", 2000L, 0.05)
+        val stream = Tables.loadStream(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"))
+        val hit = graft.functions.BloomFunctions
+          .mightContain(bloom, col("user_id"))
+        // Route: definite negatives bypass the join (the 100 TB win —
+        // almost every row, no broadcast lookup); maybes verify exactly
+        // so bloom false positives cannot drop rows.
+        val negatives = stream.where(!hit)
+        val verified = stream.where(hit)
+          .join(broadcast(blocked), col("user_id") === col("bk"), "left_outer")
+          .where(col("bk").isNull)
+          .select(col("user_id"), col("event_type"))
+        val kept = runBounded(s, negatives.union(verified),
+          "t14_stream_blocklist_mem", "append")
+        kept.groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""SELECT event_type, count(*) AS n_kept
+             |FROM events
+             |WHERE user_id IS NOT NULL AND user_id % 17 <> 0
+             |GROUP BY 1""".stripMargin))
   )
 }
