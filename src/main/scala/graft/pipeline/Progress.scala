@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Live progress/throughput metrics for migrations — the Spark face of the
   * reference's 500 ms `bench()` sampler + `draw()` TUI (index.js:214-225,
@@ -86,4 +87,61 @@ final class ProgressListener extends SparkListener {
 
   def unregister(spark: SparkSession): Unit =
     spark.sparkContext.removeSparkListener(this)
+}
+
+/** Streaming face of [[ProgressListener]] — the reference's 500 ms
+  * inserts/sec sampler (index.js:214-225) for the CONTINUOUS migration
+  * path: per-query processed-row totals and rates accumulated from the
+  * engine's own micro-batch progress events. Rows/sec comes in two
+  * flavors: `snapshot()` derives a since-first-batch average (the batch
+  * listener's semantics), and `lastRate` surfaces the engine's own
+  * per-batch `processedRowsPerSecond` (the reference's sliding sample).
+  * Queries are keyed by their `queryName` (falling back to the run id),
+  * so one listener serves every stream on the session — events arrive on
+  * the listener bus, i.e. asynchronously after each batch commits.
+  */
+final class StreamingProgressListener extends StreamingQueryListener {
+
+  /** name -> (rows so far, first-event nanos, last per-batch rows/sec). */
+  private val state = new ConcurrentHashMap[String, (Long, Long, Double)]()
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
+    val rows = p.numInputRows
+    if (rows > 0) {
+      val rate = p.processedRowsPerSecond
+      state.merge(name, (rows, System.nanoTime(), rate),
+        (old, add) => (old._1 + add._1, old._2, add._3))
+    }
+  }
+
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  /** Per-query (rowsProcessed, rowsPerSec since first progress event). */
+  def snapshot(): Map[String, (Long, Double)] =
+    state.asScala.toMap.map { case (n, (rows, t0, _)) =>
+      val secs = math.max(1e-9, (System.nanoTime() - t0) / 1e9)
+      n -> (rows, rows / secs)
+    }
+
+  /** The engine's own per-batch rows/sec for `query`'s LAST batch — the
+    * closest analogue of the reference's 500 ms window sample.
+    */
+  def lastRate(query: String): Option[Double] =
+    Option(state.get(query)).map(_._3)
+
+  def reset(query: String): Unit = state.remove(query)
+
+  def register(spark: SparkSession): this.type = {
+    spark.streams.addListener(this); this
+  }
+
+  def unregister(spark: SparkSession): Unit =
+    spark.streams.removeListener(this)
 }

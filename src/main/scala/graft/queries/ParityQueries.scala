@@ -248,6 +248,37 @@ object ParityQueries {
              |  min(epoch_ns(CAST(ts AS TIMESTAMP))) AS min_ts_ns,
              |  max(epoch_ns(CAST(ts AS TIMESTAMP))) AS max_ts_ns
              |FROM events
-             |WHERE ts IS NOT NULL AND event_id IS NOT NULL""".stripMargin))
+             |WHERE ts IS NOT NULL AND event_id IS NOT NULL""".stripMargin)),
+
+    QuerySpec(
+      "p11_stream_progress",
+      "live progress metrics on the CONTINUOUS path (the reference's inserts/sec sampler, index.js:214-225, for writeStream): a bounded stream runs to completion and the StreamingProgressListener's per-query row total — accumulated from the engine's own micro-batch progress events — must equal the source count; rate positivity is asserted in-query",
+      (s, dir) => {
+        val listener =
+          new graft.pipeline.StreamingProgressListener().register(s)
+        try {
+          val q = Tables.loadStream(s, dir, "events")
+            .where(col("event_id").isNotNull)
+            .writeStream.format("memory").queryName("p11_mem")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.stop()
+          // progress events arrive on the async listener bus
+          var tries = 0
+          while (listener.snapshot().get("p11_mem").isEmpty && tries < 100) {
+            Thread.sleep(100); tries += 1
+          }
+          val (rows, rate) = listener.snapshot()("p11_mem")
+          require(rate > 0.0, s"rows/sec must be positive, got $rate")
+          require(listener.lastRate("p11_mem").exists(_ > 0.0),
+            "engine per-batch rate missing")
+          import s.implicits._
+          Seq(rows).toDF("rows_seen")
+        } finally listener.unregister(s)
+      },
+      Some("""SELECT count(*) AS rows_seen FROM events
+             |WHERE event_id IS NOT NULL""".stripMargin))
   )
 }

@@ -41,6 +41,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingProgressListener: per-query rows and rates from progress events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new graft.pipeline.StreamingProgressListener().register(spark)
+    try {
+      val stream = MemoryStream[Ev]
+      val q = stream.toDF()
+        .writeStream.format("memory").queryName("prog_probe")
+        .outputMode("append").start()
+      try {
+        stream.addData(events.take(3)); q.processAllAvailable()
+        stream.addData(events.drop(3)); q.processAllAvailable()
+      } finally q.stop()
+      // progress events arrive on the async listener bus — wait for them
+      var tries = 0
+      while (listener.snapshot().get("prog_probe").forall(_._1 < 5) &&
+          tries < 50) { Thread.sleep(100); tries += 1 }
+      val (rows, rate) = listener.snapshot()("prog_probe")
+      assert(rows === 5, s"expected 5 rows, got $rows")
+      assert(rate > 0.0)
+      assert(listener.lastRate("prog_probe").exists(_ > 0.0))
+      listener.reset("prog_probe")
+      assert(!listener.snapshot().contains("prog_probe"))
+    } finally listener.unregister(spark)
+  }
+
   test("tumblingAgg (complete mode) equals the batch tumbling aggregate") {
     import spark.implicits._
     val got = runStream("t_tumble", StreamingOps.tumblingAgg(_),
