@@ -903,6 +903,26 @@ object LlmQueries {
              |SELECT passage, n_docs FROM (
              |  SELECT passage, count(*) AS n_docs FROM e GROUP BY passage
              |  HAVING count(*) >= 2)
-             |ORDER BY n_docs DESC, passage LIMIT 50""".stripMargin))
+             |ORDER BY n_docs DESC, passage LIMIT 50""".stripMargin)),
+
+    QuerySpec(
+      "l43_mm_resize",
+      "multimodal: resize transform scaling decoded width/height by 3/4 (integer floor) — the narrow column-op-over-meta shape a real codec resize shares (the blob transform itself is the stubbed codec call); oracle recomputes the scaled dimensions",
+      (s, dir) => Multimodal.resizeMeta(
+          Multimodal.decodeMetaCols(
+            Multimodal.withBlob(Tables.load(s, dir, "documents"), "text")),
+          num = 3, den = 4)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"), col("meta.format").as("format")),
+      Some("""SELECT doc_id,
+             |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  CAST((16 + strlen(text) % 64) * 3 // 4 AS INT) AS width,
+             |  CAST((16 + (strlen(text) * 7) % 64) * 3 // 4 AS INT) AS height,
+             |  CAST(1 + strlen(text) % 8 AS INT) AS n_frames,
+             |  CASE WHEN strlen(text) % 3 = 0 THEN 'img'
+             |       WHEN strlen(text) % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS format
+             |FROM documents""".stripMargin))
   )
 }
