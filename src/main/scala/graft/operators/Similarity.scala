@@ -275,4 +275,76 @@ object Similarity {
       .where(col("rk") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
   }
+
+  /** Per-group centroid-distance outlier score on an integer-quantized
+    * grid: each dimension quantizes to `floor(x*scale)` and the score is
+    * `n^2 * dist^2 = sum_d (n*q_d - S_d)^2` where `S_d` is the group's
+    * per-dimension quantized sum — ALL integer arithmetic, so the result
+    * is exact and hash-stable on any engine regardless of aggregation
+    * order (shuffled double sums would not be). A production variant runs
+    * the identical plan in plain doubles; the use case is dropping
+    * mislabeled / out-of-distribution vectors before training.
+    *
+    * 100 TB shape: the posexplode is narrow (id, group, dim, q); the
+    * centroid table is |groups| x dims rows and broadcasts; both
+    * aggregates are map-side combinable hash aggregates; the final top-k
+    * plans as TakeOrderedAndProject (per-partition heap, k-row driver
+    * merge). Overflow headroom: |n*q| <= n*scale*max|x|, squared and
+    * summed over dims must sit under 2^63 — at scale=1000, unit-norm-ish
+    * vectors and n <= 1e6 rows/group the margin is ~1e5.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, scale: Int = 1000, k: Int = 50): DataFrame = {
+    val q = df.select(col(idCol).as("vid"), col(groupCol).as("grp"),
+        posexplode(col(vecCol)))
+      .select(col("vid"), col("grp"), col("pos"),
+        floor(col("col").cast("double") * scale).cast("long").as("qv"))
+    val stats = q.groupBy(col("grp"), col("pos"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+    q.join(broadcast(stats), Seq("grp", "pos"))
+      .select(col("vid"), col("grp"),
+        ((col("qv") * col("n") - col("s"))
+          * (col("qv") * col("n") - col("s"))).as("term"))
+      .groupBy(col("vid"), col("grp"))
+      .agg(sum(col("term")).as("sdist2"))
+      .orderBy(col("sdist2").desc, col("vid"))
+      .limit(k)
+      .select(col("vid").as("vec_id"), col("grp").as("label"), col("sdist2"))
+  }
+
+  /** Brute-force k-NN majority-vote label prediction — the eval harness
+    * for embedding quality: predict each vector's label from its k
+    * nearest neighbors (leave-one-out) and compare with the stored label.
+    * Fully tie-broken at both stages (cos DESC then neighbor id; vote
+    * count DESC then label ASC) so the prediction is deterministic.
+    *
+    * This is deliberately the exact all-pairs baseline (the same oracle
+    * role as `l02`/`l05`); at scale the identical vote runs over
+    * `lshTopK`/`ivfTopK` candidates instead of the cross product — the
+    * vote plan (two bounded windows + one map-side-combined count) is
+    * unchanged.
+    */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 10): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_emb"),
+      col(labelCol).as("a_label"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_emb"),
+      col(labelCol).as("b_label"))
+    val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        cosineSim(col("a_emb"), col("b_emb")).as("cos"))
+    val wN = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id"))
+    val votes = scored.withColumn("rk", row_number().over(wN))
+      .where(col("rk") <= k)
+      .groupBy(col("a_id"), col("a_label"), col("b_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wV = Window.partitionBy(col("a_id"))
+      .orderBy(col("n_votes").desc, col("b_label"))
+    votes.withColumn("vk", row_number().over(wV)).where(col("vk") === 1)
+      .select(col("a_id").as("vec_id"), col("a_label").as("true_label"),
+        col("b_label").as("pred_label"),
+        when(col("a_label") === col("b_label"), lit(1L)).otherwise(lit(0L))
+          .as("correct"))
+  }
 }

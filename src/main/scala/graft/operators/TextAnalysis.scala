@@ -379,6 +379,36 @@ object TextAnalysis {
     * explodes narrowly and the match is a broadcast equi-join — no
     * wide shuffle touches the corpus.
     */
+  /** Vocabulary-coverage quality score — the shuffle-light stand-in for
+    * LM-perplexity filtering (the CCNet recipe): what fraction of a
+    * document's tokens come from the corpus's top-`vocabSize` tokens.
+    * Low hit-rate documents are gibberish / wrong-language / OCR-noise
+    * candidates. Counts are pure integers (the rate is one per-row IEEE
+    * division), so the output is hash-deterministic; a production
+    * deployment swaps the frequency vocab for a trained LM's vocab file
+    * without changing the plan.
+    *
+    * 100 TB shape: the token explode is narrow (doc_id, token); the
+    * corpus count is one map-side-combined hash aggregate; the vocab is
+    * a `vocabSize`-row TakeOrdered (count DESC, token ASC — the boundary
+    * is fully tie-broken) that BROADCASTS, so scoring never shuffles the
+    * corpus; the per-doc rollup re-aggregates on doc_id map-side.
+    */
+  def vocabHitRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 500): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok").as("v_tok"))
+    toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("v_tok")).as("n_vocab_hits"))
+      .withColumn("hit_rate",
+        col("n_vocab_hits").cast("double") / col("n_tokens"))
+  }
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, k: Int = 5): DataFrame = {
     val corpusSh = corpus.select(col(idCol).as("doc_id"),

@@ -923,6 +923,79 @@ object LlmQueries {
              |  CASE WHEN strlen(text) % 3 = 0 THEN 'img'
              |       WHEN strlen(text) % 3 = 1 THEN 'audio'
              |       ELSE 'video' END AS format
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l44_vocab_quality",
+      "vocabulary-coverage quality score (the shuffle-light stand-in for LM-perplexity filtering): fraction of each doc's tokens drawn from the corpus top-500 vocab; vocab boundary fully tie-broken (count DESC, token ASC), counts pure-integer so the rate is one per-row IEEE division",
+      (s, dir) => TextAnalysis.vocabHitRate(
+        Tables.load(s, dir, "documents"), "doc_id", "text", vocabSize = 500),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+             |  ORDER BY c DESC, tok LIMIT 500)
+             |SELECT t.doc_id,
+             |  count(*) AS n_tokens,
+             |  count(v.tok) AS n_vocab_hits,
+             |  CAST(count(v.tok) AS DOUBLE) / count(*) AS hit_rate
+             |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+             |GROUP BY t.doc_id""".stripMargin)),
+
+    QuerySpec(
+      "l45_embed_outlier",
+      "per-label centroid-distance outliers over an integer-quantized grid (floor(x*1000)): score = sum_d (n*q_d - S_d)^2 is exact integer arithmetic on both engines (shuffled double sums would hash-differ by merge order); top-50 out-of-distribution vectors, the pre-training mislabel/noise filter",
+      (s, dir) => Similarity.centroidOutliers(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        scale = 1000, k = 50),
+      Some("""WITH q AS (
+             |  SELECT vec_id, label,
+             |    unnest([{'pos': i,
+             |             'qv': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+             |                        AS BIGINT)}
+             |            for i in range(1, len(embedding) + 1)],
+             |           recursive := true)
+             |  FROM embeddings),
+             |st AS (
+             |  SELECT label, pos, sum(qv) AS s, count(*) AS n
+             |  FROM q GROUP BY label, pos),
+             |d AS (
+             |  SELECT q.vec_id, q.label,
+             |    sum((q.qv * st.n - st.s) * (q.qv * st.n - st.s)) AS sdist2
+             |  FROM q JOIN st ON q.label = st.label AND q.pos = st.pos
+             |  GROUP BY q.vec_id, q.label)
+             |SELECT vec_id, label, sdist2 FROM d
+             |ORDER BY sdist2 DESC, vec_id LIMIT 50""".stripMargin)),
+
+    QuerySpec(
+      "l46_knn_classify",
+      "brute-force 10-NN majority-vote label prediction (leave-one-out) — the embedding-quality eval harness; fully tie-broken at both stages (cos DESC, neighbor id; votes DESC, label ASC); the scale path feeds the same vote from LSH/IVF candidates (l07/l16) instead of the cross product",
+      (s, dir) => Similarity.knnClassify(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        k = 10),
+      Some(s"""WITH sc AS (
+              |  SELECT a.vec_id AS a_id, a.label AS a_label,
+              |    b.vec_id AS b_id, b.label AS b_label,
+              |    ${cosSql("a.embedding", "b.embedding")} AS cos
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+              |topk AS (
+              |  SELECT a_id, a_label, b_label FROM (
+              |    SELECT a_id, a_label, b_label,
+              |      row_number() OVER (PARTITION BY a_id
+              |        ORDER BY cos DESC, b_id) AS rk
+              |    FROM sc) WHERE rk <= 10),
+              |votes AS (
+              |  SELECT a_id, a_label, b_label, count(*) AS n_votes
+              |  FROM topk GROUP BY a_id, a_label, b_label)
+              |SELECT a_id AS vec_id, a_label AS true_label,
+              |  b_label AS pred_label,
+              |  CASE WHEN a_label = b_label THEN 1 ELSE 0 END AS correct
+              |FROM (
+              |  SELECT a_id, a_label, b_label,
+              |    row_number() OVER (PARTITION BY a_id
+              |      ORDER BY n_votes DESC, b_label) AS vk
+              |  FROM votes) WHERE vk = 1""".stripMargin))
   )
 }

@@ -786,6 +786,47 @@ object RelationalQueries {
              |  count(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0)
              |    AS n_supp_taxfree
              |FROM lineitem
-             |GROUP BY l_linestatus""".stripMargin))
+             |GROUP BY l_linestatus""".stripMargin)),
+
+    QuerySpec(
+      "r43_running_distinct",
+      "running DISTINCT count over an ordered stream — a window no engine supports directly (COUNT(DISTINCT) OVER a running frame): linear first-occurrence-flag decomposition (row_number=1 per key -> running SUM of flags), NOT the quadratic collect-and-distinct; daily 'suppliers seen to date' ledger per return flag",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_suppkey"), col("l_shipdate"),
+            col("l_orderkey"), col("l_linenumber"))
+        // first-occurrence flag: 1 on the earliest row of each
+        // (flag, suppkey) in the fully tie-broken ship order
+        val wFirst = Window.partitionBy(col("l_returnflag"), col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val wRun = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .withColumn("seen_to_date", sum(col("first_seen")).over(wRun))
+          .groupBy(col("l_returnflag"),
+            date_trunc("day", col("l_shipdate")).as("day"))
+          .agg(max(col("seen_to_date")).as("suppliers_to_date"))
+      },
+      Some("""WITH f AS (
+             |  SELECT l_returnflag, l_shipdate,
+             |    CASE WHEN row_number() OVER (
+             |        PARTITION BY l_returnflag, l_suppkey
+             |        ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+             |      THEN 1 ELSE 0 END AS first_seen,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT l_returnflag, l_shipdate,
+             |    sum(first_seen) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |      ROWS UNBOUNDED PRECEDING) AS seen_to_date
+             |  FROM f)
+             |SELECT l_returnflag,
+             |  CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+             |  max(seen_to_date) AS suppliers_to_date
+             |FROM r GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -275,6 +275,45 @@ object ScaleQueries {
              |    AS skew_factor,
              |  (SELECT user_id FROM g ORDER BY n DESC, user_id LIMIT 1)
              |    AS top_key
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    QuerySpec(
+      "s10_dynamic_pruning",
+      "dynamic partition pruning — the star-schema scale lever: fact (date-partitioned sink) joined to a filtered dim whose qualifying dates are only known at RUN time, so the fact scan must prune via the broadcast-fed dynamicpruning subquery (asserted in-plan), never read all partitions; aggregate checked against the source-table oracle",
+      (s, dir) => {
+        val sinkDir =
+          java.nio.file.Files.createTempDirectory("graft_sink_").toString
+        val sink = new graft.pipeline.ParquetSink(sinkDir,
+          partitionCols = Seq("p_date"))
+        sink.append(
+          ParityQueries.prepare(Tables.load(s, dir, "events"))
+            .where(col("time").isNotNull)
+            .withColumn("p_date", to_date(col("time"))),
+          "events")
+        // dim: the qualifying dates (first week of each month) — the
+        // predicate is on a NON-partition dim attribute, so static
+        // pruning is impossible and the fact scan must wait for the
+        // dim's runtime row set
+        val dim = Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("d_date"),
+            dayofmonth(to_date(col("ts"))).as("dom"))
+          .distinct()
+          .where(col("dom") <= 7)
+        val fact = s.read.parquet(s"$sinkDir/events")
+        val joined = fact.join(broadcast(dim),
+            col("p_date") === col("d_date"))
+          .agg(count(lit(1)).as("n"),
+            QuerySpec.decSum(col("value"), 6).as("sum_value"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("dynamicpruning"),
+          s"fact scan must carry a dynamic-pruning subquery:\n$plan")
+        joined
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE ts IS NOT NULL
+             |  AND day(CAST(ts AS DATE)) <= 7""".stripMargin))
   )
 }

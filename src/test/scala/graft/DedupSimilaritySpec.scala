@@ -140,4 +140,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(0).getString(3) === "hit10")
     assert(got(1).isNullAt(3), "NULL-key row must not inherit the NULL-key right payload")
   }
+
+  test("centroidOutliers: planted far vector ranks first, score exact") {
+    import spark.implicits._
+    // group 0: three vectors near (1, 0) and one at (-1, 0) — the outlier
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(1.0f, 0.1f)),
+      (4L, 0, Array(-1.0f, 0.0f)),
+      (5L, 1, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidOutliers(vecs, "vec_id", "embedding",
+      "label", scale = 10, k = 2).collect()
+    assert(got.head.getLong(0) === 4L)
+    // hand-check the integer score for vec 4, group 0 (n=4); note
+    // 0.9f widens to 0.89999997... so floor(10x) = 8, not 9:
+    // q = floor(10x): dims (10,8,10,-10 | 0,1,1,0); S=(18, 2)
+    // term_d = (n*q - S)^2 = (4*-10-18)^2 + (4*0-2)^2 = 58^2 + 4
+    assert(got.head.getLong(2) === 58L * 58L + 4L)
+    // singleton-free group 1 must not appear above group 0's spread
+    assert(got.map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("knnClassify: clustered fixture labels predict correctly, ties deterministic") {
+    import spark.implicits._
+    // two tight clusters; k=2 so each vector's neighbors are its own
+    // cluster mates -> every prediction matches the true label
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.99f, 0.05f)),
+      (3L, 0, Array(0.98f, -0.05f)),
+      (4L, 1, Array(0.0f, 1.0f)), (5L, 1, Array(0.05f, 0.99f)),
+      (6L, 1, Array(-0.05f, 0.98f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnClassify(vecs, "vec_id", "embedding", "label",
+        k = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.length === 6)
+    assert(got.forall { case (_, t, p, c) => t === p && c === 1L })
+  }
 }

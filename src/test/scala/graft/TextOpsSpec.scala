@@ -242,4 +242,22 @@ class TextOpsSpec extends SparkSpec {
     // doc 0 IS the eval doc -> excluded; doc 2 shares "quick brown fox jumps"
     assert(got.toSeq === Seq((2L, 1L, 1L)))
   }
+
+  test("vocabHitRate: rare tokens score low, vocab boundary tie-broken") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),      // all tokens in the top-2 vocab {a, b}
+      (2L, "a b zz qq"))    // half the tokens are out-of-vocab
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabHitRate(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // counts: a=4, b=2, qq=1, zz=1 -> vocab {a, b}
+    assert(got(0) === ((1L, 4L, 4L, 1.0)))
+    assert(got(1) === ((2L, 4L, 2L, 0.5)))
+    // boundary tie: vocabSize=3 must pick qq over zz (count tie -> token ASC)
+    val v3 = TextAnalysis.vocabHitRate(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(v3.toSeq === Seq(4L, 3L))
+  }
 }
