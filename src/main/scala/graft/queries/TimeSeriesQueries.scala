@@ -410,6 +410,43 @@ object TimeSeriesQueries {
       Some("""SELECT event_type, count(*) AS n_kept
              |FROM events
              |WHERE user_id IS NOT NULL AND user_id % 17 <> 0
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t15_stream_outer_join",
+      "stream-stream LEFT OUTER interval join end-to-end — the watermark-closed null-emission semantics: matched pairs emit on match, while an unmatched left row emits its null-extended result only once the watermark (max event time - 1h delay) proves no matching right row can still arrive; rows inside the final watermark horizon never emit, and the oracle encodes exactly that horizon",
+      (s, dir) => {
+        def side(prefix: String) = Tables.loadStream(s, dir, "events")
+          .where(col("user_id").isNotNull && col("user_id") % 10 === 0)
+          .select(col("event_id").as(s"${prefix}event_id"),
+            col("user_id").as(s"${prefix}user_id"),
+            col("ts").as(s"${prefix}ts"))
+        val joined = graft.streaming.StreamingOps.intervalJoin(
+          side("a_"), side("b_"),
+          leftKey = "a_user_id", rightKey = "b_user_id",
+          leftTime = "a_ts", rightTime = "b_ts",
+          joinType = "left_outer")
+          .select(col("a_event_id"), col("b_event_id"))
+        runBounded(s, joined, "t15_stream_outer_join_mem", "append",
+            statePartitions = Some(4))
+          .agg(count(col("b_event_id")).as("n_pairs"),
+            count(when(col("b_event_id").isNull, 1)).as("n_null_left"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE user_id IS NOT NULL AND user_id % 10 = 0),
+             |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+             |p AS (
+             |  SELECT a.event_id AS a_id, b.event_id AS b_id
+             |  FROM e a JOIN e b ON a.user_id = b.user_id
+             |    AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts)
+             |SELECT
+             |  (SELECT count(*) FROM p) AS n_pairs,
+             |  (SELECT count(*) FROM e a, wm
+             |   WHERE a.ts < wm.w
+             |     AND NOT EXISTS (SELECT 1 FROM e b
+             |       WHERE b.user_id = a.user_id
+             |         AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts))
+             |    AS n_null_left""".stripMargin))
   )
 }

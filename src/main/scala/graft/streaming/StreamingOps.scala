@@ -138,10 +138,12 @@ object StreamingOps {
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      lateness: String = "1 hour", lookback: String = "1 hour"): DataFrame =
+      lateness: String = "1 hour", lookback: String = "1 hour",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTime, lateness)
       .join(right.withWatermark(rightTime, lateness),
         expr(s"""$leftKey = $rightKey
                 |AND $rightTime >= $leftTime - INTERVAL $lookback
-                |AND $rightTime < $leftTime""".stripMargin))
+                |AND $rightTime < $leftTime""".stripMargin),
+        joinType)
 }

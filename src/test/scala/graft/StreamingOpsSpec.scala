@@ -176,6 +176,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: null row emits only after the watermark closes its horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    def side(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("event_id").as(s"${p}id"), col("user_id").as(s"${p}uid"),
+        col("ts").as(s"${p}ts"))
+    val q = StreamingOps.intervalJoin(
+        side(stream.toDF(), "a_"), side(stream.toDF(), "b_"),
+        leftKey = "a_uid", rightKey = "b_uid",
+        leftTime = "a_ts", rightTime = "b_ts",
+        joinType = "left_outer")
+      .select(col("a_id"), col("b_id"))
+      .writeStream.format("memory").queryName("t_ssjoin_outer")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has a pair (2 sees 1); user 2's rows (3, 4) have
+      // no predecessor pair yet; watermark after batch 1 = 03:00 - 1h =
+      // 02:00, which closes the horizon for rows 1-4 but not row 5
+      stream.addData(events)
+      q.processAllAvailable()
+      val got1 = spark.table("t_ssjoin_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got1.contains((2L, 1L)), "matched pair emits on match")
+      assert(got1.contains((1L, -1L)) && got1.contains((3L, -1L)),
+        "closed-horizon unmatched rows must null-emit")
+      assert(!got1.exists(_._1 == 5L),
+        "row inside the watermark horizon must NOT emit yet")
+      // batch 2: advance the watermark past row 5's horizon — its
+      // unmatched null row must now appear
+      stream.addData(Seq(Ev(6, ts("2024-01-01 05:00:00"), 9, "z", 0.0)))
+      q.processAllAvailable()
+      val got2 = spark.table("t_ssjoin_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got2.contains((5L, -1L)),
+        "watermark advance must flush the held unmatched row")
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first occurrence within the watermark") {
     val dup = Ev(1, ts("2024-01-01 00:10:00"), 1, "a", 999.0) // same event_id
     val got = runStream("t_dedup",
