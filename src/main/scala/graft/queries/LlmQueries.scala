@@ -996,6 +996,132 @@ object LlmQueries {
               |  SELECT a_id, a_label, b_label,
               |    row_number() OVER (PARTITION BY a_id
               |      ORDER BY n_votes DESC, b_label) AS vk
-              |  FROM votes) WHERE vk = 1""".stripMargin))
+              |  FROM votes) WHERE vk = 1""".stripMargin)),
+
+    QuerySpec(
+      "l47_bm25",
+      "BM25 lexical retrieval for a 3-term query (k1=1.2, b=0.75), top-20 docs — the sparse half of hybrid search next to l06/l16's dense half; idf uses the RATIONAL (N-df+0.5)/(df+0.5) form so the score stays inside the no-libm determinism contract (ranking-equivalent to the ln form); per-term tf is a filter-HOF count, corpus stats are one scalar row attached by broadcast",
+      (s, dir) => {
+        val terms = Seq("scan", "window", "merge")
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+        val withTf = terms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+          df.withColumn(s"tf$i",
+            size(filter(col("toks"), x => x === lit(t))).cast("double"))
+        }
+        val stats = withTf.agg(
+          count(lit(1)).cast("double").as("n"),
+          QuerySpec.decSum(col("dl")).as("sdl"),
+          sum(when(col("tf0") > 0, 1L).otherwise(0L)).cast("double").as("df0"),
+          sum(when(col("tf1") > 0, 1L).otherwise(0L)).cast("double").as("df1"),
+          sum(when(col("tf2") > 0, 1L).otherwise(0L)).cast("double").as("df2"))
+        def part(i: Int) =
+          (((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+            * (col(s"tf$i") * lit(2.2)))
+            ./(col(s"tf$i") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl") / (col("sdl") / col("n"))))
+        withTf.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (part(0) + part(1) + part(2)).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(string_split(trim(text), ' '),
+             |      x -> x = 'scan')) AS DOUBLE) AS tf0,
+             |    CAST(len(list_filter(string_split(trim(text), ' '),
+             |      x -> x = 'window')) AS DOUBLE) AS tf1,
+             |    CAST(len(list_filter(string_split(trim(text), ' '),
+             |      x -> x = 'merge')) AS DOUBLE) AS tf2
+             |  FROM documents),
+             |s AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(dl AS DECIMAL(18,4))) AS DOUBLE) AS sdl,
+             |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM t)
+             |SELECT doc_id,
+             |  (((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2))
+             |    / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))
+             |  + (((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2))
+             |    / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))
+             |  + (((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2))
+             |    / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl / n))) AS score
+             |FROM t, s
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QuerySpec(
+      "l48_rrf_fusion",
+      "hybrid retrieval: reciprocal-rank fusion (k=60) of a sparse ranking (summed tf of the 3-term query, integer) and a dense ranking (cosine to the min-id query vector), each list truncated to top-100 BEFORE the rank window so the global sort is a bounded TakeOrdered, absent-from-list contributes 0 — the standard RRF contract; top-20 fused ids, every rank fully tie-broken",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("scan", "window", "merge")
+        // sparse side: integer lexical score, top-100, then rank the
+        // bounded list (the window sees 100 rows, never the corpus)
+        val lexTop = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            terms.map(t => size(filter(col("toks"), x => x === lit(t))))
+              .reduce(_ + _).as("ls"))
+          .orderBy(col("ls").desc, col("doc_id")).limit(100)
+        val lexRank = lexTop.withColumn("lr",
+          row_number().over(Window.orderBy(col("ls").desc, col("doc_id"))))
+          .select(col("doc_id").as("l_id"), col("lr"))
+        // dense side: cosine against the min-vec_id query vector
+        val e = Tables.load(s, dir, "embeddings")
+        val qv = e.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding").as("q_emb"))
+        val denTop = e.crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .cosineSim(col("embedding"), col("q_emb")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(100)
+        val denRank = denTop.withColumn("dr",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id").as("d_id"), col("dr"))
+        lexRank.join(denRank, col("l_id") === col("d_id"), "full_outer")
+          .select(coalesce(col("l_id"), col("d_id")).as("id"),
+            (coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""WITH lt AS (
+              |  SELECT doc_id, ls,
+              |    row_number() OVER (ORDER BY ls DESC, doc_id) AS lr
+              |  FROM (
+              |    SELECT doc_id,
+              |      len(list_filter(string_split(trim(text), ' '),
+              |        x -> x = 'scan'))
+              |      + len(list_filter(string_split(trim(text), ' '),
+              |          x -> x = 'window'))
+              |      + len(list_filter(string_split(trim(text), ' '),
+              |          x -> x = 'merge')) AS ls
+              |    FROM documents
+              |    ORDER BY ls DESC, doc_id LIMIT 100)),
+              |q AS (
+              |  SELECT embedding AS q_emb FROM embeddings
+              |  ORDER BY vec_id LIMIT 1),
+              |dt AS (
+              |  SELECT vec_id, cos,
+              |    row_number() OVER (ORDER BY cos DESC, vec_id) AS dr
+              |  FROM (
+              |    SELECT e.vec_id,
+              |      ${cosSql("e.embedding", "q.q_emb")} AS cos
+              |    FROM embeddings e, q
+              |    ORDER BY cos DESC, e.vec_id LIMIT 100))
+              |SELECT COALESCE(lt.doc_id, dt.vec_id) AS id,
+              |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + lr), CAST(0.0 AS DOUBLE))
+              |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + dr), CAST(0.0 AS DOUBLE))
+              |    AS rrf
+              |FROM lt FULL OUTER JOIN dt ON lt.doc_id = dt.vec_id
+              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin))
   )
 }

@@ -827,6 +827,31 @@ object RelationalQueries {
              |SELECT l_returnflag,
              |  CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
              |  max(seen_to_date) AS suppliers_to_date
-             |FROM r GROUP BY 1, 2""".stripMargin))
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "r44_fill_forward",
+      "forward-fill repair of a gappy measure (sensor-dropout shape): error rows' value is treated as missing and replaced by the user's last good reading — last_value IGNORE NULLS over a running frame, fully tie-broken; values pass through untouched so no FP determinism risk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_type") === "error", lit(null))
+              .otherwise(col("value")).as("v"))
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .drop("v", "ts")
+      },
+      Some("""SELECT event_id, user_id,
+             |  last_value(CASE WHEN event_type = 'error' THEN NULL
+             |                  ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id
+             |          ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |          ROWS UNBOUNDED PRECEDING) AS v_filled
+             |FROM events
+             |WHERE ts IS NOT NULL AND user_id IS NOT NULL""".stripMargin))
   )
 }

@@ -22,7 +22,7 @@ object PlanAudit {
     // single-row scalar attach (corpus count N / the serialized CMS
     // broadcast into a k-row side): a 1-row BroadcastNestedLoopJoin IS
     // the right plan for a scalar
-    "l25_tfidf_topk", "l37_cms_heavy_hitters")
+    "l25_tfidf_topk", "l37_cms_heavy_hitters", "l47_bm25", "l48_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
