@@ -78,6 +78,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Exact directional shingle-containment pairs: C(a->b) = |Sa n Sb| / |Sa|
+    * >= threshold — the asymmetric near-dup measure that catches a short
+    * document quoted inside a long one, where Jaccard stays low (the
+    * union washes the overlap out). Directional: (a,b) and (b,a) are
+    * independent verdicts.
+    *
+    * Same inverted-index join shape as `jaccardPairs` with the
+    * directional size prune (inter <= min(na, nb), so C >= t forces
+    * nb >= t*na — a long doc can never be contained in a much shorter
+    * one). At 100 TB the standard df-cap on hot shingles bounds the
+    * candidate join; kept exact here because this is the oracle-checked
+    * baseline.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val exA = sets.select(col("doc_id").as("a_id"), size(col("sh")).as("na"),
+      explode(col("sh")).as("g"))
+    val exB = exA.select(col("a_id").as("b_id"), col("na").as("nb"),
+      col("g").as("g2"))
+    exA.join(exB,
+        col("g") === col("g2") && col("a_id") =!= col("b_id") &&
+          col("nb") >= lit(threshold) * col("na"))
+      .groupBy(col("a_id"), col("b_id"), col("na"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
   /** LSH candidate pairs -> exact-Jaccard verification >= threshold.
     * Output is identical to `jaccardPairs` up to the (tiny, tunable)
     * LSH miss probability.

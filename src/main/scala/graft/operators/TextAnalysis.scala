@@ -409,6 +409,28 @@ object TextAnalysis {
         col("n_vocab_hits").cast("double") / col("n_tokens"))
   }
 
+  /** Training-mixture contingency diagnostic: observed (g1, g2) cell
+    * counts vs the independence expectation, reported as lift =
+    * obs * N / (rowTotal * colTotal) — lift >> 1 flags an over-sampled
+    * slice of the mixture, << 1 an under-sampled one. Pure integer
+    * counts until ONE final IEEE division, so hash-deterministic.
+    *
+    * 100 TB shape: one map-side-combined cell aggregate over the corpus;
+    * the window totals run on the |g1| x |g2| CELL table (dozens of
+    * rows), never the corpus.
+    */
+  def mixtureLift(docs: DataFrame, g1: String, g2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.groupBy(col(g1), col(g2)).agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("rl", sum(col("n_docs")).over(Window.partitionBy(col(g1))))
+      .withColumn("cs", sum(col("n_docs")).over(Window.partitionBy(col(g2))))
+      .withColumn("nn", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(col(g1), col(g2), col("n_docs"),
+        ((col("n_docs") * col("nn")).cast("double")
+          / (col("rl") * col("cs"))).as("lift"))
+  }
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, k: Int = 5): DataFrame = {
     val corpusSh = corpus.select(col(idCol).as("doc_id"),

@@ -1122,6 +1122,36 @@ object LlmQueries {
               |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + dr), CAST(0.0 AS DOUBLE))
               |    AS rrf
               |FROM lt FULL OUTER JOIN dt ON lt.doc_id = dt.vec_id
-              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin))
+              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin)),
+
+    QuerySpec(
+      "l49_mixture_lift",
+      "training-mixture contingency diagnostic: observed (lang, source) cell counts vs the independence expectation as lift = obs*N/(rowTotal*colTotal) — lift >> 1 flags an over-sampled slice; integers until one final IEEE division; window totals run on the cell table, never the corpus",
+      (s, dir) => TextAnalysis.mixtureLift(
+        Tables.load(s, dir, "documents"), "lang", "source"),
+      Some("""WITH c AS (
+             |  SELECT lang, source, count(*) AS n_docs
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT lang, source, n_docs,
+             |  CAST(n_docs * (SELECT sum(n_docs) FROM c) AS DOUBLE)
+             |    / (sum(n_docs) OVER (PARTITION BY lang)
+             |       * sum(n_docs) OVER (PARTITION BY source)) AS lift
+             |FROM c""".stripMargin)),
+
+    QuerySpec(
+      "l50_containment_pairs",
+      "directional shingle-containment pairs C(a->b) = |Sa n Sb|/|Sa| >= 0.8 — the asymmetric near-dup measure that catches a short doc quoted inside a long one where Jaccard stays low; inverted-index join with the directional size prune (nb >= t*na), exact integers until one division",
+      (s, dir) => Dedup.containmentPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 0.8),
+      Some(s"""$shingleCte,
+              |e AS (
+              |  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+              |p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    a.n AS na, count(*) AS inter
+              |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2, 3)
+              |SELECT a_id, b_id, CAST(inter AS DOUBLE) / na AS containment
+              |FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.8""".stripMargin))
   )
 }

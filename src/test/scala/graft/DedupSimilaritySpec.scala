@@ -141,6 +141,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(1).isNullAt(3), "NULL-key row must not inherit the NULL-key right payload")
   }
 
+  test("containmentPairs: short doc quoted in a long one is caught, Jaccard is not fooled") {
+    import spark.implicits._
+    val short_ = "alpha beta gamma delta epsilon"
+    val long_ = short_ + " zeta eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, short_), (2L, long_),
+      (3L, "totally unrelated words in this document here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every 3-shingle of doc 1 appears in doc 2 -> C(1->2) = 1.0;
+    // the reverse direction and doc 3 stay below threshold
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // sanity: symmetric Jaccard misses this pair at the same threshold
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 0.8).count() === 0)
+  }
+
   test("centroidOutliers: planted far vector ranks first, score exact") {
     import spark.implicits._
     // group 0: three vectors near (1, 0) and one at (-1, 0) — the outlier

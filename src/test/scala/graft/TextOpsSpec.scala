@@ -243,6 +243,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 1L, 1L)))
   }
 
+  test("mixtureLift: independent mixture lifts to 1, skewed cell above 1") {
+    import spark.implicits._
+    // 2x2 with perfect independence: every lift is exactly 1.0
+    val indep = Seq(("en", "s0"), ("en", "s1"), ("de", "s0"), ("de", "s1"))
+      .toDF("lang", "source")
+    val li = TextAnalysis.mixtureLift(indep, "lang", "source")
+      .collect().map(_.getDouble(3))
+    assert(li.forall(_ === 1.0))
+    // skew: (en, s0) doubled -> its lift = obs*N/(rl*cs) = 2*5/(3*3)
+    val skew = indep.union(Seq(("en", "s0")).toDF("lang", "source"))
+    val got = TextAnalysis.mixtureLift(skew, "lang", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("en", "s0")) === ((2L, 2.0 * 5 / (3 * 3))))
+    assert(got(("de", "s1")) === ((1L, 1.0 * 5 / (2 * 2))))
+  }
+
   test("vocabHitRate: rare tokens score low, vocab boundary tie-broken") {
     import spark.implicits._
     val docs = Seq(
