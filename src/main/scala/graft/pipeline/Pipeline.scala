@@ -33,7 +33,12 @@ final case class PipelineConfig(
     systemMarker: String = "system",
     timeCol: String = "time",
     queryLimit: Option[Long] = None,
-    logging: Boolean = true)
+    logging: Boolean = true,
+    // Resume: skip tables the sink has already marked complete (no
+    // reference counterpart — a re-run there re-writes everything).
+    // Markers land only AFTER a table's append returns, so an
+    // interrupted table re-migrates on resume.
+    resume: Boolean = false)
 
 /** Per-table migration ledger, mirroring the reference's end-of-collection
   * report (index.js:271-272): rows written, rows skipped for a null/absent
@@ -145,13 +150,20 @@ object Pipeline {
           // a collection that errors is logged and excluded from the
           // ledger; the other collections still migrate.
           try {
-            val r = migrateTable(spark, srcDir, name, prepare(name), sink, config)
-            // per-collection completion line (index.js:271-272), gated by
-            // the reference's `logging` flag (index.js:49)
-            if (config.logging)
-              System.err.println(f"[pipeline] $name: written=${r.written} " +
-                f"skipped=${r.skipped} success=${r.success_rate}%.1f%%")
-            Some(r)
+            if (config.resume && sink.isDone(name)) {
+              if (config.logging)
+                System.err.println(s"[pipeline] $name: already complete, skipped (resume)")
+              None
+            } else {
+              val r = migrateTable(spark, srcDir, name, prepare(name), sink, config)
+              sink.markDone(name)
+              // per-collection completion line (index.js:271-272), gated by
+              // the reference's `logging` flag (index.js:49)
+              if (config.logging)
+                System.err.println(f"[pipeline] $name: written=${r.written} " +
+                  f"skipped=${r.skipped} success=${r.success_rate}%.1f%%")
+              Some(r)
+            }
           } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[pipeline] migrate $name failed: ${e.getMessage}")

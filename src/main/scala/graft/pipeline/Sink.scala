@@ -17,6 +17,15 @@ trait Sink extends Serializable {
 
   /** Append all rows of `df` to `table`. Implementations decide batching. */
   def append(df: DataFrame, table: String): Unit
+
+  /** Resume support (no reference counterpart — re-running the reference
+    * re-writes everything, index.js:177-278). `markDone` is called by the
+    * pipeline AFTER a table's append returns, so a crash mid-table leaves
+    * no marker and the table re-migrates; `isDone` gates the skip on a
+    * resumed run. Default: no persistence, nothing resumes.
+    */
+  def markDone(table: String): Unit = ()
+  def isDone(table: String): Boolean = false
 }
 
 /** Bulk-file sink: one parquet dir per series. The idiomatic Spark write
@@ -35,16 +44,34 @@ final class ParquetSink(baseDir: String, partitionCols: Seq[String] = Nil)
     extends Sink {
   private def path(table: String) = s"$baseDir/$table"
 
-  override def truncate(table: String): Unit =
-    // SaveMode.Overwrite on the next append would also truncate, but the
-    // reference exposes truncation as its own operation (index.js:321) —
-    // mirror that so truncate-without-rewrite is expressible.
-    SinkFiles.deleteRecursive(path(table))
+  // (truncate below: SaveMode.Overwrite on the next append would also
+  // truncate, but the reference exposes truncation as its own operation
+  // (index.js:321) — mirror that so truncate-without-rewrite stays
+  // expressible.)
 
   override def append(df: DataFrame, table: String): Unit = {
     val w = df.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path(table))
+  }
+
+  // Completion marker: a zero-byte file NEXT TO the table dir (not inside
+  // it — a marker inside would break spark.read.parquet's dir listing on
+  // some metastores and be lost by a truncate-then-append).
+  private def doneMarker(table: String) = new Path(s"$baseDir/_done_$table")
+
+  override def markDone(table: String): Unit = {
+    val fs = SinkFiles.fileSystem(doneMarker(table))
+    fs.create(doneMarker(table), true).close()
+  }
+
+  override def isDone(table: String): Boolean =
+    SinkFiles.fileSystem(doneMarker(table)).exists(doneMarker(table))
+
+  override def truncate(table: String): Unit = {
+    // a truncated series is no longer "done" — drop the marker with it
+    SinkFiles.deleteRecursive(s"$baseDir/_done_$table")
+    SinkFiles.deleteRecursive(path(table))
   }
 }
 

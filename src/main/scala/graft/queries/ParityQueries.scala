@@ -279,6 +279,31 @@ object ParityQueries {
         } finally listener.unregister(s)
       },
       Some("""SELECT count(*) AS rows_seen FROM events
-             |WHERE event_id IS NOT NULL""".stripMargin))
+             |WHERE event_id IS NOT NULL""".stripMargin)),
+
+    QuerySpec(
+      "p12_resume_migrate",
+      "resumable migration (no reference counterpart — re-running index.js re-writes everything): completion markers land AFTER each table's append, a crash-simulated table (sink dir + marker deleted) is the ONLY one a resume re-migrates (asserted), and the re-migrated sink holds exactly one copy",
+      (s, dir) => {
+        val sinkDir = tempSinkDir()
+        val sink = new ParquetSink(sinkDir)
+        val quiet = PipelineConfig(logging = false)
+        Pipeline.migrate(s, dir, sink, config = quiet)
+        // simulate a table lost mid-run: data AND marker gone
+        graft.pipeline.SinkFiles.deleteRecursive(s"$sinkDir/events")
+        graft.pipeline.SinkFiles.deleteRecursive(s"$sinkDir/_done_events")
+        val resumed = Pipeline.migrate(s, dir, sink,
+          config = quiet.copy(resume = true))
+        val rows = resumed.collect()
+        require(rows.length == 1 && rows(0).getString(0) == "events",
+          s"resume must re-migrate ONLY the lost table, got ${rows.toSeq}")
+        val n = s.read.parquet(s"$sinkDir/events").count()
+        resumed.withColumn("n_in_sink", lit(n))
+      },
+      Some("""SELECT 'events' AS table_name, count(ts) AS written,
+             |  count(*) - count(ts) AS skipped,
+             |  CAST(count(ts) * 100 AS DOUBLE) / count(*) AS success_rate,
+             |  count(ts) AS n_in_sink
+             |FROM events""".stripMargin))
   )
 }

@@ -25,22 +25,30 @@ object TimeSeriesQueries {
     */
   private def runBounded(s: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.DataFrame, name: String, mode: String,
-      statePartitions: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+      statePartitions: Option[Int] = None,
+      extraConf: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
     // Streaming state partitioning is pinned from shuffle.partitions at
     // query START (into the checkpoint); every state store instance pays
     // per-batch snapshot/delta file IO, and a stream-stream join keeps
     // FOUR stores per partition — size the partition count to the state
     // volume, exactly as a production job would, and restore after start.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
+    // extraConf covers the same start-pinned class of settings (e.g. the
+    // state store provider transformWithState requires).
+    val overrides = statePartitions
+      .map(n => "spark.sql.shuffle.partitions" -> n.toString).toMap ++
+      extraConf
+    val prev = overrides.keys.map(k => k -> s.conf.getOption(k)).toMap
     val q =
       try {
-        statePartitions.foreach(n => s.conf.set(key, n.toString))
+        overrides.foreach { case (k, v) => s.conf.set(k, v) }
         plan.writeStream.format("memory").queryName(name)
           .outputMode(mode)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-      } finally statePartitions.foreach(_ => s.conf.set(key, prev))
+      } finally prev.foreach { case (k, vOpt) =>
+        vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+      }
     q.awaitTermination()
     q.stop() // deregister so re-runs in the same session can reuse the name
     s.table(name)
@@ -447,6 +455,38 @@ object TimeSeriesQueries {
              |     AND NOT EXISTS (SELECT 1 FROM e b
              |       WHERE b.user_id = a.user_id
              |         AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts))
-             |    AS n_null_left""".stripMargin))
+             |    AS n_null_left""".stripMargin)),
+
+    QuerySpec(
+      "t16_stream_tws",
+      "Spark-4-native typed keyed state (transformWithState) run end-to-end: per-user running (count, max event id) census via a named ValueState handle under the REQUIRED RocksDB provider — the spill-to-disk state backend 100 TB streaming state needs; both stats integer+monotone so max-per-key over Update-mode emissions is batch-count-invariant, checked against the batch census oracle",
+      (s, dir) => {
+        val emitted = runBounded(s,
+          graft.streaming.StreamingOps.runningCensusTws(
+            Tables.loadStream(s, dir, "events")
+              .where(col("user_id").isNotNull && col("event_id").isNotNull),
+            "user_id", "event_id"),
+          "t16_stream_tws_mem", "update", statePartitions = Some(8),
+          extraConf = Map(
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")))
+        emitted.groupBy(col("key"))
+          .agg(max(col("n_events")).as("n"), max(col("max_id")).as("mx"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n")).as("n_events_total"),
+            max(col("n")).as("max_events_per_user"),
+            max(col("mx")).as("max_event_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, count(*) AS c, max(event_id) AS mx
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+             |  GROUP BY 1)
+             |SELECT count(*) AS n_users,
+             |  CAST(sum(c) AS BIGINT) AS n_events_total,
+             |  CAST(max(c) AS BIGINT) AS max_events_per_user,
+             |  max(mx) AS max_event_id
+             |FROM c""".stripMargin))
   )
 }

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming faces of the engine's time-series operators
   * (SURVEY.md §7.2 M4). Each takes a STREAMING DataFrame (`readStream`)
@@ -135,6 +136,49 @@ object StreamingOps {
     * calling), since the time-interval condition is a cross-side
     * expression.
     */
+  /** Spark-4-native keyed state (`transformWithState`): per-key running
+    * (count, max id) census. The modern replacement for
+    * `mapGroupsWithState` — typed named state handles (`ValueState` here;
+    * list/map state, TTL and timers are the same handle surface), and it
+    * REQUIRES the RocksDB state store provider, i.e. the spill-to-disk
+    * state backend 100 TB streaming state needs anyway. Both tracked
+    * stats are integer and monotone, so the final per-key emission is
+    * the same however the source is chopped into micro-batches.
+    */
+  private class RunningCensus
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("census",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, mx) =
+        if (st.exists()) st.get() else (0L, Long.MinValue)
+      rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+      st.update((n, mx))
+      Iterator.single((key, n, mx))
+    }
+  }
+
+  /** `transformWithState` face of `runningTotals`: per-key running
+    * (n_events, max_id) in Update mode, one emission per key per batch.
+    */
+  def runningCensusTws(events: DataFrame, keyCol: String,
+      idCol: String): DataFrame = {
+    val pairs: Dataset[(Long, Long)] = events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"))
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    pairs
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RunningCensus, TimeMode.None(),
+        OutputMode.Update())(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong))
+      .toDF("key", "n_events", "max_id")
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

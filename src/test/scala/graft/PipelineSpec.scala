@@ -108,6 +108,19 @@ class PipelineSpec extends SparkSpec {
     assert(rep.collect().map(_.getString(0)).toSeq === Seq("events"))
   }
 
+  test("resume markers: set after append, gate the skip, cleared by truncate") {
+    val sinkDir = Files.createTempDirectory("graft_resume_").toString
+    val sink = new ParquetSink(sinkDir)
+    assert(!sink.isDone("events"))
+    sink.markDone("events")
+    assert(sink.isDone("events"))
+    // marker lives NEXT TO the table dir, so it cannot pollute the
+    // parquet listing of the series itself
+    assert(new java.io.File(s"$sinkDir/_done_events").exists())
+    sink.truncate("events")
+    assert(!sink.isDone("events"), "truncated series must lose its marker")
+  }
+
   test("property: written + skipped == input count (the reference ledger)") {
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
     val genRows = Gen.listOf(Gen.oneOf(true, false))
