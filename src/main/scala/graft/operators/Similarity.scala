@@ -333,6 +333,15 @@ object Similarity {
     val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
         cosineSim(col("a_emb"), col("b_emb")).as("cos"))
+    voteTopK(scored, k)
+  }
+
+  /** The vote plan shared by the exact and ANN-candidate classifiers:
+    * bounded neighbor window (cos DESC, b_id) -> per-(a, label) count ->
+    * bounded winner window (votes DESC, label ASC). Expects columns
+    * (a_id, a_label, b_id, b_label, cos).
+    */
+  private def voteTopK(scored: DataFrame, k: Int): DataFrame = {
     val wN = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("b_id"))
     val votes = scored.withColumn("rk", row_number().over(wN))
@@ -346,5 +355,28 @@ object Similarity {
         col("b_label").as("pred_label"),
         when(col("a_label") === col("b_label"), lit(1L)).otherwise(lit(0L))
           .as("correct"))
+  }
+
+  /** The scale path `knnClassify`'s scaladoc promises: the IDENTICAL
+    * vote plan fed from IVF candidates instead of the exact cross
+    * product — probe-bounded candidate generation, no all-pairs join.
+    */
+  def knnClassifyIvf(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val labels = df.select(col(idCol).as("__lid"),
+      col(labelCol).as("__lbl"))
+    val cand = ivfTopK(spark, df, df, idCol, vecCol, k, nCentroids, nProbe)
+    // label attach is UNHINTED: AQE broadcasts the label table at fixture
+    // scale, but at 100 TB labels are corpus-sized and the candidate set
+    // (n*k rows) is the small side — the planner must stay free to flip
+    val scored = cand
+      .join(labels, col("q_id") === col("__lid"))
+      .withColumnRenamed("__lbl", "a_label").drop("__lid")
+      .join(labels, col("c_id") === col("__lid"))
+      .withColumnRenamed("__lbl", "b_label").drop("__lid")
+      .select(col("q_id").as("a_id"), col("a_label"),
+        col("c_id").as("b_id"), col("b_label"), col("cos"))
+    voteTopK(scored, k)
   }
 }

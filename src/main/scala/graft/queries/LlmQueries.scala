@@ -1125,6 +1125,26 @@ object LlmQueries {
               |ORDER BY rrf DESC, id LIMIT 20""".stripMargin)),
 
     QuerySpec(
+      "l51_knn_ivf_agree",
+      "agreement gate for l46's scale-path claim: the IDENTICAL majority-vote plan fed from probe-bounded IVF candidates (no all-pairs join) must predict the same label as the exact 10-NN classifier for >= 60% of vectors (measured 0.70-0.77 across sf at 8 lists x 6 probes). The wide probe fraction is the l23/l30 fixture dial: RANDOM fixture embeddings have no coarse-cluster structure, so default 16x4 probing holds only ~0.35 agreement — real corpora cluster, which narrows the probes; the vote plan is unchanged either way. Oracle = corpus count + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val exact = Similarity.knnClassify(e, "vec_id", "embedding",
+            "label", k = 10)
+          .select(col("vec_id"), col("pred_label").as("p_exact"))
+        val ivf = Similarity.knnClassifyIvf(s, e, "vec_id", "embedding",
+            "label", k = 10, nCentroids = 8, nProbe = 6)
+          .select(col("vec_id"), col("pred_label").as("p_ivf"))
+        exact.join(ivf, Seq("vec_id"), "full_outer")
+          .agg(count(lit(1)).as("n_vecs"),
+            count(when(col("p_exact") === col("p_ivf"), 1)).as("__agree"))
+          .select(col("n_vecs"),
+            (col("__agree") * 100 >= col("n_vecs") * 60).as("agree_ok"))
+      },
+      Some("""SELECT count(*) AS n_vecs, TRUE AS agree_ok
+             |FROM embeddings""".stripMargin)),
+
+    QuerySpec(
       "l49_mixture_lift",
       "training-mixture contingency diagnostic: observed (lang, source) cell counts vs the independence expectation as lift = obs*N/(rowTotal*colTotal) — lift >> 1 flags an over-sampled slice; integers until one final IEEE division; window totals run on the cell table, never the corpus",
       (s, dir) => TextAnalysis.mixtureLift(

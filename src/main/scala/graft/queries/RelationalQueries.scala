@@ -852,6 +852,28 @@ object RelationalQueries {
              |          ORDER BY CAST(ts AS TIMESTAMP), event_id
              |          ROWS UNBOUNDED PRECEDING) AS v_filled
              |FROM events
-             |WHERE ts IS NOT NULL AND user_id IS NOT NULL""".stripMargin))
+             |WHERE ts IS NOT NULL AND user_id IS NOT NULL""".stripMargin)),
+
+    QuerySpec(
+      "r45_variant",
+      "Spark-4 VARIANT semi-structured path: parse_json(props) into the binary variant encoding, then variant_get typed extraction — the engine-native answer to the reference's schemaless Mongo documents (no declared schema, per-row shredding, NULL on shape mismatch); integer aggregates per event type",
+      (s, dir) => Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+             |  count(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             |    AS n_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             |    AS BIGINT) AS sum_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             |    AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             |    AS max_k
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
