@@ -289,9 +289,12 @@ object Similarity {
     * centroid table is |groups| x dims rows and broadcasts; both
     * aggregates are map-side combinable hash aggregates; the final top-k
     * plans as TakeOrderedAndProject (per-partition heap, k-row driver
-    * merge). Overflow headroom: |n*q| <= n*scale*max|x|, squared and
-    * summed over dims must sit under 2^63 — at scale=1000, unit-norm-ish
-    * vectors and n <= 1e6 rows/group the margin is ~1e5.
+    * merge). Overflow: the score is n^2*dist^2 with dist^2 <=
+    * dims*(2*scale*max|x|)^2, so for unit-norm-ish vectors at
+    * scale=1000 and dims=64 the Long limit 2^63 is reached near
+    * n ~ 1.5e6 rows/group — only a ~2x margin at n=1e6. Larger groups
+    * or a finer grid need the score divided by n^2 up front (or a
+    * DECIMAL(38) accumulator); do NOT raise scale and n together.
     */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, scale: Int = 1000, k: Int = 50): DataFrame = {

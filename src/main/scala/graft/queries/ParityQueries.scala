@@ -89,8 +89,7 @@ object ParityQueries {
   private def timeColOf: Map[String, String] =
     Map("events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
 
-  private def tempSinkDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_sink_").toString
+  private def tempSinkDir(): String = QuerySpec.tempSinkDir()
 
   private def pipelineSpecs: Seq[QuerySpec] = Seq(
     QuerySpec(

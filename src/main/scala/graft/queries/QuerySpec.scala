@@ -36,4 +36,10 @@ object QuerySpec {
     import org.apache.spark.sql.functions.sum
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
   }
+
+  /** Fresh throwaway sink dir for self-contained harness queries (the
+    * sink-writing specs rebuild their output every run by contract).
+    */
+  def tempSinkDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_sink_").toString
 }

@@ -129,7 +129,7 @@ object ScaleQueries {
       "time-partitioned sink layout: events migrated into a date-partitioned series, read back with a one-day filter that must prune at the partition level (asserted in-query via PartitionFilters); aggregate checked against the source-table oracle",
       (s, dir) => {
         val sinkDir =
-          java.nio.file.Files.createTempDirectory("graft_sink_").toString
+          QuerySpec.tempSinkDir()
         val sink = new graft.pipeline.ParquetSink(sinkDir,
           partitionCols = Seq("p_date"))
         val e = ParityQueries.prepare(Tables.load(s, dir, "events"))
@@ -155,7 +155,7 @@ object ScaleQueries {
       "sink maintenance end-to-end: date-partitioned migrate -> small-file compaction of one partition (asserted fewer files) -> retention drop of days before 2024-01-16 (partition delete, no rewrite) -> remaining aggregate checked against the source oracle",
       (s, dir) => {
         val base =
-          java.nio.file.Files.createTempDirectory("graft_sink_").toString
+          QuerySpec.tempSinkDir()
         val sink = new graft.pipeline.ParquetSink(base,
           partitionCols = Seq("p_date"))
         sink.append(
@@ -282,7 +282,7 @@ object ScaleQueries {
       "dynamic partition pruning — the star-schema scale lever: fact (date-partitioned sink) joined to a filtered dim whose qualifying dates are only known at RUN time, so the fact scan must prune via the broadcast-fed dynamicpruning subquery (asserted in-plan), never read all partitions; aggregate checked against the source-table oracle",
       (s, dir) => {
         val sinkDir =
-          java.nio.file.Files.createTempDirectory("graft_sink_").toString
+          QuerySpec.tempSinkDir()
         val sink = new graft.pipeline.ParquetSink(sinkDir,
           partitionCols = Seq("p_date"))
         sink.append(

@@ -422,7 +422,7 @@ object TimeSeriesQueries {
 
     QuerySpec(
       "t15_stream_outer_join",
-      "stream-stream LEFT OUTER interval join end-to-end — the watermark-closed null-emission semantics: matched pairs emit on match, while an unmatched left row emits its null-extended result only once the watermark (max event time - 1h delay) proves no matching right row can still arrive; rows inside the final watermark horizon never emit, and the oracle encodes exactly that horizon",
+      "stream-stream LEFT OUTER interval join end-to-end — the watermark-closed null-emission semantics: matched pairs emit on match, while an unmatched left row emits its null-extended result only once the watermark (max event time - 1h delay) proves no matching right row can still arrive; rows inside the final watermark horizon never emit, and the oracle encodes exactly that horizon (boundary INCLUSIVE: a row exactly at the watermark can only match strictly-earlier rights, which would all be late — MemoryStream-probe-verified that Spark emits it)",
       (s, dir) => {
         def side(prefix: String) = Tables.loadStream(s, dir, "events")
           .where(col("user_id").isNotNull && col("user_id") % 10 === 0)
@@ -451,7 +451,7 @@ object TimeSeriesQueries {
              |SELECT
              |  (SELECT count(*) FROM p) AS n_pairs,
              |  (SELECT count(*) FROM e a, wm
-             |   WHERE a.ts < wm.w
+             |   WHERE a.ts <= wm.w
              |     AND NOT EXISTS (SELECT 1 FROM e b
              |       WHERE b.user_id = a.user_id
              |         AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts))
