@@ -1145,6 +1145,30 @@ object LlmQueries {
              |FROM embeddings""".stripMargin)),
 
     QuerySpec(
+      "l52_quantize_gate",
+      "retrieval-fidelity gate for l26's int8 quantization: cosine is scale-invariant, so the quantized vectors rank DIRECTLY (no dequantize pass); exact float top-10 vs int8 top-10 must overlap >= 80% for the l22 query subset (measured 0.98-0.995 across sf); oracle = exact side count + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val qz = e.select(col("vec_id"),
+          graft.functions.VectorFunctions.int8Quantize(col("embedding"))
+            .cast("array<float>").as("embedding"))
+        val q = e.where(col("vec_id") % 25 === 0)
+        val qzq = qz.where(col("vec_id") % 25 === 0)
+        val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("c_id"), lit(1).as("__e"))
+        val quant = Similarity.bruteForceTopK(qzq, qz, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("c_id"), lit(1).as("__q"))
+        exact.join(quant, Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__e")).as("n_exact"),
+            count(when(col("__e").isNotNull && col("__q").isNotNull, 1))
+              .as("__n_hit"))
+          .select(col("n_exact"),
+            (col("__n_hit") * 100 >= col("n_exact") * 80).as("quant_ok"))
+      },
+      Some(s"""SELECT count(*) AS n_exact, TRUE AS quant_ok
+              |FROM ($cosineTopkOracle) x""".stripMargin)),
+
+    QuerySpec(
       "l49_mixture_lift",
       "training-mixture contingency diagnostic: observed (lang, source) cell counts vs the independence expectation as lift = obs*N/(rowTotal*colTotal) — lift >> 1 flags an over-sampled slice; integers until one final IEEE division; window totals run on the cell table, never the corpus",
       (s, dir) => TextAnalysis.mixtureLift(

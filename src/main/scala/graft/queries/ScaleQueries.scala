@@ -314,6 +314,33 @@ object ScaleQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events
              |WHERE ts IS NOT NULL
-             |  AND day(CAST(ts AS DATE)) <= 7""".stripMargin))
+             |  AND day(CAST(ts AS DATE)) <= 7""".stripMargin)),
+
+    QuerySpec(
+      "s11_jsonl_roundtrip",
+      "schemaless file-format surface: events written as JSON Lines (the closest file shape to the reference's Mongo documents) and read back with a declared schema — timestamps pinned to an explicit microsecond format on BOTH sides (the default JSON format is ms-grained and would silently truncate), doubles survive via shortest-round-trip rendering; aggregates checked against the source table",
+      (s, dir) => {
+        val out = QuerySpec.tempSinkDir()
+        val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        Tables.load(s, dir, "events")
+          .write.mode("overwrite").option("timestampFormat", tsFmt)
+          .json(s"$out/events_json")
+        val rd = s.read
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .option("timestampFormat", tsFmt)
+          .json(s"$out/events_json")
+        rd.agg(count(lit(1)).as("n"),
+          count(col("ts")).as("n_ts"),
+          max(col("ts")).as("max_ts"),
+          sum(col("event_id")).as("sum_id"),
+          QuerySpec.decSum(col("value"), 6).as("sum_value"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  count(ts) AS n_ts,
+             |  max(CAST(ts AS TIMESTAMP)) AS max_ts,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events""".stripMargin))
   )
 }

@@ -17,7 +17,7 @@ object PlanAudit {
     "l21_embed_neardup_lsh", "l22_lsh_recall", "l23_ivf_recall",
     "l24_simhash_gate", "l30_embed_lsh_scaled_bits", "l31_split_leakage", "l32_keep_best",
     "l06_cosine_topk", "l07_lsh_topk", "l16_ivf_topk", "l46_knn_classify",
-    "l51_knn_ivf_agree",
+    "l51_knn_ivf_agree", "l52_quantize_gate",
     "t04_asof_join", "t05_range_join", "t09_stream_stream_join",
     "r25_percentile", "r33_lateral_join",
     // single-row scalar attach (corpus count N / the serialized CMS
