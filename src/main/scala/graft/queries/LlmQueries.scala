@@ -1169,6 +1169,30 @@ object LlmQueries {
               |FROM ($cosineTopkOracle) x""".stripMargin)),
 
     QuerySpec(
+      "l53_dedup_report",
+      "what-did-dedup-buy report in one glance: exact-dup cluster census over the sha-256 digest key (the l17 scale shape — 32-byte shuffle keys, never full text) -> corpus totals, duplicate docs, bytes a keeper-only corpus saves, largest cluster; all integer aggregates",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "documents")
+          .groupBy(sha2(col("text"), 256).as("dig"))
+          .agg(count(lit(1)).as("c"), min(col("n_chars")).as("nc"))
+        g.agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_texts"),
+          sum(col("c") - 1).as("n_dup_docs"),
+          sum((col("c") - 1) * col("nc")).as("bytes_removed"),
+          max(col("c")).as("max_cluster"))
+      },
+      Some("""WITH g AS (
+             |  SELECT sha256(text) AS dig, count(*) AS c,
+             |    min(n_chars) AS nc
+             |  FROM documents GROUP BY 1)
+             |SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             |  count(*) AS n_texts,
+             |  CAST(sum(c - 1) AS BIGINT) AS n_dup_docs,
+             |  CAST(sum((c - 1) * nc) AS BIGINT) AS bytes_removed,
+             |  CAST(max(c) AS BIGINT) AS max_cluster
+             |FROM g""".stripMargin)),
+
+    QuerySpec(
       "l49_mixture_lift",
       "training-mixture contingency diagnostic: observed (lang, source) cell counts vs the independence expectation as lift = obs*N/(rowTotal*colTotal) — lift >> 1 flags an over-sampled slice; integers until one final IEEE division; window totals run on the cell table, never the corpus",
       (s, dir) => TextAnalysis.mixtureLift(
