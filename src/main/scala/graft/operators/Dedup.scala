@@ -45,6 +45,23 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** What-did-dedup-buy census over the same digest key as
+    * `exactGroupsByDigest` (single owner of the 32-byte-shuffle-key
+    * contract): corpus totals, duplicate docs, bytes a keeper-only
+    * corpus saves (`bytesCol` is per-doc size — identical text implies
+    * identical size, min() just picks the representative), and the
+    * largest exact-dup cluster. All integer aggregates.
+    */
+  def dedupReport(docs: DataFrame, textCol: String,
+      bytesCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("__digest"))
+      .agg(count(lit(1)).as("c"), min(col(bytesCol)).as("nc"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_texts"),
+        sum(col("c") - 1).as("n_dup_docs"),
+        sum((col("c") - 1) * col("nc")).as("bytes_removed"),
+        max(col("c")).as("max_cluster"))
+
   /** (id, shingle-set) pairs; documents shorter than k tokens get an
     * empty set and never pair.
     */

@@ -1171,16 +1171,8 @@ object LlmQueries {
     QuerySpec(
       "l53_dedup_report",
       "what-did-dedup-buy report in one glance: exact-dup cluster census over the sha-256 digest key (the l17 scale shape — 32-byte shuffle keys, never full text) -> corpus totals, duplicate docs, bytes a keeper-only corpus saves, largest cluster; all integer aggregates",
-      (s, dir) => {
-        val g = Tables.load(s, dir, "documents")
-          .groupBy(sha2(col("text"), 256).as("dig"))
-          .agg(count(lit(1)).as("c"), min(col("n_chars")).as("nc"))
-        g.agg(sum(col("c")).as("n_docs"),
-          count(lit(1)).as("n_texts"),
-          sum(col("c") - 1).as("n_dup_docs"),
-          sum((col("c") - 1) * col("nc")).as("bytes_removed"),
-          max(col("c")).as("max_cluster"))
-      },
+      (s, dir) => Dedup.dedupReport(
+        Tables.load(s, dir, "documents"), "text", "n_chars"),
       Some("""WITH g AS (
              |  SELECT sha256(text) AS dig, count(*) AS c,
              |    min(n_chars) AS nc

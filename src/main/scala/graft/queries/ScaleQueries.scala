@@ -322,19 +322,28 @@ object ScaleQueries {
       (s, dir) => {
         val out = QuerySpec.tempSinkDir()
         val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-        Tables.load(s, dir, "events")
-          .write.mode("overwrite").option("timestampFormat", tsFmt)
+        val src = Tables.load(s, dir, "events")
+        src.write.mode("overwrite").option("timestampFormat", tsFmt)
           .json(s"$out/events_json")
-        val rd = s.read
-          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
+        // read back under the SOURCE's own schema — a hand-written schema
+        // string would silently drift if the table ever changed shape
+        val rd = s.read.schema(src.schema)
           .option("timestampFormat", tsFmt)
           .json(s"$out/events_json")
-        rd.agg(count(lit(1)).as("n"),
+        val agg = rd.agg(count(lit(1)).as("n"),
           count(col("ts")).as("n_ts"),
           max(col("ts")).as("max_ts"),
           sum(col("event_id")).as("sum_id"),
           QuerySpec.decSum(col("value"), 6).as("sum_value"))
+        // the JSON copy is the registry's largest uncompressed sink
+        // payload: materialize the 1-row result eagerly, then delete the
+        // temp copy instead of leaking it across bench rounds
+        val row = agg.collect().toSeq
+        graft.pipeline.SinkFiles.deleteRecursive(out)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(row).asJava),
+          agg.schema)
       },
       Some("""SELECT count(*) AS n,
              |  count(ts) AS n_ts,

@@ -141,6 +141,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(1).isNullAt(3), "NULL-key row must not inherit the NULL-key right payload")
   }
 
+  test("dedupReport: census counts and byte savings are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa", 3L), (2L, "aaa", 3L), (3L, "aaa", 3L), // cluster of 3
+      (4L, "bb", 2L), (5L, "bb", 2L),                    // cluster of 2
+      (6L, "c", 1L))                                     // singleton
+      .toDF("doc_id", "text", "n_chars")
+    val r = Dedup.dedupReport(docs, "text", "n_chars").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((6L, 3L, 3L, 2L * 3 + 1L * 2, 3L)))
+  }
+
   test("containmentPairs: short doc quoted in a long one is caught, Jaccard is not fooled") {
     import spark.implicits._
     val short_ = "alpha beta gamma delta epsilon"

@@ -39,10 +39,14 @@ object PlanAudit {
         catch { case e: Throwable => s"<failed: ${e.getMessage}>" }
       val cartesian = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin")
-      val smell = (cartesian || bnlj) && !nonEquiIntentional(name)
+      // a query that cannot even BUILD is a flag, not a silent skip —
+      // otherwise a broken registry entry reads as a green audit
+      val broken = plan.startsWith("<failed:")
+      val smell = broken || ((cartesian || bnlj) && !nonEquiIntentional(name))
       if (smell) {
         flagged += 1
-        println(s"[audit] FLAG $name: cartesian=$cartesian bnlj=$bnlj")
+        if (broken) println(s"[audit] FLAG $name: build failed: ${plan.take(200)}")
+        else println(s"[audit] FLAG $name: cartesian=$cartesian bnlj=$bnlj")
       }
     }
     println(s"[audit] done, flagged=$flagged")
