@@ -141,6 +141,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(1).isNullAt(3), "NULL-key row must not inherit the NULL-key right payload")
   }
 
+  test("containmentPairs property: a doc prefixed into any longer doc scores C=1.0") {
+    import spark.implicits._
+    // every (short, long=short+suffix) pair must land with containment
+    // exactly 1.0 in the short->long direction, for several suffix sizes
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val suffixes = Seq("one two three", "ix x xi xii xiii xiv xv xvi xvii",
+      "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 a15")
+    val docs = (Seq((0L, base)) ++ suffixes.zipWithIndex.map {
+      case (suf, i) => ((i + 1).toLong, s"$base $suf")
+    }).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 0 -> each extension at exactly 1.0 (its shingles are a subset)
+    suffixes.indices.foreach { i =>
+      assert(got.contains((0L, (i + 1).toLong, 1.0)),
+        s"missing containment 0 -> ${i + 1} in ${got.toSeq}")
+    }
+    // no reverse direction at this threshold: the long docs have
+    // strictly more shingles than the short one contains
+    assert(!got.exists(p => p._1 != 0L && p._2 == 0L))
+  }
+
   test("dedupReport: census counts and byte savings are exact") {
     import spark.implicits._
     val docs = Seq(
