@@ -487,6 +487,32 @@ object TimeSeriesQueries {
              |  CAST(sum(c) AS BIGINT) AS n_events_total,
              |  CAST(max(c) AS BIGINT) AS max_events_per_user,
              |  max(mx) AS max_event_id
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    QuerySpec(
+      "t17_stream_tws_map",
+      "keyed MAP state (transformWithState + MapState) run end-to-end: per-user per-event-type running counts in one state handle — the per-entity feature-ledger shape; each batch emits the key's full current map, counts are integer+monotone so max-per-(user, type) over Update-mode emissions is batch-count-invariant; per-type totals checked against the batch oracle",
+      (s, dir) => {
+        val emitted = runBounded(s,
+          graft.streaming.StreamingOps.typeCensusTws(
+            Tables.loadStream(s, dir, "events")
+              .where(col("user_id").isNotNull && col("event_type").isNotNull),
+            "user_id", "event_type"),
+          "t17_stream_tws_map_mem", "update", statePartitions = Some(8),
+          extraConf = Map(
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")))
+        emitted.groupBy(col("key"), col("event_type"))
+          .agg(max(col("n")).as("n"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS n_users,
+             |  count(*) AS n_events
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured Streaming faces of the engine's time-series operators
   * (SURVEY.md §7.2 M4). Each takes a STREAMING DataFrame (`readStream`)
@@ -160,6 +161,46 @@ object StreamingOps {
       st.update((n, mx))
       Iterator.single((key, n, mx))
     }
+  }
+
+  /** Keyed MAP state (`transformWithState` + `MapState`): per-user
+    * per-event-type running counts in ONE state handle — the shape a
+    * per-entity feature ledger takes (map key = feature, value =
+    * running stat). Emission per batch is the key's full current map,
+    * flattened; counts are integer+monotone, so max-per-(key, type)
+    * over Update-mode emissions is batch-count-invariant like t16.
+    */
+  private class TypeCensus
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var st: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("type_census",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { r =>
+        val t = r._2
+        st.updateValue(t, (if (st.containsKey(t)) st.getValue(t) else 0L) + 1L)
+      }
+      st.iterator().map { case (t, n) => (key, t, n) }
+    }
+  }
+
+  /** `transformWithState` face of a per-entity feature ledger: running
+    * per-(user, event_type) counts via MapState, Update mode.
+    */
+  def typeCensusTws(events: DataFrame, keyCol: String,
+      typeCol: String): DataFrame = {
+    val pairs: Dataset[(Long, String)] = events
+      .select(col(keyCol).cast("long"), col(typeCol).cast("string"))
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    pairs
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new TypeCensus, TimeMode.None(),
+        OutputMode.Update())(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+          Encoders.scalaLong))
+      .toDF("key", "event_type", "n")
   }
 
   /** `transformWithState` face of `runningTotals`: per-key running
