@@ -874,6 +874,26 @@ object RelationalQueries {
              |    AS min_k,
              |  max(CAST(json_extract_string(props, '$.k') AS INTEGER))
              |    AS max_k
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    QuerySpec(
+      "r46_try_safe",
+      "ANSI-mode error-safe arithmetic: Spark 4 runs ANSI by default, where 1/0 and a bad cast THROW mid-job — try_divide/try_cast return NULL instead, the per-row safety valve a 100 TB pipeline needs (one poisoned row must not kill a 10-hour job); NULL-count ledger proves the rows were absorbed, not dropped",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("try_divide(l_extendedprice, l_discount)").as("price_per_disc"),
+          expr("try_cast(l_returnflag AS INT)").as("bad_cast"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(col("price_per_disc")).as("n_divisible"),
+          sum(when(col("price_per_disc").isNull, 1L).otherwise(0L))
+            .as("n_div_by_zero"),
+          count(col("bad_cast")).as("n_castable")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  count(l_extendedprice / NULLIF(l_discount, 0)) AS n_divisible,
+             |  CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_div_by_zero,
+             |  count(TRY_CAST(l_returnflag AS INTEGER)) AS n_castable
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }
