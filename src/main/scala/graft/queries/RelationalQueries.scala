@@ -878,22 +878,26 @@ object RelationalQueries {
 
     QuerySpec(
       "r46_try_safe",
-      "ANSI-mode error-safe arithmetic: Spark 4 runs ANSI by default, where 1/0 and a bad cast THROW mid-job — try_divide/try_cast return NULL instead, the per-row safety valve a 100 TB pipeline needs (one poisoned row must not kill a 10-hour job); NULL-count ledger proves the rows were absorbed, not dropped",
+      "ANSI-mode error-safe arithmetic: Spark 4 runs ANSI by default, where 1/0 and a bad cast THROW mid-job — try_divide/try_cast return NULL instead, the per-row safety valve a 100 TB pipeline needs (one poisoned row must not kill a 10-hour job). The poisoned-cast column fails only on the ~5% zero-discount rows because each try-absorbed failure costs a caught JVM exception — an always-failing try_cast measured 6x the whole query's runtime in pure exception overhead, itself a scale lesson: try_* is a safety valve for RARE poison, not a bulk parser. NULL-count ledger proves the rows were absorbed, not dropped",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"),
           expr("try_divide(l_extendedprice, l_discount)").as("price_per_disc"),
-          expr("try_cast(l_returnflag AS INT)").as("bad_cast"))
+          expr("""try_cast(CASE WHEN l_discount = 0 THEN l_returnflag
+                 |  ELSE CAST(l_orderkey AS STRING) END AS BIGINT)"""
+            .stripMargin).as("maybe_key"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           count(col("price_per_disc")).as("n_divisible"),
           sum(when(col("price_per_disc").isNull, 1L).otherwise(0L))
             .as("n_div_by_zero"),
-          count(col("bad_cast")).as("n_castable")),
+          count(col("maybe_key")).as("n_castable")),
       Some("""SELECT l_returnflag, count(*) AS n,
              |  count(l_extendedprice / NULLIF(l_discount, 0)) AS n_divisible,
              |  CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_div_by_zero,
-             |  count(TRY_CAST(l_returnflag AS INTEGER)) AS n_castable
+             |  count(TRY_CAST(CASE WHEN l_discount = 0 THEN l_returnflag
+             |    ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT))
+             |    AS n_castable
              |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }
