@@ -350,6 +350,40 @@ object ScaleQueries {
              |  max(CAST(ts AS TIMESTAMP)) AS max_ts,
              |  CAST(sum(event_id) AS BIGINT) AS sum_id,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "s12_csv_roundtrip",
+      "CSV file-format surface: events written with headers and read back under the source schema — the hard part is the JSON props column (embedded commas, quotes) surviving CSV quoting byte-for-byte, proven by a string-length checksum; timestamps µs-pinned as in s11, doubles survive via shortest-round-trip rendering",
+      (s, dir) => {
+        val out = QuerySpec.tempSinkDir()
+        val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        val src = Tables.load(s, dir, "events")
+        src.write.mode("overwrite").option("header", "true")
+          .option("timestampFormat", tsFmt)
+          .csv(s"$out/events_csv")
+        val rd = s.read.schema(src.schema)
+          .option("header", "true").option("timestampFormat", tsFmt)
+          .csv(s"$out/events_csv")
+        val agg = rd.agg(count(lit(1)).as("n"),
+          count(col("ts")).as("n_ts"),
+          max(col("ts")).as("max_ts"),
+          sum(col("event_id")).as("sum_id"),
+          sum(length(col("props"))).as("props_chars"),
+          QuerySpec.decSum(col("value"), 6).as("sum_value"))
+        val row = agg.collect().toSeq
+        graft.pipeline.SinkFiles.deleteRecursive(out)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(row).asJava),
+          agg.schema)
+      },
+      Some("""SELECT count(*) AS n,
+             |  count(ts) AS n_ts,
+             |  max(CAST(ts AS TIMESTAMP)) AS max_ts,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+             |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events""".stripMargin))
   )
 }
