@@ -37,6 +37,34 @@ def canon(rows, cols):
     return out
 
 
+def type_lint(exp_rel, got_rel=None):
+    """Flag oracle output types Spark cannot emit (driver-hash artifacts).
+
+    DuckDB widens sum(BIGINT) to HUGEINT and integer-literal division to
+    DECIMAL; Spark emits BIGINT/DOUBLE. Values stringify identically so
+    the local row compare passes, but the driver's hash is type-sensitive
+    — this exact class produced red rows in rounds 4-6 (p09/p10 DECIMAL,
+    l45/r43 HUGEINT). Lint runs on the oracle's *plan* types (no
+    execution), so it covers every oracle even when the Spark side was
+    not dumped (SPARK_GRAFT_ONLY subset runs).
+    """
+    bad = []
+    got_types = {}
+    if got_rel is not None:
+        got_types = {c: str(t).upper()
+                     for c, t in zip(got_rel.columns, got_rel.types)}
+    for c, t in zip(exp_rel.columns, exp_rel.types):
+        ts = str(t).upper()
+        gs = got_types.get(c, "")
+        if "HUGEINT" in ts:
+            bad.append(f"{c}: oracle {ts} (Spark max is BIGINT) "
+                       f"-> CAST(... AS BIGINT) in the oracle SQL")
+        elif ts.startswith("DECIMAL") and not gs.startswith("DECIMAL"):
+            bad.append(f"{c}: oracle {ts} vs spark {gs or '(not dumped)'} "
+                       f"-> CAST(... AS DOUBLE) or BIGINT in the oracle SQL")
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -50,19 +78,33 @@ def main(sf_dir, out_dir):
     subset = {s.strip() for s in only.split(",")} if only else None
     n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        if not os.path.isdir(f"{out_dir}/{name}"):
+        dumped = os.path.isdir(f"{out_dir}/{name}")
+        try:
+            exp_rel = con.sql(sql)
+            got_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'") \
+                if dumped else None
+            lint = type_lint(exp_rel, got_rel)
+        except Exception as e:
+            print(f"FAIL {name}: ERROR {e}")
+            n_bad += 1
+            continue
+        if lint:
+            print(f"FAIL {name}: oracle output-type lint")
+            for b in lint:
+                print(f"  {b}")
+            n_bad += 1
+            continue
+        if not dumped:
             if subset is not None and name not in subset:
-                n_skip += 1  # deliberately not dumped
+                n_skip += 1  # deliberately not dumped (type lint still ran)
                 continue
             print(f"FAIL {name}: no result dir (query crashed in Verify?)")
             n_bad += 1
             continue
         try:
-            got_rel = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = got_rel.columns
             got = canon(got_rel.fetchall(), got_cols)
-            exp_rel = con.sql(sql)
             exp = canon(exp_rel.fetchall(), exp_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: ERROR {e}")

@@ -966,7 +966,7 @@ object LlmQueries {
              |    sum((q.qv * st.n - st.s) * (q.qv * st.n - st.s)) AS sdist2
              |  FROM q JOIN st ON q.label = st.label AND q.pos = st.pos
              |  GROUP BY q.vec_id, q.label)
-             |SELECT vec_id, label, sdist2 FROM d
+             |SELECT vec_id, label, CAST(sdist2 AS BIGINT) AS sdist2 FROM d
              |ORDER BY sdist2 DESC, vec_id LIMIT 50""".stripMargin)),
 
     QuerySpec(

@@ -826,7 +826,7 @@ object RelationalQueries {
              |  FROM f)
              |SELECT l_returnflag,
              |  CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
-             |  max(seen_to_date) AS suppliers_to_date
+             |  CAST(max(seen_to_date) AS BIGINT) AS suppliers_to_date
              |FROM r GROUP BY 1, 2""".stripMargin)),
 
     QuerySpec(
