@@ -155,6 +155,13 @@ object Pipeline {
                 System.err.println(s"[pipeline] $name: already complete, skipped (resume)")
               None
             } else {
+              // Resume idempotency: a crash in the window after the table's
+              // data landed but before markDone leaves a complete (or, with
+              // v2-committer / at-least-once sinks, partially duplicated)
+              // copy with no marker. Re-migrating with a bare append would
+              // double-count it, so an unmarked table is re-done as
+              // delete-then-rewrite (truncate also clears any stale marker).
+              if (config.resume) sink.truncate(name)
               val r = migrateTable(spark, srcDir, name, prepare(name), sink, config)
               sink.markDone(name)
               // per-collection completion line (index.js:271-272), gated by

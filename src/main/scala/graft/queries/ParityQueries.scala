@@ -282,14 +282,16 @@ object ParityQueries {
 
     QuerySpec(
       "p12_resume_migrate",
-      "resumable migration (no reference counterpart — re-running index.js re-writes everything): completion markers land AFTER each table's append, a crash-simulated table (sink dir + marker deleted) is the ONLY one a resume re-migrates (asserted), and the re-migrated sink holds exactly one copy",
+      "resumable migration (no reference counterpart — re-running index.js re-writes everything): completion markers land AFTER each table's append; the crash is simulated in the WORST window (data fully appended, marker not yet written), resume re-migrates ONLY that table (asserted) as truncate-then-rewrite, and the sink holds exactly one copy — a bare append here would double-count",
       (s, dir) => {
         val sinkDir = tempSinkDir()
         val sink = new ParquetSink(sinkDir)
         val quiet = PipelineConfig(logging = false)
         Pipeline.migrate(s, dir, sink, config = quiet)
-        // simulate a table lost mid-run: data AND marker gone
-        graft.pipeline.SinkFiles.deleteRecursive(s"$sinkDir/events")
+        // Simulate the worst crash window: append() completed (data is all
+        // there) but the process died before markDone. Only the marker is
+        // deleted — resume must truncate-then-rewrite, not append a second
+        // copy on top of the orphaned data.
         graft.pipeline.SinkFiles.deleteRecursive(s"$sinkDir/_done_events")
         val resumed = Pipeline.migrate(s, dir, sink,
           config = quiet.copy(resume = true))

@@ -121,6 +121,26 @@ class PipelineSpec extends SparkSpec {
     assert(!sink.isDone("events"), "truncated series must lose its marker")
   }
 
+  test("resume after crash-before-markDone re-writes exactly one copy") {
+    // Crash window: append() landed the full table but the marker was
+    // never written. A resume must NOT bare-append a second copy on the
+    // orphaned data — Pipeline truncates an unmarked table first.
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val src = writeSrc(Seq((1L, Some(t), 1.0), (2L, Some(t), 2.0)))
+    val sinkDir = Files.createTempDirectory("graft_resume2_").toString
+    val sink = new ParquetSink(sinkDir)
+    val quiet = PipelineConfig(logging = false)
+    Pipeline.migrate(spark, src, sink, config = quiet)
+    assert(spark.read.parquet(s"$sinkDir/events").count() === 2)
+    SinkFiles.deleteRecursive(s"$sinkDir/_done_events") // marker lost, data kept
+    val resumed = Pipeline.migrate(spark, src, sink,
+      config = quiet.copy(resume = true))
+    assert(resumed.collect().map(_.getString(0)).toSeq === Seq("events"))
+    assert(spark.read.parquet(s"$sinkDir/events").count() === 2,
+      "resume must truncate-then-rewrite, not double-append")
+    assert(sink.isDone("events"))
+  }
+
   test("property: written + skipped == input count (the reference ledger)") {
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
     val genRows = Gen.listOf(Gen.oneOf(true, false))
