@@ -412,8 +412,11 @@ object TextAnalysis {
   /** Training-mixture contingency diagnostic: observed (g1, g2) cell
     * counts vs the independence expectation, reported as lift =
     * obs * N / (rowTotal * colTotal) — lift >> 1 flags an over-sampled
-    * slice of the mixture, << 1 an under-sampled one. Pure integer
-    * counts until ONE final IEEE division, so hash-deterministic.
+    * slice of the mixture, << 1 an under-sampled one. Counts are cast
+    * to double BEFORE the products: Long×Long would overflow (ANSI
+    * throw) once n_docs*N passes 2^63 (~3e9 docs squared-ish), while
+    * IEEE double products round identically on any engine — the oracle
+    * casts in the same places, so the result stays hash-deterministic.
     *
     * 100 TB shape: one map-side-combined cell aggregate over the corpus;
     * the window totals run on the |g1| x |g2| CELL table (dozens of
@@ -427,8 +430,9 @@ object TextAnalysis {
       .withColumn("cs", sum(col("n_docs")).over(Window.partitionBy(col(g2))))
       .withColumn("nn", sum(col("n_docs")).over(Window.partitionBy()))
       .select(col(g1), col(g2), col("n_docs"),
-        ((col("n_docs") * col("nn")).cast("double")
-          / (col("rl") * col("cs"))).as("lift"))
+        ((col("n_docs").cast("double") * col("nn").cast("double"))
+          / (col("rl").cast("double") * col("cs").cast("double")))
+          .as("lift"))
   }
 
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,

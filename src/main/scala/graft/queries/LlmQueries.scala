@@ -1000,7 +1000,7 @@ object LlmQueries {
 
     QuerySpec(
       "l47_bm25",
-      "BM25 lexical retrieval for a 3-term query (k1=1.2, b=0.75), top-20 docs — the sparse half of hybrid search next to l06/l16's dense half; idf uses the RATIONAL (N-df+0.5)/(df+0.5) form so the score stays inside the no-libm determinism contract (ranking-equivalent to the ln form); per-term tf is a filter-HOF count, corpus stats are one scalar row attached by broadcast",
+      "BM25 lexical retrieval for a 3-term query (k1=1.2, b=0.75), top-20 docs — the sparse half of hybrid search next to l06/l16's dense half; idf uses the RATIONAL (N-df+0.5)/(df+0.5) form so the score stays inside the no-libm determinism contract — per-term monotone in df, but NOT rank-identical to ln-idf for multi-term sums (a per-term monotone transform need not preserve the ranking of sums); this is the project's deliberate no-libm BM25 variant, and the oracle applies the same formula; per-term tf is a filter-HOF count, corpus stats are one scalar row attached by broadcast",
       (s, dir) => {
         val terms = Seq("scan", "window", "merge")
         val d = Tables.load(s, dir, "documents")
@@ -1193,9 +1193,11 @@ object LlmQueries {
              |  SELECT lang, source, count(*) AS n_docs
              |  FROM documents GROUP BY 1, 2)
              |SELECT lang, source, n_docs,
-             |  CAST(n_docs * (SELECT sum(n_docs) FROM c) AS DOUBLE)
-             |    / (sum(n_docs) OVER (PARTITION BY lang)
-             |       * sum(n_docs) OVER (PARTITION BY source)) AS lift
+             |  CAST(n_docs AS DOUBLE)
+             |    * CAST((SELECT sum(n_docs) FROM c) AS DOUBLE)
+             |    / (CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+             |       * CAST(sum(n_docs) OVER (PARTITION BY source)
+             |              AS DOUBLE)) AS lift
              |FROM c""".stripMargin)),
 
     QuerySpec(
