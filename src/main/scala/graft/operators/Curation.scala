@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.shingles
+
+/** The one-command curation run — the LLM-pipeline equivalent of the
+  * reference's single `migrate()` entry point (index.js:160-176 runs the
+  * whole collection sweep off one call and reports a per-collection
+  * ledger): chain scrub -> exact dedup -> containment dedup -> split ->
+  * shard pack over a raw document corpus and return the per-stage
+  * funnel ledger a production run is judged by.
+  *
+  * Every stage is one of the library's existing operators; this object
+  * owns only the composition and the ledger. Stage semantics:
+  *
+  *   1_scrub                strip URLs/emails, collapse whitespace
+  *                          (`TextAnalysis.cleanText`); documents whose
+  *                          cleaned text is EMPTY (all-boilerplate) drop.
+  *   2_dedup_exact          one keeper (min id) per identical cleaned
+  *                          text, grouped on the SHA-256 digest — the
+  *                          32-byte-shuffle-key scale shape (l17/l53).
+  *   3_dedup_containment    drop a document contained (C >= threshold,
+  *                          `Dedup.containmentPairs`) in a LARGER
+  *                          surviving-stage-2 document (more shingles;
+  *                          equal size ties keep the smaller id) — the
+  *                          short-quoted-in-long class exact dedup
+  *                          cannot see. Swap `containmentPairsCapped`
+  *                          (l54-gated) in at 100 TB; same output
+  *                          contract.
+  *   4_split_{train,val,test} deterministic content-hash split
+  *                          (`TextAnalysis.hashSplit`, keep-all rate).
+  *   5_pack                 token-budget shard packing
+  *                          (`TextAnalysis.shardPack`); n_out is the
+  *                          shard count.
+  *
+  * Ledger schema: (stage, n_in, n_out) — n_in of each stage is n_out of
+  * the previous, so the funnel reads top-to-bottom like the reference's
+  * per-collection report.
+  *
+  * Scale notes: the ledger assembles four one-row scalar aggregates with
+  * 1-row broadcast cross-joins (the l47/l48 scalar-attach pattern). The
+  * stage-2 and stage-3 survivor frames feed multiple consumers (the
+  * containment join, the size tables, the anti-join, split, pack), so
+  * both are localCheckpoint'ed — the digest aggregate and the shingle
+  * self-join run ONCE, not once per ledger column; storage is the
+  * post-dedup (id, text) sliver and is reclaimed on GC.
+  */
+object Curation {
+
+  def curationRun(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, trainPct: Int = 80, valPct: Int = 10,
+      shardTokens: Long = 2048L): DataFrame = {
+    val cleaned = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.cleanText(col(textCol)).as("text"))
+    val s1 = cleaned.where(length(col("text")) > 0)
+    // Identical digest implies identical text (a collision needs a
+    // SHA-256 break), so first() over the group's texts is
+    // value-deterministic.
+    val s2 = s1.groupBy(sha2(col("text"), 256).as("__dig"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .drop("__dig")
+      .localCheckpoint(eager = true)
+    val pairs = Dedup.containmentPairs(s2, "doc_id", "text", threshold)
+    val szA = s2.select(col("doc_id").as("a_id"),
+      size(shingles(col("text"), 3)).as("__na"))
+    val szB = s2.select(col("doc_id").as("b_id"),
+      size(shingles(col("text"), 3)).as("__nb"))
+    val drops = pairs.join(szA, Seq("a_id")).join(szB, Seq("b_id"))
+      .where(col("__nb") > col("__na") ||
+        (col("__nb") === col("__na") && col("b_id") < col("a_id")))
+      .select(col("a_id").as("doc_id")).distinct()
+    val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+
+    val scrubAgg = cleaned.agg(count(lit(1)).as("n0"),
+      count(when(length(col("text")) > 0, 1)).as("n1"))
+    val dedupAgg = s2.agg(count(lit(1)).as("n2"))
+    val splitAgg = TextAnalysis.hashSplit(s3, "doc_id", "text",
+        trainPct, valPct, keepRate = lit(100))
+      .agg(count(lit(1)).as("n3"),
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "val", 1)).as("n_val"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+    val packAgg = TextAnalysis.shardPack(s3, "doc_id", "text", shardTokens)
+      .agg(countDistinct(col("shard")).as("n_shards"))
+
+    def row(stage: String, nIn: Column, nOut: Column) =
+      struct(lit(stage).as("stage"), nIn.as("n_in"), nOut.as("n_out"))
+    scrubAgg.crossJoin(dedupAgg).crossJoin(splitAgg).crossJoin(packAgg)
+      .select(explode(array(
+        row("1_scrub", col("n0"), col("n1")),
+        row("2_dedup_exact", col("n1"), col("n2")),
+        row("3_dedup_containment", col("n2"), col("n3")),
+        row("4_split_train", col("n3"), col("n_train")),
+        row("4_split_val", col("n3"), col("n_val")),
+        row("4_split_test", col("n3"), col("n_test")),
+        row("5_pack", col("n3"), col("n_shards")))).as("r"))
+      .select(col("r.*"))
+  }
+}

@@ -125,6 +125,64 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("containment"))
   }
 
+  /** The 100 TB path `containmentPairs`'s scaladoc promises: candidate
+    * pairs come from a document-frequency-capped inverted index — any
+    * shingle occurring in more than `dfCap` documents is dropped from
+    * candidate generation (boilerplate carries no dedup signal and fans
+    * out O(df^2) pairs) — then every candidate is verified EXACTLY over
+    * the full shingle sets. Emitted pairs therefore carry the true
+    * containment and are a strict subset of `containmentPairs`: the only
+    * misses are pairs whose entire overlap is hot shingles. l54 gates
+    * that recall against the exact twin.
+    *
+    * Scale shape: df is one map-side-combined aggregate; the candidate
+    * join touches only rare postings, each bounded at dfCap^2 pair
+    * fan-out; verification is two equi-joins driven by the (small)
+    * candidate set, never all-pairs.
+    */
+  def containmentPairsCapped(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, k: Int = 3,
+      dfCap: Int = 64): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    // df attaches via a shuffle join ON g — the same partitioning the
+    // candidate self-join needs, so the posting shuffle is planned once
+    // and reused (no broadcast of a corpus-scale vocabulary list).
+    val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val withDf = ex.join(dfs, Seq("g"))
+    val rare = withDf.where(col("df") <= dfCap)
+    val hot = withDf.where(col("df") > dfCap)
+    val candA = rare.select(col("doc_id").as("a_id"), col("n").as("na"),
+      col("g"))
+    val candB = rare.select(col("doc_id").as("b_id"), col("n").as("nb"),
+      col("g").as("g2"))
+    // The candidate aggregate IS the rare-side intersection count —
+    // identical shape to the exact twin's aggregate, minus hot postings;
+    // the directional size prune (nb >= t*na) applies inside the join.
+    val candRare = candA.join(candB,
+        col("g") === col("g2") && col("a_id") =!= col("b_id") &&
+          col("nb") >= lit(threshold) * col("na"))
+      .groupBy(col("a_id"), col("b_id"), col("na"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // Exact remainder: shared HOT shingles, counted only for candidate
+    // pairs. Hot postings are the pruned head of the df distribution, so
+    // these two equi-joins are driven by the (small) candidate set.
+    val hotA = hot.select(col("doc_id").as("a_id"), col("g"))
+    val hotB = hot.select(col("doc_id").as("__b"), col("g").as("g2"))
+    val interHot = candRare.select(col("a_id"), col("b_id"))
+      .join(hotA, Seq("a_id"))
+      .join(hotB, col("b_id") === col("__b") && col("g") === col("g2"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter_hot"))
+    candRare.join(interHot, Seq("a_id", "b_id"), "left_outer")
+      .withColumn("inter",
+        col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
   /** LSH candidate pairs -> exact-Jaccard verification >= threshold.
     * Output is identical to `jaccardPairs` up to the (tiny, tunable)
     * LSH miss probability.

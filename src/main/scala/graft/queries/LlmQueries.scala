@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.2 M5) registered as
@@ -1214,6 +1214,99 @@ object LlmQueries {
               |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
               |  GROUP BY 1, 2, 3)
               |SELECT a_id, b_id, CAST(inter AS DOUBLE) / na AS containment
-              |FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.8""".stripMargin))
+              |FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.8""".stripMargin)),
+
+    QuerySpec(
+      "l54_containment_capped_gate",
+      "recall gate for l50's 100 TB claim: candidate pairs from a df-capped inverted index (shingles in > 16 docs dropped from candidate generation — boilerplate fans out O(df^2) pairs and carries no dedup signal) verified EXACTLY over full shingle sets, so emitted pairs are a strict subset of the exact twin; capped recall vs l50 must be >= 95% (measured 1.000 across all sf; the cap genuinely prunes at sf0.1 where shingle df reaches 25 vs cap 16). Oracle = exact-twin pair count + literal true",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val exact = Dedup.containmentPairs(docs, "doc_id", "text", 0.8)
+          .select(col("a_id"), col("b_id"))
+        val capped = Dedup.containmentPairsCapped(docs, "doc_id", "text",
+            0.8, dfCap = 16)
+          .select(col("a_id"), col("b_id"), lit(1).as("__hit"))
+        exact.join(capped, Seq("a_id", "b_id"), "left_outer")
+          .agg(count(lit(1)).as("n_exact_pairs"),
+            (count(col("__hit")) * 100 >= count(lit(1)) * 95)
+              .as("recall_ok"))
+      },
+      Some(s"""$shingleCte,
+              |e AS (
+              |  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+              |p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    a.n AS na, count(*) AS inter
+              |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2, 3)
+              |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
+              |FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.8""".stripMargin)),
+
+    QuerySpec(
+      "l55_curation_run",
+      "the one-command curation run (the reference migrate()'s LLM equivalent, index.js:160-176): scrub -> exact dedup (digest keepers) -> containment dedup (drop docs quoted in a larger survivor) -> 80/10/10 content-hash split -> 2048-token shard pack, returning the per-stage funnel ledger (stage, n_in, n_out); every stage is an existing operator, the composition is the product surface a real 100 TB run starts from",
+      (s, dir) => Curation.curationRun(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH c0 AS (
+              |  SELECT doc_id,
+              |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+              |      'https?://\\S+', '', 'g'), '\\S+@\\S+', '', 'g'),
+              |      '\\s+', ' ', 'g')) AS text
+              |  FROM documents),
+              |s1 AS (SELECT * FROM c0 WHERE length(text) > 0),
+              |s2 AS (SELECT min(doc_id) AS doc_id, text
+              |       FROM s1 GROUP BY text),
+              |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |         FROM s2),
+              |shc AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(t) >= 3
+              |      THEN list_distinct([array_to_string(t[i:i+2], ' ')
+              |                          for i in range(1, len(t)-1)])
+              |      ELSE [] END AS s
+              |  FROM toks),
+              |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shc),
+              |p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    a.n AS na, b.n AS nb, count(*) AS inter
+              |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2, 3, 4),
+              |dr AS (
+              |  SELECT DISTINCT a_id FROM p
+              |  WHERE CAST(inter AS DOUBLE) / na >= 0.8
+              |    AND (nb > na OR (nb = na AND b_id < a_id))),
+              |s3 AS (SELECT * FROM s2
+              |       WHERE doc_id NOT IN (SELECT a_id FROM dr)),
+              |f AS (SELECT doc_id, $fpSql AS fp FROM s3),
+              |sp AS (SELECT CASE WHEN fp % 100 < 80 THEN 'train'
+              |              WHEN fp % 100 < 90 THEN 'val'
+              |              ELSE 'test' END AS split FROM f),
+              |pk AS (SELECT doc_id,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+              |      AS n_tok,
+              |    $fpSql AS fp
+              |  FROM s3),
+              |pc AS (SELECT sum(n_tok) OVER (ORDER BY fp, doc_id) - n_tok
+              |         AS cum_before FROM pk)
+              |SELECT '1_scrub' AS stage,
+              |  (SELECT count(*) FROM c0) AS n_in,
+              |  (SELECT count(*) FROM s1) AS n_out
+              |UNION ALL SELECT '2_dedup_exact',
+              |  (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+              |UNION ALL SELECT '3_dedup_containment',
+              |  (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+              |UNION ALL SELECT '4_split_train',
+              |  (SELECT count(*) FROM s3),
+              |  (SELECT count(*) FILTER (WHERE split = 'train') FROM sp)
+              |UNION ALL SELECT '4_split_val',
+              |  (SELECT count(*) FROM s3),
+              |  (SELECT count(*) FILTER (WHERE split = 'val') FROM sp)
+              |UNION ALL SELECT '4_split_test',
+              |  (SELECT count(*) FROM s3),
+              |  (SELECT count(*) FILTER (WHERE split = 'test') FROM sp)
+              |UNION ALL SELECT '5_pack',
+              |  (SELECT count(*) FROM s3),
+              |  (SELECT count(DISTINCT cum_before // 2048) FROM pc)"""
+        .stripMargin))
   )
 }

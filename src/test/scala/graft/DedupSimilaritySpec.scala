@@ -192,6 +192,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.jaccardPairs(docs, "doc_id", "text", 0.8).count() === 0)
   }
 
+  test("containmentPairsCapped: exact values when a rare shingle survives; hot-only overlap is the one miss class") {
+    import spark.implicits._
+    val short_ = "alpha beta gamma delta epsilon"
+    val long_ = short_ + " zeta eta theta iota kappa lambda mu nu xi"
+    // 1 quoted in 2 (shares rare shingles); docs 10..29 all repeat the
+    // SAME boilerplate sentence -> its shingles have df=20 > cap=8 and
+    // are pruned from candidate generation
+    val boiler = "all rights reserved contact us for details today"
+    val docs = (Seq((1L, short_), (2L, long_)) ++
+      (10L until 30L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsCapped(docs, "doc_id", "text", 0.8,
+        dfCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the rare-shingle pair is found with its EXACT containment (1.0,
+    // verified over full sets); the 20x19 boilerplate pairs are the
+    // deliberate miss class (their entire overlap is hot shingles)
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // the exact twin finds all 380 directional boilerplate pairs too
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 0.8).count()
+      === 381L)
+  }
+
   test("centroidOutliers: planted far vector ranks first, score exact") {
     import spark.implicits._
     // group 0: three vectors near (1, 0) and one at (-1, 0) — the outlier

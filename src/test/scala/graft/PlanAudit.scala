@@ -23,7 +23,10 @@ object PlanAudit {
     // single-row scalar attach (corpus count N / the serialized CMS
     // broadcast into a k-row side): a 1-row BroadcastNestedLoopJoin IS
     // the right plan for a scalar
-    "l25_tfidf_topk", "l37_cms_heavy_hitters", "l47_bm25", "l48_rrf_fusion")
+    "l25_tfidf_topk", "l37_cms_heavy_hitters", "l47_bm25", "l48_rrf_fusion",
+    // the curation-run ledger assembles four one-row scalar aggregates
+    // (and its containment stage is the exact twin, like l02/l50)
+    "l55_curation_run")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

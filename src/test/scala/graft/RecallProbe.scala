@@ -54,6 +54,22 @@ object RecallProbe {
     val sim = Dedup.simhashPairs(docs, "doc_id", "text")
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     rp("simhashPairs", sim, jac)
+
+    // df distribution + df-capped containment recall (picks l54's cap/floor)
+    val dfs = docs.select(explode(graft.functions.TextFunctions
+        .shingles(col("text"), 3)).as("g"))
+      .groupBy("g").count()
+    dfs.agg(count(lit(1)).as("n_shingles"),
+        expr("approx_percentile(count, array(0.5, 0.9, 0.99, 1.0))"))
+      .collect().foreach(r => println(s"[probe] shingle df p50/p90/p99/max: $r"))
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(16, 32, 64, 128).foreach { cap =>
+      val got = Dedup.containmentPairsCapped(docs, "doc_id", "text", 0.8,
+          dfCap = cap)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rp(s"containmentPairsCapped(df<=$cap)", got, cont)
+    }
     spark.stop()
   }
 }

@@ -277,4 +277,28 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(2))
     assert(v3.toSeq === Seq(4L, 3L))
   }
+
+  test("curationRun: every funnel stage drops its planted victim") {
+    import spark.implicits._
+    val dup = "red orange yellow green blue indigo violet"
+    val docs = Seq(
+      (1L, "https://spam.example.com"),                       // scrub: empty
+      (2L, dup), (3L, dup),                                    // exact dup
+      (4L, "one two three four five"),                         // contained in 5
+      (5L, "one two three four five six seven eight nine ten"),
+      (6L, "completely different content words here again"))
+      .toDF("doc_id", "text")
+    val byStage = graft.operators.Curation
+      .curationRun(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(byStage("1_scrub") === ((6L, 5L)))             // URL-only doc gone
+    assert(byStage("2_dedup_exact") === ((5L, 4L)))       // one of 2/3 gone
+    assert(byStage("3_dedup_containment") === ((4L, 3L))) // 4 (inside 5) gone
+    val splits = Seq("4_split_train", "4_split_val", "4_split_test")
+      .map(byStage)
+    assert(splits.forall(_._1 == 3L))
+    assert(splits.map(_._2).sum === 3L)                   // keep-all split
+    assert(byStage("5_pack") === ((3L, 1L)))              // fits one shard
+  }
 }
