@@ -11,11 +11,20 @@ object Bench {
     // doesn't absorb one-time startup cost.
     try SparkEntry.queries("p05_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // The GC settle below is a deliberate fixed cost: accumulated garbage
+    // from a heavy predecessor otherwise lands in a successor's
+    // measurement (observed one-off 10-20x outliers for queries that
+    // bench at ~1s isolated). Its total is measured (gc_sec in the full
+    // JSON) so the suite floor decomposes honestly; SPARK_GRAFT_BENCH_NOGC
+    // skips it for an uncushioned reading.
+    val skipGc = sys.env.contains("SPARK_GRAFT_BENCH_NOGC")
+    var gcNanos = 0L
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Settle the JVM between queries: accumulated garbage from a heavy
-      // predecessor otherwise lands in a successor's measurement (observed
-      // one-off 10-20x outliers for queries that bench at ~1s isolated).
-      System.gc()
+      if (!skipGc) {
+        val g0 = System.nanoTime()
+        System.gc()
+        gcNanos += System.nanoTime() - g0
+      }
       val t0 = System.nanoTime()
       // Force FULL materialization of every output column: a bare count()
       // lets Catalyst prune the projection away and flatters the number.
@@ -37,7 +46,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gc_sec":${gcNanos / 1e9}}"""
     println(json)
     // Land the complete JSON on disk — the driver's stdout capture keeps
     // only the last ~2 KB, which a 97-query line overflows.
