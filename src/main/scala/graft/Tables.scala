@@ -36,10 +36,20 @@ object Tables {
   val mongoUriKey = "spark.graft.mongo.uri"
   val mongoDatabaseKey = "spark.graft.mongo.database"
 
+  /** DSv2 format name the mongo swap resolves (default "mongodb", the
+    * official connector's registered short name). Configurable because
+    * the connector's name has varied across major versions ("mongo",
+    * "mongodb", fully-qualified class) — and so the wiring is testable
+    * against a registered double without the production jar
+    * (SourcesSpec).
+    */
+  val mongoFormatKey = "spark.graft.mongo.format"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.conf.getOption(mongoUriKey) match {
       case Some(uri) =>
-        spark.read.format("mongodb")
+        spark.read
+          .format(spark.conf.getOption(mongoFormatKey).getOrElse("mongodb"))
           .option("connection.uri", uri)
           .option("database",
             spark.conf.getOption(mongoDatabaseKey).getOrElse("graft"))
