@@ -125,6 +125,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("containment"))
   }
 
+  /** Incremental exact dedup — the continual-ingestion form every
+    * production corpus runs daily: dedup a NEW batch against the
+    * existing corpus (cross-dedup), then within itself, and report the
+    * funnel as one row (n_new, n_dup_vs_corpus, n_dup_within_batch,
+    * n_kept).
+    *
+    * 100 TB shape: both sides shuffle 32-byte SHA-256 digests, never
+    * text — the corpus side reduces to DISTINCT digests (in a standing
+    * pipeline that digest table is precomputed and bucketed on digest,
+    * making the daily anti-join shuffle-free); the batch side is one
+    * hash aggregate.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val nd = newDocs.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("dig"))
+    val cd = corpus.select(sha2(col(textCol), 256).as("dig")).distinct()
+    val fresh = nd.join(cd, Seq("dig"), "left_anti")
+    val freshAgg = fresh.agg(count(lit(1)).as("n_fresh"),
+      countDistinct(col("dig")).as("n_kept"))
+    nd.agg(count(lit(1)).as("n_new")).crossJoin(freshAgg)
+      .select(col("n_new"),
+        (col("n_new") - col("n_fresh")).as("n_dup_vs_corpus"),
+        (col("n_fresh") - col("n_kept")).as("n_dup_within_batch"),
+        col("n_kept"))
+  }
+
   /** The 100 TB path `containmentPairs`'s scaladoc promises: candidate
     * pairs come from a document-frequency-capped inverted index — any
     * shingle occurring in more than `dfCap` documents is dropped from

@@ -1307,6 +1307,30 @@ object LlmQueries {
               |UNION ALL SELECT '5_pack',
               |  (SELECT count(*) FROM s3),
               |  (SELECT count(DISTINCT cum_before // 2048) FROM pc)"""
-        .stripMargin))
+        .stripMargin)),
+
+    QuerySpec(
+      "l56_incremental_dedup",
+      "continual-ingestion dedup: treat every-5th-source documents as the NEW batch and the rest as the standing corpus; the batch is deduped against the corpus (digest anti-join — 32-byte keys, never text) then within itself, reporting (n_new, n_dup_vs_corpus, n_dup_within_batch, n_kept) — the daily-run form of l01/l17 whose corpus-side digest table is precomputed and bucketed in a standing pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isNew = substring(col("source"), 4, 10).cast("int") % 5 === 0
+        Dedup.incrementalDedup(
+          docs.where(isNew), docs.where(!isNew), "doc_id", "text")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE CAST(source[4:] AS INT) % 5 = 0),
+             |r AS (
+             |  SELECT text FROM documents
+             |  WHERE CAST(source[4:] AS INT) % 5 <> 0),
+             |s AS (SELECT * FROM b
+             |      WHERE text NOT IN (SELECT text FROM r))
+             |SELECT (SELECT count(*) FROM b) AS n_new,
+             |  (SELECT count(*) FROM b) - (SELECT count(*) FROM s)
+             |    AS n_dup_vs_corpus,
+             |  (SELECT count(*) FROM s) - (SELECT count(DISTINCT text) FROM s)
+             |    AS n_dup_within_batch,
+             |  (SELECT count(DISTINCT text) FROM s) AS n_kept""".stripMargin))
   )
 }

@@ -214,6 +214,51 @@ class DedupSimilaritySpec extends SparkSpec {
       === 381L)
   }
 
+  test("incrementalDedup: cross-corpus and within-batch duplicates both counted") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known text one"), (2L, "known text two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known text one"),   // dup vs corpus
+      (11L, "fresh text"),       // kept
+      (12L, "fresh text"),       // within-batch dup of 11
+      (13L, "another fresh one") // kept
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((4L, 1L, 1L, 2L)))
+  }
+
+  test("property: capped containment is a subset of exact; equal when the cap cannot prune") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Tiny vocabulary forces heavy shingle sharing, so the df cap
+    // genuinely prunes candidates on most generated corpora.
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(3, 9).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(8, doc)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val exact = pairSet(Dedup.containmentPairs(docs, "doc_id", "text", 0.6))
+      val small = pairSet(
+        Dedup.containmentPairsCapped(docs, "doc_id", "text", 0.6, dfCap = 2))
+      val big = pairSet(
+        Dedup.containmentPairsCapped(docs, "doc_id", "text", 0.6, dfCap = 100))
+      // emitted pairs carry TRUE containment (exact-verify), so a capped
+      // result is a strict subset — same values, possibly fewer pairs —
+      // and an unprunable cap reproduces the exact twin bit-for-bit
+      small.subsetOf(exact) && big == exact
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("centroidOutliers: planted far vector ranks first, score exact") {
     import spark.implicits._
     // group 0: three vectors near (1, 0) and one at (-1, 0) — the outlier

@@ -26,7 +26,9 @@ object PlanAudit {
     "l25_tfidf_topk", "l37_cms_heavy_hitters", "l47_bm25", "l48_rrf_fusion",
     // the curation-run ledger assembles four one-row scalar aggregates
     // (and its containment stage is the exact twin, like l02/l50)
-    "l55_curation_run")
+    "l55_curation_run",
+    // one-row batch-total x one-row survivor-totals scalar attach
+    "l56_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
