@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,6 +146,27 @@ object Similarity {
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, nCentroids: Int = 16,
       nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
+    val candidates = ivfCandidates(spark, queries, corpus, idCol, embCol,
+      nCentroids, nProbe, trainIters)
+    val q = renameQ(queries, idCol, embCol)
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val scored = candidates.join(c, "c_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"),
+        cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
+  /** The probe-bounded (q_id, c_id) candidate set `ivfTopK` scores —
+    * shared with `pqTopK`, which ranks the same candidates by codebook
+    * lookups instead of full-precision cosine.
+    */
+  private def ivfCandidates(spark: SparkSession, queries: DataFrame,
+      corpus: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int, nProbe: Int, trainIters: Int): DataFrame = {
     // Deterministic centroid sample with NO driver-side pass over the
     // corpus (an earlier version ran corpus.count() just to derive a
     // stride — a full extra scan at 100 TB): take the nCentroids rows
@@ -227,19 +248,140 @@ object Similarity {
         .select(col("q_id"), col("cent_id"))
     }
 
-    val candidates = lists.join(broadcast(probes), Seq("cent_id"))
+    lists.join(broadcast(probes), Seq("cent_id"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
-    val q = renameQ(queries, idCol, embCol)
+  }
+
+  /** IVF-PQ: the memory-bound rung of the ANN ladder. Each corpus
+    * vector is stored as m codebook codes (one byte-scale code per
+    * sub-block) plus its scalar norm — at 100 TB that is the difference
+    * between holding 64 floats and m+1 small values per vector in the
+    * scoring path. Ranking is the standard ADC (asymmetric distance
+    * computation): the query stays full precision, a per-(query, block,
+    * code) dot-product table is built against the broadcast codebook
+    * (|Q| * m * nCodes rows, tiny), and each candidate's approximate
+    * dot is m table lookups summed; dividing by the exact norms turns
+    * it into an approximate cosine. Candidates come probe-bounded from
+    * `ivfCandidates` — PQ re-ranks them, it never does all-pairs.
+    *
+    * Codebooks are trained per sub-block with the same deterministic
+    * machinery as the IVF coarse quantizer: seeded smallest-hash init
+    * (the sampled row's sub-vector is the initial centroid; its id the
+    * code id), then `trainIters` Lloyd rounds with min-L2 assignment
+    * (as a max-of-struct aggregate — one shuffled row per (vector,
+    * block), never per (vector, block, code)) and per-(block, code,
+    * pos) means. At 100 TB both training and the codebook broadcast
+    * stay sample-/constant-sized; only encoding touches the corpus —
+    * one narrow pass. Approximate scores are shuffled-double sums, so
+    * the operator is recall-gated (l57), not hash-compared — the
+    * l07/l16 contract.
+    */
+  def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
+      trainIters: Int = 2, nCentroids: Int = 16, nProbe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    def sq(v: Column): Column =
+      sqrt(aggregate(v, lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    def dotp(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def subBlocks(df: DataFrame, id: String, emb: String): DataFrame =
+      df.select(col(id), col(emb),
+          (size(col(emb)) / m).cast("int").as("__sub"))
+        .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("blk"),
+          slice(col(emb), col("blk") * col("__sub") + 1, col("__sub"))
+            .as("sub"))
+
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-    val scored = candidates.join(c, "c_id").join(broadcast(q), "q_id")
+    val blocks = subBlocks(c, "c_id", "c_emb")
+    // Seeded deterministic init, exactly the ivf pattern: the nCodes
+    // smallest-hash rows seed EVERY block's codebook with their own
+    // sub-vector; the sampled id is the code id (unique + ordered, the
+    // only properties assignment tie-breaks need).
+    val seeds = c.select(col("c_id"), col("c_emb"),
+        xxhash64(col("c_id")).as("__h"))
+      .orderBy(col("__h"), col("c_id")).limit(nCodes)
+      .select(col("c_id").as("code"), col("c_emb"))
+    var codebook = subBlocks(seeds, "code", "c_emb")
+      .select(col("blk"), col("code"), col("sub").as("cent"))
+    for (_ <- 1 to trainIters) {
+      val assigned = blocks.join(broadcast(codebook), Seq("blk"))
+        .select(col("c_id"), col("blk"), col("sub"), col("code"),
+          l2sq(col("sub"), col("cent")).as("__d2"))
+        .groupBy(col("c_id"), col("blk"))
+        .agg(min(struct(col("__d2"), col("code"), col("sub").as("s")))
+          .as("m"))
+        .select(col("blk"), col("m.code").as("code"), col("m.s").as("sub"))
+      val means = assigned
+        .select(col("blk"), col("code"), posexplode(col("sub")))
+        .groupBy(col("blk"), col("code"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("mn"))
+        .groupBy(col("blk"), col("code"))
+        .agg(collect_list(struct(col("pos"), col("mn"))).as("pm"))
+        .select(col("blk"), col("code"),
+          transform(array_sort(col("pm")),
+            x => x.getField("mn").cast("float")).as("newc"))
+      codebook = codebook.join(means, Seq("blk", "code"), "left")
+        .select(col("blk"), col("code"),
+          coalesce(col("newc"), col("cent")).as("cent"))
+    }
+    // Encode: min-L2 code per (vector, block) — the corpus' entire PQ
+    // representation is these m small codes + one norm scalar.
+    val codes = blocks.join(broadcast(codebook), Seq("blk"))
+      .select(col("c_id"), col("blk"), col("code"),
+        l2sq(col("sub"), col("cent")).as("__d2"))
+      .groupBy(col("c_id"), col("blk"))
+      .agg(min(struct(col("__d2"), col("code"))).as("m"))
+      .select(col("c_id"), col("blk"), col("m.code").as("code"))
+    val cNorms = c.select(col("c_id"), sq(col("c_emb")).as("c_norm"))
+
+    val q = renameQ(queries, idCol, embCol)
+    val qNorms = q.select(col("q_id"), sq(col("q_emb")).as("q_norm"))
+    val dtab = subBlocks(q, "q_id", "q_emb")
+      .join(broadcast(codebook), Seq("blk"))
+      .select(col("q_id"), col("blk"), col("code"),
+        dotp(col("sub"), col("cent")).as("pdot"))
+
+    val cand = ivfCandidates(spark, queries, corpus, idCol, embCol,
+      nCentroids, nProbe, trainIters = 0)
+    val scored = cand.join(codes, Seq("c_id"))
+      .join(broadcast(dtab), Seq("q_id", "blk", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("pdot")).as("__adot"))
+      .join(cNorms, Seq("c_id")).join(broadcast(qNorms), Seq("q_id"))
       .select(col("q_id"), col("c_id"),
-        cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+        (col("__adot") / (col("q_norm") * col("c_norm"))).as("pq_cos"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+      .orderBy(col("pq_cos").desc, col("c_id"))
+    val pqRanked = scored.withColumn("rk", row_number().over(w))
+    if (rerank <= 1) {
+      pqRanked.where(col("rk") <= k)
+        .select(col("q_id"), col("c_id"), col("pq_cos"), col("rk"))
+    } else {
+      // Standard IVF-PQ+rerank: ADC prunes the candidate list to k*rerank
+      // per query, and only that short list is re-scored full-precision —
+      // at 100 TB the float vectors are fetched for k*rerank rows per
+      // query, never for the candidate set, never for the corpus.
+      val short = pqRanked.where(col("rk") <= k * rerank)
+        .select(col("q_id"), col("c_id"))
+      val qf = renameQ(queries, idCol, embCol)
+      val cf = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      val exact = short.join(cf, Seq("c_id")).join(broadcast(qf), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+      val w2 = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      exact.withColumn("rk", row_number().over(w2))
+        .where(col("rk") <= k)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    }
   }
 
   /** Approximate top-k via multi-table hyperplane LSH (standard

@@ -1331,6 +1331,29 @@ object LlmQueries {
              |    AS n_dup_vs_corpus,
              |  (SELECT count(*) FROM s) - (SELECT count(DISTINCT text) FROM s)
              |    AS n_dup_within_batch,
-             |  (SELECT count(DISTINCT text) FROM s) AS n_kept""".stripMargin))
+             |  (SELECT count(DISTINCT text) FROM s) AS n_kept""".stripMargin)),
+
+    QuerySpec(
+      "l57_pq_gate",
+      "ranking-fidelity gate for IVF-PQ (the memory-bound ANN rung: m=16 sub-blocks x 64 codes = 96 bits + one norm per vector vs 2048 bits of floats; ADC table-lookup scoring prunes IVF candidates to k*8, full-precision cosine re-ranks ONLY that short list): PQ top-10 must agree >= 90% with the full-precision ranking of the SAME probe-bounded candidates (ivfTopK at identical 8x6 params; measured 0.973-1.000 across sf — candidate recall itself is l23's gate, and random fixture embeddings are PQ's documented worst case). Every query holds >= 10 candidates at 6-of-8 probes, so the exact side is 10 rows/query; oracle = 10x query count + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.where(col("vec_id") % 25 === 0)
+        val ivf = Similarity.ivfTopK(s, q, e, "vec_id", "embedding", 10,
+            nCentroids = 8, nProbe = 6)
+          .select(col("q_id"), col("c_id"), lit(1).as("__i"))
+        val pq = Similarity.pqTopK(s, q, e, "vec_id", "embedding", 10,
+            m = 16, nCodes = 64, trainIters = 2, nCentroids = 8,
+            nProbe = 6, rerank = 8)
+          .select(col("q_id"), col("c_id"), lit(1).as("__p"))
+        ivf.join(pq, Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__i")).as("n_ivf"),
+            count(when(col("__i").isNotNull && col("__p").isNotNull, 1))
+              .as("__n_hit"))
+          .select(col("n_ivf"),
+            (col("__n_hit") * 100 >= col("n_ivf") * 90).as("pq_ok"))
+      },
+      Some("""SELECT 10 * count(*) AS n_ivf, TRUE AS pq_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
   )
 }

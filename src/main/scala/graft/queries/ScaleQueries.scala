@@ -384,6 +384,35 @@ object ScaleQueries {
              |  CAST(sum(event_id) AS BIGINT) AS sum_id,
              |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "s13_orc_roundtrip",
+      "columnar-format portability: events written as ORC (the other Hadoop columnar standard — a migration engine meets it as often as parquet) and read back under the source schema; timestamp/long/double/string survive NATIVELY typed (no text-format pinning, unlike s11/s12), proven by the same aggregate contract incl. the props string-length checksum",
+      (s, dir) => {
+        val out = QuerySpec.tempSinkDir()
+        val src = Tables.load(s, dir, "events")
+        src.write.mode("overwrite").orc(s"$out/events_orc")
+        val rd = s.read.schema(src.schema).orc(s"$out/events_orc")
+        val agg = rd.agg(count(lit(1)).as("n"),
+          count(col("ts")).as("n_ts"),
+          max(col("ts")).as("max_ts"),
+          sum(col("event_id")).as("sum_id"),
+          sum(length(col("props"))).as("props_chars"),
+          QuerySpec.decSum(col("value"), 6).as("sum_value"))
+        val row = agg.collect().toSeq
+        graft.pipeline.SinkFiles.deleteRecursive(out)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(row).asJava),
+          agg.schema)
+      },
+      Some("""SELECT count(*) AS n,
+             |  count(ts) AS n_ts,
+             |  max(CAST(ts AS TIMESTAMP)) AS max_ts,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+             |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events""".stripMargin))
   )
 }

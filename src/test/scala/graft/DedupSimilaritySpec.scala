@@ -214,6 +214,30 @@ class DedupSimilaritySpec extends SparkSpec {
       === 381L)
   }
 
+  test("pqTopK with rerank recovers exact neighbors on clustered vectors") {
+    import spark.implicits._
+    // two tight clusters in 8-dim space (m=4 -> 2-dim sub-blocks); a
+    // query from cluster A must rank A-members above every B-member
+    def vec(base: Float, i: Int): Array[Float] =
+      Array.tabulate(8)(d => base + 0.01f * ((i + d) % 3))
+    val rows = (0 until 10).map(i => (i.toLong, vec(1.0f, i))) ++
+      (10 until 20).map(i => (i.toLong, vec(-1.0f, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") === 0L)
+    val got = graft.operators.Similarity.pqTopK(spark, q, df, "vec_id",
+        "embedding", 5, m = 4, nCodes = 8, trainIters = 2,
+        nCentroids = 4, nProbe = 4, rerank = 3)
+      .collect().map(_.getLong(1))
+    assert(got.length === 5)
+    assert(got.forall(_ < 10L),
+      s"cluster-A query must get cluster-A neighbors, got ${got.toSeq}")
+    // with rerank the returned ordering is full-precision cosine on the
+    // short list — identical to the exact twin's top-5 on this fixture
+    val exact = graft.operators.Similarity.bruteForceTopK(q, df, "vec_id",
+        "embedding", 5).collect().map(_.getLong(1))
+    assert(got.toSeq === exact.toSeq)
+  }
+
   test("incrementalDedup: cross-corpus and within-batch duplicates both counted") {
     import spark.implicits._
     val corpus = Seq((1L, "known text one"), (2L, "known text two"))

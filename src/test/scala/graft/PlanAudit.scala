@@ -28,7 +28,9 @@ object PlanAudit {
     // (and its containment stage is the exact twin, like l02/l50)
     "l55_curation_run",
     // one-row batch-total x one-row survivor-totals scalar attach
-    "l56_incremental_dedup")
+    "l56_incremental_dedup",
+    // runs ivfTopK + pqTopK (both over the ivf candidate machinery)
+    "l57_pq_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

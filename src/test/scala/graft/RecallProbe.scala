@@ -31,6 +31,22 @@ object RecallProbe {
     val ivf = Similarity.ivfTopK(spark, q, emb, "vec_id", "embedding", 10)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     rp("ivfTopK(16/4)", ivf, exact)
+    // PQ gate base: the SAME candidates ranked by full-precision cosine
+    // (ivfTopK at identical probe params) — isolates ADC ranking fidelity
+    // from candidate recall, which l23 gates separately.
+    val ivfWide = Similarity.ivfTopK(spark, q, emb, "vec_id", "embedding",
+        10, nCentroids = 8, nProbe = 6)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq((16, 64, 2, 0), (16, 64, 2, 4), (8, 32, 2, 4), (16, 64, 2, 8))
+      .foreach { case (m, nc, it, rr) =>
+        val pq = Similarity.pqTopK(spark, q, emb, "vec_id", "embedding", 10,
+            m = m, nCodes = nc, trainIters = it, nCentroids = 8, nProbe = 6,
+            rerank = rr)
+          .select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        rp(s"pqTopK(m=$m,codes=$nc,it=$it,rr=$rr) vs exact", pq, exact)
+        rp(s"pqTopK(m=$m,codes=$nc,it=$it,rr=$rr) vs ivf-same-cand", pq, ivfWide)
+    }
 
     val ep = {
       val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
