@@ -152,6 +152,57 @@ object Dedup {
         col("n_kept"))
   }
 
+  /** Incremental NEAR-dup — `incrementalDedup`'s funnel upgraded from
+    * identical-text to shingle-Jaccard: pair each NEW-batch document
+    * with every standing-corpus document it near-duplicates
+    * (j >= threshold), without a batch-x-corpus all-pairs pass.
+    *
+    * Both sides are MinHash-banded; candidates come from the (band,
+    * bandHash) equi-join of the batch's signatures against the corpus
+    * band table, and only candidates pay exact shingle verification —
+    * the l03 contract applied cross-corpus. 100 TB shape: in a standing
+    * pipeline the corpus band table is precomputed and bucketed on
+    * (band, bh), so the daily run sketches ONLY the batch and the
+    * candidate join is shuffle-free on the corpus side; verification
+    * materializes shingle sets just for the (semi-pruned) documents
+    * that appear in some candidate.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      numPerms: Int = 192, bands: Int = 32, k: Int = 3): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    def bandTab(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.SketchFunctions.minhashBandsFromText(
+          col(textCol), k, numPerms, bands)).as(Seq("band", "bh")))
+    val bt = bandTab(newDocs)
+    val ct = bandTab(corpus).select(col("doc_id").as("corpus_id"),
+      col("band").as("band2"), col("bh").as("bh2"))
+    val candidates = bt
+      .join(ct, col("band") === col("band2") && col("bh") === col("bh2"))
+      .select(col("doc_id").as("new_id"), col("corpus_id"))
+      .distinct()
+
+    def prunedSets(df: DataFrame, ids: DataFrame, out: String): DataFrame =
+      shingleSets(
+        df.join(ids, df(idCol) === ids("doc_id"), "left_semi"),
+        idCol, textCol, k)
+        .select(col("doc_id").as(out), col("sh"))
+    val newSets = prunedSets(newDocs,
+      candidates.select(col("new_id").as("doc_id")).distinct(), "new_id")
+      .select(col("new_id"), col("sh").as("sh_a"))
+    val corpSets = prunedSets(corpus,
+      candidates.select(col("corpus_id").as("doc_id")).distinct(),
+      "corpus_id")
+      .select(col("corpus_id"), col("sh").as("sh_b"))
+    candidates.join(newSets, "new_id").join(corpSets, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** The 100 TB path `containmentPairs`'s scaladoc promises: candidate
     * pairs come from a document-frequency-capped inverted index — any
     * shingle occurring in more than `dfCap` documents is dropped from
@@ -391,6 +442,49 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("passage"))
       .limit(topK)
+  }
+
+  /** Remove repeated passages from documents — the removal counterpart
+    * of `dupPassages` and the C4/Dolma-style boilerplate scrub: any
+    * token whose position falls inside a k-token window that occurs in
+    * >= minDocs distinct documents is dropped, and the survivors are
+    * re-joined in order. Returns (doc_id, clean_text, n_removed); a doc
+    * that is wall-to-wall boilerplate scrubs to the empty string.
+    *
+    * Shape: positional k-shingles explode once; document frequency is
+    * one map-side-combined aggregate; the hot-shingle table joins back
+    * as a plain equi-join (at minDocs=2 on a pathological corpus the
+    * hot set can be large, so broadcasting is left to AQE's stats
+    * rather than forced — production thresholds like df >= 100 keep it
+    * broadcast-sized); covered positions collapse per document and the
+    * rebuild is one per-row indexed `filter` — no window, no sort.
+    */
+  def scrubHotPassages(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2, "need k>=2, minDocs>=2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), " ").as("t"))
+    val ps = toks.select(col("doc_id"),
+        explode(when(size(col("t")) >= k,
+          transform(sequence(lit(0), size(col("t")) - k),
+            i => struct(i.as("i"),
+              concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("g"))))).as("sh"))
+      .select(col("doc_id"), col("sh.i").as("i"), col("sh.g").as("g"))
+    val hot = ps.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("g"))
+    val cov = ps.join(hot, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(col("t"), (_, idx) => !array_contains(
+          coalesce(col("cov"), typedLit(Array.empty[Int])), idx)))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("t")) - size(col("kept"))).as("n_removed"))
   }
 
   /** 64-bit SimHash over distinct word k-shingles: per bit, sum +-1

@@ -1335,7 +1335,7 @@ object LlmQueries {
 
     QuerySpec(
       "l57_pq_gate",
-      "ranking-fidelity gate for IVF-PQ (the memory-bound ANN rung: m=16 sub-blocks x 64 codes = 96 bits + one norm per vector vs 2048 bits of floats; ADC table-lookup scoring prunes IVF candidates to k*8, full-precision cosine re-ranks ONLY that short list): PQ top-10 must agree >= 90% with the full-precision ranking of the SAME probe-bounded candidates (ivfTopK at identical 8x6 params; measured 0.973-1.000 across sf — candidate recall itself is l23's gate, and random fixture embeddings are PQ's documented worst case). Every query holds >= 10 candidates at 6-of-8 probes, so the exact side is 10 rows/query; oracle = 10x query count + literal true",
+      "ranking-fidelity gate for IVF-PQ (the memory-bound ANN rung: m=16 sub-blocks x 64 codes = 96 bits + one norm per vector vs 2048 bits of floats; ADC table-lookup scoring prunes IVF candidates to k*8, full-precision cosine re-ranks ONLY that short list): PQ top-10 must agree >= 90% with the full-precision ranking of the SAME probe-bounded candidates (ivfTopK at identical 8x6 params; measured 0.965-1.000 across sf at one Lloyd round — a second round buys only +0.008 at sf0.1 for ~20% more training cost, so the gate ships it=1; candidate recall itself is l23's gate, and random fixture embeddings are PQ's documented worst case). Every query holds >= 10 candidates at 6-of-8 probes, so the exact side is 10 rows/query; oracle = 10x query count + literal true",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val q = e.where(col("vec_id") % 25 === 0)
@@ -1343,7 +1343,7 @@ object LlmQueries {
             nCentroids = 8, nProbe = 6)
           .select(col("q_id"), col("c_id"), lit(1).as("__i"))
         val pq = Similarity.pqTopK(s, q, e, "vec_id", "embedding", 10,
-            m = 16, nCodes = 64, trainIters = 2, nCentroids = 8,
+            m = 16, nCodes = 64, trainIters = 1, nCentroids = 8,
             nProbe = 6, rerank = 8)
           .select(col("q_id"), col("c_id"), lit(1).as("__p"))
         ivf.join(pq, Seq("q_id", "c_id"), "full_outer")
@@ -1354,6 +1354,77 @@ object LlmQueries {
             (col("__n_hit") * 100 >= col("n_ivf") * 90).as("pq_ok"))
       },
       Some("""SELECT 10 * count(*) AS n_ivf, TRUE AS pq_ok
-             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    QuerySpec(
+      "l58_incremental_neardup",
+      "continual-ingestion NEAR-dup (l56's funnel upgraded from identical-text to j >= 0.5): every-5th-source docs are the NEW batch, the rest the standing corpus; batch MinHash(192 perms)+LSH(32 bands) signatures equi-join the corpus band table (precomputed and bucketed on (band,hash) in a standing 100 TB pipeline, so the daily run sketches only the batch), candidates exact-verified on full shingle sets; oracle = exact cross-corpus Jaccard (zero expected LSH misses at this threshold, the l03 contract)",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isNew = substring(col("source"), 4, 10).cast("int") % 5 === 0
+        Dedup.incrementalNearDupPairs(
+          docs.where(isNew), docs.where(!isNew), "doc_id", "text", 0.5)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN len(t) >= 3
+             |      THEN list_distinct([array_to_string(t[i:i+2], ' ')
+             |                          for i in range(1, len(t)-1)])
+             |      ELSE [] END AS s
+             |  FROM toks),
+             |a AS (SELECT doc_id, s FROM sh
+             |      WHERE CAST(source[4:] AS INT) % 5 = 0),
+             |b AS (SELECT doc_id, s FROM sh
+             |      WHERE CAST(source[4:] AS INT) % 5 <> 0),
+             |p AS (
+             |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             |      AS jaccard
+             |  FROM a JOIN b ON len(a.s) + len(b.s) > 0)
+             |SELECT new_id, corpus_id, jaccard FROM p
+             |WHERE jaccard >= 0.5""".stripMargin)),
+
+    QuerySpec(
+      "l59_passage_scrub",
+      "repeated-passage REMOVAL (the transform l42 only detects — C4/Dolma-style boilerplate scrub): every token inside a 6-token window shared by >= 2 distinct documents is dropped and survivors re-joined in order, reporting (doc_id, clean_text, n_removed); wall-to-wall boilerplate scrubs to ''. Exact and order-preserving: positional shingles explode once, document frequency is one map-side-combined aggregate, covered positions collapse per doc, and the rebuild is a per-row indexed filter — no window, no sort",
+      (s, dir) => Dedup.scrubHotPassages(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ps0 AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i
+             |  FROM toks WHERE len(t) >= 6),
+             |ps AS (
+             |  SELECT doc_id, i, array_to_string(t[i:i+5], ' ') AS g
+             |  FROM ps0),
+             |hot AS (
+             |  SELECT g FROM ps GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (
+             |  SELECT DISTINCT ps.doc_id, ps.i + off AS p
+             |  FROM ps JOIN hot USING (g), range(0, 6) o(off)),
+             |pos0 AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+             |  FROM toks),
+             |pos AS (
+             |  SELECT doc_id, p, t[p] AS tok FROM pos0),
+             |kept AS (
+             |  SELECT pos.doc_id,
+             |    string_agg(tok, ' ' ORDER BY pos.p) AS clean_text,
+             |    count(*) AS n_kept
+             |  FROM pos LEFT JOIN cov
+             |    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+             |  WHERE cov.p IS NULL
+             |  GROUP BY pos.doc_id)
+             |SELECT toks.doc_id,
+             |  coalesce(kept.clean_text, '') AS clean_text,
+             |  CAST(len(toks.t) - coalesce(kept.n_kept, 0) AS INT)
+             |    AS n_removed
+             |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id""".stripMargin))
   )
 }

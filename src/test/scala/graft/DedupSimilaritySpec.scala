@@ -254,6 +254,51 @@ class DedupSimilaritySpec extends SparkSpec {
       === ((4L, 1L, 1L, 2L)))
   }
 
+  test("incrementalNearDupPairs: cross pairs only, within-side dups excluded") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),                          // near-dup target of batch 10
+      (2L, base + " extra"),               // corpus-corpus near-dup of 1
+      (3L, "totally different words here entirely novel phrasing now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " mu"),                 // near-dups corpus 1 and 2
+      (11L, base + " mu nu"),              // within-batch near-dup of 10
+      (12L, "unrelated batch document with its own fresh content only")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(batch, corpus, "doc_id",
+        "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only batch-x-corpus pairs may appear: (10,1) (10,2) (11,1) (11,2)
+    assert(got === Set((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)))
+    // exact twin agreement: same pairs as a cross-filtered jaccardPairs
+    val all = Dedup.jaccardPairs(corpus.union(batch), "doc_id", "text", 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a < 10 && b >= 10 => (b, a) }
+      .toSet
+    assert(got === all)
+  }
+
+  test("scrubHotPassages: shared 6-token window removed, unique doc untouched") {
+    import spark.implicits._
+    val boiler = "all rights reserved terms of use"   // 6 tokens
+    val docs = Seq(
+      (1L, s"first body text here $boiler"),
+      (2L, s"$boiler second unique body follows now"),
+      (3L, "an untouched document with no shared windows at all"),
+      (4L, boiler)                                    // wall-to-wall
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubHotPassages(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) === (("first body text here", 6)))
+    assert(got(2L) === (("second unique body follows now", 6)))
+    assert(got(3L) === (("an untouched document with no shared windows at all", 0)))
+    assert(got(4L) === (("", 6)))
+  }
+
   test("property: capped containment is a subset of exact; equal when the cap cannot prune") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}

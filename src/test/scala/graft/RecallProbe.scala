@@ -37,7 +37,8 @@ object RecallProbe {
     val ivfWide = Similarity.ivfTopK(spark, q, emb, "vec_id", "embedding",
         10, nCentroids = 8, nProbe = 6)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    Seq((16, 64, 2, 0), (16, 64, 2, 4), (8, 32, 2, 4), (16, 64, 2, 8))
+    Seq((16, 64, 2, 0), (16, 64, 2, 4), (8, 32, 2, 4), (16, 64, 2, 8),
+        (16, 64, 1, 8))
       .foreach { case (m, nc, it, rr) =>
         val pq = Similarity.pqTopK(spark, q, emb, "vec_id", "embedding", 10,
             m = m, nCodes = nc, trainIters = it, nCentroids = 8, nProbe = 6,
