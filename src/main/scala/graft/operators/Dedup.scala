@@ -169,14 +169,36 @@ object Dedup {
     */
   def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
+      numPerms: Int = 192, bands: Int = 32, k: Int = 3): DataFrame =
+    incrementalNearDupWithIndex(newDocs, corpus,
+      nearDupBandIndex(corpus, idCol, textCol, numPerms, bands, k),
+      idCol, textCol, threshold, numPerms, bands, k)
+
+  /** The standing corpus MinHash band index — (doc_id, band, bh), the
+    * table a production pipeline persists ONCE (bucketed on the join
+    * key (band, bh)) and every daily `incrementalNearDupWithIndex` run
+    * joins against without re-sketching a byte of corpus text.
+    */
+  def nearDupBandIndex(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 192, bands: Int = 32, k: Int = 3): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    def bandTab(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.SketchFunctions.minhashBandsFromText(
-          col(textCol), k, numPerms, bands)).as(Seq("band", "bh")))
-    val bt = bandTab(newDocs)
-    val ct = bandTab(corpus).select(col("doc_id").as("corpus_id"),
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.SketchFunctions.minhashBandsFromText(
+        col(textCol), k, numPerms, bands)).as(Seq("band", "bh")))
+  }
+
+  /** `incrementalNearDupPairs` with the corpus band index supplied
+    * externally (typically read back from its persisted, bucketed
+    * form). `corpus` itself is consulted only to fetch shingle sets for
+    * the documents that appear in some candidate — a semi-join-pruned
+    * point read, never a scan-and-sketch.
+    */
+  def incrementalNearDupWithIndex(newDocs: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numPerms: Int = 192, bands: Int = 32,
+      k: Int = 3): DataFrame = {
+    val bt = nearDupBandIndex(newDocs, idCol, textCol, numPerms, bands, k)
+    val ct = corpusIndex.select(col("doc_id").as("corpus_id"),
       col("band").as("band2"), col("bh").as("bh2"))
     val candidates = bt
       .join(ct, col("band") === col("band2") && col("bh") === col("bh2"))

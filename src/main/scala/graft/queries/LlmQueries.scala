@@ -1425,6 +1425,56 @@ object LlmQueries {
              |  coalesce(kept.clean_text, '') AS clean_text,
              |  CAST(len(toks.t) - coalesce(kept.n_kept, 0) AS INT)
              |    AS n_removed
-             |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id""".stripMargin))
+             |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id""".stripMargin)),
+
+    QuerySpec(
+      "l60_neardup_index_run",
+      "l58's standing-pipeline claim demonstrated end-to-end: the corpus MinHash band index is PERSISTED as a parquet table bucketed on the join key (band, bh), then the daily run sketches ONLY the new batch and equi-joins the persisted index — the bucketed corpus side joins shuffle-free; corpus text is touched only to verify candidates (semi-join-pruned fetch). Result pairs are identical to l58's (same oracle: exact cross-corpus Jaccard)",
+      (s, dir) => {
+        val out = QuerySpec.tempSinkDir()
+        val docs = Tables.load(s, dir, "documents")
+        val isNew = substring(col("source"), 4, 10).cast("int") % 5 === 0
+        val corpus = docs.where(!isNew)
+        // standing pipeline: build + persist the index ONCE, bucketed
+        s.sql("DROP TABLE IF EXISTS graft_neardup_index_tmp")
+        Dedup.nearDupBandIndex(corpus, "doc_id", "text")
+          .write.mode("overwrite")
+          .bucketBy(32, "band", "bh")
+          .option("path", s"$out/neardup_index")
+          .saveAsTable("graft_neardup_index_tmp")
+        // daily run: batch sketch + join the persisted index
+        val pairs = Dedup.incrementalNearDupWithIndex(
+          docs.where(isNew), corpus, s.table("graft_neardup_index_tmp"),
+          "doc_id", "text", 0.5)
+        val rows = pairs.collect().toSeq
+        s.sql("DROP TABLE IF EXISTS graft_neardup_index_tmp")
+        graft.pipeline.SinkFiles.deleteRecursive(out)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          pairs.schema)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN len(t) >= 3
+             |      THEN list_distinct([array_to_string(t[i:i+2], ' ')
+             |                          for i in range(1, len(t)-1)])
+             |      ELSE [] END AS s
+             |  FROM toks),
+             |a AS (SELECT doc_id, s FROM sh
+             |      WHERE CAST(source[4:] AS INT) % 5 = 0),
+             |b AS (SELECT doc_id, s FROM sh
+             |      WHERE CAST(source[4:] AS INT) % 5 <> 0),
+             |p AS (
+             |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             |      AS jaccard
+             |  FROM a JOIN b ON len(a.s) + len(b.s) > 0)
+             |SELECT new_id, corpus_id, jaccard FROM p
+             |WHERE jaccard >= 0.5""".stripMargin))
   )
 }

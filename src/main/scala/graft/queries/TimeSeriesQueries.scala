@@ -513,6 +513,30 @@ object TimeSeriesQueries {
              |  count(*) AS n_events
              |FROM events
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t18_stream_incr_dedup",
+      "the streaming face of l56 (continual-ingestion dedup as documents ARRIVE): every-5th-source docs stream in, a stream-static LEFT ANTI join on SHA-256 digests drops anything already in the standing corpus, then streaming dropDuplicates on the digest removes within-stream repeats — only the census (n_kept) is checked because WHICH duplicate row survives is arrival-order-dependent. State = one digest set (no watermark by design: document digests never expire; at 100 TB the standing side stays the batch l56/l58 path and stream state holds only the current ingest window)",
+      (s, dir) => {
+        val isNew = substring(col("source"), 4, 10).cast("int") % 5 === 0
+        val corpusDigests = Tables.load(s, dir, "documents")
+          .where(!isNew)
+          .select(sha2(col("text"), 256).as("dig")).distinct()
+        val batch = Tables.loadStream(s, dir, "documents")
+          .where(isNew)
+          .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+        val kept = runBounded(s,
+          batch.join(corpusDigests, Seq("dig"), "left_anti")
+            .dropDuplicates("dig"),
+          "t18_stream_incr_dedup_mem", "append", statePartitions = Some(8))
+        kept.agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""SELECT count(DISTINCT text) AS n_kept
+             |FROM documents
+             |WHERE CAST(source[4:] AS INT) % 5 = 0
+             |  AND text NOT IN (
+             |    SELECT text FROM documents
+             |    WHERE CAST(source[4:] AS INT) % 5 <> 0)""".stripMargin))
   )
 }

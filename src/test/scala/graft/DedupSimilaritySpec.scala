@@ -281,6 +281,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === all)
   }
 
+  test("incrementalNearDupWithIndex: persisted index run equals direct run") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base), (2L, base + " extra"),
+      (3L, "totally different words here entirely novel phrasing now"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, base + " mu"),
+      (12L, "unrelated batch document with its own fresh content only"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    Dedup.nearDupBandIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/idx")
+    val viaIndex = Dedup.incrementalNearDupWithIndex(batch, corpus,
+        spark.read.parquet(s"$dir/idx"), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.incrementalNearDupPairs(batch, corpus, "doc_id",
+        "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.map(t => (t._1, t._2)) === Set((10L, 1L), (10L, 2L)))
+    graft.pipeline.SinkFiles.deleteRecursive(dir)
+  }
+
   test("scrubHotPassages: shared 6-token window removed, unique doc untouched") {
     import spark.implicits._
     val boiler = "all rights reserved terms of use"   // 6 tokens
