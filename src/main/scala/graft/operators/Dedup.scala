@@ -200,10 +200,14 @@ object Dedup {
     val bt = nearDupBandIndex(newDocs, idCol, textCol, numPerms, bands, k)
     val ct = corpusIndex.select(col("doc_id").as("corpus_id"),
       col("band").as("band2"), col("bh").as("bh2"))
+    // The candidate set feeds THREE consumers (both semi-join prunes and
+    // the final verify join); localCheckpoint materializes the band join
+    // once instead of re-running it per consumer — the l55 pattern.
     val candidates = bt
       .join(ct, col("band") === col("band2") && col("bh") === col("bh2"))
       .select(col("doc_id").as("new_id"), col("corpus_id"))
       .distinct()
+      .localCheckpoint()
 
     def prunedSets(df: DataFrame, ids: DataFrame, out: String): DataFrame =
       shingleSets(
