@@ -45,10 +45,13 @@ def type_lint(exp_rel, got_rel=None):
     the local row compare passes, but the driver's hash is type-sensitive
     — this exact class produced red rows in rounds 4-6 (p09/p10 DECIMAL,
     l45/r43 HUGEINT). Lint runs on the oracle's *plan* types (no
-    execution), so it covers every oracle even when the Spark side was
-    not dumped (SPARK_GRAFT_ONLY subset runs).
+    execution). HUGEINT fails unconditionally (Spark can never emit it,
+    so it covers every oracle even in SPARK_GRAFT_ONLY subset runs);
+    DECIMAL fails only when the dumped Spark side is known non-DECIMAL —
+    a matching Spark decimal is legitimate, so an un-dumped query gets a
+    warning, not a false red.
     """
-    bad = []
+    bad, warns = [], []
     got_types = {}
     if got_rel is not None:
         got_types = {c: str(t).upper()
@@ -59,10 +62,15 @@ def type_lint(exp_rel, got_rel=None):
         if "HUGEINT" in ts:
             bad.append(f"{c}: oracle {ts} (Spark max is BIGINT) "
                        f"-> CAST(... AS BIGINT) in the oracle SQL")
-        elif ts.startswith("DECIMAL") and not gs.startswith("DECIMAL"):
-            bad.append(f"{c}: oracle {ts} vs spark {gs or '(not dumped)'} "
-                       f"-> CAST(... AS DOUBLE) or BIGINT in the oracle SQL")
-    return bad
+        elif ts.startswith("DECIMAL"):
+            if got_rel is not None and not gs.startswith("DECIMAL"):
+                bad.append(f"{c}: oracle {ts} vs spark {gs} "
+                           f"-> CAST(... AS DOUBLE) or BIGINT in the "
+                           f"oracle SQL")
+            elif got_rel is None:
+                warns.append(f"{c}: oracle {ts} not checked against a "
+                             f"dumped Spark result (subset run)")
+    return bad, warns
 
 
 def main(sf_dir, out_dir):
@@ -84,11 +92,13 @@ def main(sf_dir, out_dir):
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'") \
                 if dumped else None
-            lint = type_lint(exp_rel, got_rel)
+            lint, lint_warns = type_lint(exp_rel, got_rel)
         except Exception as e:
             print(f"FAIL {name}: ERROR {e}")
             n_bad += 1
             continue
+        for w in lint_warns:
+            print(f"warn {name}: {w}")
         if lint:
             print(f"FAIL {name}: oracle output-type lint")
             for b in lint:

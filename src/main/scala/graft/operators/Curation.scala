@@ -41,11 +41,13 @@ import graft.functions.TextFunctions.shingles
   *
   * Scale notes: the ledger assembles four one-row scalar aggregates with
   * 1-row broadcast cross-joins (the l47/l48 scalar-attach pattern). The
-  * stage-2 and stage-3 survivor frames feed multiple consumers (the
-  * containment join, the size tables, the anti-join, split, pack), so
-  * both are localCheckpoint'ed — the digest aggregate and the shingle
-  * self-join run ONCE, not once per ledger column; storage is the
-  * post-dedup (id, text) sliver and is reclaimed on GC.
+  * stage-1, stage-2 and stage-3 survivor frames each feed multiple
+  * consumers (the ledger counts, the containment join, the size tables,
+  * the anti-join, split, pack), so all three are localCheckpoint'ed —
+  * the regex scrub, the digest aggregate and the shingle self-join run
+  * ONCE, not once per consumer; n0 is a raw-row count that touches no
+  * text. Storage is the cleaned/post-dedup (id, text) slivers and is
+  * reclaimed on GC.
   */
 object Curation {
 
@@ -54,7 +56,11 @@ object Curation {
       shardTokens: Long = 2048L): DataFrame = {
     val cleaned = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.cleanText(col(textCol)).as("text"))
+    // The 3-regex scrub is the most text-heavy scan in the run and
+    // feeds both stage 2 and the ledger; checkpointing s1 makes it run
+    // ONCE (n0 below is a raw-row count that needs no scrub at all).
     val s1 = cleaned.where(length(col("text")) > 0)
+      .localCheckpoint(eager = true)
     // Identical digest implies identical text (a collision needs a
     // SHA-256 break), so first() over the group's texts is
     // value-deterministic.
@@ -74,8 +80,8 @@ object Curation {
     val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
 
-    val scrubAgg = cleaned.agg(count(lit(1)).as("n0"),
-      count(when(length(col("text")) > 0, 1)).as("n1"))
+    val scrubAgg = docs.agg(count(lit(1)).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
     val dedupAgg = s2.agg(count(lit(1)).as("n2"))
     val splitAgg = TextAnalysis.hashSplit(s3, "doc_id", "text",
         trainPct, valPct, keepRate = lit(100))

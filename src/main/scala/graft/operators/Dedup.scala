@@ -136,6 +136,10 @@ object Dedup {
     * pipeline that digest table is precomputed and bucketed on digest,
     * making the daily anti-join shuffle-free); the batch side is one
     * hash aggregate.
+    *
+    * NULL-text documents hash to NULL, never match anything (corpus or
+    * batch), and are each counted as kept — not silently absorbed into
+    * the within-batch-duplicate bucket.
     */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
@@ -143,8 +147,11 @@ object Dedup {
       sha2(col(textCol), 256).as("dig"))
     val cd = corpus.select(sha2(col(textCol), 256).as("dig")).distinct()
     val fresh = nd.join(cd, Seq("dig"), "left_anti")
+    // countDistinct skips NULL digests while count(1) includes them, so
+    // kept = distinct real digests + each null-digest row individually.
     val freshAgg = fresh.agg(count(lit(1)).as("n_fresh"),
-      countDistinct(col("dig")).as("n_kept"))
+      (countDistinct(col("dig")) +
+        count(when(col("dig").isNull, lit(1)))).as("n_kept"))
     nd.agg(count(lit(1)).as("n_new")).crossJoin(freshAgg)
       .select(col("n_new"),
         (col("n_new") - col("n_fresh")).as("n_dup_vs_corpus"),
@@ -178,13 +185,24 @@ object Dedup {
     * table a production pipeline persists ONCE (bucketed on the join
     * key (band, bh)) and every daily `incrementalNearDupWithIndex` run
     * joins against without re-sketching a byte of corpus text.
+    *
+    * The sketch parameters are stamped into the `bh` column's metadata
+    * (which survives a parquet write/read round-trip), so a daily run
+    * whose parameters drifted from the persisted index fails loudly
+    * instead of equi-joining incompatible hashes to ~zero candidates.
     */
   def nearDupBandIndex(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 192, bands: Int = 32, k: Int = 3): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.numPerms", numPerms.toLong)
+      .putLong("graft.bands", bands.toLong)
+      .putLong("graft.shingleK", k.toLong)
+      .build()
     docs.select(col(idCol).as("doc_id"),
       posexplode(graft.functions.SketchFunctions.minhashBandsFromText(
         col(textCol), k, numPerms, bands)).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band"), col("bh").as("bh", md))
   }
 
   /** `incrementalNearDupPairs` with the corpus band index supplied
@@ -197,6 +215,19 @@ object Dedup {
       corpusIndex: DataFrame, idCol: String, textCol: String,
       threshold: Double, numPerms: Int = 192, bands: Int = 32,
       k: Int = 3): DataFrame = {
+    // Guard against sketch-parameter drift between the persisted index
+    // and this run: mismatched numPerms/bands/k band hashes almost never
+    // equi-join, so the run would silently report ~0 near-dups. The
+    // stamp is best-effort (a hand-built index without metadata passes).
+    val idxMd = corpusIndex.schema("bh").metadata
+    Seq(("graft.numPerms", numPerms), ("graft.bands", bands),
+        ("graft.shingleK", k)).foreach { case (key, v) =>
+      if (idxMd.contains(key))
+        require(idxMd.getLong(key) == v.toLong,
+          s"corpusIndex was built with $key=${idxMd.getLong(key)} but " +
+            s"this run uses $v — rebuild the index or pass matching " +
+            "sketch parameters")
+    }
     val bt = nearDupBandIndex(newDocs, idCol, textCol, numPerms, bands, k)
     val ct = corpusIndex.select(col("doc_id").as("corpus_id"),
       col("band").as("band2"), col("bh").as("bh2"))

@@ -292,9 +292,17 @@ object Similarity {
     def dotp(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
+    // Fail loudly on a dimension/m mismatch: size/m silently floors, so
+    // dim < m would score every candidate 0.0 (empty sub-vectors) and
+    // dim % m != 0 would drop the trailing dimensions from ADC while the
+    // norms still use the full vector — both wrong answers, not errors.
     def subBlocks(df: DataFrame, id: String, emb: String): DataFrame =
       df.select(col(id), col(emb),
-          (size(col(emb)) / m).cast("int").as("__sub"))
+          when(size(col(emb)) % m === 0 && size(col(emb)) >= m,
+            (size(col(emb)) / m).cast("int"))
+            .otherwise(raise_error(concat(
+              lit(s"pqTopK: embedding dimension must be a positive multiple of m=$m, got "),
+              size(col(emb)).cast("string")))).as("__sub"))
         .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("blk"),
           slice(col(emb), col("blk") * col("__sub") + 1, col("__sub"))
             .as("sub"))
@@ -371,9 +379,7 @@ object Similarity {
       // query, never for the candidate set, never for the corpus.
       val short = pqRanked.where(col("rk") <= k * rerank)
         .select(col("q_id"), col("c_id"))
-      val qf = renameQ(queries, idCol, embCol)
-      val cf = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-      val exact = short.join(cf, Seq("c_id")).join(broadcast(qf), Seq("q_id"))
+      val exact = short.join(c, Seq("c_id")).join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("c_id"),
           cosineSim(col("q_emb"), col("c_emb")).as("cos"))
       val w2 = Window.partitionBy(col("q_id"))

@@ -1432,27 +1432,35 @@ object LlmQueries {
       "l58's standing-pipeline claim demonstrated end-to-end: the corpus MinHash band index is PERSISTED as a parquet table bucketed on the join key (band, bh), then the daily run sketches ONLY the new batch and equi-joins the persisted index — the bucketed corpus side joins shuffle-free; corpus text is touched only to verify candidates (semi-join-pruned fetch). Result pairs are identical to l58's (same oracle: exact cross-corpus Jaccard)",
       (s, dir) => {
         val out = QuerySpec.tempSinkDir()
+        // Run-unique table name (from the tempdir's random suffix) so
+        // concurrent l60 runs in one shared session cannot trample each
+        // other's index; try/finally so a mid-query failure cannot leak
+        // the catalog entry or the staging dir.
+        val tbl = "graft_neardup_index_" +
+          new java.io.File(out).getName.stripPrefix("graft_sink_")
         val docs = Tables.load(s, dir, "documents")
         val isNew = substring(col("source"), 4, 10).cast("int") % 5 === 0
         val corpus = docs.where(!isNew)
-        // standing pipeline: build + persist the index ONCE, bucketed
-        s.sql("DROP TABLE IF EXISTS graft_neardup_index_tmp")
-        Dedup.nearDupBandIndex(corpus, "doc_id", "text")
-          .write.mode("overwrite")
-          .bucketBy(32, "band", "bh")
-          .option("path", s"$out/neardup_index")
-          .saveAsTable("graft_neardup_index_tmp")
-        // daily run: batch sketch + join the persisted index
-        val pairs = Dedup.incrementalNearDupWithIndex(
-          docs.where(isNew), corpus, s.table("graft_neardup_index_tmp"),
-          "doc_id", "text", 0.5)
-        val rows = pairs.collect().toSeq
-        s.sql("DROP TABLE IF EXISTS graft_neardup_index_tmp")
-        graft.pipeline.SinkFiles.deleteRecursive(out)
-        s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          pairs.schema)
+        try {
+          // standing pipeline: build + persist the index ONCE, bucketed
+          Dedup.nearDupBandIndex(corpus, "doc_id", "text")
+            .write.mode("overwrite")
+            .bucketBy(32, "band", "bh")
+            .option("path", s"$out/neardup_index")
+            .saveAsTable(tbl)
+          // daily run: batch sketch + join the persisted index
+          val pairs = Dedup.incrementalNearDupWithIndex(
+            docs.where(isNew), corpus, s.table(tbl),
+            "doc_id", "text", 0.5)
+          val rows = pairs.collect().toSeq
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            pairs.schema)
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          graft.pipeline.SinkFiles.deleteRecursive(out)
+        }
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, source, string_split(trim(text), ' ') AS t

@@ -304,6 +304,52 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.pipeline.SinkFiles.deleteRecursive(dir)
   }
 
+  test("incrementalDedup: NULL-text docs are kept, not counted as dups") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known text one")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, null.asInstanceOf[String]), // null text: never a duplicate
+      (11L, null.asInstanceOf[String]),
+      (12L, "fresh text"),
+      (13L, "fresh text")               // within-batch dup of 12
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect()(0)
+    // n_new=4, none match the corpus, one within-batch dup, both null
+    // rows individually kept: n_kept = 1 distinct digest + 2 nulls = 3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((4L, 0L, 1L, 3L)))
+  }
+
+  test("incrementalNearDupWithIndex rejects an index built with other params") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.nearDupBandIndex(docs, "doc_id", "text",
+      numPerms = 128, bands = 16)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupWithIndex(docs, docs, idx, "doc_id", "text",
+        0.5) // defaults (192, 32) drifted from the index's (128, 16)
+    }
+    assert(e.getMessage.contains("graft.numPerms"))
+  }
+
+  test("pqTopK fails loudly when the dimension is not a multiple of m") {
+    import spark.implicits._
+    val df = (0L until 8L).map(i =>
+        (i, Array.fill(8)(i.toFloat / 8))) // dim 8 < m 16
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.pqTopK(spark, df.limit(1), df, "vec_id",
+        "embedding", 3, m = 16, nCodes = 4, trainIters = 0,
+        nCentroids = 2, nProbe = 2).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("multiple of m"), msgs)
+  }
+
   test("scrubHotPassages: shared 6-token window removed, unique doc untouched") {
     import spark.implicits._
     val boiler = "all rights reserved terms of use"   // 6 tokens

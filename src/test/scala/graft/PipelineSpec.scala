@@ -141,6 +141,27 @@ class PipelineSpec extends SparkSpec {
     assert(sink.isDone("events"))
   }
 
+  test("resume after data AND marker both lost restores exactly one copy") {
+    // The other crash class: the sink volume lost the table dir and its
+    // marker (or the append itself died mid-write and was cleaned up).
+    // Resume must rebuild the table from source — and truncate on a
+    // nonexistent path must not throw.
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val src = writeSrc(Seq((1L, Some(t), 1.0), (2L, Some(t), 2.0)))
+    val sinkDir = Files.createTempDirectory("graft_resume3_").toString
+    val sink = new ParquetSink(sinkDir)
+    val quiet = PipelineConfig(logging = false)
+    Pipeline.migrate(spark, src, sink, config = quiet)
+    SinkFiles.deleteRecursive(s"$sinkDir/events")
+    SinkFiles.deleteRecursive(s"$sinkDir/_done_events")
+    val resumed = Pipeline.migrate(spark, src, sink,
+      config = quiet.copy(resume = true))
+    assert(resumed.collect().map(_.getString(0)).toSeq === Seq("events"))
+    assert(spark.read.parquet(s"$sinkDir/events").count() === 2,
+      "resume must restore exactly one full copy of the lost table")
+    assert(sink.isDone("events"))
+  }
+
   test("property: written + skipped == input count (the reference ledger)") {
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
     val genRows = Gen.listOf(Gen.oneOf(true, false))
