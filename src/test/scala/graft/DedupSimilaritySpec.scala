@@ -334,6 +334,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("graft.numPerms"))
   }
 
+  test("semanticDedupPairs: subset of exact pairs, planted near-dup found") {
+    import spark.implicits._
+    // two well-separated clusters + one planted near-identical pair
+    val df = ((0L until 12L).map { i =>
+      val base = if (i < 6) 1.0f else -1.0f
+      (i, Array.tabulate(8)(d => base * (1.0f + 0.01f * (i + d))))
+    } :+ (100L, Array.tabulate(8)(d => 1.0f + 0.01f * d)))
+      .toDF("vec_id", "embedding")
+    val sem = graft.operators.Similarity.semanticDedupPairs(df, "vec_id",
+        "embedding", 0.99, nClusters = 2, trainIters = 1, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = df.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
+          .as("cos"))
+      .where(col("cos") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), "cluster-bounded pairs must be exact-verified")
+    assert(sem.contains((0L, 100L)),
+      "vector 100 is a near-copy of vector 0 in the same cluster")
+    assert(sem.forall { case (x, y) => (x < 6 || x == 100L) == (y < 6 || y == 100L) },
+      "no cross-cluster pair can pass cos >= 0.99 on this fixture")
+  }
+
   test("pqTopK fails loudly when the dimension is not a multiple of m") {
     import spark.implicits._
     val df = (0L until 8L).map(i =>

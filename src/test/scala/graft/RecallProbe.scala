@@ -64,6 +64,15 @@ object RecallProbe {
         .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       rp(s"lshNearDupPairs(${bits}x$tables)", got, ep)
     }
+    // SemDeDup cluster-bounded pairs vs the same exact base (picks l61's
+    // cluster count / training / probes / floor)
+    Seq((8, 0, 1), (8, 1, 2), (16, 1, 2), (8, 1, 3), (16, 1, 3),
+        (8, 1, 4)).foreach { case (k, it, p) =>
+      val got = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+          0.4, nClusters = k, trainIters = it, probes = p)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rp(s"semanticDedupPairs(k=$k,it=$it,p=$p)", got, ep)
+    }
 
     val docs = Tables.load(spark, sfDir, "documents")
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
