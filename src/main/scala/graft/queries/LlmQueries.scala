@@ -1419,6 +1419,46 @@ object LlmQueries {
               |FROM (${embedPairsOracle(0.4)}) x""".stripMargin)),
 
     QuerySpec(
+      "l62_semantic_prune",
+      "SemDeDup's user-facing output — WHICH documents to drop: connected components over l61's cluster-bounded pairs, keeper = min reachable id, dropped = non-keepers. Semantic pairs are a subset of exact pairs, so semantic components refine exact components and every semantically-dropped doc is exactly-dropped too (precision 1.0 structurally); gate = dropped-set recall vs the exact-pair components >= 85% (measured 0.946-0.955 across sf); oracle = exact dropped count (recursive CTE) + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val exactPairs = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
+              .as("cos"))
+          .where(col("cos") >= 0.4)
+        val semPairs = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
+          0.4, nClusters = 8, trainIters = 1, probes = 3)
+        def dropped(pairs: org.apache.spark.sql.DataFrame, mark: String) =
+          Dedup.components(pairs)
+            .where(col("cluster_id") =!= col("doc_id"))
+            .select(col("doc_id"), lit(1).as(mark))
+        dropped(exactPairs, "__e")
+          .join(dropped(semPairs, "__s"), Seq("doc_id"), "full_outer")
+          .agg(count(col("__e")).as("n_exact_dropped"),
+            count(when(col("__e").isNotNull && col("__s").isNotNull, 1))
+              .as("__n_hit"))
+          .select(col("n_exact_dropped"),
+            (col("__n_hit") * 100 >= col("n_exact_dropped") * 85)
+              .as("prune_ok"))
+      },
+      Some(s"""WITH RECURSIVE p AS (
+              |  SELECT a_id, b_id FROM (${embedPairsOracle(0.4)}) z),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM p
+              |  UNION ALL SELECT b_id, a_id FROM p),
+              |reach(node, lbl) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+              |SELECT count(*) AS n_exact_dropped, TRUE AS prune_ok
+              |FROM cc WHERE cluster_id <> node""".stripMargin)),
+
+    QuerySpec(
       "l59_passage_scrub",
       "repeated-passage REMOVAL (the transform l42 only detects — C4/Dolma-style boilerplate scrub): every token inside a 6-token window shared by >= 2 distinct documents is dropped and survivors re-joined in order, reporting (doc_id, clean_text, n_removed); wall-to-wall boilerplate scrubs to ''. Exact and order-preserving: positional shingles explode once, document frequency is one map-side-combined aggregate, covered positions collapse per doc, and the rebuild is a per-row indexed filter — no window, no sort",
       (s, dir) => Dedup.scrubHotPassages(

@@ -31,9 +31,9 @@ object PlanAudit {
     "l56_incremental_dedup",
     // runs ivfTopK + pqTopK (both over the ivf candidate machinery)
     "l57_pq_gate",
-    // recall gate: the exact side is the deliberate all-pairs twin
+    // recall gates: the exact side is the deliberate all-pairs twin
     // (l05 pattern); the semantic side itself is equi-joined on cent_id
-    "l61_semantic_dedup")
+    "l61_semantic_dedup", "l62_semantic_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

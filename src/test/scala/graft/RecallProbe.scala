@@ -64,6 +64,25 @@ object RecallProbe {
         .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       rp(s"lshNearDupPairs(${bits}x$tables)", got, ep)
     }
+    // SemDeDup prune report: dropped-set recall (semantic CC vs exact CC;
+    // picks l62's floor — dropped docs are a structural subset)
+    locally {
+      def dropped(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+        Dedup.components(pairs)
+          .where(col("cluster_id") =!= col("doc_id"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      val exDrop = dropped(
+        emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+          .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
+          .where(col("cos") >= 0.4))
+      val semDrop = dropped(Similarity.semanticDedupPairs(emb, "vec_id",
+        "embedding", 0.4, nClusters = 8, trainIters = 1, probes = 3))
+      rp("semanticPrune dropped-set (k=8,it=1,p=3)", semDrop.map((0L, _)),
+        exDrop.map((0L, _)))
+    }
     // SemDeDup cluster-bounded pairs vs the same exact base (picks l61's
     // cluster count / training / probes / floor)
     Seq((8, 0, 1), (8, 1, 2), (16, 1, 2), (8, 1, 3), (16, 1, 3),
