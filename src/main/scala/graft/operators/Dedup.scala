@@ -374,15 +374,21 @@ object Dedup {
     *
     * Iterative min-label propagation: each round joins current labels
     * across the symmetrized edge list and keeps the per-node minimum;
-    * converges in O(graph diameter) rounds (near-dup clusters are tiny,
-    * so a handful). Each round is one equi-join + one map-side-combined
-    * min aggregate — the standard large-graph CC shape (label
-    * propagation, not union-find: no driver-side state). Results are
-    * persisted per round, and convergence detection rides the SAME action
-    * that materializes the round: the previous label travels through the
-    * min-aggregate (tagged `own` rows), so one scan-aggregate job per
-    * round both caches the new labels and answers "did anything change?"
-    * — no separate join+count job.
+    * converges in O(graph diameter) rounds. Near-dup CLUSTERS are
+    * cliquish, but threshold graphs are not: the sf0.1 cosine>=0.4
+    * embedding graph (920 edges, 1181 nodes) measures 16-20 rounds, so
+    * diameter is a real dial — which is why exhausting `maxIters`
+    * without converging now THROWS instead of silently returning
+    * partial labels (every caller's semantics — keeper choice, dropped
+    * sets — depends on labels being the true component minimum). Each
+    * round is one equi-join + one map-side-combined min aggregate — the
+    * standard large-graph CC shape (label propagation, not union-find:
+    * no driver-side state). Results are persisted per round, and
+    * convergence detection rides the SAME action that materializes the
+    * round: the previous label travels through the min-aggregate
+    * (tagged `own` rows), so one scan-aggregate job per round both
+    * caches the new labels and answers "did anything change?" — no
+    * separate join+count job.
     */
   /** Pick the KEEPER of each near-dup cluster by a quality score rather
     * than min id — the production curation flow: cluster (connected
@@ -410,7 +416,7 @@ object Dedup {
         col("n_members"))
   }
 
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // Materialize the DIRECTED pair list EAGERLY, then build the
     // symmetric view from it. `pairs` may be an expensive plan (an LSH
     // candidate join); the first loop job references the edge list from
@@ -454,13 +460,18 @@ object Dedup {
       val next0 = candidates.groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own"), col("lbl"))).as("__old"))
-      // (A pointer-jumping variant — shortcutting each proposed label
-      // through the previous round's labels — was measured here and
-      // REMOVED: it cuts rounds only ~16->11 on a diameter-15 chain
-      // graph while adding a shuffle join to every round, a net loss.
-      // Chain graphs of that diameter are threshold artifacts (see
-      // l41's scaladoc); real near-dup components are cliquish and the
-      // min-over-neighborhood seeding already lands those in one round.)
+      // (Two shortcut variants were measured here and REMOVED as net
+      // losses. One-step pointer jump — shortcutting each proposed
+      // label through the PREVIOUS round's labels — cuts rounds only
+      // ~16->11 while adding a shuffle join to every round. True
+      // pointer DOUBLING — self-joining the proposal with itself,
+      // lbl(lbl(v)) — halves chain depth per round in theory, but the
+      // proposal is un-materialized when self-joined, so each round's
+      // whole lineage evaluates twice and plan size compounds between
+      // checkpoints: measured 7.5 s -> 70-90 s on the sf0.1 embed
+      // threshold graph. Plain propagation with the fused convergence
+      // action is the winner; deep graphs pay rounds, shallow ones
+      // exit early.)
       val next =
         if ((i + 1) % 5 == 0) next0.localCheckpoint(eager = false)
         else next0.persist()
@@ -476,6 +487,11 @@ object Dedup {
     }
     // (directed is a localCheckpoint — its blocks are released with the
     // DataFrame; nothing to unpersist here)
+    if (!converged)
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIters rounds — graph " +
+          "diameter exceeds the cap; raise maxIters (labels would be " +
+          "silently wrong: keeper/dropped decisions need the true minimum)")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
