@@ -88,6 +88,31 @@ final class InfluxTable(tableSchema: StructType,
   require(transport != "http" || httpUrl.isDefined,
     "graft-influx transport=http requires option 'url'")
   private val httpTimeoutMs = opt("httptimeoutms").map(_.toInt).getOrElse(60000)
+  // InfluxDB 1.x /write API surface (reference index.js:27-38,92-97
+  // connects with user/password/database): `database`→db=, `rp`→rp=,
+  // `precision`→precision= query params; username/password ride as a
+  // Basic Authorization header, never in the URL (query-string
+  // credentials end up in server and proxy logs).
+  private val httpDatabase = opt("database")
+  private val httpRp = opt("rp")
+  private val httpPrecision = opt("precision")
+  private val httpUser = opt("username")
+  private val httpPassword = opt("password")
+  require(httpPrecision.forall(Set("ns", "u", "ms", "s", "m", "h")),
+    s"graft-influx precision must be one of ns,u,ms,s,m,h, got " +
+      s"'${httpPrecision.getOrElse("")}'")
+  require(httpPassword.isEmpty || httpUser.isDefined,
+    "graft-influx option 'password' requires 'username'")
+  require(transport == "http" ||
+      Seq(httpDatabase, httpRp, httpPrecision, httpUser, httpPassword)
+        .forall(_.isEmpty),
+    "graft-influx options database/rp/precision/username/password " +
+      "apply to transport=http only")
+  private def httpEndpoint: Option[HttpEndpoint] = httpUrl.map(u =>
+    HttpEndpoint(u, httpTimeoutMs,
+      httpUser.map(usr => (usr, httpPassword.getOrElse(""))),
+      Seq("db" -> httpDatabase, "rp" -> httpRp,
+        "precision" -> httpPrecision).collect { case (k, Some(v)) => k -> v }))
   // `path` is the file transport's destination; the http transport never
   // touches the local filesystem, so it needs none (the placeholder only
   // feeds cosmetic names).
@@ -106,13 +131,21 @@ final class InfluxTable(tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new InfluxWriteBuilder(info.schema(), seriesDir, measurement, timeCol,
-      insertLimit, truncateFirst = false, transport, httpUrl, httpTimeoutMs)
+      insertLimit, truncateFirst = false, transport, httpEndpoint)
 }
+
+/** Everything the http transport needs to address the server: the write
+  * URL, socket timeouts, optional Basic-auth credentials, and the
+  * InfluxDB /write query params (db, rp, precision). Serializable — it
+  * ships inside the transport to executors.
+  */
+final case class HttpEndpoint(url: String, timeoutMs: Int,
+    auth: Option[(String, String)], params: Seq[(String, String)])
 
 final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
     measurement: String, timeCol: String, insertLimit: Int,
     truncateFirst: Boolean, transport: String = "file",
-    httpUrl: Option[String] = None, httpTimeoutMs: Int = 60000)
+    endpoint: Option[HttpEndpoint] = None)
     extends WriteBuilder with SupportsTruncate {
 
   /** DSv2 truncate (= SaveMode.Overwrite): empty the series, then append —
@@ -125,13 +158,13 @@ final class InfluxWriteBuilder(schema: StructType, seriesDir: String,
       "graft-influx transport=http is append-only; truncate the " +
         "destination measurement server-side instead of mode(overwrite)")
     new InfluxWriteBuilder(schema, seriesDir, measurement, timeCol,
-      insertLimit, truncateFirst = true, transport, httpUrl, httpTimeoutMs)
+      insertLimit, truncateFirst = true, transport, endpoint)
   }
 
   // Driver-side at factory creation: the file transport captures the
   // session's hadoop conf for executor-side staging writes.
   private def makeTransport(): FlushTransport = transport match {
-    case "http" => new HttpFlushTransport(httpUrl.get, httpTimeoutMs)
+    case "http" => new HttpFlushTransport(endpoint.get)
     case _ => new FileFlushTransport(SinkFiles.captureConf())
   }
 
@@ -216,8 +249,27 @@ final class FileFlushTransport(conf: Option[SinkFiles.SerializableHadoopConf])
   * kept), which is also why the p09/p10 count invariants only gate the
   * file path.
   */
-final class HttpFlushTransport(url: String, timeoutMs: Int = 60000)
+final class HttpFlushTransport(endpoint: HttpEndpoint)
     extends FlushTransport {
+
+  // Effective URL built once on the driver: the configured write URL
+  // plus the InfluxDB /write query params (db, rp, precision),
+  // url-encoded, composing with any query string already present.
+  private val effectiveUrl: String =
+    if (endpoint.params.isEmpty) endpoint.url
+    else {
+      val enc = (s: String) =>
+        java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      val qs = endpoint.params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+        .mkString("&")
+      endpoint.url + (if (endpoint.url.contains("?")) "&" else "?") + qs
+    }
+
+  // Pre-rendered Authorization header (credentials never enter the URL).
+  private val authHeader: Option[String] = endpoint.auth.map { case (u, p) =>
+    "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** One POST per flush — the production request the file transport only
     * simulates. `HttpURLConnection`, not a pooled client: the object must
@@ -226,27 +278,46 @@ final class HttpFlushTransport(url: String, timeoutMs: Int = 60000)
     */
   override def deliver(attemptDir: String, fileName: String,
       body: Array[Byte]): Unit = {
-    val conn = new java.net.URI(url).toURL.openConnection()
+    val conn = new java.net.URI(effectiveUrl).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
       // A hung endpoint must FAIL the task (so Spark retries it), not
       // block the executor forever — the JDK default is no timeout.
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
+      conn.setConnectTimeout(endpoint.timeoutMs)
+      conn.setReadTimeout(endpoint.timeoutMs)
       conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+      authHeader.foreach(conn.setRequestProperty("Authorization", _))
       conn.setFixedLengthStreamingMode(body.length)
       val out = conn.getOutputStream
       try out.write(body) finally out.close()
       val code = conn.getResponseCode
       // Influx answers 204; treat any 2xx as delivered. A failure throws
       // and the TASK retries — at-least-once, idempotent at the server.
+      // The server's error body (InfluxDB returns {"error": "..."} on
+      // 400/401/404) is surfaced in the message: a partial-write or
+      // auth diagnosis should not require server-side log access.
       if (code < 200 || code >= 300)
-        throw new java.io.IOException(s"flush POST to $url returned $code")
+        throw new java.io.IOException(
+          s"flush POST to ${endpoint.url} returned $code" +
+            readErrorBody(conn).fold("")(b => s": $b"))
       conn.getInputStream.close()
     } finally conn.disconnect()
   }
+
+  /** First bytes of the error stream, for the exception message only —
+    * truncated and best-effort (a dead connection yields None).
+    */
+  private def readErrorBody(
+      conn: java.net.HttpURLConnection): Option[String] =
+    try Option(conn.getErrorStream).map { es =>
+      try {
+        val bytes = es.readNBytes(512)
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally es.close()
+    }.filter(_.nonEmpty)
+    catch { case _: java.io.IOException => None }
 
   override def staged: Boolean = false
   override def abortAttempt(attemptDir: String): Unit = ()

@@ -285,6 +285,76 @@ class InfluxDsv2Spec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("http transport carries db/rp/precision params and Basic auth; " +
+      "non-2xx surfaces the server's error body") {
+    // The InfluxDB 1.x /write API surface (reference connects with
+    // user/password/database, index.js:27-38): credentials must arrive
+    // as a decodable Authorization header (never in the URL), the
+    // database/rp/precision options as query params, and a 400's JSON
+    // error body must land in the thrown message.
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val auths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/write", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      queries.add(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      auths.add(Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse(""))
+      if (failNext.get()) {
+        val err = """{"error":"retention policy not found: weekly"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, err.length)
+        val os = ex.getResponseBody
+        try os.write(err) finally os.close()
+      } else ex.sendResponseHeaders(204, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/write"
+      def write(): Unit = src().write.format("graft-influx")
+        .option("measurement", "m")
+        .option("transport", "http").option("url", url)
+        .option("database", "metrics db") // space → %20, proves encoding
+        .option("rp", "weekly").option("precision", "u")
+        .option("username", "dbuser").option("password", "s3cret")
+        .mode("append").save()
+      write()
+      import scala.jdk.CollectionConverters._
+      assert(queries.asScala.nonEmpty)
+      queries.asScala.foreach { q =>
+        assert(q.contains("db=metrics%20db") || q.contains("db=metrics+db"), q)
+        assert(q.contains("rp=weekly") && q.contains("precision=u"), q)
+        assert(!q.contains("s3cret"), s"credentials leaked into URL: $q")
+      }
+      auths.asScala.foreach { a =>
+        assert(a.startsWith("Basic "), a)
+        val decoded = new String(
+          java.util.Base64.getDecoder.decode(a.stripPrefix("Basic ")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(decoded === "dbuser:s3cret", decoded)
+      }
+      failNext.set(true)
+      val e = intercept[Exception] { write() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("400") &&
+        msg.contains("retention policy not found"), msg)
+    } finally server.stop(0)
+  }
+
+  test("http-only options are rejected on the file transport") {
+    val e = intercept[Exception] {
+      src().write.format("graft-influx")
+        .option("measurement", "m").option("path", "/tmp/unused")
+        .option("database", "metrics")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("transport=http only"), e.getMessage)
+  }
+
   test("http transport rejects overwrite mode up front (append-only)") {
     val e = intercept[Exception] {
       src().write.format("graft-influx")
