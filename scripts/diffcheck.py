@@ -64,7 +64,7 @@ def type_lint(exp_rel, got_rel=None):
                        f"-> CAST(... AS BIGINT) in the oracle SQL")
         elif ts.startswith("DECIMAL"):
             if got_rel is not None and not gs.startswith("DECIMAL"):
-                bad.append(f"{c}: oracle {ts} vs spark {gs} "
+                bad.append(f"{c}: oracle {ts} vs spark {gs or '(missing)'} "
                            f"-> CAST(... AS DOUBLE) or BIGINT in the "
                            f"oracle SQL")
             elif got_rel is None:

@@ -487,11 +487,13 @@ object Dedup {
     }
     // (directed is a localCheckpoint — its blocks are released with the
     // DataFrame; nothing to unpersist here)
-    if (!converged)
+    if (!converged) {
+      owned.unpersist()
       throw new IllegalStateException(
         s"components() did not converge in $maxIters rounds — graph " +
           "diameter exceeds the cap; raise maxIters (labels would be " +
           "silently wrong: keeper/dropped decisions need the true minimum)")
+    }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -524,7 +526,11 @@ object Dedup {
     * re-joined in order. Returns (doc_id, clean_text, n_removed); a doc
     * that is wall-to-wall boilerplate scrubs to the empty string.
     *
-    * Shape: positional k-shingles explode once; document frequency is
+    * Shape: the positional k-shingle explode feeds two consumers (the
+    * df aggregate and the coverage join), so it is localCheckpointed to
+    * run once — the aggregate's map-side combine makes the two exchange
+    * plans non-identical, so ReuseExchange alone cannot dedup them;
+    * document frequency is
     * one map-side-combined aggregate; the hot-shingle table joins back
     * as a plain equi-join (at minDocs=2 on a pathological corpus the
     * hot set can be large, so broadcasting is left to AQE's stats
@@ -543,6 +549,7 @@ object Dedup {
             i => struct(i.as("i"),
               concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("g"))))).as("sh"))
       .select(col("doc_id"), col("sh.i").as("i"), col("sh.g").as("g"))
+      .localCheckpoint(eager = false)
     val hot = ps.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)

@@ -103,6 +103,23 @@ object Similarity {
     * ops are the (tbl, sig) candidate equi-join — whose buckets shrink as
     * `bits` grows with corpus size — and the distinct. Nothing is O(n^2).
     */
+  /** The exact all-pairs cosine-threshold pair set (a_id, b_id, cos) —
+    * THE baseline twin every approximate embedding path (l21/l30 LSH,
+    * l61 semantic pairs, l62 prune, the recall probes) is measured
+    * against, defined once so a threshold or tie-break change cannot
+    * silently hand two gates two different baselines. Deliberately
+    * O(n^2): oracle/gate use only — the scale paths are the approximate
+    * operators this judges.
+    */
+  def exactCosinePairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame =
+    df.select(col(idCol).as("a_id"), col(embCol).as("__ea"))
+      .join(df.select(col(idCol).as("b_id"), col(embCol).as("__eb")),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosineSim(col("__ea"), col("__eb")).as("cos"))
+      .where(col("cos") >= threshold)
+
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 16): DataFrame = {
     val b = bucketed(df, idCol, embCol, bits, tables)
@@ -357,6 +374,11 @@ object Similarity {
     * one narrow pass. Approximate scores are shuffled-double sums, so
     * the operator is recall-gated (l57), not hash-compared — the
     * l07/l16 contract.
+    *
+    * Returns (q_id, c_id, score, rk) for every `rerank` setting —
+    * score is the ADC approximate cosine at rerank <= 1 and the
+    * full-precision re-ranked cosine above; the knob tunes recall, it
+    * never changes the result shape.
     */
   def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
@@ -451,8 +473,10 @@ object Similarity {
       .orderBy(col("pq_cos").desc, col("c_id"))
     val pqRanked = scored.withColumn("rk", row_number().over(w))
     if (rerank <= 1) {
+      // Same output schema as the rerank branch: (q_id, c_id, score, rk) —
+      // a tuning knob must not change the result shape.
       pqRanked.where(col("rk") <= k)
-        .select(col("q_id"), col("c_id"), col("pq_cos"), col("rk"))
+        .select(col("q_id"), col("c_id"), col("pq_cos").as("score"), col("rk"))
     } else {
       // Standard IVF-PQ+rerank: ADC prunes the candidate list to k*rerank
       // per query, and only that short list is re-scored full-precision —
@@ -467,7 +491,7 @@ object Similarity {
         .orderBy(col("cos").desc, col("c_id"))
       exact.withColumn("rk", row_number().over(w2))
         .where(col("rk") <= k)
-        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+        .select(col("q_id"), col("c_id"), col("cos").as("score"), col("rk"))
     }
   }
 

@@ -104,10 +104,10 @@ final class InfluxTable(tableSchema: StructType,
   require(httpPassword.isEmpty || httpUser.isDefined,
     "graft-influx option 'password' requires 'username'")
   require(transport == "http" ||
-      Seq(httpDatabase, httpRp, httpPrecision, httpUser, httpPassword)
-        .forall(_.isEmpty),
-    "graft-influx options database/rp/precision/username/password " +
-      "apply to transport=http only")
+      (Seq(httpDatabase, httpRp, httpPrecision, httpUser, httpPassword,
+        httpUrl).forall(_.isEmpty) && opt("httptimeoutms").isEmpty),
+    "graft-influx options url/httptimeoutms/database/rp/precision/" +
+      "username/password apply to transport=http only")
   private def httpEndpoint: Option[HttpEndpoint] = httpUrl.map(u =>
     HttpEndpoint(u, httpTimeoutMs,
       httpUser.map(usr => (usr, httpPassword.getOrElse(""))),

@@ -177,12 +177,7 @@ object LlmQueries {
       "embedding-cosine near-dup pairs (cos >= 0.4), exact all-pairs with the codegen'd cosine expression",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-        a.join(b, col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
-          .where(col("cos") >= 0.4)
+        Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
       },
       Some(embedPairsOracle(0.4))),
 
@@ -495,13 +490,7 @@ object LlmQueries {
       "the l21 bits-vs-corpus dial made driver-visible: same LSH near-dup pipeline at 6 bits x 10 tables (64 vs 16 buckets/table -> ~4x smaller candidate volume) traded for a bounded recall dip — measured 0.97-1.0 across sf, gated at >= 90% of the exact pair set",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val exact = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
-            col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
-              .as("cos"))
-          .where(col("cos") >= 0.4)
+        val exact = Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
           .select(col("a_id"), col("b_id"), lit(1).as("__e"))
         val scaled = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.4,
             bits = 6, tables = 10)
@@ -1318,6 +1307,12 @@ object LlmQueries {
         Dedup.incrementalDedup(
           docs.where(isNew), docs.where(!isNew), "doc_id", "text")
       },
+      // NOT EXISTS, not NOT IN: the Spark side is a digest anti-join that
+      // KEEPS NULL-text rows (sha2(NULL)=NULL never equi-matches) and
+      // counts each kept NULL individually; NOT IN is null-hostile (one
+      // corpus NULL empties the result), NOT EXISTS matches the anti-join
+      // row-for-row — the l38 convention of pinning NULL semantics on
+      // both engines.
       Some("""WITH b AS (
              |  SELECT doc_id, text FROM documents
              |  WHERE CAST(source[4:] AS INT) % 5 = 0),
@@ -1325,13 +1320,15 @@ object LlmQueries {
              |  SELECT text FROM documents
              |  WHERE CAST(source[4:] AS INT) % 5 <> 0),
              |s AS (SELECT * FROM b
-             |      WHERE text NOT IN (SELECT text FROM r))
+             |      WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.text = b.text)),
+             |k AS (SELECT count(DISTINCT text)
+             |        + count(*) FILTER (WHERE text IS NULL) AS n_kept FROM s)
              |SELECT (SELECT count(*) FROM b) AS n_new,
              |  (SELECT count(*) FROM b) - (SELECT count(*) FROM s)
              |    AS n_dup_vs_corpus,
-             |  (SELECT count(*) FROM s) - (SELECT count(DISTINCT text) FROM s)
+             |  (SELECT count(*) FROM s) - (SELECT n_kept FROM k)
              |    AS n_dup_within_batch,
-             |  (SELECT count(DISTINCT text) FROM s) AS n_kept""".stripMargin)),
+             |  (SELECT n_kept FROM k) AS n_kept""".stripMargin)),
 
     QuerySpec(
       "l57_pq_gate",
@@ -1397,13 +1394,7 @@ object LlmQueries {
         // carries presence markers so n_exact and the hit count come out
         // of a single aggregate. Semantic pairs are exact-verified, so
         // sem is a subset of exact and hits == |sem|.
-        val exact = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
-            col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
-              .as("cos"))
-          .where(col("cos") >= 0.4)
+        val exact = Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
           .select(col("a_id"), col("b_id"), lit(1).as("__e"))
         val sem = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
             0.4, nClusters = 8, trainIters = 1, probes = 3)
@@ -1423,13 +1414,8 @@ object LlmQueries {
       "SemDeDup's user-facing output — WHICH documents to drop: connected components over l61's cluster-bounded pairs, keeper = min reachable id, dropped = non-keepers. Semantic pairs are a subset of exact pairs, so semantic components refine exact components and every semantically-dropped doc is exactly-dropped too (precision 1.0 structurally); gate = dropped-set recall vs the exact-pair components >= 85% (measured 0.946-0.955 across sf); oracle = exact dropped count (recursive CTE) + literal true",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val exactPairs = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
-            col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
-              .as("cos"))
-          .where(col("cos") >= 0.4)
+        val exactPairs =
+          Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
         val semPairs = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
           0.4, nClusters = 8, trainIters = 1, probes = 3)
         def dropped(pairs: org.apache.spark.sql.DataFrame, mark: String) =

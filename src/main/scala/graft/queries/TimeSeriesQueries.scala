@@ -532,11 +532,19 @@ object TimeSeriesQueries {
           "t18_stream_incr_dedup_mem", "append", statePartitions = Some(8))
         kept.agg(count(lit(1)).as("n_kept"))
       },
-      Some("""SELECT count(DISTINCT text) AS n_kept
-             |FROM documents
-             |WHERE CAST(source[4:] AS INT) % 5 = 0
-             |  AND text NOT IN (
-             |    SELECT text FROM documents
-             |    WHERE CAST(source[4:] AS INT) % 5 <> 0)""".stripMargin))
+      // NOT EXISTS, not NOT IN (l56's convention): the stream-static anti
+      // join KEEPS a NULL-text row (NULL digest never equi-matches) and
+      // dropDuplicates("dig") then collapses all kept NULLs to one row —
+      // hence the CASE term; NOT IN would empty the result on one corpus
+      // NULL.
+      Some("""SELECT count(DISTINCT text)
+             |    + CASE WHEN count(*) FILTER (WHERE text IS NULL) > 0
+             |           THEN 1 ELSE 0 END AS n_kept
+             |FROM documents b
+             |WHERE CAST(b.source[4:] AS INT) % 5 = 0
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM documents r
+             |    WHERE CAST(r.source[4:] AS INT) % 5 <> 0
+             |      AND r.text = b.text)""".stripMargin))
   )
 }

@@ -26,12 +26,8 @@ object CcProbe {
           jobs.incrementAndGet()
       })
     val e = Tables.load(spark, sfDir, "embeddings")
-    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
-        col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
-      .where(col("cos") >= 0.4)
+    val pairs =
+      operators.Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
     for (rep <- 1 to 3) {
       val j0 = jobs.get()
       val t0 = System.nanoTime()

@@ -49,15 +49,8 @@ object RecallProbe {
         rp(s"pqTopK(m=$m,codes=$nc,it=$it,rr=$rr) vs ivf-same-cand", pq, ivfWide)
     }
 
-    val ep = {
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
-        .where(col("cos") >= 0.4)
-        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+    val ep = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Seq((4, 16), (6, 10), (8, 8)).foreach { case (bits, tables) =>
       val got = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
           bits = bits, tables = tables)
@@ -72,12 +65,7 @@ object RecallProbe {
           .where(col("cluster_id") =!= col("doc_id"))
           .select("doc_id").collect().map(_.getLong(0)).toSet
       val exDrop = dropped(
-        emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-          .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
-            col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
-          .where(col("cos") >= 0.4))
+        Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4))
       val semDrop = dropped(Similarity.semanticDedupPairs(emb, "vec_id",
         "embedding", 0.4, nClusters = 8, trainIters = 1, probes = 3))
       rp("semanticPrune dropped-set (k=8,it=1,p=3)", semDrop.map((0L, _)),
