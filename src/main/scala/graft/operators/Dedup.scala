@@ -432,6 +432,25 @@ object Dedup {
       .localCheckpoint(eager = true)
     val edges = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    // The loop below runs tens of rounds over a label table that is tiny
+    // relative to the corpus (one row per paired node), so its cost is
+    // per-round plan/codegen/job-dispatch, not data. Shrink the shuffle
+    // width for the loop ONLY: 32-way shuffles schedule 32 near-empty
+    // reduce tasks per stage, and 8-way measured ~6.8 s -> ~5.4 s warm
+    // median on the sf0.1 threshold graph (92 jobs either way; identical
+    // labels). AQE stays ON — turning it off here was measured a LOSS
+    // (92 jobs -> 33, but warm wall 6.8 s -> 12-13 s: static planning
+    // has no stats for the checkpointed edge list, so every round's
+    // labels-x-edges join falls back to a shuffle join instead of AQE's
+    // runtime broadcast conversion). The edge list above already
+    // materialized under the session's full conf. Conf is
+    // session-global, so save/restore — components() callers are
+    // sequential by contract.
+    val spark = pairs.sparkSession
+    val confKeys = Seq("spark.sql.shuffle.partitions")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     // Hash-to-min seeding: each node starts at min(self, neighbors) —
     // one shuffle-aggregate, the same cost the bare distinct() init paid,
     // but for the clique/star components a near-dup pair graph is mostly
@@ -494,7 +513,16 @@ object Dedup {
           "diameter exceeds the cap; raise maxIters (labels would be " +
           "silently wrong: keeper/dropped decisions need the true minimum)")
     }
+    // Safe to restore before the caller's first action: every round's
+    // labels were materialized into cache by the in-loop convergence
+    // action, so the returned frame only reads cached blocks.
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
   }
 
   /** Repeated-passage detector — the substring-level dup diagnostic from
