@@ -435,6 +435,68 @@ object TextAnalysis {
           .as("lift"))
   }
 
+  /** Quality-band × duplication census — the diagnostic a curation run
+    * reads BEFORE choosing a quality cutoff: for each fixed quality band
+    * (floor(score×10); reference mongo2influx has no analytics surface,
+    * this is the LLM-pipeline extension), how many documents land there,
+    * how many are exact duplicates (digest row_number > 1, NULL text
+    * never a dup), the token mass, the duplicated token mass, and the
+    * band's exact quality sum in micro-units (floor(score×1e6) summed as
+    * integers — order-independent, one final division away from a mean).
+    *
+    * 100 TB shape: fixed per-row banding, NOT ntile — a decile needs a
+    * global sort; a band is one codegen'd floor. Two shuffles total:
+    * the dup-flag window on the 32-byte sha-256 digest key (the l17
+    * contract: never full text) and a map-side-combined aggregate onto
+    * <= ~16 band groups.
+    */
+  def qualityDupProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityFeatures(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__text")
+      .select(col("doc_id"), col("__text"), col("n_tokens"),
+        col("quality_score"))
+    val w = Window.partitionBy(sha2(col("__text"), 256))
+      .orderBy(col("doc_id"))
+    q.withColumn("__rn", row_number().over(w))
+      .select(col("n_tokens"), col("quality_score"),
+        when(col("__text").isNotNull && col("__rn") > 1, 1)
+          .otherwise(0).as("is_dup"))
+      .groupBy(floor(col("quality_score") * 10).as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).cast("long").as("n_dup_docs"),
+        sum(col("n_tokens")).cast("long").as("tok_total"),
+        sum(when(col("is_dup") === 1, col("n_tokens")).otherwise(lit(0)))
+          .cast("long").as("tok_dup"),
+        sum(floor(col("quality_score") * lit(1e6))).as("q_sum_micro"))
+  }
+
+  /** Threshold what-if on top of `qualityDupProfile`: for every possible
+    * quality cutoff (keep bands >= min_band), the surviving doc count,
+    * token mass, and surviving exact-dup count — the table that turns
+    * "pick a quality threshold" from a rerun-per-guess into one query.
+    * NULL-band docs (NULL text has no score) can't be thresholded and
+    * are excluded.
+    *
+    * 100 TB shape: the cumulative window runs on the band CENSUS
+    * (<= ~16 rows), never the corpus — the single-partition WindowExec
+    * it plans is the right plan at any corpus size.
+    */
+  def qualityFilterWhatIf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = qualityDupProfile(docs, idCol, textCol)
+      .where(col("band").isNotNull)
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.select(col("band").as("min_band"),
+      sum(col("n_docs")).over(w).as("docs_kept"),
+      sum(col("tok_total")).over(w).as("tok_kept"),
+      sum(col("n_dup_docs")).over(w).as("dup_docs_kept"))
+  }
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, k: Int = 5): DataFrame = {
     val corpusSh = corpus.select(col(idCol).as("doc_id"),

@@ -1539,6 +1539,79 @@ object LlmQueries {
              |      AS jaccard
              |  FROM a JOIN b ON len(a.s) + len(b.s) > 0)
              |SELECT new_id, corpus_id, jaccard FROM p
-             |WHERE jaccard >= 0.5""".stripMargin))
+             |WHERE jaccard >= 0.5""".stripMargin)),
+
+    QuerySpec(
+      "l63_quality_dup_profile",
+      "quality-band x duplication census: per floor(quality*10) band — doc count, exact-dup docs (digest row_number > 1), token mass, duplicated token mass, and the band's exact quality sum in micro-units (integers, order-independent); fixed per-row bands, not ntile — no global sort at any corpus size",
+      (s, dir) => TextAnalysis.qualityDupProfile(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    len(string_split(trim(text), ' ')) AS n_tokens,
+             |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             |      / length(text) AS punct_ratio,
+             |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS DOUBLE)
+             |      / len(string_split(trim(text), ' ')) AS stopword_ratio
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, n_tokens,
+             |    (1.0 - punct_ratio) * (0.5 + stopword_ratio)
+             |      * (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.25 END)
+             |      AS quality_score
+             |  FROM f),
+             |b AS (
+             |  SELECT CAST(floor(quality_score * 10) AS BIGINT) AS band,
+             |    CAST(floor(quality_score * 1e6) AS BIGINT) AS qmicro,
+             |    n_tokens,
+             |    CASE WHEN text IS NOT NULL AND row_number()
+             |        OVER (PARTITION BY sha256(text) ORDER BY doc_id) > 1
+             |      THEN 1 ELSE 0 END AS is_dup
+             |  FROM q)
+             |SELECT band, count(*) AS n_docs,
+             |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+             |  CAST(sum(CASE WHEN is_dup = 1 THEN n_tokens ELSE 0 END)
+             |    AS BIGINT) AS tok_dup,
+             |  CAST(sum(qmicro) AS BIGINT) AS q_sum_micro
+             |FROM b GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "l64_filter_whatif",
+      "quality-threshold what-if: for every cutoff (keep bands >= min_band) the surviving docs / tokens / exact-dups, one cumulative window over the <= ~16-row band census from l63 — picks the filter threshold without a rerun per guess",
+      (s, dir) => TextAnalysis.qualityFilterWhatIf(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    len(string_split(trim(text), ' ')) AS n_tokens,
+             |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             |      / length(text) AS punct_ratio,
+             |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS DOUBLE)
+             |      / len(string_split(trim(text), ' ')) AS stopword_ratio
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, n_tokens,
+             |    (1.0 - punct_ratio) * (0.5 + stopword_ratio)
+             |      * (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.25 END)
+             |      AS quality_score
+             |  FROM f),
+             |b AS (
+             |  SELECT CAST(floor(quality_score * 10) AS BIGINT) AS band,
+             |    n_tokens,
+             |    CASE WHEN text IS NOT NULL AND row_number()
+             |        OVER (PARTITION BY sha256(text) ORDER BY doc_id) > 1
+             |      THEN 1 ELSE 0 END AS is_dup
+             |  FROM q),
+             |c AS (
+             |  SELECT band, count(*) AS n_docs, sum(n_tokens) AS tok,
+             |    sum(is_dup) AS ndup
+             |  FROM b WHERE band IS NOT NULL GROUP BY 1)
+             |SELECT band AS min_band,
+             |  CAST(sum(n_docs) OVER w AS BIGINT) AS docs_kept,
+             |  CAST(sum(tok) OVER w AS BIGINT) AS tok_kept,
+             |  CAST(sum(ndup) OVER w AS BIGINT) AS dup_docs_kept
+             |FROM c
+             |WINDOW w AS (ORDER BY band DESC
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }

@@ -301,4 +301,52 @@ class TextOpsSpec extends SparkSpec {
     assert(splits.map(_._2).sum === 3L)                   // keep-all split
     assert(byStage("5_pack") === ((3L, 1L)))              // fits one shard
   }
+
+  test("qualityDupProfile: bands partition the corpus, dup flags count non-keepers, null text never a dup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat of the and is a mat today"), // repeated twice below
+      (2L, "the cat sat of the and is a mat today"),
+      (3L, "the cat sat of the and is a mat today"),
+      (4L, "!!!!! ????? ;;;;;"), // punct-heavy -> low band
+      (5L, "plain words without stopwords here now ok"),
+      (6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val prof = TextAnalysis.qualityDupProfile(docs, "doc_id", "text")
+      .collect()
+    // bands partition: totals across bands equal the corpus
+    assert(prof.map(_.getLong(1)).sum === 7L)
+    // exactly 2 dup docs (doc 2 and 3); nulls are NOT dups of each other
+    assert(prof.map(_.getLong(2)).sum === 2L)
+    val nullBand = prof.filter(_.isNullAt(0))
+    assert(nullBand.length === 1 && nullBand.head.getLong(1) === 2L)
+    // duplicated token mass = 2 copies x 10 tokens
+    assert(prof.map(_.getLong(4)).sum === 20L)
+  }
+
+  test("qualityFilterWhatIf: cumulative, monotone, and ties out to the profile totals") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      val text =
+        if (i % 7 == 0) "the of and is a " * (i % 3 + 1).toInt
+        else s"word$i " * ((i % 5) + 1).toInt
+      (i, if (i % 11 == 0) text else text.trim)
+    }.toDF("doc_id", "text")
+    val prof = TextAnalysis.qualityDupProfile(docs, "doc_id", "text")
+      .where(col("band").isNotNull).collect()
+    val whatif = TextAnalysis.qualityFilterWhatIf(docs, "doc_id", "text")
+      .collect().sortBy(_.getLong(0))
+    // one row per non-null band, docs_kept strictly decreasing in min_band
+    assert(whatif.map(_.getLong(0)).toSet ===
+      prof.map(_.getLong(0)).toSet)
+    val byBandDesc = whatif.sortBy(-_.getLong(0))
+    assert(byBandDesc.map(_.getLong(1)).toSeq ===
+      byBandDesc.map(_.getLong(1)).toSeq.sorted)
+    // the loosest cutoff keeps everything the profile counts
+    assert(whatif.minBy(_.getLong(0)).getLong(1) ===
+      prof.map(_.getLong(1)).sum)
+    assert(whatif.minBy(_.getLong(0)).getLong(2) ===
+      prof.map(_.getLong(3)).sum)
+  }
 }
