@@ -635,4 +635,36 @@ object Similarity {
         col("c_id").as("b_id"), col("b_label"), col("cos"))
     voteTopK(scored, k)
   }
+
+  /** Embedding-column preflight — the sanity census every similarity /
+    * dedup run above assumes but none verifies: per (dim, norm-band)
+    * cell, the vector count plus zero-norm and NaN counts. Unit-norm
+    * corpora land in one or two bands around floor(1.0×1000); drift,
+    * truncated vectors, or an un-normalized ingest shows up as new rows,
+    * not a silent recall collapse downstream. The norm is the same
+    * sequential-fold sum of squares the cosine expression uses, so the
+    * histogram is bit-deterministic; NaN vectors band to NULL (floor of
+    * NaN is engine-defined, NULL is not).
+    *
+    * 100 TB shape: one narrow per-row pass (fold + floor) into a
+    * map-side-combined aggregate over a handful of (dim, band) cells —
+    * no shuffle wider than the cell count, no join.
+    */
+  def embedHealth(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = col("__emb")
+    val n2 = aggregate(e, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val hasNan = exists(e, x => isnan(x.cast("double")))
+    df.select(col(embCol).as("__emb"))
+      .select(size(e).as("dim"), n2.as("__n2"), hasNan.as("__nan"))
+      .select(col("dim"),
+        when(col("__nan"), lit(null))
+          .otherwise(floor(sqrt(col("__n2")) * 1000)).as("norm_band"),
+        when(col("__n2") === 0.0, 1).otherwise(0).as("__z"),
+        when(col("__nan"), 1).otherwise(0).as("__n"))
+      .groupBy(col("dim"), col("norm_band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__z")).cast("long").as("n_zero"),
+        sum(col("__n")).cast("long").as("n_nan"))
+  }
 }

@@ -1612,6 +1612,28 @@ object LlmQueries {
              |  CAST(sum(ndup) OVER w AS BIGINT) AS dup_docs_kept
              |FROM c
              |WINDOW w AS (ORDER BY band DESC
-             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QuerySpec(
+      "l65_embed_health",
+      "embedding-column preflight census: per (dim, floor(norm*1000) band) — vector count, zero-norm count, NaN count; the sanity check every ANN/dedup run assumes (unit-norm corpus = one or two bands), same sequential-fold norm as the cosine expression so the histogram is bit-deterministic",
+      (s, dir) => Similarity.embedHealth(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH h AS (
+             |  SELECT len(embedding) AS dim,
+             |    list_reduce(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2,
+             |    len(list_filter(embedding,
+             |      x -> isnan(CAST(x AS DOUBLE)))) > 0 AS has_nan
+             |  FROM embeddings)
+             |SELECT dim,
+             |  CASE WHEN has_nan THEN NULL
+             |    ELSE CAST(floor(sqrt(n2) * 1000) AS BIGINT) END AS norm_band,
+             |  count(*) AS n_vecs,
+             |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_zero,
+             |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nan
+             |FROM h GROUP BY 1, 2""".stripMargin))
   )
 }

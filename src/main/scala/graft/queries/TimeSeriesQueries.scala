@@ -545,6 +545,40 @@ object TimeSeriesQueries {
              |  AND NOT EXISTS (
              |    SELECT 1 FROM documents r
              |    WHERE CAST(r.source[4:] AS INT) % 5 <> 0
-             |      AND r.text = b.text)""".stripMargin))
+             |      AND r.text = b.text)""".stripMargin)),
+
+    QuerySpec(
+      "t19_stream_quality_bands",
+      "the streaming face of l63's quality banding — the live curation monitor (which quality mix is arriving NOW): per-row scoring + fixed floor(quality*10) banding run stateless on the document stream, a complete-mode band census accumulates as batches arrive; state = one row per band (<= ~16 plus NULL), no watermark — a global census never expires",
+      (s, dir) => {
+        val stream = Tables.loadStream(s, dir, "documents")
+        val banded = graft.operators.TextAnalysis.qualityFeatures(
+            stream.select(col("doc_id"), col("text")), "text")
+          .select(floor(col("quality_score") * 10).as("band"),
+            col("n_tokens"))
+        val census = banded.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("tok_total"))
+        runBounded(s, census, "t19_stream_quality_bands_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    len(string_split(trim(text), ' ')) AS n_tokens,
+             |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             |      / length(text) AS punct_ratio,
+             |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS DOUBLE)
+             |      / len(string_split(trim(text), ' ')) AS stopword_ratio
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, n_tokens,
+             |    (1.0 - punct_ratio) * (0.5 + stopword_ratio)
+             |      * (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.25 END)
+             |      AS quality_score
+             |  FROM f)
+             |SELECT CAST(floor(quality_score * 10) AS BIGINT) AS band,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tok_total
+             |FROM q GROUP BY 1""".stripMargin))
   )
 }
