@@ -74,25 +74,34 @@ object Tables {
       .schema(spark.read.parquet(p).schema)
       .option("basePath", dir)
       .parquet(s"$dir/{$name.parquet}")
+    normalizeTs(df)
+  }
+
+  /** Normalize the fixture `ts` column to TimestampType (µs, UTC instant)
+    * regardless of how the generator wrote it: TIMESTAMP(NANOS) parquet
+    * arrives as LongType under `nanosAsLong` (ns -> µs integer div);
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TimestampNTZType
+    * (cast reinterprets the wall-clock in the session timezone — UTC by
+    * the Engine contract, so the µs value is unchanged and matches
+    * DuckDB's naive read of the same file). Event-time streaming,
+    * unix_micros(), and the influx sink all require plain TimestampType.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
-  }
 
   private def loadParquet(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Guarded set: avoid re-writing session conf (and invalidating cached
     // plans) on every table load.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    val df = spark.read.parquet(path(dir, name))
-    df.schema.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      case _ => df
-    }
+    normalizeTs(spark.read.parquet(path(dir, name)))
   }
 }
