@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.shingles
-
 /** The one-command curation run — the LLM-pipeline equivalent of the
   * reference's single `migrate()` entry point (index.js:160-176 runs the
   * whole collection sweep off one call and reports a per-collection
@@ -26,9 +24,13 @@ import graft.functions.TextFunctions.shingles
   *                          surviving-stage-2 document (more shingles;
   *                          equal size ties keep the smaller id) — the
   *                          short-quoted-in-long class exact dedup
-  *                          cannot see. Swap `containmentPairsCapped`
-  *                          (l54-gated) in at 100 TB; same output
-  *                          contract.
+  *                          cannot see. DEFAULTS to the df-capped
+  *                          candidate path (`containmentPairsCapped`,
+  *                          l54-gated — the 100 TB shape); pass
+  *                          `exactContainment = true` for the
+  *                          quadratic oracle variant (same output
+  *                          contract; the capped path's recall vs it
+  *                          measures 1.000 at every fixture sf).
   *   4_split_{train,val,test} deterministic content-hash split
   *                          (`TextAnalysis.hashSplit`, keep-all rate).
   *   5_pack                 token-budget shard packing
@@ -53,7 +55,8 @@ object Curation {
 
   def curationRun(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, trainPct: Int = 80, valPct: Int = 10,
-      shardTokens: Long = 2048L): DataFrame = {
+      shardTokens: Long = 2048L, exactContainment: Boolean = false,
+      dfCap: Int = 64): DataFrame = {
     val cleaned = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.cleanText(col(textCol)).as("text"))
     // The 3-regex scrub is the most text-heavy scan in the run and
@@ -68,11 +71,19 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .drop("__dig")
       .localCheckpoint(eager = true)
-    val pairs = Dedup.containmentPairs(s2, "doc_id", "text", threshold)
-    val szA = s2.select(col("doc_id").as("a_id"),
-      size(shingles(col("text"), 3)).as("__na"))
-    val szB = s2.select(col("doc_id").as("b_id"),
-      size(shingles(col("text"), 3)).as("__nb"))
+    // One posting table feeds the containment join AND both size lookups
+    // (docs with < k tokens have no postings, but they also can never
+    // appear in a pair, so the inner size joins below stay complete).
+    val postings = Dedup.containmentPostings(s2, "doc_id", "text")
+      .localCheckpoint(eager = true)
+    val pairs =
+      if (exactContainment)
+        Dedup.containmentPairsFromPostings(postings, threshold)
+      else
+        Dedup.containmentPairsCappedFromPostings(postings, threshold, dfCap)
+    val sizes = postings.groupBy(col("doc_id")).agg(max(col("n")).as("__n"))
+    val szA = sizes.select(col("doc_id").as("a_id"), col("__n").as("__na"))
+    val szB = sizes.select(col("doc_id").as("b_id"), col("__n").as("__nb"))
     val drops = pairs.join(szA, Seq("a_id")).join(szB, Seq("b_id"))
       .where(col("__nb") > col("__na") ||
         (col("__nb") === col("__na") && col("b_id") < col("a_id")))

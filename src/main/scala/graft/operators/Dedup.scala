@@ -109,11 +109,30 @@ object Dedup {
     * baseline.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k)
-    val exA = sets.select(col("doc_id").as("a_id"), size(col("sh")).as("na"),
-      explode(col("sh")).as("g"))
-    val exB = exA.select(col("a_id").as("b_id"), col("na").as("nb"),
+      threshold: Double, k: Int = 3): DataFrame =
+    containmentPairsFromPostings(
+      containmentPostings(docs, idCol, textCol, k), threshold)
+
+  /** The exploded posting table (doc_id, n, g) both containment twins
+    * consume — factored out so a composition that runs the exact twin
+    * AND the capped path (the l54 recall gate, l55's oracle variant)
+    * can shingle the corpus ONCE, localCheckpoint the postings, and
+    * feed both sides, instead of each side re-running the
+    * tokenize+shingle+explode scan (the dominant cold cost at sf0.1).
+    */
+  def containmentPostings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    shingleSets(docs, idCol, textCol, k)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+
+  /** `containmentPairs` over a precomputed posting table — see
+    * `containmentPostings`.
+    */
+  def containmentPairsFromPostings(postings: DataFrame,
+      threshold: Double): DataFrame = {
+    val exA = postings.select(col("doc_id").as("a_id"), col("n").as("na"),
+      col("g"))
+    val exB = postings.select(col("doc_id").as("b_id"), col("n").as("nb"),
       col("g").as("g2"))
     exA.join(exB,
         col("g") === col("g2") && col("a_id") =!= col("b_id") &&
@@ -277,10 +296,16 @@ object Dedup {
     */
   def containmentPairsCapped(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double, k: Int = 3,
-      dfCap: Int = 64): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k)
-    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("g"))
+      dfCap: Int = 64): DataFrame =
+    containmentPairsCappedFromPostings(
+      containmentPostings(docs, idCol, textCol, k), threshold, dfCap)
+
+  /** `containmentPairsCapped` over a precomputed posting table — see
+    * `containmentPostings`.
+    */
+  def containmentPairsCappedFromPostings(postings: DataFrame,
+      threshold: Double, dfCap: Int = 64): DataFrame = {
+    val ex = postings
     // df attaches via a shuffle join ON g — the same partitioning the
     // candidate self-join needs, so the posting shuffle is planned once
     // and reused (no broadcast of a corpus-scale vocabulary list).

@@ -162,9 +162,11 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, nCentroids: Int = 16,
-      nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
-    val candidates = ivfCandidates(spark, queries, corpus, idCol, embCol,
-      nCentroids, nProbe, trainIters)
+      nProbe: Int = 4, trainIters: Int = 0,
+      candidatesOpt: Option[DataFrame] = None): DataFrame = {
+    val candidates = candidatesOpt.getOrElse(
+      ivfCandidates(spark, queries, corpus, idCol, embCol,
+        nCentroids, nProbe, trainIters))
     val q = renameQ(queries, idCol, embCol)
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
     val scored = candidates.join(c, "c_id").join(broadcast(q), "q_id")
@@ -323,9 +325,13 @@ object Similarity {
 
   /** The probe-bounded (q_id, c_id) candidate set `ivfTopK` scores —
     * shared with `pqTopK`, which ranks the same candidates by codebook
-    * lookups instead of full-precision cosine.
+    * lookups instead of full-precision cosine. Public so a composition
+    * that ranks the SAME candidates two ways (the l57 fidelity gate:
+    * full-precision vs ADC) can generate them once, localCheckpoint,
+    * and pass the frame to both rankers via `candidatesOpt` instead of
+    * rebuilding centroids + lists + probes per side.
     */
-  private def ivfCandidates(spark: SparkSession, queries: DataFrame,
+  def ivfCandidates(spark: SparkSession, queries: DataFrame,
       corpus: DataFrame, idCol: String, embCol: String,
       nCentroids: Int, nProbe: Int, trainIters: Int): DataFrame = {
     val cents = lloydRounds(corpus, idCol, embCol,
@@ -383,7 +389,7 @@ object Similarity {
   def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
       trainIters: Int = 2, nCentroids: Int = 16, nProbe: Int = 4,
-      rerank: Int = 0): DataFrame = {
+      rerank: Int = 0, candidatesOpt: Option[DataFrame] = None): DataFrame = {
     def sq(v: Column): Column =
       sqrt(aggregate(v, lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double")))
@@ -411,7 +417,15 @@ object Similarity {
             .as("sub"))
 
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-    val blocks = subBlocks(c, "c_id", "c_emb")
+    // The sub-block explode feeds every Lloyd round's assignment AND the
+    // encode pass (trainIters + 1 consumers); localCheckpoint runs the
+    // scan+slice once and lets each consumer read blocks (r7 measured
+    // the replays as l57's dominant job count). This is the transient
+    // index-BUILD input — the artifact a production pipeline persists is
+    // `codes` (m bytes + a norm per vector), never this frame.
+    val blocks0 = subBlocks(c, "c_id", "c_emb")
+    val blocks =
+      if (trainIters >= 1) blocks0.localCheckpoint(eager = true) else blocks0
     // Seeded deterministic init, exactly the ivf pattern: the nCodes
     // smallest-hash rows seed EVERY block's codebook with their own
     // sub-vector; the sampled id is the code id (unique + ordered, the
@@ -443,6 +457,12 @@ object Similarity {
         .select(col("blk"), col("code"),
           coalesce(col("newc"), col("cent")).as("cent"))
     }
+    // The trained codebook is m*nCodes rows but its PLAN chains through
+    // the whole training lineage (and, untrained, through the corpus-
+    // scanning seed sample); it is broadcast-evaluated by the encode
+    // join and the ADC table independently, so checkpoint the tiny frame
+    // once instead of replaying the lineage per consumer.
+    codebook = codebook.localCheckpoint(eager = true)
     // Encode: min-L2 code per (vector, block) — the corpus' entire PQ
     // representation is these m small codes + one norm scalar.
     val codes = blocks.join(broadcast(codebook), Seq("blk"))
@@ -460,8 +480,9 @@ object Similarity {
       .select(col("q_id"), col("blk"), col("code"),
         dotp(col("sub"), col("cent")).as("pdot"))
 
-    val cand = ivfCandidates(spark, queries, corpus, idCol, embCol,
-      nCentroids, nProbe, trainIters = 0)
+    val cand = candidatesOpt.getOrElse(
+      ivfCandidates(spark, queries, corpus, idCol, embCol,
+        nCentroids, nProbe, trainIters = 0))
     val scored = cand.join(codes, Seq("c_id"))
       .join(broadcast(dtab), Seq("q_id", "blk", "code"))
       .groupBy(col("q_id"), col("c_id"))

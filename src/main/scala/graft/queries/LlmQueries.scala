@@ -1210,9 +1210,15 @@ object LlmQueries {
       "recall gate for l50's 100 TB claim: candidate pairs from a df-capped inverted index (shingles in > 16 docs dropped from candidate generation — boilerplate fans out O(df^2) pairs and carries no dedup signal) verified EXACTLY over full shingle sets, so emitted pairs are a strict subset of the exact twin; capped recall vs l50 must be >= 95% (measured 1.000 across all sf; the cap genuinely prunes at sf0.1 where shingle df reaches 25 vs cap 16). Oracle = exact-twin pair count + literal true",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val exact = Dedup.containmentPairs(docs, "doc_id", "text", 0.8)
+        // Both twins consume the SAME posting table: shingle the corpus
+        // once, materialize it (the tokenize+shingle+explode scan was
+        // each side's dominant cold cost — r7's 57.8 s driver reading),
+        // and let the exact join and the df-capped path read the blocks.
+        val postings = Dedup.containmentPostings(docs, "doc_id", "text")
+          .localCheckpoint(eager = true)
+        val exact = Dedup.containmentPairsFromPostings(postings, 0.8)
           .select(col("a_id"), col("b_id"))
-        val capped = Dedup.containmentPairsCapped(docs, "doc_id", "text",
+        val capped = Dedup.containmentPairsCappedFromPostings(postings,
             0.8, dfCap = 16)
           .select(col("a_id"), col("b_id"), lit(1).as("__hit"))
         exact.join(capped, Seq("a_id", "b_id"), "left_outer")
@@ -1336,12 +1342,19 @@ object LlmQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val q = e.where(col("vec_id") % 25 === 0)
+        // Both rankers score the SAME probe-bounded candidate set by
+        // contract — generate it once, materialize, and pass it to both
+        // sides instead of each rebuilding centroids + lists + probes
+        // (half of r7's 32.6 s driver reading was this duplication).
+        val cand = Similarity.ivfCandidates(s, q, e, "vec_id", "embedding",
+            nCentroids = 8, nProbe = 6, trainIters = 0)
+          .localCheckpoint(eager = true)
         val ivf = Similarity.ivfTopK(s, q, e, "vec_id", "embedding", 10,
-            nCentroids = 8, nProbe = 6)
+            nCentroids = 8, nProbe = 6, candidatesOpt = Some(cand))
           .select(col("q_id"), col("c_id"), lit(1).as("__i"))
         val pq = Similarity.pqTopK(s, q, e, "vec_id", "embedding", 10,
             m = 16, nCodes = 64, trainIters = 1, nCentroids = 8,
-            nProbe = 6, rerank = 8)
+            nProbe = 6, rerank = 8, candidatesOpt = Some(cand))
           .select(col("q_id"), col("c_id"), lit(1).as("__p"))
         ivf.join(pq, Seq("q_id", "c_id"), "full_outer")
           .agg(count(col("__i")).as("n_ivf"),
@@ -1504,15 +1517,16 @@ object LlmQueries {
             .bucketBy(32, "band", "bh")
             .option("path", s"$out/neardup_index")
             .saveAsTable(tbl)
-          // daily run: batch sketch + join the persisted index
-          val pairs = Dedup.incrementalNearDupWithIndex(
+          // daily run: batch sketch + join the persisted index.
+          // localCheckpoint (NOT collect): the `finally` below drops the
+          // table this plan reads, so the result must be materialized
+          // first — but into executor blocks, distributed, never through
+          // the driver; the registered pattern for a standing 100 TB
+          // pipeline must not route its pair list driver-side.
+          Dedup.incrementalNearDupWithIndex(
             docs.where(isNew), corpus, s.table(tbl),
             "doc_id", "text", 0.5)
-          val rows = pairs.collect().toSeq
-          s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](
-              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-            pairs.schema)
+            .localCheckpoint(eager = true)
         } finally {
           s.sql(s"DROP TABLE IF EXISTS $tbl")
           graft.pipeline.SinkFiles.deleteRecursive(out)

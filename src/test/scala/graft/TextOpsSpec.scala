@@ -302,6 +302,32 @@ class TextOpsSpec extends SparkSpec {
     assert(byStage("5_pack") === ((3L, 1L)))              // fits one shard
   }
 
+  test("curationRun: capped-containment default yields the exact variant's ledger") {
+    import spark.implicits._
+    // Includes a hot boilerplate shingle shared by ALL docs (df above the
+    // cap at dfCap=2) so the capped path genuinely prunes postings, plus
+    // a contained pair whose overlap is part-rare part-hot.
+    val boiler = "terms of service apply"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      // doc 1 verbatim as a contiguous suffix -> every doc-1 shingle
+      // (junction included) is in doc 2: C(1->2) = 1.0, doc 1 drops
+      (2L, s"epsilon zeta eta theta alpha beta gamma delta $boiler"),
+      (3L, s"unrelated words entirely here $boiler"),
+      (4L, s"other content again completely $boiler"),
+      (5L, s"more filler text content $boiler"))
+      .toDF("doc_id", "text")
+    def ledger(exact: Boolean) = graft.operators.Curation
+      .curationRun(docs, "doc_id", "text", exactContainment = exact, dfCap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val capped = ledger(exact = false)
+    val exact = ledger(exact = true)
+    assert(capped === exact)
+    // and the containment stage actually dropped the quoted doc 1
+    assert(capped.find(_._1 == "3_dedup_containment").get._3 === 4L)
+  }
+
   test("qualityDupProfile: bands partition the corpus, dup flags count non-keepers, null text never a dup") {
     import spark.implicits._
     val docs = Seq(
