@@ -45,11 +45,27 @@ object Tables {
     */
   val mongoFormatKey = "spark.graft.mongo.format"
 
+  /** Pass-through namespace for every other reader dial the production
+    * connector takes: a session conf `spark.graft.mongo.option.<key> = v`
+    * is forwarded verbatim as reader option `<key>` — e.g.
+    * `readPreference.name`, `readConcern.level`, `sampleSize`,
+    * `partitioner`, `authSource` / `authMechanism` variants not already
+    * encoded in the URI's query string — so a new connector option never
+    * needs a code change here. The three core options (connection.uri,
+    * database, collection) are pinned AFTER the pass-throughs and cannot
+    * be clobbered by them.
+    */
+  val mongoOptionPrefix = "spark.graft.mongo.option."
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.conf.getOption(mongoUriKey) match {
       case Some(uri) =>
+        val extra = spark.conf.getAll
+          .filter { case (k, _) => k.startsWith(mongoOptionPrefix) }
+          .map { case (k, v) => k.stripPrefix(mongoOptionPrefix) -> v }
         spark.read
           .format(spark.conf.getOption(mongoFormatKey).getOrElse("mongodb"))
+          .options(extra)
           .option("connection.uri", uri)
           .option("database",
             spark.conf.getOption(mongoDatabaseKey).getOrElse("graft"))
@@ -87,11 +103,19 @@ object Tables {
     * unix_micros(), and the influx sink all require plain TimestampType.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
-      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // The NTZ -> Timestamp cast reinterprets the wall-clock in the
+        // SESSION timezone; only UTC leaves the µs value unchanged (the
+        // DuckDB-naive-read contract above). Engine and the test harness
+        // both pin UTC — fail loudly if a foreign session didn't, instead
+        // of silently shifting every instant by the zone offset.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"normalizeTs: TIMESTAMP_NTZ 'ts' needs spark.sql.session.timeZone=UTC (got '$tz')")
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus batched decode / feature-extract /
   * frame-sample operators.
   *
-  * The actual codecs are NOT in this container, so the byte-level decode
-  * is a clearly-marked deterministic FAKE (`fakeDecode`) — what is real
-  * and tested is everything Spark cares about: the schema, the binary
-  * column handling, the batched `mapPartitions` shape (the Scala analogue
-  * of `mapInPandas`: decode wants amortized per-batch setup, not per-row),
-  * and the partitioning story (decode is narrow — no shuffle; frame
-  * sampling is a generator, also narrow).
+  * Two codec tiers. For image bytes the decode is REAL: `withPngBlob`
+  * encodes genuine PNGs (deterministic, id-derived dimensions) and
+  * `decodeImageBatched` reads them back header-only through
+  * javax.imageio — public JDK API, zero external deps — inside the same
+  * batched shape. For audio/video (no codec in this container) the
+  * byte-level decode stays a clearly-marked deterministic FAKE
+  * (`fakeDecode`); what is real and tested there is everything Spark
+  * cares about: the schema, the binary column handling, the batched
+  * `mapPartitions` shape (the Scala analogue of `mapInPandas`: decode
+  * wants amortized per-batch setup, not per-row), and the partitioning
+  * story (decode is narrow — no shuffle; frame sampling is a generator,
+  * also narrow).
   */
 object Multimodal {
 
@@ -80,6 +85,84 @@ object Multimodal {
             fakeDecode(r.getAs[Array[Byte]](contentIdx))
           Row(r.getLong(idIdx), Row(n, w, h, f, fmt))
         }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic REAL-image fixture: encode an actual PNG per row
+    * (java.awt.BufferedImage -> javax.imageio, both public JDK API — no
+    * external codec needed) with dimensions derived from the id:
+    * width = 8 + id % 16, height = 8 + (id * 3) % 16, pixels seeded from
+    * the id. The dimension formulas are the oracle contract —
+    * `decodeImageBatched` must recover them from the real byte stream.
+    * Narrow mapPartitions, no shuffle; the blob column is genuine PNG
+    * bytes, not a stand-in.
+    */
+  def withPngBlob(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id * 3) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val seed = (id * 2654435761L).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (seed ^ (x * 31 + y * 131)) & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL batched image decode — the same mapPartitions shape as
+    * `decodeMetaBatched`, but the codec is javax.imageio reading actual
+    * PNG/JPEG bytes: one ImageReader instantiated PER BATCH (the
+    * amortized-setup contract a native codec or model needs) and fed
+    * each row's byte stream; width/height/format come from the decoded
+    * header, not from arithmetic. A row whose bytes no installed reader
+    * understands FAILS the task (corrupt media should never silently
+    * pass a curation pipeline). Narrow, no shuffle.
+    */
+  def decodeImageBatched(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("format", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup: ONE reader reused across the batch
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        val out = batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            // header-only reads: no pixel materialization for metadata
+            Row(r.getLong(idIdx), reader.getWidth(0), reader.getHeight(0),
+              reader.getFormatName.toLowerCase)
+          } finally iis.close()
+        }
+        reader.dispose()
+        out.iterator
       }
     }(Encoders.row(outSchema))
   }

@@ -1648,6 +1648,19 @@ object LlmQueries {
              |    AS n_zero,
              |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_nan
-             |FROM h GROUP BY 1, 2""".stripMargin))
+             |FROM h GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "l66_image_decode_real",
+      "REAL image codec through the batched multimodal shape: per doc an actual PNG is encoded (javax.imageio, dimensions derived from doc_id — the oracle contract) and decoded back header-only by a per-batch-instantiated ImageReader; width/height/format come from the genuine byte stream, so the oracle's arithmetic only matches if the codec round-trip is exact",
+      (s, dir) => Multimodal.decodeImageBatched(
+        Multimodal.withPngBlob(
+          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(8 + doc_id % 16 AS INT) AS width,
+             |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+             |  'png' AS format
+             |FROM documents""".stripMargin))
   )
 }

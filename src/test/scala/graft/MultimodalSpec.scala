@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** The REAL codec tier: genuine PNG bytes round-tripped through the
+  * batched decode shape (fake-codec tiers are covered by the l12-l14 /
+  * l18 / l43 oracle queries).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("withPngBlob -> decodeImageBatched recovers the id-derived dimensions from real PNG bytes") {
+    import spark.implicits._
+    // ids straddling the dimension formula's period (width = 8 + id % 16,
+    // height = 8 + 3*id % 16): min/max width, min/max height, batch > 1
+    val ids = Seq(0L, 1L, 5L, 15L, 16L, 21L, 100L, 1000L)
+    val blobs = Multimodal.withPngBlob(ids.toDF("doc_id"), "doc_id")
+    // the blob really is a PNG: magic bytes 89 50 4E 47
+    val heads = blobs.select(col("doc_id"), substring(col("content"), 1, 4)
+      .as("head")).collect()
+    heads.foreach { r =>
+      val h = r.getAs[Array[Byte]]("head")
+      assert(h.toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    }
+    val got = Multimodal.decodeImageBatched(blobs, "doc_id", batchSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getString(3)))).toMap
+    ids.foreach { id =>
+      assert(got(id) ===
+        (((8 + id % 16).toInt, (8 + id * 3 % 16).toInt, "png")))
+    }
+  }
+
+  test("decodeImageBatched fails loudly on undecodable bytes") {
+    import spark.implicits._
+    val junk = Seq((1L, "definitely not a png".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val e = intercept[Exception] {
+      Multimodal.decodeImageBatched(junk, "doc_id").collect()
+    }
+    // the PNG reader throws on a bad signature rather than emitting a row
+    assert(e != null)
+  }
+}
