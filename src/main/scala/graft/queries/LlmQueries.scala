@@ -1239,7 +1239,7 @@ object LlmQueries {
 
     QuerySpec(
       "l55_curation_run",
-      "the one-command curation run (the reference migrate()'s LLM equivalent, index.js:160-176): scrub -> exact dedup (digest keepers) -> containment dedup (drop docs quoted in a larger survivor) -> 80/10/10 content-hash split -> 2048-token shard pack, returning the per-stage funnel ledger (stage, n_in, n_out); every stage is an existing operator, the composition is the product surface a real 100 TB run starts from",
+      "the one-command curation run (the reference migrate()'s LLM equivalent, index.js:160-176): scrub -> exact dedup (digest keepers) -> containment dedup (drop docs quoted in a larger survivor; DEFAULTS to the df-capped l54-gated scale path, exact twin opt-in for oracle use — ledgers asserted equal in-test) -> 80/10/10 content-hash split -> 2048-token shard pack, returning the per-stage funnel ledger (stage, n_in, n_out); every stage is an existing operator, the composition is the product surface a real 100 TB run starts from",
       (s, dir) => Curation.curationRun(
         Tables.load(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH c0 AS (
