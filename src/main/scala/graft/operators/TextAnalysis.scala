@@ -117,6 +117,63 @@ object TextAnalysis {
     * keep decision (fp/100)%100 — decorrelated hash windows. Per-row
     * arithmetic only: shuffle-free, codegen'd, oracle-exact.
     */
+  /** Temperature (alpha = 0.5) mixture resampling — the multilingual-
+    * corpus rebalancer from the public multilingual-pretraining recipes
+    * (exponentiated source shares: sampling weight q_s proportional to
+    * p_s^alpha, so head languages are downsampled and tail languages
+    * upsampled relative to their natural share): per-group keep rate
+    * r_s = min(1, budget * q_s / n_s) with q_s = sqrt(n_s) / sum_t
+    * sqrt(n_t) — alpha is FIXED at 0.5 because sqrt is IEEE-exact while
+    * a general pow is libm (the oracle determinism contract; a
+    * production fork swaps pow in, identical plan). The keep decision
+    * per document is content-hash based (`rollingHash`, the hashSplit
+    * convention, basis-point window (fp div 100) % 10000 vs the rate),
+    * so re-runs and re-shards keep exactly the same documents.
+    *
+    * Returns the per-group ledger (group, n_docs, rate_bp, n_kept) —
+    * all integers, hash-stable. NULL-text documents count in n_docs but
+    * are never kept (their hash is NULL) on either engine.
+    *
+    * Determinism note: sum_t sqrt(n_t) is a SEQUENTIAL fold over the
+    * group census sorted by group (collect + sort_array + aggregate, the
+    * l65 pattern) — a shuffled double sum would be order-nondeterministic
+    * and could flip floor() at a basis-point boundary between engines.
+    *
+    * 100 TB shape: the census is one map-side-combined aggregate over
+    * |groups| cells; the fold and the rate table are |groups|-sized and
+    * broadcast; the keep pass is one narrow codegen'd scan. Nothing
+    * shuffles wider than the group count.
+    */
+  def temperatureResample(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val perGrp = docs.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sumw = perGrp
+      .agg(sort_array(collect_list(struct(col("group"), col("n_docs"))))
+        .as("l"))
+      .select(aggregate(col("l"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_docs").cast("double")))
+        .as("sumw"))
+    val rates = perGrp.crossJoin(broadcast(sumw))
+      .select(col("group"), col("n_docs"),
+        least(lit(10000L),
+          floor(lit(budget).cast("double")
+            * sqrt(col("n_docs").cast("double")) * lit(10000.0)
+            / (col("sumw") * col("n_docs").cast("double"))).cast("long"))
+          .as("rate_bp"))
+    val kept = docs
+      .select(col(groupCol).as("group"),
+        TextFunctions.rollingHash(col(textCol)).as("__fp"))
+      .join(broadcast(rates.select(col("group"), col("rate_bp"))),
+        Seq("group"))
+      .where(expr("__fp div 100") % 10000 < col("rate_bp"))
+      .groupBy(col("group")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("group"), "left")
+      .select(col("group"), col("n_docs"), col("rate_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   def hashSplit(docs: DataFrame, idCol: String, textCol: String,
       trainPct: Int, valPct: Int, keepRate: Column): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,

@@ -1661,6 +1661,36 @@ object LlmQueries {
              |  CAST(8 + doc_id % 16 AS INT) AS width,
              |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
              |  'png' AS format
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l67_temperature_resample",
+      "temperature (alpha = 0.5) mixture resampling over the lang column — the multilingual rebalancer: per-language keep rate min(1, budget * q_s / n_s) with q_s = sqrt(n_s)/sum sqrt(n_t) (sqrt, not pow: IEEE-exact, oracle contract), keep decision by content hash (re-runs keep the SAME docs); sum sqrt is a sequential fold over the lang-sorted census so the basis-point floor can't flip between engines; ledger (lang, n_docs, rate_bp, n_kept) all-integer. budget=600 caps the tail langs at keep-all at sf0.001/0.01 and downsamples everything at sf0.1 — both branches exercised",
+      (s, dir) => TextAnalysis.temperatureResample(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+          budget = 600L)
+        .withColumnRenamed("group", "lang"),
+      Some(s"""WITH c AS (
+              |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+              |w AS (
+              |  SELECT list_reduce(
+              |    list_prepend(CAST(0.0 AS DOUBLE),
+              |      list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang NULLS FIRST)),
+              |    (a, b) -> a + b) AS sumw FROM c),
+              |r AS (
+              |  SELECT lang, n_docs,
+              |    least(10000, CAST(floor(CAST(600 AS DOUBLE)
+              |      * sqrt(CAST(n_docs AS DOUBLE)) * 10000.0
+              |      / (sumw * CAST(n_docs AS DOUBLE))) AS BIGINT)) AS rate_bp
+              |  FROM c, w),
+              |f AS (SELECT lang, $fpSql AS fp FROM documents),
+              |k AS (
+              |  SELECT f.lang, count(*) AS n_kept
+              |  FROM f JOIN r ON f.lang = r.lang
+              |  WHERE (fp // 100) % 10000 < rate_bp
+              |  GROUP BY 1)
+              |SELECT r.lang, r.n_docs, r.rate_bp,
+              |  COALESCE(k.n_kept, 0) AS n_kept
+              |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin))
   )
 }

@@ -328,6 +328,38 @@ class TextOpsSpec extends SparkSpec {
     assert(capped.find(_._1 == "3_dedup_containment").get._3 === 4L)
   }
 
+  test("temperatureResample: head group downsampled, tail upsampled toward sqrt shares, cap and null-text semantics hold") {
+    import spark.implicits._
+    // 90/10 skew: p_head = 0.9, p_tail = 0.1. With alpha = 0.5 the
+    // target shares become sqrt-proportional, so the tail's keep RATE
+    // must exceed the head's.
+    val docs = ((1 to 90).map(i => (i.toLong, s"head doc number $i", "big")) ++
+      (1 to 10).map(i => (i + 100L, s"tail doc number $i", "small")) :+
+      ((200L, null.asInstanceOf[String], "small")))
+      .toDF("doc_id", "text", "grp")
+    val got = graft.operators.TextAnalysis
+      .temperatureResample(docs, "doc_id", "text", "grp", budget = 50L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nBig, rateBig, keptBig) = got("big")
+    val (nSmall, rateSmall, keptSmall) = got("small")
+    assert(nBig === 90L && nSmall === 11L) // null-text doc counts in census
+    // exact expected rates: sumw = sqrt(90) + sqrt(11), sequential fold
+    val sumw = 0.0 + math.sqrt(11.0) + math.sqrt(90.0) // sorted: big, small
+    def bp(n: Long) = math.min(10000L,
+      math.floor(50.0 * math.sqrt(n.toDouble) * 10000.0
+        / (sumw * n.toDouble)).toLong)
+    assert(rateBig === bp(90), s"got $rateBig")
+    assert(rateSmall === bp(11), s"got $rateSmall")
+    assert(rateSmall > rateBig) // tail upsampled relative to head
+    assert(keptBig <= nBig && keptSmall <= 10L) // null text never kept
+    // cap: a budget larger than the corpus keeps the tail entirely
+    val capped = graft.operators.TextAnalysis
+      .temperatureResample(docs, "doc_id", "text", "grp", budget = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(capped("small") === 10000L)
+  }
+
   test("qualityDupProfile: bands partition the corpus, dup flags count non-keepers, null text never a dup") {
     import spark.implicits._
     val docs = Seq(
