@@ -62,6 +62,50 @@ object Dedup {
         sum((col("c") - 1) * col("nc")).as("bytes_removed"),
         max(col("c")).as("max_cluster"))
 
+  /** Normalization-tolerant exact dedup — the "fuzzy-exact" tier between
+    * l01's byte-identical dedup and the shingle near-dup family: two
+    * documents are duplicates iff they agree after casefolding,
+    * punctuation stripping ([.,;:!?], the quality-scoring class), and
+    * whitespace collapsing. Catches the re-crawl variants exact dedup
+    * misses (case drift, trailing punctuation, reflowed whitespace)
+    * without paying near-dup candidate generation. Same
+    * 32-byte-digest-shuffle shape as `exactGroupsByDigest`: the
+    * normalization chain is per-row codegen'd regex work feeding one
+    * map-side-combined hash aggregate.
+    */
+  def exactGroupsNormalized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.groupBy(sha2(trim(regexp_replace(regexp_replace(
+          lower(col(textCol)), "[.,;:!?]", ""), "\\s+", " ")), 256)
+        .as("__digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Corpus snapshot diff — the ops tool of a standing ingest next to
+    * `incrementalDedup`: compare two snapshots by content digest and
+    * report, in one row, how many distinct texts appeared, disappeared,
+    * and persisted. NULL-text rows are excluded on both sides (no
+    * content, no identity).
+    *
+    * 100 TB shape: each side reduces to DISTINCT 32-byte digests (in a
+    * standing pipeline both digest tables are precomputed and bucketed
+    * on digest, making this join shuffle-free); ONE full-outer join with
+    * presence markers feeds a single counting aggregate — not three
+    * separate anti/semi passes.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String): DataFrame = {
+    def digs(df: DataFrame, mark: String) = df
+      .where(col(textCol).isNotNull)
+      .select(sha2(col(textCol), 256).as("dig")).distinct()
+      .withColumn(mark, lit(1))
+    digs(oldDocs, "__o").join(digs(newDocs, "__n"), Seq("dig"), "full_outer")
+      .agg(count(when(col("__o").isNull, 1)).as("n_added"),
+        count(when(col("__n").isNull, 1)).as("n_removed"),
+        count(when(col("__o").isNotNull && col("__n").isNotNull, 1))
+          .as("n_common"))
+  }
+
   /** (id, shingle-set) pairs; documents shorter than k tokens get an
     * empty set and never pair.
     */

@@ -1691,6 +1691,42 @@ object LlmQueries {
               |  GROUP BY 1)
               |SELECT r.lang, r.n_docs, r.rate_bp,
               |  COALESCE(k.n_kept, 0) AS n_kept
-              |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin))
+              |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin)),
+
+    QuerySpec(
+      "l68_normalized_dedup",
+      "normalization-tolerant exact dedup (the fuzzy-exact tier between l01 and the shingle family): documents identical after casefold + punctuation strip ([.,;:!?]) + whitespace collapse share one keeper — catches re-crawl variants (case drift, trailing punctuation, reflow) without near-dup candidate costs; same 32-byte digest-shuffle shape as l17",
+      (s, dir) => Dedup.exactGroupsNormalized(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents
+             |GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+             |  '[.,;:!?]', '', 'g'), '\s+', ' ', 'g'))""".stripMargin)),
+
+    QuerySpec(
+      "l69_corpus_diff",
+      "corpus snapshot diff — the standing-ingest ops report: snapshots A (source%5<>0) and B (source%3<>0) reduced to distinct content digests, ONE full-outer join with presence markers feeding a single aggregate -> (n_added, n_removed, n_common); NULL texts excluded on both sides; in a standing pipeline both digest tables are bucketed on digest and the join is shuffle-free",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val srcNum = substring(col("source"), 4, 10).cast("int")
+        Dedup.corpusDiff(
+          docs.where(srcNum % 5 =!= 0), docs.where(srcNum % 3 =!= 0), "text")
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT text FROM documents
+             |  WHERE CAST(source[4:] AS INT) % 5 <> 0 AND text IS NOT NULL),
+             |b AS (
+             |  SELECT DISTINCT text FROM documents
+             |  WHERE CAST(source[4:] AS INT) % 3 <> 0 AND text IS NOT NULL)
+             |SELECT
+             |  (SELECT count(*) FROM b
+             |   WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.text = b.text))
+             |    AS n_added,
+             |  (SELECT count(*) FROM a
+             |   WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.text = a.text))
+             |    AS n_removed,
+             |  (SELECT count(*) FROM a
+             |   WHERE EXISTS (SELECT 1 FROM b WHERE b.text = a.text))
+             |    AS n_common""".stripMargin))
   )
 }

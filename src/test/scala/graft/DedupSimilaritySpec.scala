@@ -20,6 +20,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Set((1L, 2L), (3L, 1L)))
   }
 
+  test("exactGroupsNormalized: case/punctuation/whitespace variants collapse, distinct content survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The Quick Fox."),
+      (2L, "the   quick fox"),        // case + whitespace + punct variant
+      (3L, "THE QUICK FOX!!!"),       // all punct in the stripped class
+      (4L, "the quick foxes"),        // genuinely different content
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactGroupsNormalized(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // variants 1/2/3 share keeper 1; 4 alone; null-text doc its own group
+    assert(got === Set((1L, 3L), (4L, 1L), (5L, 1L)))
+    // plain exact dedup would NOT collapse them — the tier is real
+    // (all five raw texts are byte-distinct: five groups, not three)
+    val exact = Dedup.exactGroups(docs, "doc_id", "text").count()
+    assert(exact === 5L)
+  }
+
+  test("corpusDiff: added/removed/common counted over distinct digests, nulls excluded") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"),
+      (4L, "gamma"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((10L, "beta"), (11L, "delta"), (12L, "delta"),
+      (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Dedup.corpusDiff(oldSnap, newSnap, "text").collect().head
+    // old distinct = {alpha, beta, gamma}, new distinct = {beta, delta}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 1L)))
+  }
+
   test("jaccardPairs finds a planted near-dup and scores it exactly") {
     import spark.implicits._
     val docs = Seq(

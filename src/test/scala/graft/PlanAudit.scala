@@ -33,7 +33,10 @@ object PlanAudit {
     "l57_pq_gate",
     // recall gates: the exact side is the deliberate all-pairs twin
     // (l05 pattern); the semantic side itself is equi-joined on cent_id
-    "l61_semantic_dedup", "l62_semantic_prune")
+    "l61_semantic_dedup", "l62_semantic_prune",
+    // one-row sum-of-sqrt normalizer attached to the per-group census
+    // (the l47/l48 scalar-attach shape)
+    "l67_temperature_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
