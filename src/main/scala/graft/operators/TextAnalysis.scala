@@ -144,8 +144,13 @@ object TextAnalysis {
     * broadcast; the keep pass is one narrow codegen'd scan. Nothing
     * shuffles wider than the group count.
     */
-  def temperatureResample(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, budget: Long): DataFrame = {
+  /** Just the per-group rate table (group, n_docs, rate_bp) — the piece
+    * a STANDING pipeline computes once from the corpus census and then
+    * applies to every batch or stream (t20 joins it stream-static); see
+    * `temperatureResample` for the formula and determinism contract.
+    */
+  def temperatureRates(docs: DataFrame, groupCol: String,
+      budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val perGrp = docs.groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n_docs"))
@@ -155,13 +160,18 @@ object TextAnalysis {
       .select(aggregate(col("l"), lit(0.0),
         (acc, x) => acc + sqrt(x.getField("n_docs").cast("double")))
         .as("sumw"))
-    val rates = perGrp.crossJoin(broadcast(sumw))
+    perGrp.crossJoin(broadcast(sumw))
       .select(col("group"), col("n_docs"),
         least(lit(10000L),
           floor(lit(budget).cast("double")
             * sqrt(col("n_docs").cast("double")) * lit(10000.0)
             / (col("sumw") * col("n_docs").cast("double"))).cast("long"))
           .as("rate_bp"))
+  }
+
+  def temperatureResample(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    val rates = temperatureRates(docs, groupCol, budget)
     val kept = docs
       .select(col(groupCol).as("group"),
         TextFunctions.rollingHash(col(textCol)).as("__fp"))

@@ -52,9 +52,7 @@ object LlmQueries {
     * left-fold `TextFunctions.rollingHash` computes; shared by every
     * oracle that fingerprints (split, sampling, ordering, shard packing).
     */
-  private def fpSql: String =
-    """list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
-      |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)""".stripMargin
+  private def fpSql: String = QuerySpec.fpSql
 
   /** DuckDB-side cosine between two list(float) expressions: sequential
     * left-fold dot/norms in double — bit-equal to `CosineSimilarity`.

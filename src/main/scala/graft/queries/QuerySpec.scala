@@ -42,4 +42,13 @@ object QuerySpec {
     */
   def tempSinkDir(): String =
     java.nio.file.Files.createTempDirectory("graft_sink_").toString
+
+  /** DuckDB-side rolling-hash fingerprint over `text` — the same
+    * left-fold `TextFunctions.rollingHash` computes; shared by every
+    * oracle that fingerprints (LlmQueries' splits/sampling/packing and
+    * the streaming temperature census).
+    */
+  val fpSql: String =
+    """list_reduce([unicode(c) for c in regexp_split_to_array(text, '')],
+      |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)""".stripMargin
 }

@@ -579,6 +579,48 @@ object TimeSeriesQueries {
              |SELECT CAST(floor(quality_score * 10) AS BIGINT) AS band,
              |  count(*) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS tok_total
-             |FROM q GROUP BY 1""".stripMargin))
+             |FROM q GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t20_stream_temperature",
+      "the streaming face of l67's temperature resampling — the standing-pipeline shape: the per-language rate table is computed ONCE from the corpus census (static side, `temperatureRates`) and the document STREAM is filtered per-row against it (stream-static broadcast join on lang + the content-hash basis-point window — stateless); a complete-mode census accumulates (lang, n_seen, n_kept); state = one row per language",
+      (s, dir) => {
+        val rates = graft.operators.TextAnalysis.temperatureRates(
+            Tables.load(s, dir, "documents"), "lang", budget = 600L)
+          .select(col("group").as("lang"), col("rate_bp"))
+        val stream = Tables.loadStream(s, dir, "documents")
+        val tagged = stream
+          .select(col("lang"),
+            graft.functions.TextFunctions.rollingHash(col("text")).as("__fp"))
+          .join(broadcast(rates), Seq("lang"))
+          .select(col("lang"),
+            (expr("__fp div 100") % 10000 < col("rate_bp")).as("__kept"))
+        val census = tagged.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_seen"),
+            count(when(col("__kept"), 1)).as("n_kept"))
+        runBounded(s, census, "t20_stream_temperature_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+              |w AS (
+              |  SELECT list_reduce(
+              |    list_prepend(CAST(0.0 AS DOUBLE),
+              |      list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang NULLS FIRST)),
+              |    (a, b) -> a + b) AS sumw FROM c),
+              |r AS (
+              |  SELECT lang, n_docs,
+              |    least(10000, CAST(floor(CAST(600 AS DOUBLE)
+              |      * sqrt(CAST(n_docs AS DOUBLE)) * 10000.0
+              |      / (sumw * CAST(n_docs AS DOUBLE))) AS BIGINT)) AS rate_bp
+              |  FROM c, w),
+              |f AS (SELECT lang,
+              |        ${QuerySpec.fpSql} AS fp
+              |      FROM documents)
+              |SELECT f.lang, count(*) AS n_seen,
+              |  count(*) FILTER (WHERE (fp // 100) % 10000 < rate_bp)
+              |    AS n_kept
+              |FROM f JOIN r ON f.lang = r.lang
+              |GROUP BY 1""".stripMargin))
   )
 }
