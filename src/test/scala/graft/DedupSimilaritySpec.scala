@@ -455,6 +455,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: normalized dedup refines exact dedup — never more groups, same total mass") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Generator mixes case, punctuation and whitespace noise around a
+    // tiny word pool, so normalized collisions actually occur.
+    val word = Gen.oneOf("cat", "Cat", "dog", "dog.", "fox,", "FOX")
+    val doc = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(10, doc)
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def stats(df: org.apache.spark.sql.DataFrame) = {
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        (rows.length, rows.map(_._2).sum)
+      }
+      val (gExact, mExact) = stats(Dedup.exactGroups(docs, "doc_id", "text"))
+      val (gNorm, mNorm) =
+        stats(Dedup.exactGroupsNormalized(docs, "doc_id", "text"))
+      // normalization only merges groups: fewer-or-equal groups, every
+      // document still accounted for exactly once
+      gNorm <= gExact && mNorm == mExact && mExact == texts.length
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("centroidOutliers: planted far vector ranks first, score exact") {
     import spark.implicits._
     // group 0: three vectors near (1, 0) and one at (-1, 0) — the outlier

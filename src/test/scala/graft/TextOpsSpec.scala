@@ -360,6 +360,36 @@ class TextOpsSpec extends SparkSpec {
     assert(capped("small") === 10000L)
   }
 
+  test("property: temperature rates are bounded, anti-monotone in group size, monotone in budget") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sizes = Gen.listOfN(4, Gen.choose(1, 40))
+    val budgets = Gen.choose(1L, 80L)
+    val prop = Prop.forAll(sizes, budgets) { (ns, budget) =>
+      val docs = ns.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => ((g * 1000 + i).toLong, s"doc $g $i", s"g$g"))
+      }.toDF("doc_id", "text", "grp")
+      def rates(b: Long) = graft.operators.TextAnalysis
+        .temperatureRates(docs, "grp", b)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val r1 = rates(budget)
+      val r2 = rates(budget * 2)
+      val inRange = r1.values.forall { case (_, bp) => bp >= 0 && bp <= 10000 }
+      // alpha < 1: a strictly larger group never gets a strictly larger
+      // keep rate (rate ~ 1/sqrt(n) until the cap)
+      val antiMono = (for {
+        (_, (na, ra)) <- r1; (_, (nb, rb)) <- r1 if na < nb
+      } yield ra >= rb).forall(identity)
+      // doubling the budget never lowers any group's rate
+      val budgetMono = r1.forall { case (g, (_, bp)) => r2(g)._2 >= bp }
+      inRange && antiMono && budgetMono
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("qualityDupProfile: bands partition the corpus, dup flags count non-keepers, null text never a dup") {
     import spark.implicits._
     val docs = Seq(
