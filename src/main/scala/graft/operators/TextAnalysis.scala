@@ -332,6 +332,31 @@ object TextAnalysis {
         expr(s"cum_before div ${shardTokens}L").as("shard"))
   }
 
+  /** Shard manifest — the census a production packing run writes NEXT TO
+    * its shards (the artifact downstream training jobs read to plan
+    * epochs without touching shard bytes): per shard, document count,
+    * token mass, distinct-group (language/source) mix width, and the
+    * first doc id (deterministic packing makes it a stable shard
+    * fingerprint). All-integer output.
+    *
+    * 100 TB shape: the pack assignment is `shardPack`'s range-partitioned
+    * prefix sum; the group attach is a corpus-sized equi-join on doc_id
+    * (bucketable in a standing pipeline); the manifest itself is one
+    * map-side-combined aggregate over |shards| cells.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, shardTokens: Long): DataFrame = {
+    val packed = shardPack(docs, idCol, textCol, shardTokens)
+    packed.join(
+        docs.select(col(idCol).as("doc_id"), col(groupCol).as("__grp")),
+        Seq("doc_id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("__grp")).as("n_groups"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   /** Per-group cardinality cap — the domain-mix rebalancer: keep at most
     * `cap` documents per group (language, source domain), chosen
     * DETERMINISTICALLY by content hash (order (fingerprint, id)), so

@@ -1725,6 +1725,28 @@ object LlmQueries {
              |    AS n_removed,
              |  (SELECT count(*) FROM a
              |   WHERE EXISTS (SELECT 1 FROM b WHERE b.text = a.text))
-             |    AS n_common""".stripMargin))
+             |    AS n_common""".stripMargin)),
+
+    QuerySpec(
+      "l70_shard_manifest",
+      "shard manifest — the census a packing run writes next to its shards (downstream epoch planning reads THIS, never shard bytes): per l34-packed shard, doc count, token mass, distinct-lang mix width, first doc id (stable fingerprint under deterministic packing); pack assignment via the range-partitioned prefix sum, group attach one corpus equi-join, manifest one map-side-combined aggregate over |shards| cells",
+      (s, dir) => TextAnalysis.shardManifest(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+        shardTokens = 2048L),
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, lang,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+              |    $fpSql AS fp
+              |  FROM documents),
+              |c AS (SELECT doc_id, lang, n_tok,
+              |    CAST(sum(n_tok) OVER (ORDER BY fp, doc_id) - n_tok AS BIGINT)
+              |      AS cum_before
+              |  FROM f)
+              |SELECT CAST(cum_before // 2048 AS BIGINT) AS shard,
+              |  count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              |  CAST(count(DISTINCT lang) AS BIGINT) AS n_groups,
+              |  min(doc_id) AS first_doc
+              |FROM c GROUP BY 1""".stripMargin))
   )
 }

@@ -360,6 +360,24 @@ class TextOpsSpec extends SparkSpec {
     assert(capped("small") === 10000L)
   }
 
+  test("shardManifest: totals tie out to the corpus, shards contiguous, mix width bounded") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, (s"w$i " * ((i % 7) + 1).toInt).trim, s"lang${i % 3}")
+    }.toDF("doc_id", "text", "lang")
+    val m = graft.operators.TextAnalysis
+      .shardManifest(docs, "doc_id", "text", "lang", shardTokens = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val totalTok = docs.select(
+      sum(size(split(trim(col("text")), " ")).cast("long"))).head.getLong(0)
+    assert(m.map(_._2).sum === 40L)           // every doc in exactly one shard
+    assert(m.map(_._3).sum === totalTok)      // token mass conserved
+    assert(m.map(_._1).sorted.toSeq === (0L until m.length).toSeq) // contiguous
+    assert(m.forall(s => s._4 >= 1 && s._4 <= 3)) // mix width within lang count
+    assert(m.forall(s => s._3 > 0))
+  }
+
   test("property: temperature rates are bounded, anti-monotone in group size, monotone in budget") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
