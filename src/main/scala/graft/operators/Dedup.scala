@@ -485,7 +485,8 @@ object Dedup {
         col("n_members"))
   }
 
-  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 50,
+      fuse: Int = 4): DataFrame = {
     // Materialize the DIRECTED pair list EAGERLY, then build the
     // symmetric view from it. `pairs` may be an expensive plan (an LSH
     // candidate join); the first loop job references the edge list from
@@ -530,40 +531,53 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("node"), col("lbl"))
       .persist()
+    // Static self-loops (one per node, from the persisted seed) let each
+    // fused round be a SINGLE join+aggregate: the self row carries the
+    // node's own label and the block-start `__old`, so the round needs no
+    // second union-own reference to the previous round's frame. That
+    // second reference is what made chained rounds double the plan per
+    // round (2^fuse subtrees — measured 691 jobs / 26 s at fuse=8);
+    // self-loops keep plan growth LINEAR in fuse.
+    val allEdges = edges.union(
+      labels.select(col("node").as("src"), col("node").as("dst")))
     var owned = labels // handle owning the round's cache entry
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // candidate labels: every neighbour's label, plus the node's own
-      // label tagged `own` so the aggregate can recover the previous
-      // round's label (exactly one own-row per node).
-      val candidates = labels
-        .join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
-        .union(labels.select(col("node"), col("lbl"), lit(true).as("own")))
-      // Each round's plan references the previous persisted round, so a
-      // high-diameter graph accumulates lineage linearly; localCheckpoint
-      // every 5 rounds truncates it (persist alone keeps the full DAG for
-      // recomputation).
-      val next0 = candidates.groupBy(col("node"))
-        .agg(min(col("lbl")).as("lbl"),
-          min(when(col("own"), col("lbl"))).as("__old"))
-      // (Two shortcut variants were measured here and REMOVED as net
-      // losses. One-step pointer jump — shortcutting each proposed
-      // label through the PREVIOUS round's labels — cuts rounds only
-      // ~16->11 while adding a shuffle join to every round. True
-      // pointer DOUBLING — self-joining the proposal with itself,
-      // lbl(lbl(v)) — halves chain depth per round in theory, but the
-      // proposal is un-materialized when self-joined, so each round's
-      // whole lineage evaluates twice and plan size compounds between
-      // checkpoints: measured 7.5 s -> 70-90 s on the sf0.1 embed
-      // threshold graph. Plain propagation with the fused convergence
-      // action is the winner; deep graphs pay rounds, shallow ones
-      // exit early.)
-      val next =
-        if ((i + 1) % 5 == 0) next0.localCheckpoint(eager = false)
-        else next0.persist()
-      // ONE job: materializes `next` into cache and returns the flag.
+      // FUSED multi-round block (the BASELINE.md lever): chain `fuse`
+      // propagation rounds — join + union + min-aggregate each — into
+      // ONE plan, so the per-round cost the loop actually pays
+      // (plan/codegen/job dispatch, ~0.8 s on tiny graphs) is paid per
+      // BLOCK. Within the block each round is just an extra shuffle
+      // stage of the same job. The block-start label rides along as
+      // `__old` (tagged on the own-row branch only, recovered by
+      // min-ignores-nulls), so one action both materializes the block
+      // and answers "did anything change over these `fuse` rounds" —
+      // correct convergence test because min-label propagation is
+      // monotone non-increasing: any change in any fused round leaves
+      // the final label strictly below the block-start label.
+      // (Two SHORTCUT variants were measured here and REMOVED as net
+      // losses — one-step pointer jump cut rounds only ~16->11 while
+      // adding a shuffle join per round; true pointer DOUBLING
+      // self-joins the un-materialized proposal, so lineage evaluates
+      // twice and compounds: measured 7.5 s -> 70-90 s on the sf0.1
+      // embed threshold graph. Chained PLAIN rounds are tree-shaped —
+      // each intermediate is referenced once, nothing re-evaluates.)
+      val rounds = math.min(fuse, maxIters - i)
+      var prop = labels.withColumn("__old", col("lbl"))
+      for (_ <- 1 to rounds) {
+        val candidates = prop
+          .join(allEdges, col("node") === col("src"))
+          .select(col("dst").as("node"), col("lbl"),
+            when(col("src") === col("dst"), col("__old")).as("__old"))
+        prop = candidates.groupBy(col("node"))
+          .agg(min(col("lbl")).as("lbl"), min(col("__old")).as("__old"))
+      }
+      // localCheckpoint every block: each block's plan is `fuse` rounds
+      // deep and references the previous block's frame — truncating per
+      // block keeps lineage flat on high-diameter graphs.
+      val next = prop.localCheckpoint(eager = false)
+      // ONE job: materializes `next` and returns the flag.
       val changedRow = next
         .agg(max(when(col("lbl") =!= col("__old"), 1).otherwise(0))).first()
       val changed = if (changedRow.isNullAt(0)) 0 else changedRow.getInt(0)
@@ -571,7 +585,7 @@ object Dedup {
       owned = next
       labels = next.select(col("node"), col("lbl"))
       converged = changed == 0
-      i += 1
+      i += rounds
     }
     // (directed is a localCheckpoint — its blocks are released with the
     // DataFrame; nothing to unpersist here)
@@ -592,6 +606,65 @@ object Dedup {
         case (k, None) => spark.conf.unset(k)
       }
     }
+  }
+
+  /** Connected components of a SUPERSET pair graph, derived from the
+    * labels of a refining subgraph instead of a second full label-
+    * propagation pass. Precondition: every edge of `refinedLabels`'
+    * source graph is also an edge of `pairs` (the l61/l62 contract:
+    * semantic pairs are exact-verified, so sem ⊆ exact). Then each
+    * refined component is contained in exactly one coarse component, so
+    * contracting `pairs` through the refined labels (endpoint → its
+    * refined cluster_id, self-edges dropped) yields a graph whose
+    * components, composed back through the refined labels, are EXACTLY
+    * the coarse components — contraction is lossless, not approximate.
+    *
+    * Why: `components` costs rounds × per-job floor, constant in data
+    * size but real (~0.8 s/round warm). The contracted graph keeps only
+    * edges CROSSING refined components — at 95% recall that is ~5% of
+    * edges over supernodes, diameter ~1-2 — so the second pass converges
+    * in a couple of rounds instead of the 16-20 a threshold graph
+    * measures. Labels compose because both passes produce min-reachable
+    * id and each refined label IS the min id of its refined component:
+    * min over a coarse component's nodes = min over its refined
+    * components' labels.
+    *
+    * Returns (doc_id, cluster_id) over every node of `pairs`, identical
+    * to `components(pairs)` (property-tested in DedupSimilaritySpec).
+    */
+  def coarsenedComponents(refinedLabels: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    // `pairs` is typically an expensive plan (the quadratic exact twin)
+    // and feeds BOTH the contracted edge list and the node universe —
+    // evaluate it exactly once.
+    val p = pairs.select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = true)
+    val la = refinedLabels
+      .select(col("doc_id").as("a_id"), col("cluster_id").as("__la"))
+    val lb = refinedLabels
+      .select(col("doc_id").as("b_id"), col("cluster_id").as("__lb"))
+    val contracted = p
+      .join(la, Seq("a_id"), "left")
+      .join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("__la"), col("a_id")).as("a_id"),
+        coalesce(col("__lb"), col("b_id")).as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+    // Labels over the supernodes that still had crossing edges; refined
+    // components fully inside one supernode never appear here and keep
+    // their refined label.
+    val superLbl = components(contracted)
+      .select(col("doc_id").as("__rep"), col("cluster_id").as("__xl"))
+    val nodes = p.select(col("a_id").as("doc_id"))
+      .union(p.select(col("b_id").as("doc_id")))
+      .distinct()
+    nodes
+      .join(refinedLabels.select(col("doc_id"),
+        col("cluster_id").as("__rl")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__rl"), col("doc_id")).as("__rep"))
+      .join(superLbl, Seq("__rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__xl"), col("__rep")).as("cluster_id"))
   }
 
   /** Repeated-passage detector — the substring-level dup diagnostic from

@@ -1429,12 +1429,20 @@ object LlmQueries {
           Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
         val semPairs = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
           0.4, nClusters = 8, trainIters = 1, probes = 3)
-        def dropped(pairs: org.apache.spark.sql.DataFrame, mark: String) =
-          Dedup.components(pairs)
-            .where(col("cluster_id") =!= col("doc_id"))
+        // ONE full label-propagation pass, not two: the user-facing path
+        // runs CC over the semantic pairs; the exact-side components the
+        // gate needs are then derived losslessly by contracting the
+        // exact pairs through the sem labels (sem ⊆ exact, so sem
+        // components refine exact components) and running CC on the tiny
+        // crossing-edge graph — couple of rounds instead of a second
+        // 16-20-round pass. Labels are persisted by components(); the
+        // three downstream branches read cache.
+        val semLbl = Dedup.components(semPairs)
+        def asDropped(lbl: org.apache.spark.sql.DataFrame, mark: String) =
+          lbl.where(col("cluster_id") =!= col("doc_id"))
             .select(col("doc_id"), lit(1).as(mark))
-        dropped(exactPairs, "__e")
-          .join(dropped(semPairs, "__s"), Seq("doc_id"), "full_outer")
+        asDropped(Dedup.coarsenedComponents(semLbl, exactPairs), "__e")
+          .join(asDropped(semLbl, "__s"), Seq("doc_id"), "full_outer")
           .agg(count(col("__e")).as("n_exact_dropped"),
             count(when(col("__e").isNotNull && col("__s").isNotNull, 1))
               .as("__n_hit"))

@@ -112,6 +112,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("property: coarsenedComponents == components on random superset graphs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Random edge list over a small node universe; a random subset of it
+    // plays the "refined" subgraph (the l61/l62 shape: sem ⊆ exact).
+    val edge = for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graph = for {
+      full <- Gen.listOfN(14, edge).map(_.distinct)
+      keep <- Gen.listOfN(14, Gen.oneOf(true, false))
+    } yield (full, full.zip(keep).collect { case (e, true) => e })
+    val prop = Prop.forAll(graph) { case (full, sub) =>
+      full.isEmpty || {
+        val fullDf = full.toDF("a_id", "b_id")
+        val subDf =
+          if (sub.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+          else sub.toDF("a_id", "b_id")
+        val direct = Dedup.components(fullDf)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaSub = Dedup.coarsenedComponents(
+            Dedup.components(subDf), fullDf)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        viaSub == direct
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("lshTopK recall vs bruteForceTopK on fixture embeddings") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.where(col("vec_id") % 25 === 0)
