@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
   *                          short-quoted-in-long class exact dedup
   *                          cannot see. DEFAULTS to the df-capped
   *                          candidate path (`containmentPairsCapped`,
-  *                          l54-gated — the 100 TB shape); pass
-  *                          `exactContainment = true` for the
-  *                          quadratic oracle variant (same output
-  *                          contract; the capped path's recall vs it
-  *                          measures 1.000 at every fixture sf).
+  *                          the 100 TB shape) — an APPROXIMATION whose
+  *                          recall is bounded by the l54 gate, not an
+  *                          exact guarantee: a containment that
+  *                          overlaps ONLY through shingles hotter than
+  *                          `dfCap` is invisible to it (recall vs the
+  *                          exact twin measures 1.000 at every fixture
+  *                          sf, but that is a measurement, not a
+  *                          contract). For oracle/verification use,
+  *                          pass `exactContainment = true` — the
+  *                          quadratic exact variant with the same
+  *                          output contract.
   *   4_split_{train,val,test} deterministic content-hash split
   *                          (`TextAnalysis.hashSplit`, keep-all rate).
   *   5_pack                 token-budget shard packing
@@ -89,18 +95,27 @@ object Curation {
         (col("__nb") === col("__na") && col("b_id") < col("a_id")))
       .select(col("a_id").as("doc_id")).distinct()
     val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
+
+    // Split and pack both reduce to functions of the SAME (doc_id,
+    // n_tok, fp) projection — tokenize + rolling-hash the stage-3
+    // survivors ONCE and feed both stages from the checkpointed sliver
+    // (split is a fingerprint bucket, pack a prefix-sum over n_tok), so
+    // the run's last text-heavy scan runs once, not per aggregate.
+    // s3 itself is consumed only here, so the projection is the thing
+    // worth materializing.
+    val keys = TextAnalysis.packKeys(s3, "doc_id", "text")
       .localCheckpoint(eager = true)
 
     val scrubAgg = docs.agg(count(lit(1)).as("n0"))
       .crossJoin(s1.agg(count(lit(1)).as("n1")))
     val dedupAgg = s2.agg(count(lit(1)).as("n2"))
-    val splitAgg = TextAnalysis.hashSplit(s3, "doc_id", "text",
-        trainPct, valPct, keepRate = lit(100))
+    val splitAgg = keys
+      .select(TextAnalysis.splitLabel(col("fp"), trainPct, valPct).as("split"))
       .agg(count(lit(1)).as("n3"),
         count(when(col("split") === "train", 1)).as("n_train"),
         count(when(col("split") === "val", 1)).as("n_val"),
         count(when(col("split") === "test", 1)).as("n_test"))
-    val packAgg = TextAnalysis.shardPack(s3, "doc_id", "text", shardTokens)
+    val packAgg = TextAnalysis.shardPackFromKeys(keys, shardTokens)
       .agg(countDistinct(col("shard")).as("n_shards"))
 
     def row(stage: String, nIn: Column, nOut: Column) =

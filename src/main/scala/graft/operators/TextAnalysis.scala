@@ -184,19 +184,27 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
-  def hashSplit(docs: DataFrame, idCol: String, textCol: String,
-      trainPct: Int, valPct: Int, keepRate: Column): DataFrame = {
+  /** The split rule applied to an already-computed content fingerprint —
+    * single owner of the percent-bucket mapping so `hashSplit` and any
+    * composition that shares the fingerprint scan (curationRun's one-pass
+    * split+pack ledger) cannot drift apart.
+    */
+  def splitLabel(fp: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "split percentages must fit in [0, 100]")
+    when(fp % 100 < trainPct, "train")
+      .when(fp % 100 < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  def hashSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int, valPct: Int, keepRate: Column): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextFunctions.rollingHash(col(textCol)).as("__fp"),
         keepRate.as("__rate"))
       .select(col("doc_id"),
-        when(col("__fp") % 100 < trainPct, "train")
-          .when(col("__fp") % 100 < trainPct + valPct, "val")
-          .otherwise("test").as("split"),
+        splitLabel(col("__fp"), trainPct, valPct).as("split"),
         (expr("__fp div 100") % 100 < col("__rate")).as("kept"))
-  }
 
   /** Fixed token-window chunking with overlap (context-window packing
     * prep): chunk i covers tokens [i*stride, i*stride+window); starts
@@ -298,19 +306,37 @@ object TextAnalysis {
     * window broadcast back. No single-partition window over the data,
     * no driver-side rows; the two shuffles are both on the order key.
     */
+  /** The (doc_id, n_tok, fp) projection both `shardPack` and the split
+    * rule consume — the ONE text-heavy scan (tokenize + rolling hash) of
+    * a split+pack run. Callers that need both (curationRun's ledger)
+    * checkpoint this once and feed it to `splitLabel` and
+    * `shardPackFromKeys` instead of scanning the corpus per stage.
+    */
+  def packKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"),
+      TextFunctions.rollingHash(col(textCol)).as("fp"))
+
   def shardPack(docs: DataFrame, idCol: String, textCol: String,
-      shardTokens: Long, nRanges: Int = 32): DataFrame = {
-    require(shardTokens > 0, "shardTokens must be positive")
-    import org.apache.spark.sql.expressions.Window
+      shardTokens: Long, nRanges: Int = 32): DataFrame =
     // Materialize the 3-column projection BEFORE range partitioning:
     // RangePartitioner samples its child to pick boundaries, which would
     // otherwise re-run tokenization + the rolling hash over the corpus a
     // second time. The checkpointed projection is (id, long, long) —
     // a sliver of the input — and its storage is reclaimed on GC.
-    val keyed = docs.select(col(idCol).as("doc_id"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"),
-        TextFunctions.rollingHash(col(textCol)).as("fp"))
-      .localCheckpoint(eager = true)
+    shardPackFromKeys(
+      packKeys(docs, idCol, textCol).localCheckpoint(eager = true),
+      shardTokens, nRanges)
+
+  /** `shardPack` on a precomputed (doc_id, n_tok, fp) frame — `keys`
+    * must already be materialized (checkpoint/table) so the range
+    * partitioner's boundary sampling does not re-run the scan.
+    */
+  def shardPackFromKeys(keys: DataFrame, shardTokens: Long,
+      nRanges: Int = 32): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = keys
       .repartitionByRange(nRanges, col("fp"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     // local cumsum within each range partition; ranges are ordered, so
