@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus batched decode / feature-extract /
   * frame-sample operators.
   *
-  * Two codec tiers. For image bytes the decode is REAL: `withPngBlob`
-  * encodes genuine PNGs (deterministic, id-derived dimensions) and
-  * `decodeImageBatched` reads them back header-only through
-  * javax.imageio — public JDK API, zero external deps — inside the same
-  * batched shape. For audio/video (no codec in this container) the
+  * Two codec tiers. For image bytes the decode is REAL: `withPngBlob` /
+  * `withMixedImageBlob` encode genuine PNGs and JPEGs (deterministic,
+  * id-derived dimensions) and `decodeImageBatched` reads them back
+  * header-only through javax.imageio — public JDK API, zero external
+  * deps — inside the same batched shape, picking the reader per row by
+  * magic-byte sniff. For audio/video (no codec in this container) the
   * byte-level decode stays a clearly-marked deterministic FAKE
   * (`fakeDecode`); what is real and tested there is everything Spark
   * cares about: the schema, the binary column handling, the batched
@@ -98,7 +99,20 @@ object Multimodal {
     * Narrow mapPartitions, no shuffle; the blob column is genuine PNG
     * bytes, not a stand-in.
     */
-  def withPngBlob(df: DataFrame, idCol: String): DataFrame = {
+  def withPngBlob(df: DataFrame, idCol: String): DataFrame =
+    encodeImageBlobs(df, idCol, _ => "png")
+
+  /** Mixed-format variant of `withPngBlob` — the shape of a real web
+    * corpus, which is mostly JPEG with a PNG minority: even ids encode
+    * as PNG, odd ids as JPEG (both via javax.imageio; JPEG is lossy in
+    * PIXELS but exact in DIMENSIONS, which is what the decode oracle
+    * checks). Same id-derived dimension formulas as `withPngBlob`.
+    */
+  def withMixedImageBlob(df: DataFrame, idCol: String): DataFrame =
+    encodeImageBlobs(df, idCol, id => if (id % 2 == 0) "png" else "jpg")
+
+  private def encodeImageBlobs(df: DataFrame, idCol: String,
+      fmtOf: Long => String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("content", BinaryType)))
@@ -121,7 +135,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(img, fmtOf(id), bos)
         Row(id, bos.toByteArray)
       }
     }(Encoders.row(outSchema))
@@ -129,12 +143,15 @@ object Multimodal {
 
   /** REAL batched image decode — the same mapPartitions shape as
     * `decodeMetaBatched`, but the codec is javax.imageio reading actual
-    * PNG/JPEG bytes: one ImageReader instantiated PER BATCH (the
-    * amortized-setup contract a native codec or model needs) and fed
-    * each row's byte stream; width/height/format come from the decoded
-    * header, not from arithmetic. A row whose bytes no installed reader
-    * understands FAILS the task (corrupt media should never silently
-    * pass a curation pipeline). Narrow, no shuffle.
+    * PNG/JPEG bytes: the reader is chosen per row by CONTENT SNIFF
+    * (magic bytes, with ImageIO's SPI probe as the fallback for other
+    * signatures) and instantiated once PER FORMAT PER BATCH (the
+    * amortized-setup contract a native codec or model needs); the
+    * `format` column is what the matched reader reports, and
+    * width/height come from the decoded header, not from arithmetic. A
+    * row whose bytes no installed reader understands FAILS the task
+    * (corrupt media should never silently pass a curation pipeline).
+    * Narrow, no shuffle.
     */
   def decodeImageBatched(df: DataFrame, idCol: String,
       batchSize: Int = 256): DataFrame = {
@@ -147,21 +164,45 @@ object Multimodal {
     val contentIdx = df.schema.fieldIndex("content")
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch codec setup: ONE reader reused across the batch
-        val reader = javax.imageio.ImageIO
-          .getImageReadersByFormatName("png").next()
+        // per-batch codec setup: one reader PER FORMAT, chosen by
+        // CONTENT SNIFF (magic bytes — the stream decides, not caller
+        // config) and reused across the batch where formats repeat.
+        // Bytes with neither signature fall back to ImageIO's own SPI
+        // probe; no reader at all -> loud failure (corrupt media must
+        // never silently pass a curation pipeline).
+        val readers =
+          scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+        def sniffed(bytes: Array[Byte]): Option[String] =
+          if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+            bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+            bytes(3) == 'G'.toByte) Some("png")
+          else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+            (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF)
+            Some("jpeg")
+          else None
         val out = batch.map { r =>
           val bytes = r.getAs[Array[Byte]](contentIdx)
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {
+            val reader = sniffed(bytes) match {
+              case Some(fmt) => readers.getOrElseUpdate(fmt,
+                javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+              case None =>
+                val it = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!it.hasNext) throw new IllegalArgumentException(
+                  s"no installed ImageReader understands the ${bytes.length}" +
+                    "-byte stream (unknown signature)")
+                val rd = it.next()
+                readers.getOrElseUpdate(rd.getFormatName.toLowerCase, rd)
+            }
             reader.setInput(iis)
             // header-only reads: no pixel materialization for metadata
             Row(r.getLong(idIdx), reader.getWidth(0), reader.getHeight(0),
               reader.getFormatName.toLowerCase)
           } finally iis.close()
         }
-        reader.dispose()
+        readers.values.foreach(_.dispose())
         out.iterator
       }
     }(Encoders.row(outSchema))

@@ -1670,6 +1670,19 @@ object LlmQueries {
              |FROM documents""".stripMargin)),
 
     QuerySpec(
+      "l71_image_decode_mixed",
+      "l66's real codec over a MIXED-format corpus (the web-corpus shape: even ids genuine PNG, odd ids genuine JPEG): decodeImageBatched picks the reader per row by magic-byte sniff — no caller-side format config — and reuses one reader per format per batch; the oracle's id-parity format column and dimension arithmetic only match if both codecs' round-trips are exact",
+      (s, dir) => Multimodal.decodeImageBatched(
+        Multimodal.withMixedImageBlob(
+          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(8 + doc_id % 16 AS INT) AS width,
+             |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
       "l67_temperature_resample",
       "temperature (alpha = 0.5) mixture resampling over the lang column — the multilingual rebalancer: per-language keep rate min(1, budget * q_s / n_s) with q_s = sqrt(n_s)/sum sqrt(n_t) (sqrt, not pow: IEEE-exact, oracle contract), keep decision by content hash (re-runs keep the SAME docs); sum sqrt is a sequential fold over the lang-sorted census so the basis-point floor can't flip between engines; ledger (lang, n_docs, rate_bp, n_kept) all-integer. budget=600 caps the tail langs at keep-all at sf0.001/0.01 and downsamples everything at sf0.1 — both branches exercised",
       (s, dir) => TextAnalysis.temperatureResample(

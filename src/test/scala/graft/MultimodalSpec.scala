@@ -32,6 +32,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("withMixedImageBlob -> decodeImageBatched sniffs PNG and JPEG per row in one batch") {
+    import spark.implicits._
+    // even ids PNG, odd ids JPEG; batchSize > corpus so BOTH formats
+    // land in the same batch and the per-format reader reuse is hit
+    val ids = Seq(0L, 1L, 2L, 3L, 15L, 16L, 21L, 100L)
+    val blobs = Multimodal.withMixedImageBlob(ids.toDF("doc_id"), "doc_id")
+    val heads = blobs.select(col("doc_id"), substring(col("content"), 1, 4)
+      .as("head")).collect()
+    heads.foreach { r =>
+      val h = r.getAs[Array[Byte]]("head")
+      if (r.getLong(0) % 2 == 0)
+        assert(h.toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      else
+        assert((h(0) & 0xFF) === 0xFF && (h(1) & 0xFF) === 0xD8 &&
+          (h(2) & 0xFF) === 0xFF)
+    }
+    val got = Multimodal.decodeImageBatched(blobs, "doc_id", batchSize = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getString(3)))).toMap
+    ids.foreach { id =>
+      val fmt = if (id % 2 == 0) "png" else "jpeg"
+      assert(got(id) ===
+        (((8 + id % 16).toInt, (8 + id * 3 % 16).toInt, fmt)))
+    }
+  }
+
   test("decodeImageBatched fails loudly on undecodable bytes") {
     import spark.implicits._
     val junk = Seq((1L, "definitely not a png".getBytes("UTF-8")))
