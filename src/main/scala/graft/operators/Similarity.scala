@@ -337,25 +337,91 @@ object Similarity {
     val cents = lloydRounds(corpus, idCol, embCol,
       seedCentroids(corpus, idCol, embCol, nCentroids), trainIters)
     val lists = argmaxAssign(corpus, idCol, embCol, cents)
-
-    // Query probing: top-nProbe centroids per query; the query set is the
-    // small broadcast side, so a window is fine here.
-    val probes = {
-      val scored = renameQ(queries, idCol, embCol)
-        .join(broadcast(cents))
-        .select(col("q_id"), col("cent_id"),
-          cosineSim(col("q_emb"), col("cent_emb")).as("__cs"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("__cs").desc, col("cent_id"))
-      scored.withColumn("__r", row_number().over(w))
-        .where(col("__r") <= nProbe)
-        .select(col("q_id"), col("cent_id"))
-    }
-
-    lists.join(broadcast(probes), Seq("cent_id"))
+    lists.join(broadcast(probeTop(renameQ(queries, idCol, embCol),
+        cents, nProbe)), Seq("cent_id"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
   }
+
+  /** Query probing: top-nProbe centroids per query; the query set is the
+    * small broadcast side, so a window is fine here. `q` is the renamed
+    * (q_id, q_emb) frame.
+    */
+  private def probeTop(q: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    val scored = q.join(broadcast(cents))
+      .select(col("q_id"), col("cent_id"),
+        cosineSim(col("q_emb"), col("cent_emb")).as("__cs"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cs").desc, col("cent_id"))
+    scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nProbe)
+      .select(col("q_id"), col("cent_id"))
+  }
+
+  /** The five persistable artifacts of an IVF-PQ index — what a standing
+    * 100 TB vector pipeline writes ONCE at build time and every daily
+    * query run reads back, never retraining: the coarse `centroids`
+    * (nCentroids rows, broadcast side of probing), the inverted `lists`
+    * assignment (c_id, cent_id — bucket by cent_id on write so the probe
+    * join is shuffle-free on the index side, the l60 pattern), the PQ
+    * `codebook` (m*nCodes rows), the encoded `codes` (m small codes per
+    * vector — the memory-bound corpus representation), and the exact
+    * `norms` (one scalar per vector, turning ADC dots into cosines).
+    */
+  final case class AnnIndex(centroids: DataFrame, lists: DataFrame,
+    codebook: DataFrame, codes: DataFrame, norms: DataFrame)
+
+  /** Build every `AnnIndex` artifact from the corpus — the one-time
+    * index-BUILD job of the standing pipeline (train + assign + encode;
+    * the only phase that touches full-precision corpus vectors other
+    * than the bounded rerank fetch). Callers persist the returned frames
+    * as tables; `pqTopKFromIndex` + `indexCandidates` then serve top-k
+    * against them with ZERO training jobs.
+    */
+  def buildAnnIndex(corpus: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int, trainIters: Int, m: Int, nCodes: Int,
+      pqTrainIters: Int): AnnIndex = {
+    val cents = lloydRounds(corpus, idCol, embCol,
+      seedCentroids(corpus, idCol, embCol, nCentroids), trainIters)
+    val lists = argmaxAssign(corpus, idCol, embCol, cents)
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val blocks0 = subBlocks(c, "c_id", "c_emb", m)
+    val blocks =
+      if (pqTrainIters >= 1) blocks0.localCheckpoint(eager = true)
+      else blocks0
+    val codebook = pqTrainCodebook(c, blocks, m, nCodes, pqTrainIters)
+    AnnIndex(cents, lists, codebook, pqEncode(blocks, codebook),
+      c.select(col("c_id"), vecNorm(col("c_emb")).as("c_norm")))
+  }
+
+  /** Probe-bounded (q_id, c_id) candidates against a PERSISTED index:
+    * broadcast the tiny centroid table, window the per-query top-nProbe,
+    * equi-join the persisted inverted lists. No training, no corpus
+    * scan; with `lists` bucketed on cent_id the index side joins
+    * shuffle-free.
+    */
+  def indexCandidates(queries: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, lists: DataFrame, nProbe: Int): DataFrame =
+    lists.join(broadcast(probeTop(renameQ(queries, idCol, embCol),
+        centroids, nProbe)), Seq("cent_id"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+
+  /** `pqTopK` served from a persisted `AnnIndex` — the daily-run face:
+    * ADC-rank the given candidates with the PERSISTED codebook, codes
+    * and norms (zero training jobs by construction — this path contains
+    * no Lloyd machinery at all), then optionally re-rank the k*rerank
+    * short list full-precision against the corpus vectors. `corpus` is
+    * touched ONLY by that bounded rerank fetch.
+    */
+  def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int, m: Int,
+      codebook: DataFrame, codes: DataFrame, norms: DataFrame,
+      candidates: DataFrame, rerank: Int = 0): DataFrame =
+    adcTopK(renameQ(queries, idCol, embCol),
+      corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb")),
+      codebook, codes, norms, candidates, k, m, rerank)
 
   /** IVF-PQ: the memory-bound rung of the ANN ladder. Each corpus
     * vector is stored as m codebook codes (one byte-scale code per
@@ -390,32 +456,6 @@ object Similarity {
       idCol: String, embCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
       trainIters: Int = 2, nCentroids: Int = 16, nProbe: Int = 4,
       rerank: Int = 0, candidatesOpt: Option[DataFrame] = None): DataFrame = {
-    def sq(v: Column): Column =
-      sqrt(aggregate(v, lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double")))
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-          (x, y) => (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-    def dotp(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    // Fail loudly on a dimension/m mismatch: size/m silently floors, so
-    // dim < m would score every candidate 0.0 (empty sub-vectors) and
-    // dim % m != 0 would drop the trailing dimensions from ADC while the
-    // norms still use the full vector — both wrong answers, not errors.
-    def subBlocks(df: DataFrame, id: String, emb: String): DataFrame =
-      df.select(col(id), col(emb),
-          when(size(col(emb)) % m === 0 && size(col(emb)) >= m,
-            (size(col(emb)) / m).cast("int"))
-            .otherwise(raise_error(concat(
-              lit(s"pqTopK: embedding dimension must be a positive multiple of m=$m, got "),
-              size(col(emb)).cast("string")))).as("__sub"))
-        .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("blk"),
-          slice(col(emb), col("blk") * col("__sub") + 1, col("__sub"))
-            .as("sub"))
-
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
     // The sub-block explode feeds every Lloyd round's assignment AND the
     // encode pass (trainIters + 1 consumers); localCheckpoint runs the
@@ -423,9 +463,60 @@ object Similarity {
     // the replays as l57's dominant job count). This is the transient
     // index-BUILD input — the artifact a production pipeline persists is
     // `codes` (m bytes + a norm per vector), never this frame.
-    val blocks0 = subBlocks(c, "c_id", "c_emb")
+    val blocks0 = subBlocks(c, "c_id", "c_emb", m)
     val blocks =
       if (trainIters >= 1) blocks0.localCheckpoint(eager = true) else blocks0
+    val codebook = pqTrainCodebook(c, blocks, m, nCodes, trainIters)
+    val codes = pqEncode(blocks, codebook)
+    val cNorms = c.select(col("c_id"), vecNorm(col("c_emb")).as("c_norm"))
+    val cand = candidatesOpt.getOrElse(
+      ivfCandidates(spark, queries, corpus, idCol, embCol,
+        nCentroids, nProbe, trainIters = 0))
+    adcTopK(renameQ(queries, idCol, embCol), c, codebook, codes, cNorms,
+      cand, k, m, rerank)
+  }
+
+  private def vecNorm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def dotp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  // Fail loudly on a dimension/m mismatch: size/m silently floors, so
+  // dim < m would score every candidate 0.0 (empty sub-vectors) and
+  // dim % m != 0 would drop the trailing dimensions from ADC while the
+  // norms still use the full vector — both wrong answers, not errors.
+  private def subBlocks(df: DataFrame, id: String, emb: String,
+      m: Int): DataFrame =
+    df.select(col(id), col(emb),
+        when(size(col(emb)) % m === 0 && size(col(emb)) >= m,
+          (size(col(emb)) / m).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"pqTopK: embedding dimension must be a positive multiple of m=$m, got "),
+            size(col(emb)).cast("string")))).as("__sub"))
+      .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("blk"),
+        slice(col(emb), col("blk") * col("__sub") + 1, col("__sub"))
+          .as("sub"))
+
+  /** Per-sub-block codebook training (seeded smallest-hash init +
+    * `trainIters` Lloyd rounds, min-L2 assignment as a max-of-struct
+    * aggregate). Returns the (blk, code, cent) codebook, checkpointed:
+    * the trained frame is m*nCodes rows but its PLAN chains through the
+    * whole training lineage (and, untrained, through the corpus-scanning
+    * seed sample); it is broadcast-evaluated by the encode join and the
+    * ADC table independently, so checkpoint the tiny frame once instead
+    * of replaying the lineage per consumer.
+    */
+  private def pqTrainCodebook(c: DataFrame, blocks: DataFrame, m: Int,
+      nCodes: Int, trainIters: Int): DataFrame = {
     // Seeded deterministic init, exactly the ivf pattern: the nCodes
     // smallest-hash rows seed EVERY block's codebook with their own
     // sub-vector; the sampled id is the code id (unique + ordered, the
@@ -434,7 +525,7 @@ object Similarity {
         xxhash64(col("c_id")).as("__h"))
       .orderBy(col("__h"), col("c_id")).limit(nCodes)
       .select(col("c_id").as("code"), col("c_emb"))
-    var codebook = subBlocks(seeds, "code", "c_emb")
+    var codebook = subBlocks(seeds, "code", "c_emb", m)
       .select(col("blk"), col("code"), col("sub").as("cent"))
     for (_ <- 1 to trainIters) {
       val assigned = blocks.join(broadcast(codebook), Seq("blk"))
@@ -457,32 +548,35 @@ object Similarity {
         .select(col("blk"), col("code"),
           coalesce(col("newc"), col("cent")).as("cent"))
     }
-    // The trained codebook is m*nCodes rows but its PLAN chains through
-    // the whole training lineage (and, untrained, through the corpus-
-    // scanning seed sample); it is broadcast-evaluated by the encode
-    // join and the ADC table independently, so checkpoint the tiny frame
-    // once instead of replaying the lineage per consumer.
-    codebook = codebook.localCheckpoint(eager = true)
-    // Encode: min-L2 code per (vector, block) — the corpus' entire PQ
-    // representation is these m small codes + one norm scalar.
-    val codes = blocks.join(broadcast(codebook), Seq("blk"))
+    codebook.localCheckpoint(eager = true)
+  }
+
+  /** Encode: min-L2 code per (vector, block) — the corpus' entire PQ
+    * representation is these m small codes + one norm scalar.
+    */
+  private def pqEncode(blocks: DataFrame, codebook: DataFrame): DataFrame =
+    blocks.join(broadcast(codebook), Seq("blk"))
       .select(col("c_id"), col("blk"), col("code"),
         l2sq(col("sub"), col("cent")).as("__d2"))
       .groupBy(col("c_id"), col("blk"))
       .agg(min(struct(col("__d2"), col("code"))).as("m"))
       .select(col("c_id"), col("blk"), col("m.code").as("code"))
-    val cNorms = c.select(col("c_id"), sq(col("c_emb")).as("c_norm"))
 
-    val q = renameQ(queries, idCol, embCol)
-    val qNorms = q.select(col("q_id"), sq(col("q_emb")).as("q_norm"))
-    val dtab = subBlocks(q, "q_id", "q_emb")
+  /** ADC rank + optional full-precision re-rank over an EXISTING
+    * candidate set and PQ representation — the zero-training scoring
+    * core shared by `pqTopK` (which builds its index in-query) and
+    * `pqTopKFromIndex` (which reads a persisted one). `q` is the
+    * renamed (q_id, q_emb) query frame; `cVecs` the (c_id, c_emb)
+    * corpus frame, touched only by the rerank fetch.
+    */
+  private def adcTopK(q: DataFrame, cVecs: DataFrame, codebook: DataFrame,
+      codes: DataFrame, cNorms: DataFrame, cand: DataFrame, k: Int,
+      m: Int, rerank: Int): DataFrame = {
+    val qNorms = q.select(col("q_id"), vecNorm(col("q_emb")).as("q_norm"))
+    val dtab = subBlocks(q, "q_id", "q_emb", m)
       .join(broadcast(codebook), Seq("blk"))
       .select(col("q_id"), col("blk"), col("code"),
         dotp(col("sub"), col("cent")).as("pdot"))
-
-    val cand = candidatesOpt.getOrElse(
-      ivfCandidates(spark, queries, corpus, idCol, embCol,
-        nCentroids, nProbe, trainIters = 0))
     val scored = cand.join(codes, Seq("c_id"))
       .join(broadcast(dtab), Seq("q_id", "blk", "code"))
       .groupBy(col("q_id"), col("c_id"))
@@ -505,7 +599,8 @@ object Similarity {
       // query, never for the candidate set, never for the corpus.
       val short = pqRanked.where(col("rk") <= k * rerank)
         .select(col("q_id"), col("c_id"))
-      val exact = short.join(c, Seq("c_id")).join(broadcast(q), Seq("q_id"))
+      val exact = short.join(cVecs, Seq("c_id"))
+        .join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("c_id"),
           cosineSim(col("q_emb"), col("c_emb")).as("cos"))
       val w2 = Window.partitionBy(col("q_id"))

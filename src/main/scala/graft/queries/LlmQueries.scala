@@ -1683,6 +1683,69 @@ object LlmQueries {
              |FROM documents""".stripMargin)),
 
     QuerySpec(
+      "l72_ann_index_serve",
+      "l60's standing-pipeline pattern for the VECTOR side: the whole IVF-PQ index (coarse centroids, inverted lists bucketed on cent_id, PQ codebook, encoded codes + exact norms bucketed on c_id) is built and PERSISTED as tables once; the daily run then serves top-10 with ZERO training jobs — broadcast-probe the persisted centroid table, equi-join the persisted lists, ADC-rank with the persisted codebook/codes/norms, re-rank k*8 full-precision (the only corpus-vector fetch). Gate = l57's fidelity contract over the same persisted candidates: PQ top-10 agreement with the full-precision ranking >= 90%; oracle = candidate-completeness count + literal true",
+      (s, dir) => {
+        val out = QuerySpec.tempSinkDir()
+        // Run-unique table prefix + try/finally, the l60 hygiene: a
+        // mid-query failure can leak neither catalog entries nor the
+        // staging dir, and concurrent runs cannot trample each other.
+        val pfx = "graft_ann_" +
+          new java.io.File(out).getName.stripPrefix("graft_sink_")
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.where(col("vec_id") % 25 === 0)
+        val parts = Seq("cent", "lists", "codebook", "codes", "norms")
+        try {
+          // index BUILD (the one-time job): train, assign, encode, persist.
+          // lists/codes/norms are bucketed on their join keys so the
+          // serving joins are shuffle-free on the index side.
+          val idx = Similarity.buildAnnIndex(e, "vec_id", "embedding",
+            nCentroids = 8, trainIters = 0, m = 16, nCodes = 64,
+            pqTrainIters = 1)
+          def save(df: org.apache.spark.sql.DataFrame, part: String,
+              bucket: Option[String]): Unit = {
+            val w0 = df.write.mode("overwrite").option("path", s"$out/$part")
+            bucket.fold(w0)(k => w0.bucketBy(8, k)).saveAsTable(s"${pfx}_$part")
+          }
+          save(idx.centroids, "cent", None)
+          save(idx.lists, "lists", Some("cent_id"))
+          save(idx.codebook, "codebook", None)
+          save(idx.codes, "codes", Some("c_id"))
+          save(idx.norms, "norms", Some("c_id"))
+          // daily SERVE: reads only the persisted tables — the path
+          // contains no training machinery at all. One candidate set
+          // feeds both rankers (the l57 shared-candidate contract).
+          val cand = Similarity.indexCandidates(q, "vec_id", "embedding",
+              s.table(s"${pfx}_cent"), s.table(s"${pfx}_lists"), nProbe = 6)
+            .localCheckpoint(eager = true)
+          val ivf = Similarity.ivfTopK(s, q, e, "vec_id", "embedding", 10,
+              candidatesOpt = Some(cand))
+            .select(col("q_id"), col("c_id"), lit(1).as("__i"))
+          val pq = Similarity.pqTopKFromIndex(q, e, "vec_id", "embedding",
+              10, m = 16, codebook = s.table(s"${pfx}_codebook"),
+              codes = s.table(s"${pfx}_codes"),
+              norms = s.table(s"${pfx}_norms"),
+              candidates = cand, rerank = 8)
+            .select(col("q_id"), col("c_id"), lit(1).as("__p"))
+          // localCheckpoint before the finally drops the tables the plan
+          // reads (the l60 materialize-then-drop contract; distributed,
+          // never through the driver).
+          ivf.join(pq, Seq("q_id", "c_id"), "full_outer")
+            .agg(count(col("__i")).as("n_ivf"),
+              count(when(col("__i").isNotNull && col("__p").isNotNull, 1))
+                .as("__n_hit"))
+            .select(col("n_ivf"),
+              (col("__n_hit") * 100 >= col("n_ivf") * 90).as("pq_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          parts.foreach(p => s.sql(s"DROP TABLE IF EXISTS ${pfx}_$p"))
+          graft.pipeline.SinkFiles.deleteRecursive(out)
+        }
+      },
+      Some("""SELECT 10 * count(*) AS n_ivf, TRUE AS pq_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    QuerySpec(
       "l67_temperature_resample",
       "temperature (alpha = 0.5) mixture resampling over the lang column — the multilingual rebalancer: per-language keep rate min(1, budget * q_s / n_s) with q_s = sqrt(n_s)/sum sqrt(n_t) (sqrt, not pow: IEEE-exact, oracle contract), keep decision by content hash (re-runs keep the SAME docs); sum sqrt is a sequential fold over the lang-sorted census so the basis-point floor can't flip between engines; ledger (lang, n_docs, rate_bp, n_kept) all-integer. budget=600 caps the tail langs at keep-all at sf0.001/0.01 and downsamples everything at sf0.1 — both branches exercised",
       (s, dir) => TextAnalysis.temperatureResample(

@@ -185,6 +185,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"trained recall $recall below floor")
   }
 
+  test("persisted ANN index: serve path retrains nothing and keeps the fidelity gate") {
+    import java.nio.file.Files
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.where(col("vec_id") % 25 === 0)
+    val out = Files.createTempDirectory("ann_idx_spec").toString
+    val pfx = "ann_idx_spec_" + System.nanoTime()
+    val parts = Seq("cent", "lists", "codebook", "codes", "norms")
+    try {
+      val idx = Similarity.buildAnnIndex(emb, "vec_id", "embedding",
+        nCentroids = 8, trainIters = 0, m = 16, nCodes = 64, pqTrainIters = 1)
+      Seq(idx.centroids -> "cent", idx.lists -> "lists",
+        idx.codebook -> "codebook", idx.codes -> "codes",
+        idx.norms -> "norms").foreach { case (df, p) =>
+        df.write.mode("overwrite").option("path", s"$out/$p")
+          .saveAsTable(s"${pfx}_$p")
+      }
+      val cand = Similarity.indexCandidates(q, "vec_id", "embedding",
+        spark.table(s"${pfx}_cent"), spark.table(s"${pfx}_lists"), nProbe = 6)
+      val pq = Similarity.pqTopKFromIndex(q, emb, "vec_id", "embedding", 10,
+        m = 16, codebook = spark.table(s"${pfx}_codebook"),
+        codes = spark.table(s"${pfx}_codes"),
+        norms = spark.table(s"${pfx}_norms"),
+        candidates = cand, rerank = 8)
+      // plan probe: the serve path must contain ZERO training machinery —
+      // Lloyd rounds are the only users of posexplode in this module, so
+      // their marker must be absent from both optimized plans, and the
+      // candidate plan must actually read the persisted index tables.
+      val planStr = pq.queryExecution.optimizedPlan.toString +
+        cand.queryExecution.optimizedPlan.toString
+      assert(!planStr.toLowerCase.contains("posexplode"),
+        "training machinery leaked into the serve path")
+      assert(cand.queryExecution.optimizedPlan.toString.contains(s"${pfx}_lists"),
+        "candidates do not read the persisted inverted lists")
+      // fidelity gate, the l57 contract: PQ top-10 vs the full-precision
+      // ranking of the SAME persisted candidates, >= 90% agreement
+      val exact = Similarity.ivfTopK(spark, q, emb, "vec_id", "embedding",
+          10, candidatesOpt = Some(cand))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val served = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val agree = (served intersect exact).size.toDouble / exact.size
+      assert(agree >= 0.9, s"persisted-index agreement $agree below gate")
+    } finally {
+      parts.foreach(p => spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$p"))
+      graft.pipeline.SinkFiles.deleteRecursive(out)
+    }
+  }
+
   test("asof join: NULL-key left rows match nothing (equi-join semantics)") {
     import spark.implicits._
     import java.sql.Timestamp
