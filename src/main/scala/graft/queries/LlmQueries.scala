@@ -1529,6 +1529,14 @@ object LlmQueries {
           // first — but into executor blocks, distributed, never through
           // the driver; the registered pattern for a standing 100 TB
           // pipeline must not route its pair list driver-side.
+          // Trade-off (deliberate, local-bench scoped): localCheckpoint
+          // truncates lineage into executor-held blocks, so on a real
+          // multi-executor cluster an executor loss after the source
+          // table is dropped makes the result unrecoverable. The
+          // production recipe is `.checkpoint()` to reliable storage
+          // (or write the pair list to its own table) BEFORE retiring
+          // the index; here the source table outlives the query only by
+          // the finally block, so the cheap variant is safe.
           Dedup.incrementalNearDupWithIndex(
             docs.where(isNew), corpus, s.table(tbl),
             "doc_id", "text", 0.5)

@@ -561,6 +561,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: corpus diff counts partition each side's distinct digests") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Small text pool so the two snapshots genuinely share digests and
+    // each side carries internal duplicates (diff counts DISTINCT text).
+    val text = Gen.oneOf((1 to 8).map(i => s"document body $i"))
+    val side = Gen.choose(0, 12).flatMap(Gen.listOfN(_, text))
+    val prop = Prop.forAll(side, side) { (a, b) =>
+      val da = a.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val db = b.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val r = graft.operators.Dedup.corpusDiff(da, db, "text").head()
+      val (added, removed, common) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      // added/removed/common partition the union of distinct digests:
+      // common + added = |B|, common + removed = |A|, all non-negative
+      common + added == b.distinct.length.toLong &&
+        common + removed == a.distinct.length.toLong &&
+        common == (a.toSet & b.toSet).size.toLong &&
+        added >= 0 && removed >= 0 && common >= 0
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("centroidOutliers: planted far vector ranks first, score exact") {
     import spark.implicits._
     // group 0: three vectors near (1, 0) and one at (-1, 0) — the outlier

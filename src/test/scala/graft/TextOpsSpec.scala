@@ -408,6 +408,68 @@ class TextOpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: shard manifest conserves token mass and document count") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val doc = for {
+      n <- Gen.choose(1, 12)
+      g <- Gen.oneOf("en", "de", "fr")
+    } yield ((1 to n).map(j => s"w$j").mkString(" "), g)
+    val corpus = Gen.choose(3, 20).flatMap(Gen.listOfN(_, doc))
+    // Shard width >= the max document size (12 tokens): a document wider
+    // than a shard legitimately advances the shard counter by more than
+    // one, which breaks the contiguity claim below (ids are cum div
+    // width, not a dense rank) while still conserving mass and count.
+    val shardTok = Gen.choose(12L, 40L)
+    val prop = Prop.forAll(corpus, shardTok) { (rows, st) =>
+      val docs = rows.zipWithIndex
+        .map { case ((t, g), i) => (i.toLong, t, g) }
+        .toDF("doc_id", "text", "lang")
+      val m = TextAnalysis
+        .shardManifest(docs, "doc_id", "text", "lang", st)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val mass = docs
+        .agg(sum(size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")))
+        .head().getLong(0)
+      // every packed document lands in exactly one shard; token mass and
+      // doc count both conserved; shard ids contiguous from 0; each
+      // shard's group-mix width within the generator's language pool
+      m.map(_._3).sum == mass &&
+        m.map(_._2).sum == rows.length.toLong &&
+        m.map(_._1).sorted.toSeq == (0L until m.length).toSeq &&
+        m.forall(s => s._4 >= 1 && s._4 <= 3)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: temperature resample census keeps at most what it sees, per group") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sizes = Gen.listOfN(4, Gen.choose(1, 30))
+    val budgets = Gen.choose(1L, 60L)
+    val prop = Prop.forAll(sizes, budgets) { (ns, budget) =>
+      val docs = ns.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => ((g * 1000 + i).toLong, s"body $g $i", s"g$g"))
+      }.toDF("doc_id", "text", "grp")
+      val census = graft.operators.TextAnalysis
+        .temperatureResample(docs, "doc_id", "text", "grp", budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      // the t20 contract: per group, 0 <= n_kept <= n_seen, and the
+      // census covers every generated group exactly once
+      census.length == ns.length &&
+        census.forall { case (_, seen, kept) => kept >= 0 && kept <= seen } &&
+        census.map(_._2).sum == ns.map(_.toLong).sum
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("qualityDupProfile: bands partition the corpus, dup flags count non-keepers, null text never a dup") {
     import spark.implicits._
     val docs = Seq(
