@@ -543,6 +543,19 @@ object Dedup {
     var owned = labels // handle owning the round's cache entry
     var converged = false
     var i = 0
+    // Block schedule: 1, fuse, fuse, ... The hash-to-min seed lands the
+    // final label immediately on the clique/star graphs a near-dup
+    // corpus mostly produces, so the common case needs exactly ONE
+    // confirmation round — a fixed `fuse`-round first block charges
+    // such graphs fuse-1 extra edge-joins for nothing (measured: l41's
+    // shallow semantic graph regressed 4.8 s -> 6.2 s under fixed
+    // fuse=4). A single 1-round probe block keeps the shallow case at
+    // the pre-fusion price; from the second block on, full `fuse`-round
+    // blocks amortize the per-job floor on deep graphs (a 1,2,4,...
+    // geometric ramp was measured here and rejected: it bills the
+    // 16-20-round threshold graph one extra block, 3.3 s -> 4.5 s warm,
+    // to save nothing the 1-round probe doesn't already save).
+    var blockRounds = 1
     while (!converged && i < maxIters) {
       // FUSED multi-round block (the BASELINE.md lever): chain `fuse`
       // propagation rounds — join + union + min-aggregate each — into
@@ -563,7 +576,8 @@ object Dedup {
       // twice and compounds: measured 7.5 s -> 70-90 s on the sf0.1
       // embed threshold graph. Chained PLAIN rounds are tree-shaped —
       // each intermediate is referenced once, nothing re-evaluates.)
-      val rounds = math.min(fuse, maxIters - i)
+      val rounds = math.min(blockRounds, maxIters - i)
+      blockRounds = fuse
       var prop = labels.withColumn("__old", col("lbl"))
       for (_ <- 1 to rounds) {
         val candidates = prop
