@@ -206,6 +206,37 @@ object TextAnalysis {
         splitLabel(col("__fp"), trainPct, valPct).as("split"),
         (expr("__fp div 100") % 100 < col("__rate")).as("kept"))
 
+  /** Exact-quota stratified sample: per stratum keep EXACTLY
+    * min(quota, n) docs — the smallest (fingerprint, doc_id) pairs, so
+    * re-runs keep the SAME docs and a grown stratum perturbs the
+    * selection minimally (a new doc swaps in only by displacing the
+    * current quota-th pair). Complements `temperatureResample`, which is
+    * RATE-based (expected counts): quota sampling is what a mixture spec
+    * with hard per-source caps ("at most 10k docs from any one domain")
+    * actually needs.
+    *
+    * Scale rationale: the textbook formulation —
+    * `row_number().over(partitionBy(stratum).orderBy(fp, id)) <= quota`
+    * — shuffles and sorts EVERY row of every stratum. This uses the
+    * bounded `GroupedTopK` aggregator instead: each map partition
+    * reduces to at most `quota` pairs per stratum before the shuffle, so
+    * the exchanged data is O(strata * quota) regardless of corpus size.
+    * fp < 2^30 and the negated (fp, id) pair order the aggregator's
+    * descending top-k into an ascending bottom-k losslessly.
+    */
+  def quotaSample(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    docs.select(col(stratumCol).as("stratum"), col(idCol).as("doc_id"),
+        TextFunctions.rollingHash(col(textCol)).as("fp"))
+      .groupBy(col("stratum"))
+      .agg(GroupedTopK.topK(quota)(-col("fp").cast("double"), -col("doc_id"))
+        .as("picked"))
+      .select(col("stratum"), explode(col("picked")).as("p"))
+      .select(col("stratum"), (-col("p._2")).as("doc_id"),
+        (-col("p._1")).cast("long").as("fp"))
+  }
+
   /** Fixed token-window chunking with overlap (context-window packing
     * prep): chunk i covers tokens [i*stride, i*stride+window); starts
     * enumerate while start < n_tokens. One narrow generate per row — no

@@ -1754,6 +1754,23 @@ object LlmQueries {
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
     QuerySpec(
+      "l73_quota_sample",
+      "exact-quota stratified sample over the source column — the hard-cap complement to l67's rate-based resampler (a mixture spec's 'at most N docs per domain'): per source keep EXACTLY min(quota, n) docs, the smallest (content-fingerprint, doc_id) pairs, so re-runs keep the SAME docs. Executed as a bounded bottom-k via the map-side-combinable GroupedTopK aggregator — O(strata*quota) shuffle, never a full per-stratum sort; the oracle is the textbook row_number window, so the hash only matches if the bounded aggregation selects exactly the window's rows. quota=40 keeps whole 25-doc strata at sf0.001 and trims 250-doc strata at sf0.1 — both branches exercised",
+      (s, dir) => TextAnalysis.quotaSample(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        quota = 40),
+      Some(s"""WITH f AS (
+              |  SELECT source AS stratum, doc_id, $fpSql AS fp
+              |  FROM documents),
+              |r AS (
+              |  SELECT stratum, doc_id, fp,
+              |    ROW_NUMBER() OVER (PARTITION BY stratum
+              |      ORDER BY fp, doc_id) AS rn
+              |  FROM f)
+              |SELECT stratum, doc_id, fp FROM r
+              |WHERE rn <= 40""".stripMargin)),
+
+    QuerySpec(
       "l67_temperature_resample",
       "temperature (alpha = 0.5) mixture resampling over the lang column — the multilingual rebalancer: per-language keep rate min(1, budget * q_s / n_s) with q_s = sqrt(n_s)/sum sqrt(n_t) (sqrt, not pow: IEEE-exact, oracle contract), keep decision by content hash (re-runs keep the SAME docs); sum sqrt is a sequential fold over the lang-sorted census so the basis-point floor can't flip between engines; ledger (lang, n_docs, rate_bp, n_kept) all-integer. budget=600 caps the tail langs at keep-all at sf0.001/0.01 and downsamples everything at sf0.1 — both branches exercised",
       (s, dir) => TextAnalysis.temperatureResample(

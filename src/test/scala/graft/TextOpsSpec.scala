@@ -517,4 +517,39 @@ class TextOpsSpec extends SparkSpec {
     assert(whatif.minBy(_.getLong(0)).getLong(2) ===
       prof.map(_.getLong(3)).sum)
   }
+
+  test("property: quota sample equals the row_number window formulation") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Gen.listOfN(4, Gen.choose(0, 20))
+    val quotas = Gen.choose(1, 8)
+    val prop = Prop.forAll(sizes, quotas) { (ns, quota) =>
+      val docs = ns.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => ((g * 1000 + i).toLong, s"text $g $i", s"s$g"))
+      }.toDF("doc_id", "text", "stratum")
+      val got = TextAnalysis
+        .quotaSample(docs, "doc_id", "text", "stratum", quota)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // oracle: the full-sort window formulation over the same fingerprint
+      val want = docs
+        .select(col("stratum"), col("doc_id"),
+          graft.functions.TextFunctions.rollingHash(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("stratum").orderBy(col("fp"), col("doc_id"))))
+        .where(col("rn") <= quota)
+        .select(col("stratum"), col("doc_id"), col("fp"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // identical selection, and per stratum exactly min(quota, n) rows
+      val perStratum = got.groupBy(_._1).view.mapValues(_.size).toMap
+      got == want && ns.zipWithIndex.forall { case (n, g) =>
+        perStratum.getOrElse(s"s$g", 0) == math.min(quota, n)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
