@@ -87,11 +87,12 @@ object Bench {
     // ones the 2x perf gate actually turns on) plus one face from each
     // family (parity / relational / streaming); FIXED going forward.
     val headline = Seq(
-      "l62_semantic_prune", "l57_pq_gate", "l51_knn_ivf_agree",
-      "l46_knn_classify", "l41_semdedup_keep", "l54_containment_capped_gate",
-      "l55_curation_run", "l21_embed_neardup_lsh", "l19_dedup_clusters",
-      "l03_minhash_lsh_pairs", "l01_exact_dedup", "p06_migrate",
-      "p09_dsv2_lineprotocol", "r01_pricing_summary", "t09_stream_stream_join")
+      "l72_ann_index_serve", "l62_semantic_prune", "l57_pq_gate",
+      "l51_knn_ivf_agree", "l46_knn_classify", "l41_semdedup_keep",
+      "l54_containment_capped_gate", "l55_curation_run",
+      "l21_embed_neardup_lsh", "l19_dedup_clusters", "l03_minhash_lsh_pairs",
+      "l01_exact_dedup", "p06_migrate", "p09_dsv2_lineprotocol",
+      "r01_pricing_summary", "t09_stream_stream_join")
     val rm = results.toMap
     val hq = headline.flatMap(n => rm.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
