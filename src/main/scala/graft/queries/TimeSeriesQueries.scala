@@ -621,6 +621,35 @@ object TimeSeriesQueries {
               |  count(*) FILTER (WHERE (fp // 100) % 10000 < rate_bp)
               |    AS n_kept
               |FROM f JOIN r ON f.lang = r.lang
-              |GROUP BY 1""".stripMargin))
+              |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t21_stream_quota",
+      "the streaming face of l73's exact-quota sampler — a standing per-source hard-cap admission pipeline: per stratum the state is the quota-bounded bottom-k (fingerprint, doc_id) buffer, so a new doc is admitted by DISPLACING the current quota-th pair, never by arrival order — the final state is a pure function of the SET of rows seen, identical however the stream is micro-batched (naive first-N admission is not). Emissions carry (n_seen, n_admitted, fp_threshold = the live admission bar); n_seen strictly increases per emission so max-n_seen-per-stratum is the drained answer, and the oracle's window formulation only matches if displacement is exact",
+      (s, dir) => {
+        val res = graft.streaming.StreamingOps.quotaAdmission(
+          Tables.loadStream(s, dir, "documents"), "source", "doc_id",
+          "text", quota = 40)
+        val emitted = runBounded(s, res, "t21_stream_quota_mem", "update",
+          statePartitions = Some(8))
+        emitted.groupBy(col("stratum"))
+          .agg(max(struct(col("n_seen"), col("n_admitted"),
+            col("fp_threshold"))).as("fin"))
+          .select(col("stratum"), col("fin.n_seen").as("n_seen"),
+            col("fin.n_admitted").as("n_admitted"),
+            col("fin.fp_threshold").as("fp_threshold"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT source AS stratum, doc_id, ${QuerySpec.fpSql} AS fp
+              |  FROM documents),
+              |r AS (
+              |  SELECT stratum, doc_id, fp,
+              |    ROW_NUMBER() OVER (PARTITION BY stratum
+              |      ORDER BY fp, doc_id) AS rn
+              |  FROM f)
+              |SELECT stratum, count(*) AS n_seen,
+              |  count(*) FILTER (WHERE rn <= 40) AS n_admitted,
+              |  max(fp) FILTER (WHERE rn <= 40) AS fp_threshold
+              |FROM r GROUP BY 1""".stripMargin))
   )
 }

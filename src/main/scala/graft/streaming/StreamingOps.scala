@@ -220,6 +220,59 @@ object StreamingOps {
       .toDF("key", "n_events", "max_id")
   }
 
+  /** Streaming face of `TextAnalysis.quotaSample` — a standing
+    * per-stratum hard-cap admission pipeline. State per stratum is the
+    * quota-bounded bottom-k buffer of (fingerprint, id) pairs: a new doc
+    * is admitted by DISPLACING the current quota-th pair, not by arrival
+    * order, so the final state is a pure function of the SET of rows
+    * seen — identical however the stream is chopped into micro-batches
+    * and however partitions race (naive first-N admission has neither
+    * property). Each emission is the stratum's current census
+    * (n_seen, n_admitted, fp_threshold = the quota-th smallest fp, i.e.
+    * the current admission bar); n_seen strictly increases per emission,
+    * so "row with max n_seen per stratum" is the drained-stream answer.
+    *
+    * Scale: state is O(strata * quota) total, partitioned by stratum
+    * across executors; each batch touches only the strata it carries.
+    */
+  def quotaAdmission(docs: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val rows: Dataset[(String, Long, Long)] = docs
+      .select(col(stratumCol).cast("string").as("__s"),
+        col(idCol).cast("long").as("__i"),
+        graft.functions.TextFunctions.rollingHash(col(textCol)).cast("long")
+          .as("__f"))
+      // null text never admitted — the quotaSample contract
+      .where(col("__f").isNotNull)
+      .as[(String, Long, Long)](Encoders.tuple(
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+    implicit val stateEnc =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, List[(Long, Long)])]()
+    implicit val outEnc =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(String, Long, Long, Long)]()
+    def insert(buf: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] = {
+      val (lo, hi) = buf.span(p =>
+        p._1 < x._1 || (p._1 == x._1 && p._2 < x._2))
+      val merged = lo ::: x :: hi
+      if (merged.size > quota) merged.take(quota) else merged
+    }
+    rows
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[(Long, List[(Long, Long)]),
+        (String, Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, List[(Long, Long)])]) =>
+          var (seen, buf) = state.getOption.getOrElse((0L, Nil))
+          it.foreach { r => seen += 1; buf = insert(buf, (r._3, r._2)) }
+          state.update((seen, buf))
+          (key, seen, buf.size.toLong, buf.last._1)
+      }
+      .toDF("stratum", "n_seen", "n_admitted", "fp_threshold")
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

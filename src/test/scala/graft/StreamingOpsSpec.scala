@@ -277,4 +277,47 @@ class StreamingOpsSpec extends SparkSpec {
     }
     assert(deduped.count() === 5L, "one survivor per user across all batches")
   }
+
+  test("quotaAdmission: batch-chop- and order-independent, equals the batch quota sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 30L).map(i => (i, s"doc body $i", s"s${i % 3}"))
+    def runQuota(name: String, batches: Seq[Seq[(Long, String, String)]])
+        : Map[String, (Long, Long, Long)] = {
+      val stream = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.quotaAdmission(
+          stream.toDF().toDF("doc_id", "text", "source"),
+          "source", "doc_id", "text", quota = 4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        // drained answer: the emission with max n_seen per stratum
+        spark.table(name).groupBy(col("stratum"))
+          .agg(max(struct(col("n_seen"), col("n_admitted"),
+            col("fp_threshold"))).as("f"))
+          .select(col("stratum"), col("f.n_seen"), col("f.n_admitted"),
+            col("f.fp_threshold"))
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      } finally q.stop()
+    }
+    val oneShot = runQuota("quota_one", Seq(docs))
+    val chopped = runQuota("quota_chop",
+      Seq(docs.take(7), docs.slice(7, 8), docs.drop(8)))
+    val reversed = runQuota("quota_rev", Seq(docs.reverse.take(13),
+      docs.reverse.drop(13)))
+    assert(oneShot === chopped, "micro-batch chop changed the final state")
+    assert(oneShot === reversed, "arrival order changed the final state")
+    // and the streaming threshold equals the batch quotaSample's quota-th fp
+    val batch = graft.operators.TextAnalysis.quotaSample(
+        docs.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", quota = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batchKth = batch.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._3).max)).toMap
+    assert(oneShot.view.mapValues(v => (v._2, v._3)).toMap === batchKth)
+    assert(oneShot.values.forall(_._1 === 10L), "each stratum saw 10 docs")
+  }
 }
