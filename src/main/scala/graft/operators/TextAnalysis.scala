@@ -106,6 +106,43 @@ object TextAnalysis {
         "\\S+@\\S+", ""),
       "\\s+", " "))
 
+  /** PII patterns, applied in this order: (type, regex, placeholder).
+    * Each pattern is both Java-regex and RE2 compatible (ASCII classes,
+    * \b, bounded quantifiers only) so the oracle replays the exact
+    * chain. The chain is SEQUENTIAL — each type is counted on the text
+    * as left by the previous redaction — so overlapping matches can
+    * never be double-counted, whichever engine runs it.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** PII redaction with a typed census — the curation step every
+    * training corpus runs before anything else sees the text: emails,
+    * IPv4 addresses and phone numbers are replaced by placeholder
+    * tokens, and the per-document counts ship with the cleaned text so
+    * a downstream audit can aggregate redaction volume per source
+    * without re-scanning. Unlike `cleanText` (which DELETES boilerplate)
+    * this PRESERVES document shape — the placeholder keeps token
+    * positions stable for chunking/packing downstream.
+    *
+    * Per-row regexp chain: codegen'd, shuffle-free, linear in bytes —
+    * the 100 TB cost is exactly one text pass per pattern.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))) {
+      case (df, (name, pattern, placeholder)) =>
+        df.withColumn(s"n_$name",
+            size(regexp_extract_all(col("__t"), lit(pattern), lit(0)))
+              .cast("long"))
+          .withColumn("__t", regexp_replace(col("__t"), pattern, placeholder))
+    }
+    redacted.select(col("doc_id") +: col("__t").as("text_clean") +:
+      piiPatterns.map { case (name, _, _) => col(s"n_$name") }: _*)
+  }
+
   /** Deterministic content-hash train/val/test split plus mixture
     * sampling — the reproducibility workhorses of a training-data
     * pipeline: the assignment depends only on the DOCUMENT CONTENT

@@ -1771,6 +1771,56 @@ object LlmQueries {
               |WHERE rn <= 40""".stripMargin)),
 
     QuerySpec(
+      "l74_pii_redact",
+      "typed PII redaction census — the curation step that runs before anything else sees the text: emails, IPv4s and phone numbers replaced by placeholder tokens (preserving document shape for downstream chunking, unlike the deleting scrub), per-type counts shipped with the cleaned text. The fixture corpus carries no PII, so the query deterministically injects it from doc_id (the l66/l71 synthesis pattern — every third doc an email, fourth an IP, fifth a phone) and the oracle replays injection AND the sequential count+redact chain verbatim: the hash only matches if both engines' regex semantics agree on every byte of every cleaned document",
+      (s, dir) => TextAnalysis.redactPii(
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" mail u"), col("doc_id").cast("string"),
+                lit("@ex.com"))).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".7"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" tel 555-01"), (col("doc_id") % 10).cast("string"),
+                lit("-0199"))).otherwise(lit(""))).as("text")),
+        "doc_id", "text"),
+      Some("""WITH inj AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' mail u'
+             |         || CAST(doc_id AS VARCHAR) || '@ex.com' ELSE '' END
+             |    || CASE WHEN doc_id % 4 = 0 THEN ' host 10.0.'
+             |         || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-01'
+             |         || CAST(doc_id % 10 AS VARCHAR) || '-0199' ELSE '' END
+             |    AS t FROM documents),
+             |s1 AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             |    regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g') AS t
+             |  FROM inj),
+             |s2 AS (
+             |  SELECT doc_id, n_email,
+             |    len(regexp_extract_all(t,
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             |    regexp_replace(t,
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT doc_id, n_email, n_ip,
+             |    len(regexp_extract_all(t,
+             |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+             |    regexp_replace(t,
+             |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+             |  FROM s2)
+             |SELECT doc_id, t AS text_clean, n_email, n_ip, n_phone
+             |FROM s3""".stripMargin)),
+
+    QuerySpec(
       "l67_temperature_resample",
       "temperature (alpha = 0.5) mixture resampling over the lang column — the multilingual rebalancer: per-language keep rate min(1, budget * q_s / n_s) with q_s = sqrt(n_s)/sum sqrt(n_t) (sqrt, not pow: IEEE-exact, oracle contract), keep decision by content hash (re-runs keep the SAME docs); sum sqrt is a sequential fold over the lang-sorted census so the basis-point floor can't flip between engines; ledger (lang, n_docs, rate_bp, n_kept) all-integer. budget=600 caps the tail langs at keep-all at sf0.001/0.01 and downsamples everything at sf0.1 — both branches exercised",
       (s, dir) => TextAnalysis.temperatureResample(

@@ -518,6 +518,36 @@ class TextOpsSpec extends SparkSpec {
       prof.map(_.getLong(3)).sum)
   }
 
+  test("redactPii: typed counts, placeholder substitution, idempotence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to a@b.co or c.d+x@e.org today"),
+      (2L, "served from 10.0.3.7 and 192.168.1.200, call 555-123-4567"),
+      (3L, "phone 555.123.4567 style with dots"),
+      (4L, "no pii here at all"),
+      (5L, "almost: a@b (no tld), 1.2.3 (three octets), 12-345-6789 (short)"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) ===
+      (("write to <EMAIL> or <EMAIL> today", 2L, 0L, 0L)))
+    assert(out(2L) ===
+      (("served from <IP> and <IP>, call <PHONE>", 0L, 2L, 1L)))
+    assert(out(3L) === (("phone <PHONE> style with dots", 0L, 0L, 1L)))
+    assert(out(4L) === (("no pii here at all", 0L, 0L, 0L)))
+    // near-misses stay untouched — the patterns are anchored tight
+    assert(out(5L)._2 + out(5L)._3 + out(5L)._4 === 0L)
+    // idempotence: a second pass over the cleaned text finds nothing
+    val again = graft.operators.TextAnalysis.redactPii(
+        docs.select(col("doc_id")).join(
+          graft.operators.TextAnalysis.redactPii(docs, "doc_id", "text")
+            .select(col("doc_id"), col("text_clean").as("text")), "doc_id"),
+        "doc_id", "text")
+      .agg(sum(col("n_email") + col("n_ip") + col("n_phone"))).head.getLong(0)
+    assert(again === 0L)
+  }
+
   test("property: quota sample equals the row_number window formulation") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
