@@ -548,6 +548,30 @@ class TextOpsSpec extends SparkSpec {
     assert(again === 0L)
   }
 
+  test("quotaSample plan: ONE exchange, partial aggregation below it, no sort") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"body $i", s"s${i % 4}"))
+      .toDF("doc_id", "text", "stratum")
+    val q = graft.operators.TextAnalysis
+      .quotaSample(docs, "doc_id", "text", "stratum", 5)
+    val plan = q.queryExecution.executedPlan.toString
+    // the scale contract: bounded bottom-k combines map-side (partial
+    // ObjectHashAggregate BELOW the single exchange) so the shuffle is
+    // O(strata*quota); the window formulation this replaces would show
+    // a Sort over every row instead
+    assert("Exchange".r.findAllIn(plan).size === 1, s"plan:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size === 2,
+      s"expected partial+final aggregate pair in:\n$plan")
+    assert(!plan.contains("Sort"), s"unexpected sort in:\n$plan")
+    // plan prints top-down: final agg, then the exchange, then the
+    // map-side partial — the order that proves the combine runs
+    // before the shuffle
+    val exch = plan.indexOf("Exchange")
+    assert(plan.indexOf("ObjectHashAggregate") < exch &&
+      plan.indexOf("ObjectHashAggregate", exch) > exch,
+      s"aggregates should bracket the exchange in:\n$plan")
+  }
+
   test("property: quota sample equals the row_number window formulation") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
