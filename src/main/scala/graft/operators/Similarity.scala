@@ -423,6 +423,96 @@ object Similarity {
       corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb")),
       codebook, codes, norms, candidates, k, m, rerank)
 
+  /** The serving tier's in-process view of the index's TINY artifacts:
+    * centroids (nCentroids rows) and codebook (m*nCodes sub-vectors),
+    * driver-collected once at serve start — the exact analogue of an ANN
+    * server loading the codebook file at boot. The BIG artifacts
+    * (lists, codes, norms — O(corpus)) stay as tables and are only ever
+    * equi-joined. This split is what makes a WINDOW-FREE serve path
+    * possible: probe selection and ADC become per-row expressions over
+    * literals, so the same code serves batch and unbounded streams
+    * (Structured Streaming forbids window functions).
+    */
+  final case class AnnServeMeta(cents: Seq[(Long, Seq[Float])],
+      codebook: Map[String, Seq[Float]], m: Int, subDim: Int)
+
+  def collectServeMeta(centroids: DataFrame,
+      codebook: DataFrame): AnnServeMeta = {
+    val cs = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+      .sortBy(_._1).toSeq
+    val cb = codebook.collect()
+      .map(r => s"${r.getInt(0)}:${r.getLong(1)}" -> r.getSeq[Float](2).toSeq)
+      .toMap
+    val m = cb.keysIterator.map(_.takeWhile(_ != ':').toInt).max + 1
+    AnnServeMeta(cs, cb, m, cb.head._2.size)
+  }
+
+  /** Window-free per-row probe: the query's top-nProbe cent_ids against
+    * the collected centroid set — score every centroid with the SAME
+    * codegen'd cosine expression `probeTop` uses (float literals, so the
+    * arithmetic is bit-identical), sort (cos desc, cent_id asc) inside
+    * the row, slice. Streaming-safe: no window, no aggregation.
+    */
+  def probeTopLocal(meta: AnnServeMeta, qEmb: Column, nProbe: Int): Column =
+    transform(
+      slice(array_sort(transform(typedLit(meta.cents), c =>
+        struct((-cosineSim(qEmb, c.getField("_2"))).as("nc"),
+          c.getField("_1").as("cent_id")))), 1, nProbe),
+      s => s.getField("cent_id"))
+
+  /** Per-row ADC cosine against the collected codebook: a sequential
+    * fold over the m blocks (deterministic, unlike the batch path's
+    * shuffled partial-dot sum — approximate scores are gate-compared,
+    * never hash-compared, by the l07/l16 contract). The candidate's m
+    * small codes and one norm scalar are the ONLY per-candidate data
+    * touched; the full-precision corpus vector never is.
+    */
+  def adcCosineLocal(meta: AnnServeMeta, qEmb: Column, codesArr: Column,
+      cNorm: Column): Column = {
+    val cbLit = typedLit(meta.codebook)
+    val terms = zip_with(codesArr, sequence(lit(0), lit(meta.m - 1)),
+      (code, blk) => dotp(
+        slice(qEmb, blk * lit(meta.subDim) + lit(1), lit(meta.subDim)),
+        element_at(cbLit,
+          concat(blk.cast("string"), lit(":"), code.cast("string")))))
+    aggregate(terms, lit(0.0), (acc, v) => acc + v) /
+      (vecNorm(qEmb) * cNorm)
+  }
+
+  /** `codes` (c_id, blk, code) pivoted to one blk-ordered array per
+    * vector — the record layout a serving tier actually stores (m small
+    * values in one row fetch instead of m rows).
+    */
+  def codesAsArray(codes: DataFrame): DataFrame =
+    codes.groupBy(col("c_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("blk"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Stateless serve scoring over a (possibly STREAMING) query frame:
+    * per-row probe (literal centroids) -> equi-join the persisted lists
+    * on cent_id -> fetch codes+norm by c_id -> per-row ADC cosine.
+    * Every join is a stream-static equi-join; no window, no aggregation,
+    * no training job anywhere in the plan. The stateful top-k lives in
+    * `StreamingOps.annTopKState` (batch callers can use a plain window
+    * instead).
+    */
+  def annServeScore(queries: DataFrame, idCol: String, embCol: String,
+      meta: AnnServeMeta, lists: DataFrame, codesArr: DataFrame,
+      norms: DataFrame, nProbe: Int): DataFrame =
+    queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        explode(probeTopLocal(meta, col("q_emb"), nProbe)).as("cent_id"))
+      .join(lists, Seq("cent_id"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(codesArr, Seq("c_id"))
+      .join(norms, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        adcCosineLocal(meta, col("q_emb"), col("codes"), col("c_norm"))
+          .as("pq_cos"))
+
   /** IVF-PQ: the memory-bound rung of the ANN ladder. Each corpus
     * vector is stored as m codebook codes (one byte-scale code per
     * sub-block) plus its scalar norm — at 100 TB that is the difference

@@ -650,6 +650,52 @@ object TimeSeriesQueries {
               |SELECT stratum, count(*) AS n_seen,
               |  count(*) FILTER (WHERE rn <= 40) AS n_admitted,
               |  max(fp) FILTER (WHERE rn <= 40) AS fp_threshold
-              |FROM r GROUP BY 1""".stripMargin))
+              |FROM r GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t22_stream_ann_serve",
+      "the streaming face of l72's persisted-index ANN serve — query vectors ARRIVE as a stream and are answered top-10 with zero training jobs and zero windows (Structured Streaming forbids them): the index's tiny artifacts (centroids, codebook) are driver-collected once at serve start — an ANN server loading its codebook file at boot — so probing and ADC become per-row expressions; the big artifacts (lists, codes-as-arrays, norms) stay tables reached by stream-static equi-joins; the per-query top-10 is bounded displacement state (annTopKState, the t21 discipline). Gate: the drained stream answer agrees >= 90% with the batch pqTopKFromIndex ranking over the SAME index (the two paths sum partial dots in different orders, so agreement not hash is the contract); oracle = top-k-completeness count + literal true",
+      (s, dir) => {
+        val S = graft.operators.Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        val idx = S.buildAnnIndex(e, "vec_id", "embedding",
+          nCentroids = 8, trainIters = 0, m = 8, nCodes = 16,
+          pqTrainIters = 1)
+        val cents = idx.centroids.localCheckpoint(eager = true)
+        val lists = idx.lists.localCheckpoint(eager = true)
+        val codesArr = S.codesAsArray(idx.codes)
+          .localCheckpoint(eager = true)
+        val norms = idx.norms.localCheckpoint(eager = true)
+        val meta = S.collectServeMeta(cents, idx.codebook)
+        val served = graft.streaming.StreamingOps.annTopKState(
+          S.annServeScore(
+            Tables.loadStream(s, dir, "embeddings")
+              .where(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", meta, lists, codesArr, norms,
+            nProbe = 6),
+          k = 10)
+        val emitted = runBounded(s, served, "t22_stream_ann_serve_mem",
+          "update", statePartitions = Some(8))
+        val streamTop = emitted.groupBy(col("q_id"))
+          .agg(max_by(col("topk"), col("n_seen")).as("topk"))
+          .select(col("q_id"), explode(col("topk")).as("p"))
+          .select(col("q_id"), col("p._2").as("c_id"), lit(1).as("__s"))
+        val qB = e.where(col("vec_id") % 25 === 0)
+        val batchTop = S.pqTopKFromIndex(qB, e, "vec_id", "embedding",
+            k = 10, m = 8, codebook = idx.codebook, codes = idx.codes,
+            norms = norms,
+            candidates = S.indexCandidates(qB, "vec_id", "embedding",
+              cents, lists, nProbe = 6),
+            rerank = 0)
+          .select(col("q_id"), col("c_id"), lit(1).as("__b"))
+        streamTop.join(batchTop, Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__b")).as("n_topk"),
+            count(when(col("__b").isNotNull && col("__s").isNotNull, 1))
+              .as("__hit"))
+          .select(col("n_topk"),
+            (col("__hit") * 100 >= col("n_topk") * 90).as("stream_ok"))
+      },
+      Some("""SELECT 10 * count(*) AS n_topk, TRUE AS stream_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
   )
 }

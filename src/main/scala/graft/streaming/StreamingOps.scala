@@ -273,6 +273,51 @@ object StreamingOps {
       .toDF("stratum", "n_seen", "n_admitted", "fp_threshold")
   }
 
+  /** Bounded per-query top-k state for the streaming ANN serve — the
+    * quotaAdmission displacement discipline pointed at scored
+    * candidates: per q_id the state is the k best (score desc, c_id asc)
+    * pairs, so a candidate is kept by displacing the current k-th, never
+    * by arrival order — the final state is a pure function of the
+    * candidate SET, independent of micro-batch chopping. Emissions are
+    * (q_id, n_seen, topk) with topk in rank order; n_seen strictly
+    * increases per emission, so max-n_seen per q_id is the drained
+    * answer. State is O(queries * k), partitioned by q_id.
+    */
+  def annTopKState(scored: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rows: Dataset[(Long, Long, Double)] = scored
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        col("pq_cos").cast("double"))
+      .as[(Long, Long, Double)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+    implicit val stateEnc =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, List[(Double, Long)])]()
+    implicit val outEnc =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long, Seq[(Double, Long)])]()
+    // buffer ascending by (negScore, c_id): head is the best candidate,
+    // take(k) clamps by dropping the current worst
+    def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+      val (lo, hi) = buf.span(p =>
+        p._1 < x._1 || (p._1 == x._1 && p._2 < x._2))
+      val merged = lo ::: x :: hi
+      if (merged.size > k) merged.take(k) else merged
+    }
+    rows
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, List[(Double, Long)]),
+        (Long, Long, Seq[(Double, Long)])](GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Double)],
+            state: GroupState[(Long, List[(Double, Long)])]) =>
+          var (seen, buf) = state.getOption.getOrElse((0L, Nil))
+          it.foreach { r => seen += 1; buf = insert(buf, (-r._3, r._2)) }
+          state.update((seen, buf))
+          (key, seen, buf.map(p => (-p._1, p._2)))
+      }
+      .toDF("q_id", "n_seen", "topk")
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

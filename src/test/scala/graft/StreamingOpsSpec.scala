@@ -278,6 +278,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(deduped.count() === 5L, "one survivor per user across all batches")
   }
 
+  test("annTopKState: displacement top-k is chop- and order-independent, ties broken on c_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // scores collide across candidates (c*7 mod 13), so the c_id
+    // tie-break is genuinely exercised
+    val rows = for { q <- 1L to 2L; c <- 1L to 20L }
+      yield (q, c, (c * 7 % 13).toDouble / 13.0)
+    def run(name: String, batches: Seq[Seq[(Long, Long, Double)]])
+        : Map[Long, Seq[(Double, Long)]] = {
+      val stream = MemoryStream[(Long, Long, Double)]
+      val q = StreamingOps.annTopKState(
+          stream.toDF().toDF("q_id", "c_id", "pq_cos"), k = 5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        spark.table(name).groupBy(col("q_id"))
+          .agg(max_by(col("topk"), col("n_seen")).as("topk"))
+          .as[(Long, Seq[(Double, Long)])].collect().toMap
+      } finally q.stop()
+    }
+    val oneShot = run("ann_one", Seq(rows))
+    val chopped = run("ann_chop",
+      Seq(rows.take(9), rows.slice(9, 10), rows.drop(10)))
+    val reversed = run("ann_rev", Seq(rows.reverse))
+    assert(oneShot === chopped, "micro-batch chop changed the top-k")
+    assert(oneShot === reversed, "arrival order changed the top-k")
+    // reference: plain Scala sort by (score desc, c_id asc), take 5
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(r => (r._3, r._2)).sortBy(p => (-p._1, p._2)).take(5).toSeq)
+      .toMap
+    assert(oneShot === want)
+  }
+
   test("quotaAdmission: batch-chop- and order-independent, equals the batch quota sample") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
