@@ -106,6 +106,30 @@ object Dedup {
           .as("n_common"))
   }
 
+  /** Cross-source duplication matrix — WHICH sources carry the same
+    * content (mirror sites, scraped re-posts, syndication): distinct
+    * (digest, source) pairs self-joined on digest with src_a < src_b,
+    * counted per unordered source pair. The ops report that attributes
+    * duplication to its origins and tells a crawl which source pairs to
+    * dedup against each other first.
+    *
+    * Scale: the per-digest fan-out is sources-per-digest (bounded by
+    * |sources|, typically a handful), never docs-per-digest — the
+    * distinct() collapses document multiplicity BEFORE the join; in a
+    * standing pipeline both sides are one bucketed digest table and the
+    * join is shuffle-free. Output is at most |sources|^2/2 rows.
+    */
+  def dupSourceMatrix(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val ds = docs.where(col(textCol).isNotNull)
+      .select(sha2(col(textCol), 256).as("dig"), col(sourceCol).as("src"))
+      .distinct()
+    ds.as("a").join(ds.as("b"),
+        col("a.dig") === col("b.dig") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** (id, shingle-set) pairs; documents shorter than k tokens get an
     * empty set and never pair.
     */

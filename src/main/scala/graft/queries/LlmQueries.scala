@@ -1771,6 +1771,30 @@ object LlmQueries {
               |WHERE rn <= 40""".stripMargin)),
 
     QuerySpec(
+      "l75_dup_source_matrix",
+      "cross-source duplication matrix — which sources carry the same content (mirror sites, re-posts): distinct (digest, source) pairs self-joined on digest, counted per unordered source pair; the fan-out is sources-per-digest (never docs-per-digest, distinct collapses multiplicity before the join) and the output at most |sources|^2/2 rows. The fixture's natural cross-source dups only appear at sf0.1, so every seventh doc is rewritten in-query to one of three mirrored boilerplate templates (the l74 synthesis pattern) — the matrix is populated and oracle-exercised at every sf, and the sf0.1 natural dups ride along",
+      (s, dir) => Dedup.dupSourceMatrix(
+        Tables.load(s, dir, "documents").select(col("source"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("mirrored boilerplate "),
+              (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text")).as("text")),
+        "text", "source"),
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN 'mirrored boilerplate ' || CAST(doc_id % 3 AS VARCHAR)
+             |      ELSE text END AS text
+             |  FROM documents),
+             |ds AS (
+             |  SELECT DISTINCT text, source FROM t WHERE text IS NOT NULL)
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |  count(*) AS n_shared
+             |FROM ds a JOIN ds b
+             |  ON a.text = b.text AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
       "l74_pii_redact",
       "typed PII redaction census — the curation step that runs before anything else sees the text: emails, IPv4s and phone numbers replaced by placeholder tokens (preserving document shape for downstream chunking, unlike the deleting scrub), per-type counts shipped with the cleaned text. The fixture corpus carries no PII, so the query deterministically injects it from doc_id (the l66/l71 synthesis pattern — every third doc an email, fourth an IP, fifth a phone) and the oracle replays injection AND the sequential count+redact chain verbatim: the hash only matches if both engines' regex semantics agree on every byte of every cleaned document",
       (s, dir) => TextAnalysis.redactPii(

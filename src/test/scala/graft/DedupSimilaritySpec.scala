@@ -52,6 +52,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 1L)))
   }
 
+  test("dupSourceMatrix: per-pair shared-digest counts, multiplicity collapsed, half-matrix only") {
+    import spark.implicits._
+    val docs = Seq(
+      // "x" in A (twice — multiplicity must NOT inflate the count), B, C
+      ("A", "x"), ("A", "x"), ("B", "x"), ("C", "x"),
+      // "y" in A and B only
+      ("A", "y"), ("B", "y"),
+      // "z" only in C; null never pairs
+      ("C", "z"), ("B", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val m = Dedup.dupSourceMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m === Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+    // strictly upper-triangular: no self-pairs, no mirrored duplicates
+    assert(m.keys.forall { case (a, b) => a < b })
+  }
+
   test("jaccardPairs finds a planted near-dup and scores it exactly") {
     import spark.implicits._
     val docs = Seq(
