@@ -243,6 +243,37 @@ object TextAnalysis {
         splitLabel(col("__fp"), trainPct, valPct).as("split"),
         (expr("__fp div 100") % 100 < col("__rate")).as("kept"))
 
+  /** Vocabulary drift between two corpus snapshots — the token-level
+    * companion of `Dedup.corpusDiff`'s doc-level report: per token its
+    * document frequency in each snapshot, returning the top-k by
+    * absolute df change (tie-broken on the token). The standing-ingest
+    * monitor for topic/spam shifts: a crawl suddenly dominated by one
+    * template shows up here before any quality score moves.
+    *
+    * Scale: one narrow explode of per-doc DISTINCT tokens per side, two
+    * map-side-combined df aggregates shuffled on token, one full-outer
+    * token join (bucketable in a standing pipeline), and a
+    * TakeOrdered(k) — never a full vocab sort.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def dfreq(docs: DataFrame, out: String) = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(out))
+    dfreq(oldDocs, "df_old")
+      .join(dfreq(newDocs, "df_new"), Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("df_old"), lit(0L)).as("df_old"),
+        coalesce(col("df_new"), lit(0L)).as("df_new"))
+      .where(col("df_new") =!= col("df_old"))
+      .withColumn("drift", abs(col("df_new") - col("df_old")))
+      .orderBy(col("drift").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Exact-quota stratified sample: per stratum keep EXACTLY
     * min(quota, n) docs — the smallest (fingerprint, doc_id) pairs, so
     * re-runs keep the SAME docs and a grown stratum perturbs the

@@ -1771,6 +1771,39 @@ object LlmQueries {
               |WHERE rn <= 40""".stripMargin)),
 
     QuerySpec(
+      "l76_vocab_drift",
+      "vocabulary drift between snapshots — the token-level companion of l69's doc-level diff (the standing-ingest monitor for topic/spam shifts: a crawl suddenly dominated by one template moves df here before any quality score reacts): per token its document frequency in snapshot A (source%5<>0) and B (source%3<>0), top-25 by absolute df change, tie-broken on the token; per-doc DISTINCT tokens so multiplicity inside a doc never inflates df; TakeOrdered top-k, never a full vocab sort",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val srcNum = substring(col("source"), 4, 10).cast("int")
+        TextAnalysis.vocabDrift(
+          docs.where(srcNum % 5 =!= 0), docs.where(srcNum % 3 =!= 0),
+          "doc_id", "text", k = 25)
+      },
+      Some("""WITH a AS (
+             |  SELECT tok, count(*) AS df_old FROM (
+             |    SELECT doc_id,
+             |      unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+             |    FROM documents
+             |    WHERE CAST(source[4:] AS INT) % 5 <> 0 AND text IS NOT NULL)
+             |  GROUP BY tok),
+             |b AS (
+             |  SELECT tok, count(*) AS df_new FROM (
+             |    SELECT doc_id,
+             |      unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+             |    FROM documents
+             |    WHERE CAST(source[4:] AS INT) % 3 <> 0 AND text IS NOT NULL)
+             |  GROUP BY tok),
+             |j AS (
+             |  SELECT COALESCE(a.tok, b.tok) AS tok,
+             |    COALESCE(a.df_old, 0) AS df_old,
+             |    COALESCE(b.df_new, 0) AS df_new
+             |  FROM a FULL JOIN b ON a.tok = b.tok)
+             |SELECT tok, df_old, df_new, abs(df_new - df_old) AS drift
+             |FROM j WHERE df_new <> df_old
+             |ORDER BY drift DESC, tok LIMIT 25""".stripMargin)),
+
+    QuerySpec(
       "l75_dup_source_matrix",
       "cross-source duplication matrix — which sources carry the same content (mirror sites, re-posts): distinct (digest, source) pairs self-joined on digest, counted per unordered source pair; the fan-out is sources-per-digest (never docs-per-digest, distinct collapses multiplicity before the join) and the output at most |sources|^2/2 rows. The fixture's natural cross-source dups only appear at sf0.1, so every seventh doc is rewritten in-query to one of three mirrored boilerplate templates (the l74 synthesis pattern) — the matrix is populated and oracle-exercised at every sf, and the sf0.1 natural dups ride along",
       (s, dir) => Dedup.dupSourceMatrix(

@@ -518,6 +518,31 @@ class TextOpsSpec extends SparkSpec {
       prof.map(_.getLong(3)).sum)
   }
 
+  test("vocabDrift: df per side, appear/vanish via coalesce, zero-drift excluded, bounded k") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha beta beta gamma"), (2L, "alpha beta"),
+      (3L, "gamma"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((10L, "beta delta"), (11L, "delta delta"),
+      (12L, "alpha"))
+      .toDF("doc_id", "text")
+    val d = graft.operators.TextAnalysis
+      .vocabDrift(oldSnap, newSnap, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // alpha df 2->1 (in-doc repetition never inflates df), beta 2->1,
+    // gamma 2->0 (vanished), delta 0->2 (appeared)
+    assert(d === Map(
+      "alpha" -> ((2L, 1L, 1L)), "beta" -> ((2L, 1L, 1L)),
+      "gamma" -> ((2L, 0L, 2L)), "delta" -> ((0L, 2L, 2L))))
+    // k bounds the report to the largest drifts
+    val top = graft.operators.TextAnalysis
+      .vocabDrift(oldSnap, newSnap, "doc_id", "text", k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(top === Set("delta", "gamma"), "top-2 by (drift desc, tok asc)")
+  }
+
   test("redactPii: typed counts, placeholder substitution, idempotence") {
     import spark.implicits._
     val docs = Seq(
