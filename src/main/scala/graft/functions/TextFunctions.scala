@@ -23,6 +23,15 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  /** Nullable even over a non-null child: the EMPTY string hashes to
+    * null (no codepoints to fold). Without this override the default
+    * (child.nullable) lets codegen wire `ev.isNull` to the FalseLiteral
+    * when the input is provably non-null (an exploded token, a lit) —
+    * the generated `false = true;` fails to compile and the projection
+    * silently falls back to interpreter mode.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     if (s.isEmpty) null

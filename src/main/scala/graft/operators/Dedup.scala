@@ -817,4 +817,77 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Duplicate-SPAN census — the variable-length counterpart of
+    * `dupPassages`: for every document, how many token positions start a
+    * word span of length >= `minLen` that also occurs in >= `minDocs`
+    * documents, and the MAXIMAL such span length (capped at `maxLen`).
+    * This is the per-document report the suffix-array line of substring
+    * dedup work produces (sorted-suffix neighbor LCP >= threshold);
+    * `dupPassages`' fixed k answers "is there a length-k dup", this
+    * answers "how FAR does the dup extend" — the input to span-level
+    * removal decisions and memorization-risk audits.
+    *
+    * Plan (prune-then-extend, never the K-fold explode):
+    *   1. positional `minLen`-grams, ONE explode — volume = token count;
+    *      the frame feeds the df aggregate AND the candidate join, so it
+    *      is localCheckpoint'ed to run once.
+    *   2. grams contained in >= minDocs docs (map-side-combined
+    *      count-distinct) mark the DUPLICATED STARTS.
+    *   3. only duplicated starts re-attach their token array and emit
+    *      the k = minLen+1..maxLen extensions — a duplicate at length k
+    *      implies a duplicate at every prefix length (prefix closure),
+    *      so every k-dup start is already in the pruned set: EXACT, and
+    *      the extension volume is proportional to the duplicated mass,
+    *      not the corpus.
+    * At 100 TB the stage-2 shuffle keys are gram strings (hashable,
+    * bucketable); the exact alternative (distributed suffix array +
+    * neighbor LCP) sorts the full token stream — this formulation keeps
+    * the same answer for spans <= maxLen at a fraction of the shuffle.
+    * Cross-document duplication only (the `dupPassages` convention):
+    * a span repeated inside ONE document does not count.
+    */
+  def dupSpanCensus(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 6, maxLen: Int = 12, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 2 && maxLen >= minLen && minDocs >= 2,
+      "need minLen>=2, maxLen>=minLen, minDocs>=2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("t"))
+      .where(size(col("t")) >= minLen)
+    val ps = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - minLen),
+          i => struct(i.as("i"),
+            concat_ws(" ", slice(col("t"), i + 1, lit(minLen))).as("g"))))
+          .as("sh"))
+      .select(col("doc_id"), col("sh.i").as("i"), col("sh.g").as("g"))
+      .localCheckpoint(eager = false)
+    val hot = ps.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("g"))
+    val base = ps.join(hot, "g")
+      .select(col("doc_id"), col("i"), lit(minLen).as("k"))
+    val spans =
+      if (maxLen == minLen) base
+      else {
+        val ext = base.join(toks, "doc_id")
+          .where(size(col("t")) - col("i") > minLen)
+          .select(col("doc_id"), col("i"), col("t"),
+            explode(sequence(lit(minLen + 1),
+              least(lit(maxLen), size(col("t")) - col("i")))).as("k"))
+          .select(col("doc_id"), col("i"), col("k"),
+            concat_ws(" ", slice(col("t"), col("i") + 1, col("k"))).as("g"))
+          .localCheckpoint(eager = false)
+        val hotK = ext.groupBy(col("k"), col("g"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= minDocs)
+          .select(col("k"), col("g"))
+        base.unionByName(ext.join(hotK, Seq("k", "g"))
+          .select(col("doc_id"), col("i"), col("k")))
+      }
+    spans.groupBy(col("doc_id"))
+      .agg(countDistinct(col("i")).as("n_dup_starts"),
+        max(col("k")).cast("long").as("max_span"))
+      .orderBy(col("doc_id"))
+  }
 }

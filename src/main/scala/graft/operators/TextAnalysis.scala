@@ -731,4 +731,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
+
+  /** Feature-hashed linear domain scorer — the fastText/DSIR-shaped
+    * domain-affinity filter every curation recipe applies at corpus
+    * scale: tokens hash into `buckets` feature buckets (rolling hash,
+    * the corpus hash convention), a weight per bucket is learned from a
+    * labeled seed in ONE pass, and every document scores as the sum of
+    * its tokens' bucket weights.
+    *
+    * Exactness contract: the usual log-odds weight
+    * log(p_target(b)/p_background(b)) is libm; the weight used here is
+    * the cross-multiplied difference
+    *     w_b = n_target(b) * N_background - n_background(b) * N_target
+    * (sign and ORDER agree with p_target(b) - p_background(b)), all
+    * BIGINT, bit-deterministic on both engines. Overflow bound:
+    * |w_b| <= n(b) * N < N^2 and a document sums n_tokens of them — safe
+    * below ~3e9 total token occurrences; a 100 TB run rescales the
+    * counts (or goes double) and keeps the identical plan.
+    *
+    * Scale shape: the bucketed token frame feeds the weight aggregate
+    * AND the scoring join, so it is localCheckpoint'ed to run once; the
+    * weight table is <= `buckets` rows and broadcasts; scoring is one
+    * map-side-combinable per-document sum; the top-k is a TakeOrdered,
+    * never a full sort. In production the weight table is trained once
+    * on the labeled seed, persisted, and broadcast-joined against each
+    * ingest batch — only the two totals and the per-bucket counts ever
+    * shuffle here, all O(buckets).
+    */
+  def domainScore(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096, topK: Int = 50): DataFrame = {
+    require(buckets > 0 && topK > 0, "need buckets>0, topK>0")
+    val tok = docs
+      .where(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        when(targetPred, 1L).otherwise(0L).as("is_t"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(TextFunctions.rollingHash(col("tok")), lit(buckets.toLong))
+          .as("bkt"))
+      .localCheckpoint(eager = false)
+    val tot = tok.agg(sum(col("is_t")).as("__nt"),
+      sum(lit(1L) - col("is_t")).as("__nb"))
+    val w = tok.groupBy(col("bkt"))
+      .agg(sum(col("is_t")).as("ct"), sum(lit(1L) - col("is_t")).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (col("ct") * col("__nb") - col("cb") * col("__nt")).as("w"))
+    tok.join(broadcast(w), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

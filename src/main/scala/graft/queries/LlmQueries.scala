@@ -1963,6 +1963,56 @@ object LlmQueries {
               |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
               |  CAST(count(DISTINCT lang) AS BIGINT) AS n_groups,
               |  min(doc_id) AS first_doc
-              |FROM c GROUP BY 1""".stripMargin))
+              |FROM c GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "l77_dup_span_census",
+      "duplicate-SPAN census (the suffix-array substring-dedup report, variable-length counterpart of l42's fixed k): per document, the number of token positions starting a >=6-word span that also occurs in >=2 documents, and the MAXIMAL such span length capped at 12 — Spark prunes at k=6 then extends ONLY duplicated starts (prefix closure makes the prune exact), the oracle brute-forces every k in 6..12; identical answers",
+      (s, dir) => Dedup.dupSpanCensus(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        minLen = 6, maxLen = 12),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents
+             |  WHERE len(string_split(trim(text), ' ')) >= 6),
+             |e AS (
+             |  SELECT doc_id, k, i, array_to_string(t[i:i+k-1], ' ') AS g
+             |  FROM toks, unnest(range(6, least(12, len(t)) + 1)) AS uk(k),
+             |       unnest(range(1, len(t) - k + 2)) AS ui(i)),
+             |hot AS (
+             |  SELECT k, g FROM e GROUP BY k, g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |d AS (SELECT e.doc_id, e.i, e.k FROM e JOIN hot USING (k, g))
+             |SELECT doc_id, count(DISTINCT i) AS n_dup_starts,
+             |  CAST(max(k) AS BIGINT) AS max_span
+             |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "l78_domain_score",
+      "feature-hashed linear domain scorer (the fastText/DSIR-shaped affinity filter): tokens hash into 4096 buckets via the corpus rolling hash, per-bucket weights learned in ONE pass from the labeled seed (target = lang 'en') as the cross-multiplied count difference n_t(b)*N_b - n_b(b)*N_t (BIGINT-exact stand-in for log-odds, same sign and order), documents scored as the sum of their tokens' bucket weights, top-50 — bucketed token frame checkpointed once for weights AND scoring, weight table broadcast, top-k a TakeOrdered",
+      (s, dir) => TextAnalysis.domainScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 4096, topK = 50),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             |    unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+             |b AS (
+             |  SELECT doc_id, is_t,
+             |    list_reduce([unicode(c) for c in regexp_split_to_array(tok, '')],
+             |      (a, x) -> (CAST(a AS BIGINT) * 31 + x) % 1000000007) % 4096
+             |      AS bkt
+             |  FROM tk),
+             |tot AS (SELECT CAST(sum(is_t) AS BIGINT) AS nt,
+             |               CAST(sum(1 - is_t) AS BIGINT) AS nb FROM b),
+             |w AS (
+             |  SELECT bkt,
+             |    CAST(sum(is_t) AS BIGINT) * (SELECT nb FROM tot)
+             |      - CAST(sum(1 - is_t) AS BIGINT) * (SELECT nt FROM tot) AS w
+             |  FROM b GROUP BY bkt)
+             |SELECT b.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+             |FROM b JOIN w USING (bkt)
+             |GROUP BY b.doc_id
+             |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
   )
 }

@@ -696,6 +696,71 @@ object TimeSeriesQueries {
             (col("__hit") * 100 >= col("n_topk") * 90).as("stream_ok"))
       },
       Some("""SELECT 10 * count(*) AS n_topk, TRUE AS stream_ok
-             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    QuerySpec(
+      "t23_stream_pii",
+      "the streaming face of l74's PII redaction — ingest-time scrubbing as a standing pipeline: the document STREAM passes through the identical per-row regex chain (stateless, no shuffle before the census) and a complete-mode GLOBAL census accumulates (n_docs, per-type redaction counts, post-redaction char mass) — the one-row audit dashboard an ingest job publishes; same l66/l71-style deterministic PII injection from doc_id as l74, oracle replays injection + the sequential count+redact chain and aggregates",
+      (s, dir) => {
+        val injected = Tables.loadStream(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 3 === 0,
+                concat(lit(" mail u"), col("doc_id").cast("string"),
+                  lit("@ex.com"))).otherwise(lit("")),
+              when(col("doc_id") % 4 === 0,
+                concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+                  lit(".7"))).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0,
+                concat(lit(" tel 555-01"), (col("doc_id") % 10).cast("string"),
+                  lit("-0199"))).otherwise(lit(""))).as("text"))
+        val red = graft.operators.TextAnalysis.redactPii(
+          injected, "doc_id", "text")
+        val census = red.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_ip")).as("n_ip"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(length(col("text_clean")).cast("long")).as("n_clean_chars"))
+        runBounded(s, census, "t23_stream_pii_mem", "complete",
+          statePartitions = Some(1))
+      },
+      Some("""WITH inj AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' mail u'
+             |         || CAST(doc_id AS VARCHAR) || '@ex.com' ELSE '' END
+             |    || CASE WHEN doc_id % 4 = 0 THEN ' host 10.0.'
+             |         || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-01'
+             |         || CAST(doc_id % 10 AS VARCHAR) || '-0199' ELSE '' END
+             |    AS t FROM documents),
+             |s1 AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             |    regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g') AS t
+             |  FROM inj),
+             |s2 AS (
+             |  SELECT doc_id, n_email,
+             |    len(regexp_extract_all(t,
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             |    regexp_replace(t,
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT doc_id, n_email, n_ip,
+             |    len(regexp_extract_all(t,
+             |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+             |    regexp_replace(t,
+             |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+             |  FROM s2)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(n_email) AS BIGINT) AS n_email,
+             |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+             |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+             |  CAST(sum(length(t)) AS BIGINT) AS n_clean_chars
+             |FROM s3""".stripMargin))
   )
 }

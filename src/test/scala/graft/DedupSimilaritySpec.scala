@@ -52,6 +52,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 1L)))
   }
 
+  test("dupSpanCensus: maximal cross-doc span lengths, start counts, cap and within-doc exclusion") {
+    import spark.implicits._
+    val common = "w1 w2 w3 w4 w5 w6 w7 w8 w9" // 9 shared tokens
+    val docs = Seq(
+      (1L, s"p q r $common"),            // shares the 9-token run with 2
+      (2L, s"$common s t"),
+      (3L, "u v w x y z aa bb"),         // 8 unique tokens, no dups
+      // a 6-gram repeated WITHIN one doc only — must not count
+      (4L, "m1 m2 m3 m4 m5 m6 zz m1 m2 m3 m4 m5 m6"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanCensus(docs, "doc_id", "text",
+        minLen = 6, maxLen = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // inside the shared 9-token run there are 4 duplicated 6-gram starts
+    // (w1..w4) and the maximal shared span is the full 9 tokens; no
+    // 6-gram crossing the run boundary matches (p/q/r vs s/t context)
+    assert(got === Set((1L, 4L, 9L), (2L, 4L, 9L)))
+    // cap: with maxLen = 7 the same corpus reports max_span 7
+    val capped = Dedup.dupSpanCensus(docs, "doc_id", "text",
+        minLen = 6, maxLen = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(capped === Set((1L, 7L), (2L, 7L)))
+    // degenerate maxLen == minLen takes the no-extension branch
+    val flat = Dedup.dupSpanCensus(docs, "doc_id", "text",
+        minLen = 6, maxLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flat === Set((1L, 4L, 6L), (2L, 4L, 6L)))
+  }
+
   test("dupSourceMatrix: per-pair shared-digest counts, multiplicity collapsed, half-matrix only") {
     import spark.implicits._
     val docs = Seq(

@@ -33,6 +33,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq === inputs.map(refRollingHash))
   }
 
+  test("RollingHash over a provably NON-NULL child: nullable stays true, codegen compiles, empty -> NULL") {
+    import spark.implicits._
+    // exploded split tokens are non-nullable — the case that used to wire
+    // ev.isNull to the FalseLiteral and break generated code (`false =
+    // true;` -> interpreter fallback + wrong nullability)
+    val df = Seq("x yy zzz").toDF("s")
+      .select(explode(split(col("s"), " ")).as("tok"))
+      .select(TextFunctions.rollingHash(col("tok")).as("h"))
+    assert(df.schema("h").nullable)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got === Seq("x", "yy", "zzz").map(refRollingHash(_).get))
+    // non-nullable EMPTY input must surface as SQL NULL, not garbage
+    val empty = spark.range(1)
+      .select(TextFunctions.rollingHash(lit("")).as("h")).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("CosineSimilarity matches a sequential double fold") {
     import spark.implicits._
     val a = Array(1.0f, 2.0f, 3.0f)

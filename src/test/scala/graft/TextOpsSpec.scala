@@ -631,4 +631,63 @@ class TextOpsSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("domainScore: target-vocabulary docs outrank background, complementary target negates scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en"),
+      (2L, "alpha beta", "en"),
+      (3L, "gamma delta", "de"),
+      (4L, "gamma gamma delta", "de"),
+      (5L, "alpha delta", "en"), // mixed vocabulary
+      (6L, null.asInstanceOf[String], "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.domainScore(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 4096, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // null text never scores; everyone else does
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    val score = got.toMap
+    // pure-target-vocabulary docs above the mixed doc, mixed above
+    // pure-background; target-vocab scores positive, background negative
+    assert(score(1L) > score(5L) && score(2L) > score(5L))
+    assert(score(5L) > score(3L) && score(5L) > score(4L))
+    assert(score(1L) > 0 && score(3L) < 0)
+    // complementing the target flips every weight's sign exactly, so
+    // every score negates (collision-proof property: it holds whatever
+    // buckets tokens land in)
+    val flipped = TextAnalysis.domainScore(docs, "doc_id", "text",
+        col("lang") =!= "en", buckets = 4096, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flipped === score.map { case (d, s) => d -> -s })
+  }
+
+  test("t23 stream PII census equals the batch redaction aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("t23_stream_pii")(spark, sf)
+      .collect().head
+    val injected = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" mail u"), col("doc_id").cast("string"),
+              lit("@ex.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" tel 555-01"), (col("doc_id") % 10).cast("string"),
+              lit("-0199"))).otherwise(lit(""))).as("text"))
+    val batch = TextAnalysis.redactPii(injected, "doc_id", "text")
+      .agg(count(lit(1)), sum(col("n_email")), sum(col("n_ip")),
+        sum(col("n_phone")), sum(length(col("text_clean")).cast("long")))
+      .collect().head
+    assert(stream.getLong(0) === batch.getLong(0))
+    assert(stream.getLong(1) === batch.getLong(1) &&
+      stream.getLong(2) === batch.getLong(2) &&
+      stream.getLong(3) === batch.getLong(3))
+    assert(stream.getLong(4) === batch.getLong(4))
+    assert(stream.getLong(1) > 0 && stream.getLong(2) > 0 &&
+      stream.getLong(3) > 0)
+  }
 }
