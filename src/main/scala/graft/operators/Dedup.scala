@@ -870,13 +870,19 @@ object Dedup {
     val spans =
       if (maxLen == minLen) base
       else {
+        // grams are built INSIDE the generator so the token array never
+        // rides the exploded rows (only (i, k, g) leaves the project)
         val ext = base.join(toks, "doc_id")
           .where(size(col("t")) - col("i") > minLen)
-          .select(col("doc_id"), col("i"), col("t"),
-            explode(sequence(lit(minLen + 1),
-              least(lit(maxLen), size(col("t")) - col("i")))).as("k"))
-          .select(col("doc_id"), col("i"), col("k"),
-            concat_ws(" ", slice(col("t"), col("i") + 1, col("k"))).as("g"))
+          .select(col("doc_id"), col("i"),
+            explode(transform(
+              sequence(lit(minLen + 1),
+                least(lit(maxLen), size(col("t")) - col("i"))),
+              k => struct(k.as("k"),
+                concat_ws(" ", slice(col("t"), col("i") + 1, k)).as("g"))))
+              .as("e"))
+          .select(col("doc_id"), col("i"),
+            col("e.k").as("k"), col("e.g").as("g"))
           .localCheckpoint(eager = false)
         val hotK = ext.groupBy(col("k"), col("g"))
           .agg(countDistinct(col("doc_id")).as("nd"))

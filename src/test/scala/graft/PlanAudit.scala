@@ -36,7 +36,13 @@ object PlanAudit {
     "l61_semantic_dedup", "l62_semantic_prune",
     // one-row sum-of-sqrt normalizer attached to the per-group census
     // (the l47/l48 scalar-attach shape)
-    "l67_temperature_resample")
+    "l67_temperature_resample",
+    // one-row (N_target, N_background) totals attached to the <=buckets
+    // weight table (the l25/l47 scalar-attach shape)
+    "l78_domain_score",
+    // the batch-side agreement gate probes the 8-row centroid table per
+    // query (the l16/l51 IVF probe shape: tiny-side broadcast replicate)
+    "t22_stream_ann_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
