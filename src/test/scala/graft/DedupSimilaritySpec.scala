@@ -581,6 +581,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: dupSpanCensus equals a brute-force every-k reference") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // 3-token vocabulary forces genuine cross-doc gram collisions at
+    // k=3 so the census is usually non-empty.
+    val (minLen, maxLen, minDocs) = (3, 6, 2)
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(2, 14).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 7).flatMap(Gen.listOfN(_, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.dupSpanCensus(docs, "doc_id", "text",
+          minLen, maxLen, minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // brute force: every (doc, pos, k) gram, df over distinct docs
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.trim.split(" ").toSeq
+      }
+      val grams = for {
+        (id, t) <- toks
+        k <- minLen to maxLen
+        i <- 0 to t.length - k
+      } yield (id, i, k, t.slice(i, i + k).mkString(" "))
+      val docsOf = grams.groupBy { case (_, _, k, g) => (k, g) }
+        .view.mapValues(_.map(_._1).toSet).toMap
+      val dup = grams.filter { case (_, _, k, g) =>
+        docsOf((k, g)).size >= minDocs
+      }
+      val want = dup.groupBy(_._1).map { case (id, xs) =>
+        (id, xs.map(_._2).toSet.size.toLong, xs.map(_._3).max.toLong)
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: normalized dedup refines exact dedup — never more groups, same total mass") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
