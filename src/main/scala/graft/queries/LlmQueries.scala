@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.2 M5) registered as
@@ -2013,6 +2013,32 @@ object LlmQueries {
              |SELECT b.doc_id, CAST(sum(w.w) AS BIGINT) AS score
              |FROM b JOIN w USING (bkt)
              |GROUP BY b.doc_id
-             |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    QuerySpec(
+      "l79_bpe_pair_census",
+      "BPE iteration-0 pair census — the statistic the first tokenizer merge maximizes: adjacent character pairs across the corpus VOCABULARY weighted by word frequency (the production-BPE scale insight: the corpus collapses to a word-count table first, so only the wordcount shuffle is corpus-sized), top-50 by count with lexicographic tie-break; the oracle-checkable face of l80's iterative trainer (l80's rank-1 merge must equal this census's top row, asserted in-test)",
+      (s, dir) => Bpe.pairCensus(
+        Tables.load(s, dir, "documents"), "text", topK = 50),
+      Some("""WITH wf AS (
+             |  SELECT word, count(*) AS freq
+             |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+             |        FROM documents)
+             |  WHERE length(word) > 0 GROUP BY word),
+             |c AS (SELECT freq, regexp_split_to_array(word, '') AS chars
+             |      FROM wf),
+             |p AS (
+             |  SELECT freq, chars[i] || ' ' || chars[i+1] AS pair
+             |  FROM c, unnest(range(1, len(chars))) AS u(i))
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+             |FROM p GROUP BY pair
+             |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin)),
+
+    QuerySpec(
+      "l80_bpe_train",
+      "BPE tokenizer induction — 12 merges trained over the corpus word-frequency table: per iteration one map-side-combined pair-count aggregate, a ONE-row driver argmax (the algorithm's inherent sync point, k-means' centroid-collect shape), and a per-row left-to-right merge apply as a sequential `aggregate` fold (codegen'd, no UDF); word table localCheckpoint'ed per iteration so plans never grow. NOT SQL-expressible (data-dependent iteration) -> rows-only by contract, gated by the oracle-checked l79 census (rank-1 == census top row) and a ScalaCheck equivalence against an in-test reference implementation",
+      (s, dir) => Bpe.bpeTrain(s,
+        Tables.load(s, dir, "documents"), "text", nMerges = 12),
+      None)
   )
 }

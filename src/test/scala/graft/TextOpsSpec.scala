@@ -662,6 +662,81 @@ class TextOpsSpec extends SparkSpec {
     assert(flipped === score.map { case (d, s) => d -> -s })
   }
 
+  test("bpeTrain: hand-computed merge sequence, early stop, census gate") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // iter0 pairs: (a,a)=4 (two per 'aaab' x freq 2), (a,b)=3 -> merge aa
+    // iter1: 'aaab'->[aa,a,b]: (aa,a)=2, (a,b)=3 -> merge ab
+    // iter2: 'aaab'->[aa,ab]: (aa,ab)=2 -> merge aaab
+    // iter3: no pair left twice -> early stop despite nMerges=6
+    val got = graft.operators.Bpe.bpeTrain(spark, docs, "text", nMerges = 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+    // the oracle-checked census gate: rank-1 merge IS the census top row
+    val top = graft.operators.Bpe.pairCensus(docs, "text", topK = 1)
+      .collect().head
+    assert(top.getString(0) === "a a" && top.getLong(1) === 4L)
+  }
+
+  test("property: bpeTrain equals a plain-Scala reference BPE") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def refBpe(words: Seq[String], nMerges: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      val freq = words.filter(_.nonEmpty).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      var table: Seq[(Seq[String], Long)] =
+        freq.map { case (w, f) => (w.map(_.toString).toSeq, f) }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var rank = 1
+      var going = true
+      while (rank <= nMerges && going) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- table; Seq(a, b) <- syms.sliding(2))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        val best = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best match {
+          case Some(((a, b), c)) if c >= 2 =>
+            out += ((rank, a, b, a + b, c))
+            table = table.map { case (syms, f) =>
+              val r = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  r += a + b; i += 2
+                } else { r += syms(i); i += 1 }
+              }
+              (r.toSeq, f)
+            }
+            rank += 1
+          case _ => going = false
+        }
+      }
+      out.toSeq
+    }
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpus = Gen.choose(3, 8).flatMap(Gen.listOfN(_, word))
+    val prop = Prop.forAll(corpus) { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.operators.Bpe.bpeTrain(spark, docs, "text", nMerges = 5)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      got == refBpe(words, 5)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("t23 stream PII census equals the batch redaction aggregate") {
     val sf = "/root/testdata/sf0.001"
     val stream = graft.SparkEntry.queries("t23_stream_pii")(spark, sf)
