@@ -90,6 +90,47 @@ object Bpe {
       acc => concat(acc.getField("out"), acc.getField("pend")))
   }
 
+  /** Encode the corpus with a FROZEN merge list and report the
+    * per-group fertility census (n_words, n_chars, n_tokens,
+    * tokens-per-word) — the serve-time shape: at ingest the tokenizer
+    * is a frozen artifact from a previous `bpeTrain` run, and fertility
+    * per language/source is the statistic a multilingual budget is
+    * planned around.
+    *
+    * Encoding applies each merge as ONE left-to-right pass in rank
+    * order over a sentinel-joined symbol string ("c1<SEP>c2<SEP>...";
+    * the merge (a,b) is `replace("a<SEP>b<SEP>" -> "ab<SEP>")`).
+    * One pass per rank is EXACT BPE: a merge never makes an
+    * earlier-rank pair newly adjacent (merging combines neighbors, it
+    * cannot delete a symbol between two others), and left-to-right
+    * non-overlapping replacement is the leftmost-first merge order.
+    * Token count = sentinel count. Per-row string ops only — no
+    * shuffle before the ≤|groups| census; the sentinel must not occur
+    * in corpus text (U+0001 never does in whitespace-tokenized prose).
+    */
+  def encodeCensus(docs: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u0001"
+    val sym0 = concat(concat_ws(sep, charSymbols(col("word"))), lit(sep))
+    val enc = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      replace(s, lit(a + sep + b + sep), lit(a + b + sep))
+    }
+    docs.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .select(col("grp"),
+        length(col("word")).cast("long").as("nc"),
+        (length(enc) - length(replace(enc, lit(sep), lit(""))))
+          .cast("long").as("nt"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("grp"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words")).as("fertility"))
+      .orderBy(col("grp"))
+  }
+
   /** Train `nMerges` BPE merges over the corpus: returns the merge
     * table (rank, left, right, merged, pair_count) — rank 1 is the
     * first merge learned. Stops early if no pair occurs twice.

