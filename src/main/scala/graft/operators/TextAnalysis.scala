@@ -758,6 +758,33 @@ object TextAnalysis {
     * ingest batch — only the two totals and the per-bucket counts ever
     * shuffle here, all O(buckets).
     */
+  /** The weight table alone — the FROZEN ARTIFACT a standing ingest
+    * pipeline trains once, persists, and loads at serve start (t25
+    * collects it driver-side like t22's codebook and scores the stream
+    * statelessly per row). Same weights as `domainScore` computes
+    * internally; this face exists so train-time and serve-time can be
+    * different jobs.
+    */
+  def domainWeights(docs: DataFrame, textCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "need buckets>0")
+    val tok = docs
+      .where(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(when(targetPred, 1L).otherwise(0L).as("is_t"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("is_t"),
+        pmod(TextFunctions.rollingHash(col("tok")), lit(buckets.toLong))
+          .as("bkt"))
+      .localCheckpoint(eager = false)
+    val tot = tok.agg(sum(col("is_t")).as("__nt"),
+      sum(lit(1L) - col("is_t")).as("__nb"))
+    tok.groupBy(col("bkt"))
+      .agg(sum(col("is_t")).as("ct"), sum(lit(1L) - col("is_t")).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (col("ct") * col("__nb") - col("cb") * col("__nt")).as("w"))
+  }
+
   def domainScore(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 4096, topK: Int = 50): DataFrame = {
     require(buckets > 0 && topK > 0, "need buckets>0, topK>0")

@@ -761,6 +761,92 @@ object TimeSeriesQueries {
              |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
              |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
              |  CAST(sum(length(t)) AS BIGINT) AS n_clean_chars
-             |FROM s3""".stripMargin))
+             |FROM s3""".stripMargin)),
+
+    QuerySpec(
+      "t24_stream_decontam",
+      "the streaming face of l36's eval-set decontamination — the pre-training leak check as an ingest quarantine: the benchmark set's distinct word 4-shingles are a STATIC broadcast side, arriving documents explode their shingles into the equi-join (self-matches excluded), and the per-document shared-shingle count accumulates as complete-mode state (one row per FLAGGED doc only — clean docs hold no state); distinct-eval-doc attribution stays on the batch face (l36), distinct aggregation being unsupported over streams",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val evalSh = docs.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"),
+            explode(graft.functions.TextFunctions.shingles(col("text"), 4))
+              .as("g2"))
+        val streamSh = Tables.loadStream(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.shingles(col("text"), 4))
+              .as("g"))
+        val flagged = streamSh
+          .join(broadcast(evalSh),
+            col("g") === col("g2") && col("doc_id") =!= col("eval_id"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+        runBounded(s, flagged, "t24_stream_decontam_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 4
+             |      THEN list_distinct([array_to_string(t[i:i+3], ' ')
+             |                          for i in range(1, len(t)-2)])
+             |      ELSE [] END AS s
+             |  FROM toks),
+             |ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh
+             |       WHERE doc_id % 50 = 0),
+             |co AS (SELECT doc_id, unnest(s) AS g FROM sh)
+             |SELECT co.doc_id, count(*) AS n_shared_shingles
+             |FROM co JOIN ev ON co.g = ev.g AND co.doc_id <> ev.eval_id
+             |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t25_stream_domain_filter",
+      "the streaming face of l78's domain scorer — the fastText-style quality/domain filter AT INGEST: the weight table is trained batch-side (domainWeights, the frozen artifact), driver-collected at serve start into ONE typed map literal (the t22 codebook-at-boot discipline, <=4096 entries), and every arriving document scores STATELESSLY per row (sequential fold over its tokens' bucket weights — no join, no per-doc state); the only stream state is the <=|langs|-row complete-mode admission census (n_seen, n_admitted with score > 0)",
+      (s, dir) => {
+        val wMap = graft.operators.TextAnalysis.domainWeights(
+            Tables.load(s, dir, "documents"), "text",
+            col("lang") === "en", buckets = 4096)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val mapLit = typedLit(wMap)
+        val scored = Tables.loadStream(s, dir, "documents")
+          .select(col("lang"),
+            aggregate(
+              transform(graft.functions.TextFunctions.tokens(col("text")),
+                t => coalesce(element_at(mapLit,
+                  pmod(graft.functions.TextFunctions.rollingHash(t),
+                    lit(4096L))), lit(0L))),
+              lit(0L), (acc, x) => acc + x).as("score"))
+        val census = scored.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_seen"),
+            count(when(col("score") > 0, 1)).as("n_admitted"))
+        runBounded(s, census, "t25_stream_domain_filter_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             |    unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+             |b AS (
+             |  SELECT doc_id, is_t,
+             |    list_reduce([unicode(c) for c in regexp_split_to_array(tok, '')],
+             |      (a, x) -> (CAST(a AS BIGINT) * 31 + x) % 1000000007) % 4096
+             |      AS bkt
+             |  FROM tk),
+             |tot AS (SELECT CAST(sum(is_t) AS BIGINT) AS nt,
+             |               CAST(sum(1 - is_t) AS BIGINT) AS nb FROM b),
+             |w AS (
+             |  SELECT bkt,
+             |    CAST(sum(is_t) AS BIGINT) * (SELECT nb FROM tot)
+             |      - CAST(sum(1 - is_t) AS BIGINT) * (SELECT nt FROM tot) AS w
+             |  FROM b GROUP BY bkt),
+             |sc AS (
+             |  SELECT b.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+             |  FROM b JOIN w USING (bkt) GROUP BY b.doc_id)
+             |SELECT d.lang, count(*) AS n_seen,
+             |  count(CASE WHEN sc.score > 0 THEN 1 END) AS n_admitted
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |GROUP BY d.lang""".stripMargin))
   )
 }

@@ -762,6 +762,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t24 stream decontam flags exactly the batch decontaminate set with equal counts") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("t24_stream_decontam")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val batch = TextAnalysis.decontaminate(docs,
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream === batch && stream.nonEmpty)
+  }
+
+  test("t25 stream domain filter: admission census bounded, target language admitted at a higher rate") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("t25_stream_domain_filter")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.values.forall { case (seen, adm) => adm <= seen && seen > 0 })
+    val enRate = rows("en")._2.toDouble / rows("en")._1
+    // every background language admits at a strictly lower rate than the
+    // en target under en-trained weights
+    (rows - "en").foreach { case (_, (seen, adm)) =>
+      assert(adm.toDouble / seen < enRate)
+    }
+    assert(enRate > 0.5)
+  }
+
   test("t23 stream PII census equals the batch redaction aggregate") {
     val sf = "/root/testdata/sf0.001"
     val stream = graft.SparkEntry.queries("t23_stream_pii")(spark, sf)
