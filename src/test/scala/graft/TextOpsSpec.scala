@@ -762,6 +762,40 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("domainScore plan: broadcast weight join, TakeOrdered top-k, no sort-merge join") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, s"alpha beta w$i", if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val plan = TextAnalysis.domainScore(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 256, topK = 10)
+      .queryExecution.executedPlan.toString
+    // the scale contract: the <=buckets weight table BROADCASTS into the
+    // scoring join (never a shuffled join on bkt), and the top-k is a
+    // TakeOrdered, never a global sort
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("encodeCensus plan: per-row encode, census aggregate pair brackets the one data exchange") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"error inner w$i", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    val plan = graft.operators.Bpe.encodeCensus(docs, "text", "lang",
+        Seq("e" -> "r", "i" -> "n"))
+      .queryExecution.executedPlan.toString
+    // encoding is pure per-row string work: the only exchanges are the
+    // <=|groups| census shuffle and the final tiny orderBy range
+    // exchange; the partial aggregate must sit BELOW the census exchange
+    assert("Exchange".r.findAllIn(plan).size <= 2, s"plan:\n$plan")
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    assert(exch > 0, s"plan:\n$plan")
+    assert(plan.indexOf("HashAggregate") < exch &&
+      plan.indexOf("HashAggregate", exch) > exch,
+      s"aggregates should bracket the census exchange in:\n$plan")
+  }
+
   test("t24 stream decontam flags exactly the batch decontaminate set with equal counts") {
     val sf = "/root/testdata/sf0.001"
     val stream = graft.SparkEntry.queries("t24_stream_decontam")(spark, sf)
