@@ -395,6 +395,40 @@ object Similarity {
       c.select(col("c_id"), vecNorm(col("c_emb")).as("c_norm")))
   }
 
+  /** Assign + encode a vector frame against FROZEN artifacts — the
+    * per-row half of index maintenance (no Lloyd machinery anywhere in
+    * the returned plans): nearest-centroid assignment (broadcast
+    * centroids, deterministic tie-break), PQ codes against the frozen
+    * codebook, exact norms. Returns (lists, codes, norms) slices in the
+    * `AnnIndex` schemas.
+    */
+  def assignEncode(centroids: DataFrame, codebook: DataFrame,
+      batch: DataFrame, idCol: String, embCol: String, m: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val b = batch.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    (argmaxAssign(batch, idCol, embCol, centroids),
+      pqEncode(subBlocks(b, "c_id", "c_emb", m), codebook),
+      b.select(col("c_id"), vecNorm(col("c_emb")).as("c_norm")))
+  }
+
+  /** Incremental index UPDATE — the daily-ingest face of the standing
+    * vector pipeline: a batch of NEW vectors is assigned and encoded
+    * against the index's FROZEN centroids and codebook (`assignEncode`)
+    * and appended to the persisted lists/codes/norms. No retraining:
+    * because assignment and encoding are per-row functions of the
+    * frozen artifacts, updating is EXACTLY equivalent to rebuilding the
+    * assignment over the union corpus with the same artifacts — l82
+    * gates on that equivalence. Centroid drift under sustained ingest
+    * is a periodic re-BUILD (l72), not this path's job.
+    */
+  def updateAnnIndex(idx: AnnIndex, batch: DataFrame, idCol: String,
+      embCol: String, m: Int): AnnIndex = {
+    val (l, c, n) = assignEncode(idx.centroids, idx.codebook, batch,
+      idCol, embCol, m)
+    AnnIndex(idx.centroids, idx.lists.unionByName(l), idx.codebook,
+      idx.codes.unionByName(c), idx.norms.unionByName(n))
+  }
+
   /** Probe-bounded (q_id, c_id) candidates against a PERSISTED index:
     * broadcast the tiny centroid table, window the per-query top-nProbe,
     * equi-join the persisted inverted lists. No training, no corpus

@@ -2069,6 +2069,60 @@ object LlmQueries {
              |    AS BIGINT) AS n_tokens,
              |  CAST(sum(length(s) - length(replace(s, chr(1), '')))
              |    AS DOUBLE) / count(*) AS fertility
-             |FROM e GROUP BY lang ORDER BY grp""".stripMargin))
+             |FROM e GROUP BY lang ORDER BY grp""".stripMargin)),
+
+    QuerySpec(
+      "l82_ann_index_update",
+      "incremental ANN index UPDATE — the daily-ingest face l72's one-time build leaves open: a NEW vector batch (vec_id%5=0) is assigned + PQ-encoded against the FROZEN centroids/codebook (assignEncode — no Lloyd machinery anywhere in the update plan) and appended to the persisted lists/codes/norms. Gate: ALL THREE updated artifact tables EXACTLY equal a frozen-artifact rebuild over the union corpus (assignment, encoding and norms are per-row deterministic functions of the frozen artifacts, so update ≡ rebuild — zero set mismatches across lists, codes AND norms), and every vector old or new is indexed (n_indexed = n_base + n_added: freshly-ingested vectors are immediately servable by l72's unchanged read path). Serving quality itself is l72/t22's contract; this query is the MAINTENANCE contract. Oracle = the deterministic counts + literal true",
+      (s, dir) => {
+        val S = Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        val base = e.where(col("vec_id") % 5 =!= 0)
+        val batch = e.where(col("vec_id") % 5 === 0)
+        // t22's economical build parameters — the maintenance contract
+        // is artifact-table equality, not ADC fidelity (that is l72)
+        val idx0 = S.buildAnnIndex(base, "vec_id", "embedding",
+          nCentroids = 8, trainIters = 0, m = 8, nCodes = 16,
+          pqTrainIters = 1)
+        // the persisted standing index (localCheckpoint = table stand-in)
+        val frozen = S.AnnIndex(
+          idx0.centroids.localCheckpoint(eager = true),
+          idx0.lists.localCheckpoint(eager = true),
+          idx0.codebook.localCheckpoint(eager = true),
+          idx0.codes.localCheckpoint(eager = true),
+          idx0.norms.localCheckpoint(eager = true))
+        val updated = S.updateAnnIndex(frozen, batch,
+          "vec_id", "embedding", m = 8)
+        // frozen-artifact rebuild over the union — the equivalence base
+        val (lR, cR, nR) = S.assignEncode(frozen.centroids, frozen.codebook,
+          e, "vec_id", "embedding", m = 8)
+        // exact set-compare on ALL columns (floats compare bitwise —
+        // per-row IEEE arithmetic is deterministic on both paths)
+        def mismatches(u: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame, name: String) = {
+          val ks = u.columns.toSeq
+          u.withColumn("__u", lit(1))
+            .join(r.withColumn("__r", lit(1)), ks, "full_outer")
+            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
+              .as(name))
+        }
+        e.agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_base"),
+            count(when(col("vec_id") % 5 === 0, 1)).as("n_added"))
+          .crossJoin(broadcast(
+            updated.lists.agg(count(lit(1)).as("n_indexed"))))
+          .crossJoin(broadcast(mismatches(updated.lists, lR, "__ml")))
+          .crossJoin(broadcast(mismatches(updated.codes, cR, "__mc")))
+          .crossJoin(broadcast(mismatches(updated.norms, nR, "__mn")))
+          .select(col("n_base"), col("n_added"), col("n_indexed"),
+            (col("__ml") === 0 && col("__mc") === 0 && col("__mn") === 0 &&
+              col("n_indexed") === col("n_base") + col("n_added"))
+              .as("update_ok"))
+      },
+      Some("""SELECT
+             |  count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_base,
+             |  count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_added,
+             |  count(*) AS n_indexed,
+             |  TRUE AS update_ok
+             |FROM embeddings""".stripMargin))
   )
 }

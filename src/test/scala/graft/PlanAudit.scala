@@ -42,7 +42,10 @@ object PlanAudit {
     "l78_domain_score",
     // the batch-side agreement gate probes the 8-row centroid table per
     // query (the l16/l51 IVF probe shape: tiny-side broadcast replicate)
-    "t22_stream_ann_serve")
+    "t22_stream_ann_serve",
+    // one-row count/mismatch/agreement scalar attaches + the same
+    // centroid-probe shape, twice (updated and rebuilt serve)
+    "l82_ann_index_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
