@@ -847,6 +847,34 @@ object TimeSeriesQueries {
              |SELECT d.lang, count(*) AS n_seen,
              |  count(CASE WHEN sc.score > 0 THEN 1 END) AS n_admitted
              |FROM documents d LEFT JOIN sc USING (doc_id)
-             |GROUP BY d.lang""".stripMargin))
+             |GROUP BY d.lang""".stripMargin)),
+
+    QuerySpec(
+      "t26_stream_mm_decode",
+      "the streaming face of l13's batched multimodal decode — media ingest as a standing pipeline: blobs arrive on the stream and flow through the SAME batched mapPartitions decode path (per-batch codec setup amortized inside each micro-batch partition, narrow, no shuffle before the census), accumulating the per-format media census (n_items, byte mass, max frame count) an ingest dashboard publishes; complete mode, state = one row per format",
+      (s, dir) => {
+        val dec = graft.multimodal.Multimodal.decodeMetaBatched(
+          graft.multimodal.Multimodal.withBlob(
+            Tables.loadStream(s, dir, "documents"), "text"),
+          "doc_id")
+        val census = dec
+          .groupBy(col("meta.format").as("format"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("meta.n_bytes")).as("n_bytes"),
+            max(col("meta.n_frames")).cast("long").as("max_frames"))
+        runBounded(s, census, "t26_stream_mm_decode_mem", "complete",
+          statePartitions = Some(4))
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(strlen(text) AS BIGINT) AS nb,
+             |    CAST(1 + strlen(text) % 8 AS INT) AS nf,
+             |    CASE WHEN strlen(text) % 3 = 0 THEN 'img'
+             |         WHEN strlen(text) % 3 = 1 THEN 'audio'
+             |         ELSE 'video' END AS format
+             |  FROM documents)
+             |SELECT format, count(*) AS n_items,
+             |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+             |  CAST(max(nf) AS BIGINT) AS max_frames
+             |FROM m GROUP BY format""".stripMargin))
   )
 }

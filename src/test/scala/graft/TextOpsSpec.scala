@@ -821,6 +821,22 @@ class TextOpsSpec extends SparkSpec {
     assert(enRate > 0.5)
   }
 
+  test("t26 stream media census equals the batch decode census") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("t26_stream_mm_decode")(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.multimodal.Multimodal.decodeMetaCols(
+        graft.multimodal.Multimodal.withBlob(
+          graft.Tables.load(spark, sf, "documents"), "text"))
+      .groupBy(col("meta.format").as("format"))
+      .agg(count(lit(1)), sum(col("meta.n_bytes")),
+        max(col("meta.n_frames")).cast("long"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stream === batch && stream.keySet === Set("img", "audio", "video"))
+  }
+
   test("t23 stream PII census equals the batch redaction aggregate") {
     val sf = "/root/testdata/sf0.001"
     val stream = graft.SparkEntry.queries("t23_stream_pii")(spark, sf)
