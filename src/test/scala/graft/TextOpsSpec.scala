@@ -683,6 +683,35 @@ class TextOpsSpec extends SparkSpec {
     assert(top.getString(0) === "a a" && top.getLong(1) === 4L)
   }
 
+  test("bpeTrain/pairCensus degenerate corpora: no pairs -> empty merge table, single-char words, null text") {
+    import spark.implicits._
+    // every word is one character -> no adjacent pairs anywhere
+    val singles = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Bpe.bpeTrain(spark, singles, "text", 5).count() === 0L)
+    assert(graft.operators.Bpe.pairCensus(singles, "text").count() === 0L)
+    // a pair occurring exactly once never merges (c >= 2 floor)
+    val once = Seq((1L, "xy a b c")).toDF("doc_id", "text")
+    assert(graft.operators.Bpe.bpeTrain(spark, once, "text", 5).count() === 0L)
+  }
+
+  test("domainScore degenerate target classes: empty target -> all-zero scores; all-target mirrors") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta", "de"), (2L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    // no document satisfies the target predicate: every weight is
+    // ct*nb - cb*nt = 0*nb - cb*0 = 0, so every score is exactly 0
+    val none = TextAnalysis.domainScore(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(none.toMap === Map(1L -> 0L, 2L -> 0L))
+    // all-target is the mirror degenerate case (nb = 0): also all zero
+    val all = TextAnalysis.domainScore(docs, "doc_id", "text",
+        col("lang") === "de", buckets = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toMap === Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("property: bpeTrain equals a plain-Scala reference BPE") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
