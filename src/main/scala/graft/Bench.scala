@@ -92,7 +92,10 @@ object Bench {
       "l54_containment_capped_gate", "l55_curation_run",
       "l21_embed_neardup_lsh", "l19_dedup_clusters", "l03_minhash_lsh_pairs",
       "l01_exact_dedup", "p06_migrate", "p09_dsv2_lineprotocol",
-      "r01_pricing_summary", "t09_stream_stream_join")
+      "r01_pricing_summary", "t09_stream_stream_join",
+      // late-round-9 heavies, added while the subset was still being
+      // fixed: the streaming ANN serve and the index-update face
+      "t22_stream_ann_serve", "l82_ann_index_update")
     val rm = results.toMap
     val hq = headline.flatMap(n => rm.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")

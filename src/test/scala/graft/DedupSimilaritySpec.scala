@@ -622,6 +622,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: ANN index update equals a frozen-artifact rebuild over the union") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vec = Gen.listOfN(8, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+    val corpus = Gen.choose(12, 28).flatMap(Gen.listOfN(_, vec))
+    val prop = Prop.forAll(corpus) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val base = df.where(col("vec_id") % 3 =!= 0)
+      val batch = df.where(col("vec_id") % 3 === 0)
+      val idx = Similarity.buildAnnIndex(base, "vec_id", "embedding",
+        nCentroids = 3, trainIters = 0, m = 4, nCodes = 4, pqTrainIters = 1)
+      val frozen = Similarity.AnnIndex(
+        idx.centroids.localCheckpoint(eager = true),
+        idx.lists.localCheckpoint(eager = true),
+        idx.codebook.localCheckpoint(eager = true),
+        idx.codes.localCheckpoint(eager = true),
+        idx.norms.localCheckpoint(eager = true))
+      val up = Similarity.updateAnnIndex(frozen, batch,
+        "vec_id", "embedding", m = 4)
+      val (lR, cR, nR) = Similarity.assignEncode(frozen.centroids,
+        frozen.codebook, df, "vec_id", "embedding", m = 4)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq.toList).toSet
+      rows(up.lists) == rows(lR) && rows(up.codes) == rows(cR) &&
+        rows(up.norms) == rows(nR) && up.lists.count() == vs.length
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: normalized dedup refines exact dedup — never more groups, same total mass") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
