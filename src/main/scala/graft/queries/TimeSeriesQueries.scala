@@ -875,6 +875,51 @@ object TimeSeriesQueries {
              |SELECT format, count(*) AS n_items,
              |  CAST(sum(nb) AS BIGINT) AS n_bytes,
              |  CAST(max(nf) AS BIGINT) AS max_frames
-             |FROM m GROUP BY format""".stripMargin))
+             |FROM m GROUP BY format""".stripMargin)),
+
+    QuerySpec(
+      "t27_stream_passage_scrub",
+      "the streaming face of l59's repeated-passage scrub — the boilerplate QUARANTINE signal at ingest: the hot 6-gram table (windows shared by >=2 docs) is computed batch-side as the static broadcast side, arriving documents explode their positional shingles into the equi-join, and the per-document count of DISTINCT covered token positions accumulates (collect_set — the streaming-legal distinct; state bounded by doc length, held only for FLAGGED docs) — exactly l59's n_removed, so ops can route heavy-boilerplate docs to the batch scrub; the rebuild itself stays on the batch face",
+      (s, dir) => {
+        def positional(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 6)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("t")) - 6),
+              i => struct(i.as("i"),
+                concat_ws(" ", slice(col("t"), i + 1, lit(6))).as("g"))))
+              .as("sh"))
+          .select(col("doc_id"), col("sh.i").as("i"), col("sh.g").as("g"))
+        val hot = positional(Tables.load(s, dir, "documents"))
+          .groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2)
+          .select(col("g"))
+        val cov = positional(Tables.loadStream(s, dir, "documents"))
+          .join(broadcast(hot), "g")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + 5)).as("p"))
+          .groupBy(col("doc_id"))
+          .agg(size(collect_set(col("p"))).cast("long").as("n_removed"))
+        runBounded(s, cov, "t27_stream_passage_scrub_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ps0 AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i
+             |  FROM toks WHERE len(t) >= 6),
+             |ps AS (
+             |  SELECT doc_id, i, array_to_string(t[i:i+5], ' ') AS g
+             |  FROM ps0),
+             |hot AS (
+             |  SELECT g FROM ps GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (
+             |  SELECT DISTINCT ps.doc_id, ps.i + off AS p
+             |  FROM ps JOIN hot USING (g), range(0, 6) o(off))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+             |FROM cov GROUP BY doc_id""".stripMargin))
   )
 }

@@ -850,6 +850,18 @@ class TextOpsSpec extends SparkSpec {
     assert(enRate > 0.5)
   }
 
+  test("t27 stream scrub signal equals the batch scrub's n_removed for flagged docs") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("t27_stream_passage_scrub")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.scrubHotPassages(
+        graft.Tables.load(spark, sf, "documents"), "doc_id", "text")
+      .where(col("n_removed") > 0)
+      .select(col("doc_id"), col("n_removed").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream === batch && stream.nonEmpty)
+  }
+
   test("t26 stream media census equals the batch decode census") {
     val sf = "/root/testdata/sf0.001"
     val stream = graft.SparkEntry.queries("t26_stream_mm_decode")(spark, sf)
