@@ -106,12 +106,37 @@ object Bpe {
     * non-overlapping replacement is the leftmost-first merge order.
     * Token count = sentinel count. Per-row string ops only — no
     * shuffle before the ≤|groups| census; the sentinel must not occur
-    * in corpus text (U+0001 never does in whitespace-tokenized prose).
+    * in corpus text (U+0001 never does in whitespace-tokenized prose,
+    * and a row that DOES carry it fails the task loudly via a guard
+    * rather than silently corrupting token counts).
+    *
+    * PRECONDITION (validated): `merges` must be a valid BPE merge list
+    * in rank order — each merge's left and right symbol is either a
+    * single character or the merged output of an EARLIER rank (what
+    * `bpeTrain` produces by construction). The one-pass-per-rank
+    * exactness argument above holds only for such lists; an arbitrary
+    * symbol pair would silently deviate from iterative BPE semantics,
+    * so it is rejected here instead.
     */
   def encodeCensus(docs: DataFrame, textCol: String, groupCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    val produced = scala.collection.mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      def ok(s: String) =
+        (s.nonEmpty && s.codePointCount(0, s.length) == 1) ||
+          produced.contains(s)
+      require(ok(a) && ok(b),
+        s"encodeCensus: merge ${i + 1} ($a, $b) is not a valid BPE merge —" +
+          " each side must be a single character or an earlier rank's" +
+          " merged output")
+      produced += (a + b)
+    }
     val sep = "\u0001"
-    val sym0 = concat(concat_ws(sep, charSymbols(col("word"))), lit(sep))
+    val safeWord = when(col("word").contains(lit(sep)),
+      raise_error(concat(
+        lit("encodeCensus: corpus word contains the U+0001 sentinel: "),
+        col("word")))).otherwise(col("word"))
+    val sym0 = concat(concat_ws(sep, charSymbols(safeWord)), lit(sep))
     val enc = merges.foldLeft(sym0) { case (s, (a, b)) =>
       replace(s, lit(a + sep + b + sep), lit(a + b + sep))
     }

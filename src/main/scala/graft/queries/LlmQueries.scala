@@ -2073,7 +2073,7 @@ object LlmQueries {
 
     QuerySpec(
       "l82_ann_index_update",
-      "incremental ANN index UPDATE — the daily-ingest face l72's one-time build leaves open: a NEW vector batch (vec_id%5=0) is assigned + PQ-encoded against the FROZEN centroids/codebook (assignEncode — no Lloyd machinery anywhere in the update plan) and appended to the persisted lists/codes/norms. Gate: ALL THREE updated artifact tables EXACTLY equal a frozen-artifact rebuild over the union corpus (assignment, encoding and norms are per-row deterministic functions of the frozen artifacts, so update ≡ rebuild — zero set mismatches across lists, codes AND norms), and every vector old or new is indexed (n_indexed = n_base + n_added: freshly-ingested vectors are immediately servable by l72's unchanged read path). Serving quality itself is l72/t22's contract; this query is the MAINTENANCE contract. Oracle = the deterministic counts + literal true",
+      "incremental ANN index UPDATE — the daily-ingest face l72's one-time build leaves open: a NEW vector batch (vec_id%5=0) is assigned + PQ-encoded against the FROZEN centroids/codebook (assignEncode — no Lloyd machinery anywhere in the update plan) and appended to the persisted lists/codes/norms. Gate: ALL THREE updated artifact tables EXACTLY equal a frozen-artifact rebuild over the union corpus (assignment, encoding and norms are per-row deterministic functions of the frozen artifacts, so update ≡ rebuild — zero MULTISET mismatches across lists, codes AND norms: each side is grouped on all columns with a count and full-outer-joined on columns+count, so duplicate-row multiplicity differences fail too), and every vector old or new is indexed (n_indexed = n_base + n_added: freshly-ingested vectors are immediately servable by l72's unchanged read path). Serving quality itself is l72/t22's contract; this query is the MAINTENANCE contract. Oracle = the deterministic counts + literal true",
       (s, dir) => {
         val S = Similarity
         val e = Tables.load(s, dir, "embeddings")
@@ -2096,13 +2096,19 @@ object LlmQueries {
         // frozen-artifact rebuild over the union — the equivalence base
         val (lR, cR, nR) = S.assignEncode(frozen.centroids, frozen.codebook,
           e, "vec_id", "embedding", m = 8)
-        // exact set-compare on ALL columns (floats compare bitwise —
-        // per-row IEEE arithmetic is deterministic on both paths)
+        // exact MULTISET-compare on ALL columns: groupBy-all + count per
+        // side, full-outer on the columns AND the count — so duplicate-
+        // row multiplicity differences fail too, which a pure
+        // set-equality join would pass silently (floats compare bitwise
+        // — per-row IEEE arithmetic is deterministic on both paths)
         def mismatches(u: org.apache.spark.sql.DataFrame,
             r: org.apache.spark.sql.DataFrame, name: String) = {
           val ks = u.columns.toSeq
-          u.withColumn("__u", lit(1))
-            .join(r.withColumn("__r", lit(1)), ks, "full_outer")
+          def counted(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
+          counted(u).withColumn("__u", lit(1))
+            .join(counted(r).withColumn("__r", lit(1)),
+              ks :+ "__n", "full_outer")
             .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
               .as(name))
         }
