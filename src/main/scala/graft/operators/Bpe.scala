@@ -118,8 +118,13 @@ object Bpe {
     * symbol pair would silently deviate from iterative BPE semantics,
     * so it is rejected here instead.
     */
-  def encodeCensus(docs: DataFrame, textCol: String, groupCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+  /** The encode sentinel. */
+  private val sep = "\u0001"
+
+  /** Reject a merge list that is not a valid rank-ordered BPE merge
+    * sequence (see `encodeCensus`'s precondition).
+    */
+  private[graft] def validateMerges(merges: Seq[(String, String)]): Unit = {
     val produced = scala.collection.mutable.Set.empty[String]
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       def ok(s: String) =
@@ -131,15 +136,31 @@ object Bpe {
           " merged output")
       produced += (a + b)
     }
-    val sep = "\u0001"
-    val safeWord = when(col("word").contains(lit(sep)),
+  }
+
+  /** Sentinel-joined encoded form of one word under the frozen merge
+    * list ("tok1<SEP>tok2<SEP>...<SEP>") — the per-row core of
+    * `encodeCensus`, exposed so the one-pass-per-rank exactness claim
+    * is property-testable against a reference iterative BPE encoder at
+    * full sequence granularity (TextOpsSpec/NgramLmSpec), not just via
+    * token counts. Guards: a word carrying the sentinel fails loudly.
+    */
+  private[graft] def encodeSyms(word: Column,
+      merges: Seq[(String, String)]): Column = {
+    validateMerges(merges)
+    val safeWord = when(word.contains(lit(sep)),
       raise_error(concat(
         lit("encodeCensus: corpus word contains the U+0001 sentinel: "),
-        col("word")))).otherwise(col("word"))
+        word))).otherwise(word)
     val sym0 = concat(concat_ws(sep, charSymbols(safeWord)), lit(sep))
-    val enc = merges.foldLeft(sym0) { case (s, (a, b)) =>
+    merges.foldLeft(sym0) { case (s, (a, b)) =>
       replace(s, lit(a + sep + b + sep), lit(a + b + sep))
     }
+  }
+
+  def encodeCensus(docs: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = encodeSyms(col("word"), merges)
     docs.select(col(groupCol).as("grp"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
       .where(length(col("word")) > 0)

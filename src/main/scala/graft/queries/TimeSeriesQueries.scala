@@ -920,6 +920,92 @@ object TimeSeriesQueries {
              |  SELECT DISTINCT ps.doc_id, ps.i + off AS p
              |  FROM ps JOIN hot USING (g), range(0, 6) o(off))
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
-             |FROM cov GROUP BY doc_id""".stripMargin))
+             |FROM cov GROUP BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "t28_stream_perplexity",
+      "the streaming face of l83's bigram-LM quality filter — score-at-ingest against a FROZEN model: the count tables train batch-side on the clean slice and are driver-collected once at serve start (NgramLm.collectServeModel, bounded — the t25 codebook-at-boot discipline; big-vocab corpora stay on l83's broadcast-join batch path), so each arriving document's bits-per-token is a pure per-row fold (map-literal lookups + integer bit-length arithmetic, no join, no window) and the only state is the complete-mode perplexity-band census — one row per band. The oracle recomputes the bands through the JOIN formulation, so the hash only matches if fold-scoring ≡ join-scoring token-for-token",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val serve = graft.operators.NgramLm.collectServeModel(
+          graft.operators.NgramLm.trainBigram(
+            d.where(col("doc_id") % 7 === 0), "text"))
+        val census = Tables.loadStream(s, dir, "documents")
+          .select(graft.operators.NgramLm.surprisalBitsLocal(serve,
+            graft.functions.TextFunctions.tokens(col("text"))).as("sc"))
+          .select(floor(col("sc.bpt")).cast("long").as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_docs"))
+        runBounded(s, census, "t28_stream_perplexity_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT doc_id,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]}
+             |            for i in range(1, len(t))], recursive := true)
+             |  FROM tk),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS v FROM (
+             |    SELECT unnest(t) AS tok FROM tk WHERE doc_id % 7 = 0)),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_c FROM ap
+             |  WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_c) AS BIGINT) AS ctx_c
+             |  FROM pc GROUP BY 1),
+             |sc AS (
+             |  SELECT ap.doc_id,
+             |    length(bin(coalesce(ctx.ctx_c, 0) + (SELECT v FROM v)))
+             |      - length(bin(coalesce(pc.pair_c, 0) + 1)) AS bits
+             |  FROM ap
+             |  LEFT JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  LEFT JOIN ctx ON ap.prev = ctx.prev),
+             |pd AS (
+             |  SELECT d.doc_id, count(sc.bits) AS n_scored,
+             |    CAST(sum(sc.bits) AS BIGINT) AS total_bits
+             |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |  GROUP BY 1)
+             |SELECT CAST(floor(CASE WHEN n_scored > 0
+             |    THEN CAST(total_bits AS DOUBLE) / n_scored END)
+             |    AS BIGINT) AS k,
+             |  count(*) AS n_docs
+             |FROM pd GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t29_stream_bpe_fertility",
+      "the streaming face of l81's frozen-tokenizer fertility census — the live 'is our tokenizer drifting off this corpus' monitor: arriving documents are encoded per-row with the FROZEN 4-merge artifact (the sentinel-replace chain is stateless column arithmetic, so the batch operator runs verbatim on the stream) and the per-language (n_words, n_chars, n_tokens, fertility) census accumulates in complete mode — state is one row per language. Shares l81's oracle, so the streaming path is hash-checked against DuckDB directly, not just gate-compared to the batch face",
+      (s, dir) => {
+        val census = graft.operators.Bpe.encodeCensus(
+          Tables.loadStream(s, dir, "documents"), "text", "lang",
+          Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r"))
+        runBounded(s, census, "t29_stream_bpe_fertility_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH w AS (
+             |  SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+             |  FROM documents),
+             |f AS (
+             |  SELECT lang, length(word) AS nc,
+             |    array_to_string(regexp_split_to_array(word, ''), chr(1))
+             |      || chr(1) AS s0
+             |  FROM w WHERE length(word) > 0),
+             |e AS (
+             |  SELECT lang, nc,
+             |    replace(replace(replace(replace(s0,
+             |      'e' || chr(1) || 'r' || chr(1), 'er' || chr(1)),
+             |      'i' || chr(1) || 'n' || chr(1), 'in' || chr(1)),
+             |      'o' || chr(1) || 'w' || chr(1), 'ow' || chr(1)),
+             |      'o' || chr(1) || 'r' || chr(1), 'or' || chr(1)) AS s
+             |  FROM f)
+             |SELECT lang AS grp, count(*) AS n_words,
+             |  CAST(sum(nc) AS BIGINT) AS n_chars,
+             |  CAST(sum(length(s) - length(replace(s, chr(1), '')))
+             |    AS BIGINT) AS n_tokens,
+             |  CAST(sum(length(s) - length(replace(s, chr(1), '')))
+             |    AS DOUBLE) / count(*) AS fertility
+             |FROM e GROUP BY lang ORDER BY grp""".stripMargin))
   )
 }

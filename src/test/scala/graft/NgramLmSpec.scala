@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, NgramLm}
+
+/** Contracts of the bigram-LM scorer (l83/t28) and the frozen-tokenizer
+  * encode (l81/t29) that must hold for ANY corpus — the driver gate
+  * checks fixture equality; these pin the arguments behind it.
+  */
+class NgramLmSpec extends SparkSpec {
+
+  private def docsDF(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("surprisalBits: hand-computed add-one bigram scores") {
+    // train: "a b a b c" -> pairs (a,b)x2 (b,a) (b,c); V = 3 (a,b,c)
+    // ctx: a->2, b->2
+    val model = NgramLm.trainBigram(docsDF(Seq("a b a b c")), "text")
+    // score "a b c": (a,b): num=3 den=5 -> bitlen 3=2,5=3 -> 1 bit
+    //                (b,c): num=2 den=5 -> bitlen 2=2,5=3 -> 1 bit
+    // score "z a":   (z,a): num=1 den=0+3 -> bitlen 1=1,3=2 -> 1 bit
+    // score "c":     no pairs -> n_scored 0, null bits
+    val got = NgramLm.surprisalBits(
+        docsDF(Seq("a b c", "z a", "c")), "doc_id", "text", model)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      .toMap
+    assert(got(0L)._1 === 2L && got(0L)._2 === 2L && got(0L)._3 === 1.0)
+    assert(got(1L)._1 === 1L && got(1L)._2 === 1L && got(1L)._3 === 1.0)
+    assert(got(2L)._1 === 0L && got(2L)._2 === -1L && got(2L)._3.isNaN)
+  }
+
+  test("property: quantized surprisal is within 1 bit of -log2 p") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val nd = for {
+      d <- Gen.choose(1L, 1L << 40)
+      n <- Gen.choose(1L, d)
+    } yield (n, d)
+    val prop = Prop.forAll(nd) { case (n, d) =>
+      val bits = (bitlen(d) - bitlen(n)).toDouble
+      val log2 = math.log(d.toDouble / n) / math.log(2.0)
+      math.abs(bits - log2) <= 1.0
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: fold scoring (serve model) equals join scoring row-for-row") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("a", "b", "c", "dd", "e")
+    val doc = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 8).flatMap(Gen.listOfN(_, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = docsDF(texts)
+      val model = NgramLm.trainBigram(
+        docs.where(col("doc_id") % 2 === 0), "text")
+      val join = NgramLm.surprisalBits(docs, "doc_id", "text", model)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      val serve = NgramLm.collectServeModel(model)
+      val fold = docs
+        .select(col("doc_id"), NgramLm.surprisalBitsLocal(serve,
+          graft.functions.TextFunctions.tokens(col("text"))).as("sc"))
+        .select(col("doc_id"), col("sc.n_scored"), col("sc.total_bits"),
+          col("sc.bpt"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      join == fold
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("collectServeModel refuses an over-bound bigram table") {
+    val model = NgramLm.trainBigram(docsDF(Seq("a b c d e")), "text")
+    intercept[IllegalArgumentException] {
+      NgramLm.collectServeModel(model, maxEntries = 2)
+    }
+  }
+
+  test("l83 scoring plan: count tables broadcast, no sort-merge join") {
+    val docs = docsDF((1 to 200).map(i => s"w${i % 9} w${(i * 3) % 9} w$i"))
+    val model = NgramLm.trainBigram(
+      docs.where(col("doc_id") % 7 === 0), "text")
+    val plan = NgramLm.surprisalBits(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    // the scale contract: the vocab-bounded count tables BROADCAST into
+    // the corpus-sized scoring join — a shuffled join on the exploded
+    // pair frame would move token-count-sized data
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  /** True iterative BPE encode: repeatedly apply the LOWEST-rank merge
+    * present in the symbol sequence at its leftmost occurrence. The
+    * production sentinel-replace chain claims one left-to-right pass
+    * per rank is equivalent for valid (rank-ordered, closed) merge
+    * lists; this is the semantics it must match.
+    */
+  private def refEncode(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toVector
+    var going = syms.length >= 2
+    while (going) {
+      val hit = merges.zipWithIndex.flatMap { case ((a, b), rk) =>
+        val i = syms.indices.dropRight(1)
+          .find(i => syms(i) == a && syms(i + 1) == b)
+        i.map(i => (rk, i))
+      }.sortBy(identity).headOption
+      hit match {
+        case Some((rk, i)) =>
+          val (a, b) = merges(rk)
+          syms = (syms.take(i) :+ (a + b)) ++ syms.drop(i + 2)
+        case None => going = false
+      }
+    }
+    syms
+  }
+
+  test("property: sentinel-replace encode equals iterative BPE at full sequence granularity for trained merge lists") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val gen = for {
+      trainWords <- Gen.choose(3, 10).flatMap(Gen.listOfN(_, word))
+      nMerges <- Gen.choose(1, 8)
+      encWords <- Gen.choose(1, 10).flatMap(Gen.listOfN(_, word))
+    } yield (trainWords, nMerges, encWords)
+    val prop = Prop.forAll(gen) { case (trainWords, nMerges, encWords) =>
+      // merges come from a REAL training run (valid by construction,
+      // arbitrary depth) over a corpus unrelated to the encoded words
+      val trainDocs = Seq((1L, trainWords.mkString(" ")))
+        .toDF("doc_id", "text")
+      val merges = Bpe.bpeTrain(spark, trainDocs, "text", nMerges)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val got = encWords.toDF("w")
+        .select(split(Bpe.encodeSyms(col("w"), merges), "\u0001").as("s"))
+        .collect()
+        .map(_.getSeq[String](0).filter(_.nonEmpty).toSeq).toSeq
+      val want = encWords.map(w => refEncode(w, merges))
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("encodeCensus rejects invalid merge lists") {
+    val docs = docsDF(Seq("abc")).withColumn("lang", lit("en"))
+    intercept[IllegalArgumentException] {
+      Bpe.encodeCensus(docs, "text", "lang", Seq("ab" -> "c"))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.encodeCensus(docs, "text", "lang",
+        Seq("a" -> "b", "c" -> "ba"))
+    }
+    // valid: second merge consumes the first's output
+    Bpe.encodeCensus(docs, "text", "lang",
+      Seq("a" -> "b", "ab" -> "c")).collect()
+  }
+
+  test("encodeSyms raises on a sentinel-bearing word") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq("a\u0001b").toDF("w")
+        .select(Bpe.encodeSyms(col("w"), Seq("a" -> "b"))).collect()
+    }
+    assert(ex.getMessage.contains("sentinel")
+      || ex.getCause != null && ex.getCause.getMessage.contains("sentinel"))
+  }
+}
