@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** Application-scoped cache of built IVF-PQ index artifacts, keyed by
+  * (corpus dir, build parameters) — the standing-artifact discipline
+  * the ANN family argues for, applied to the harness itself: the index
+  * is SUPPOSED to be built once and served many times, so the build
+  * (t22), the persisted-table serve (l72) and the incremental update
+  * (l82) all consume ONE shared build instead of each retraining
+  * identical artifacts per query.
+  *
+  * Scope: the cache lives for the Spark application (applicationId in
+  * the key) and holds localCheckpoint'ed frames — centroids and
+  * codebook are O(model), lists/codes/norms are O(corpus vectors), the
+  * same footprint any one of the consumers already checkpointed. A
+  * production pipeline keeps the artifacts as bucketed TABLES across
+  * applications (l72 persists and serves exactly that way); a
+  * cross-application file cache is deliberately NOT attempted here —
+  * a half-written artifact path would poison every later run, whereas
+  * catalog tables have transactional overwrite semantics.
+  */
+object AnnIndexStore {
+
+  private final case class Key(appId: String, dir: String, nCentroids: Int,
+      trainIters: Int, m: Int, nCodes: Int, pqTrainIters: Int)
+
+  private val cache =
+    scala.collection.mutable.Map.empty[Key, Similarity.AnnIndex]
+
+  /** The harness's one shared build parameterization: 8 coarse
+    * centroids (seeded, no Lloyd iterations — deterministic), m=16
+    * sub-blocks at 64 codes with one PQ training round — the l72
+    * fidelity-grade codebook, which t22's agreement gate only benefits
+    * from.
+    */
+  def sharedIndex(s: SparkSession, dir: String, nCentroids: Int = 8,
+      trainIters: Int = 0, m: Int = 16, nCodes: Int = 64,
+      pqTrainIters: Int = 1): Similarity.AnnIndex = synchronized {
+    val key = Key(s.sparkContext.applicationId,
+      new java.io.File(dir).getCanonicalPath,
+      nCentroids, trainIters, m, nCodes, pqTrainIters)
+    cache.getOrElseUpdate(key, {
+      val e = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.buildAnnIndex(e, "vec_id", "embedding",
+        nCentroids, trainIters, m, nCodes, pqTrainIters)
+      Similarity.AnnIndex(
+        idx.centroids.localCheckpoint(eager = true),
+        idx.lists.localCheckpoint(eager = true),
+        idx.codebook.localCheckpoint(eager = true),
+        idx.codes.localCheckpoint(eager = true),
+        idx.norms.localCheckpoint(eager = true))
+    })
+  }
+
+  /** The serve-tier view of the shared index (t22's boot artifacts):
+    * the driver-collected meta (dense codebook + centroids) and the
+    * per-vector dense-code arrays, cached alongside the index.
+    */
+  private val serveCache = scala.collection.mutable.Map.empty[
+    Key, (Similarity.AnnServeMeta, org.apache.spark.sql.DataFrame)]
+
+  def sharedServe(s: SparkSession, dir: String)
+      : (Similarity.AnnServeMeta, org.apache.spark.sql.DataFrame) =
+    synchronized {
+      val key = Key(s.sparkContext.applicationId,
+        new java.io.File(dir).getCanonicalPath, 8, 0, 16, 64, 1)
+      serveCache.getOrElseUpdate(key, {
+        val idx = sharedIndex(s, dir)
+        val meta = Similarity.collectServeMeta(idx.centroids, idx.codebook)
+        (meta, Similarity.codesAsDenseArray(s, idx.codes, meta)
+          .localCheckpoint(eager = true))
+      })
+    }
+}

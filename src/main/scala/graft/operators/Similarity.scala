@@ -468,18 +468,52 @@ object Similarity {
     * (Structured Streaming forbids window functions).
     */
   final case class AnnServeMeta(cents: Seq[(Long, Seq[Float])],
-      codebook: Map[String, Seq[Float]], m: Int, subDim: Int)
+      codebookArr: Seq[Seq[Float]], m: Int, subDim: Int, nCodes: Int,
+      codeIdx: Map[(Int, Long), Int])
 
+  /** The codebook is collected DENSE: per block the (arbitrary) code
+    * ids are remapped to 0..nCodes-1 (sorted order) and the
+    * sub-vectors laid out as one array indexed blk*nCodes + dense — so
+    * the per-candidate ADC lookup is an O(1) array index, not a scan
+    * of a map literal (Spark's literal-map element_at is linear; at
+    * m=16 x 64 codes that is 1024 comparisons per block per candidate,
+    * the difference between a serve tier and a table scan). `codeIdx`
+    * carries the remap for `codesAsDenseArray`.
+    */
   def collectServeMeta(centroids: DataFrame,
       codebook: DataFrame): AnnServeMeta = {
     val cs = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
       .sortBy(_._1).toSeq
-    val cb = codebook.collect()
-      .map(r => s"${r.getInt(0)}:${r.getLong(1)}" -> r.getSeq[Float](2).toSeq)
+    val rows = codebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq))
+    val m = rows.iterator.map(_._1).max + 1
+    val nCodes = rows.count(_._1 == 0)
+    val codeIdx = rows.map(r => (r._1, r._2)).sorted.zipWithIndex
+      .map { case ((blk, code), i) => (blk, code) -> (i - blk * nCodes) }
       .toMap
-    val m = cb.keysIterator.map(_.takeWhile(_ != ':').toInt).max + 1
-    AnnServeMeta(cs, cb, m, cb.head._2.size)
+    val arr = rows.sortBy(r => (r._1, r._2)).map(_._3).toSeq
+    require(arr.size == m * nCodes,
+      s"ragged codebook: ${arr.size} entries != $m x $nCodes")
+    AnnServeMeta(cs, arr, m, rows.head._3.size, nCodes, codeIdx)
+  }
+
+  /** `codes` pivoted to one blk-ordered DENSE-code array per vector —
+    * the serving-tier record layout (m small values in one row fetch),
+    * with raw code ids remapped through the collected codebook's dense
+    * indexing by a broadcast join (never a per-row literal-map scan).
+    */
+  def codesAsDenseArray(spark: SparkSession, codes: DataFrame,
+      meta: AnnServeMeta): DataFrame = {
+    import spark.implicits._
+    val remap = meta.codeIdx.toSeq
+      .map { case ((blk, code), i) => (blk, code, i) }
+      .toDF("blk", "code", "dense")
+    codes.join(broadcast(remap), Seq("blk", "code"))
+      .groupBy(col("c_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("blk"), col("dense")))),
+        x => x.getField("dense")).as("codes"))
   }
 
   /** Window-free per-row probe: the query's top-nProbe cent_ids against
@@ -504,12 +538,11 @@ object Similarity {
     */
   def adcCosineLocal(meta: AnnServeMeta, qEmb: Column, codesArr: Column,
       cNorm: Column): Column = {
-    val cbLit = typedLit(meta.codebook)
+    val cbLit = typedLit(meta.codebookArr)
     val terms = zip_with(codesArr, sequence(lit(0), lit(meta.m - 1)),
-      (code, blk) => dotp(
+      (dense, blk) => dotp(
         slice(qEmb, blk * lit(meta.subDim) + lit(1), lit(meta.subDim)),
-        element_at(cbLit,
-          concat(blk.cast("string"), lit(":"), code.cast("string")))))
+        element_at(cbLit, blk * lit(meta.nCodes) + dense + lit(1))))
     aggregate(terms, lit(0.0), (acc, v) => acc + v) /
       (vecNorm(qEmb) * cNorm)
   }

@@ -654,19 +654,18 @@ object TimeSeriesQueries {
 
     QuerySpec(
       "t22_stream_ann_serve",
-      "the streaming face of l72's persisted-index ANN serve — query vectors ARRIVE as a stream and are answered top-10 with zero training jobs and zero windows (Structured Streaming forbids them): the index's tiny artifacts (centroids, codebook) are driver-collected once at serve start — an ANN server loading its codebook file at boot — so probing and ADC become per-row expressions; the big artifacts (lists, codes-as-arrays, norms) stay tables reached by stream-static equi-joins; the per-query top-10 is bounded displacement state (annTopKState, the t21 discipline). Gate: the drained stream answer agrees >= 90% with the batch pqTopKFromIndex ranking over the SAME index (the two paths sum partial dots in different orders, so agreement not hash is the contract); oracle = top-k-completeness count + literal true",
+      "the streaming face of l72's persisted-index ANN serve — query vectors ARRIVE as a stream and are answered top-10 with zero training jobs and zero windows (Structured Streaming forbids them): the index is the SAME standing AnnIndexStore build l72 persists and l82 maintains (built once per application, not retrained per query), its tiny artifacts (centroids, codebook) driver-collected once at serve start — an ANN server loading its codebook file at boot — so probing and ADC become per-row expressions; the big artifacts (lists, codes-as-arrays, norms) stay tables reached by stream-static equi-joins; the per-query top-10 is bounded displacement state (annTopKState, the t21 discipline). Gate: the drained stream answer agrees >= 90% with the batch pqTopKFromIndex ranking over the SAME index (the two paths sum partial dots in different orders, so agreement not hash is the contract); oracle = top-k-completeness count + literal true",
       (s, dir) => {
         val S = graft.operators.Similarity
         val e = Tables.load(s, dir, "embeddings")
-        val idx = S.buildAnnIndex(e, "vec_id", "embedding",
-          nCentroids = 8, trainIters = 0, m = 8, nCodes = 16,
-          pqTrainIters = 1)
-        val cents = idx.centroids.localCheckpoint(eager = true)
-        val lists = idx.lists.localCheckpoint(eager = true)
-        val codesArr = S.codesAsArray(idx.codes)
-          .localCheckpoint(eager = true)
-        val norms = idx.norms.localCheckpoint(eager = true)
-        val meta = S.collectServeMeta(cents, idx.codebook)
+        // the SHARED standing build (AnnIndexStore): same artifacts as
+        // l72's persisted tables and l82's maintenance base — built once
+        // per application, already checkpointed
+        val idx = graft.operators.AnnIndexStore.sharedIndex(s, dir)
+        val cents = idx.centroids
+        val lists = idx.lists
+        val norms = idx.norms
+        val (meta, codesArr) = graft.operators.AnnIndexStore.sharedServe(s, dir)
         val served = graft.streaming.StreamingOps.annTopKState(
           S.annServeScore(
             Tables.loadStream(s, dir, "embeddings")
@@ -682,7 +681,7 @@ object TimeSeriesQueries {
           .select(col("q_id"), col("p._2").as("c_id"), lit(1).as("__s"))
         val qB = e.where(col("vec_id") % 25 === 0)
         val batchTop = S.pqTopKFromIndex(qB, e, "vec_id", "embedding",
-            k = 10, m = 8, codebook = idx.codebook, codes = idx.codes,
+            k = 10, m = 16, codebook = idx.codebook, codes = idx.codes,
             norms = norms,
             candidates = S.indexCandidates(qB, "vec_id", "embedding",
               cents, lists, nProbe = 6),
