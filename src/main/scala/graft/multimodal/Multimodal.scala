@@ -141,6 +141,26 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Poisoned-row FIXTURE: deterministically corrupt the blob of every
+    * id % modulo == 0 row by zeroing its first 8 bytes (killing both
+    * the PNG and JPEG signatures) — the test surface for the
+    * quarantine decode tier. Rare poison, not bulk: at modulo=11 one
+    * row in eleven, the realistic web-corpus shape.
+    */
+  def corruptBlobs(df: DataFrame, idCol: String, modulo: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getLong(idIdx) % modulo == 0) {
+          val b = r.getAs[Array[Byte]](contentIdx).clone()
+          java.util.Arrays.fill(b, 0, math.min(8, b.length), 0.toByte)
+          Row.fromSeq(r.toSeq.updated(contentIdx, b))
+        } else r
+      }
+    }(Encoders.row(df.schema))
+  }
+
   /** REAL batched image decode — the same mapPartitions shape as
     * `decodeMetaBatched`, but the codec is javax.imageio reading actual
     * PNG/JPEG bytes: the reader is chosen per row by CONTENT SNIFF
@@ -154,11 +174,28 @@ object Multimodal {
     * Narrow, no shuffle.
     */
   def decodeImageBatched(df: DataFrame, idCol: String,
-      batchSize: Int = 256): DataFrame = {
+      batchSize: Int = 256): DataFrame =
+    decodeImageCore(df, idCol, batchSize, quarantine = false)
+
+  /** `decodeImageBatched` under the PRODUCTION ingest contract (the
+    * l74 count-and-quarantine discipline): a row whose bytes no reader
+    * understands — or that throws mid-decode — emits
+    * (format='corrupt', NULL dims) instead of failing the task. Rare
+    * poison must never kill a 100 TB ingest; it must be counted,
+    * quarantined, and routed to ops. The strict variant stays the
+    * default for curated fixtures where ANY undecodable blob is a
+    * pipeline bug.
+    */
+  def decodeImageQuarantine(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame =
+    decodeImageCore(df, idCol, batchSize, quarantine = true)
+
+  private def decodeImageCore(df: DataFrame, idCol: String,
+      batchSize: Int, quarantine: Boolean): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = quarantine),
+      StructField("height", IntegerType, nullable = quarantine),
       StructField("format", StringType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val contentIdx = df.schema.fieldIndex("content")
@@ -184,6 +221,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](contentIdx)
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
+          var fmtInUse: Option[String] = None
           try {
             val reader = sniffed(bytes) match {
               case Some(fmt) => readers.getOrElseUpdate(fmt,
@@ -196,10 +234,18 @@ object Multimodal {
                 val rd = it.next()
                 readers.getOrElseUpdate(rd.getFormatName.toLowerCase, rd)
             }
+            fmtInUse = Some(reader.getFormatName.toLowerCase)
             reader.setInput(iis)
             // header-only reads: no pixel materialization for metadata
             Row(r.getLong(idIdx), reader.getWidth(0), reader.getHeight(0),
               reader.getFormatName.toLowerCase)
+          } catch {
+            case scala.util.control.NonFatal(e) if quarantine =>
+              // a reader that threw mid-decode may hold poisoned state:
+              // drop it from the per-batch cache so the next row gets a
+              // fresh instance
+              fmtInUse.foreach(f => readers.remove(f).foreach(_.dispose()))
+              Row(r.getLong(idIdx), null, null, "corrupt")
           } finally iis.close()
         }
         readers.values.foreach(_.dispose())

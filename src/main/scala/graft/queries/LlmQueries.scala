@@ -2220,6 +2220,25 @@ object LlmQueries {
              |  SELECT doc_id, n_scored, total_bits, bpt,
              |    row_number() OVER (ORDER BY bpt ASC, doc_id) AS rk
              |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10"""
-        .stripMargin))
+        .stripMargin)),
+
+    QuerySpec(
+      "l85_image_decode_quarantine",
+      "l71's mixed-format REAL codec under the PRODUCTION ingest contract (the l74 count-and-quarantine discipline): every doc_id%11=0 blob is deterministically poisoned (first 8 bytes zeroed — both magic signatures killed), and the quarantine decode tier emits (format='corrupt', NULL dims) for exactly those rows instead of failing the task — rare poison must never kill a 100 TB ingest, and a reader that throws mid-decode is dropped from the per-batch cache so its state cannot leak into later rows; the oracle replays the poison predicate byte-for-byte, so the hash only matches if quarantine catches EXACTLY the corrupted rows and both codecs still round-trip the clean ones",
+      (s, dir) => Multimodal.decodeImageQuarantine(
+        Multimodal.corruptBlobs(
+          Multimodal.withMixedImageBlob(
+            Tables.load(s, dir, "documents").select(col("doc_id")),
+            "doc_id"),
+          "doc_id", modulo = 11),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 11 = 0 THEN NULL
+             |       ELSE CAST(8 + doc_id % 16 AS INT) END AS width,
+             |  CASE WHEN doc_id % 11 = 0 THEN NULL
+             |       ELSE CAST(8 + (doc_id * 3) % 16 AS INT) END AS height,
+             |  CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
+             |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+             |FROM documents""".stripMargin))
   )
 }

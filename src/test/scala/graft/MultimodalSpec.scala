@@ -68,4 +68,33 @@ class MultimodalSpec extends SparkSpec {
     // the PNG reader throws on a bad signature rather than emitting a row
     assert(e != null)
   }
+
+  test("quarantine decode isolates exactly the poisoned rows; strict decode dies on the same fixture") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val poisoned = Multimodal.corruptBlobs(
+      Multimodal.withMixedImageBlob(ids, "doc_id"), "doc_id", modulo = 7)
+    // strict tier: ANY poisoned blob fails the task (curated-fixture
+    // contract)
+    intercept[Exception] {
+      Multimodal.decodeImageBatched(poisoned, "doc_id").collect()
+    }
+    // quarantine tier: poisoned rows -> (corrupt, NULL dims); clean rows
+    // decode exactly as the strict tier would, in the same batches
+    val got = Multimodal.decodeImageQuarantine(poisoned, "doc_id",
+        batchSize = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3)))
+      .toMap
+    assert(got.size === 40)
+    (0L until 40L).foreach { id =>
+      if (id % 7 == 0)
+        assert(got(id) === ((-1, -1, "corrupt")))
+      else
+        assert(got(id) === (((8 + id % 16).toInt, (8 + id * 3 % 16).toInt,
+          if (id % 2 == 0) "png" else "jpeg")))
+    }
+  }
 }
