@@ -131,4 +131,71 @@ object Curation {
         row("5_pack", col("n3"), col("n_shards")))).as("r"))
       .select(col("r.*"))
   }
+
+  /** The one-command corpus DATA CARD — the standing ops report a
+    * 100 TB corpus run ships with its output: one typed
+    * (section, metric, value) frame covering corpus mass, exact-dup
+    * structure, language/source composition, quality flags and the
+    * shard-packing forecast. Every value is a BIGINT (pure integer
+    * arithmetic end to end), so the card hash-matches the oracle.
+    *
+    * Scale contract: documents are read ONCE into a NARROW per-doc
+    * frame (id, lang, source, counts, digest — never the text), which
+    * is localCheckpoint'ed and feeds every section; each section is a
+    * tiny aggregate over that frame (the l55 shared-scan pattern), so
+    * the card costs one corpus scan + a handful of checkpoint-sized
+    * aggregates. DataCardSpec plan-probes that no section replans the
+    * parquet scan.
+    */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String, shardTokens: Long = 4096L,
+      shortDocTokens: Int = 32): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val perDoc = docs.select(
+        col(idCol).as("doc_id"),
+        col(langCol).as("lang"),
+        col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        sha2(col(textCol), 256).as("digest"))
+      .localCheckpoint(eager = true)
+
+    def rows(section: String, metrics: (String, Column)*)(src: DataFrame) =
+      src.select(explode(array(metrics.map { case (m, v) =>
+          struct(lit(m).as("metric"), v.cast("long").as("value"))
+        }: _*)).as("r"))
+        .select(lit(section).as("section"), col("r.metric"), col("r.value"))
+
+    val corpus = rows("corpus",
+      "n_docs" -> col("a"), "n_tokens" -> col("b"), "n_chars" -> col("c"))(
+      perDoc.agg(count(lit(1)).as("a"), sum(col("n_tokens")).as("b"),
+        sum(col("n_chars")).as("c")))
+    // per-digest copy counts: identical text => identical token count,
+    // so the duplicated token mass is sum (copies-1) * tokens
+    val dedup = rows("dedup",
+      "n_unique_digests" -> col("a"), "n_dup_docs" -> col("b"),
+      "dup_token_mass" -> col("c"))(
+      perDoc.groupBy(col("digest"))
+        .agg(count(lit(1)).as("cnt"), max(col("n_tokens")).as("tok"))
+        .agg(count(lit(1)).as("a"), sum(col("cnt") - 1).as("b"),
+          sum((col("cnt") - 1) * col("tok")).as("c")))
+    val byLang = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(lit("lang").as("section"), col("lang").as("metric"),
+        col("n").cast("long").as("value"))
+    val bySource = perDoc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(lit("source").as("section"), col("source").as("metric"),
+        col("n").cast("long").as("value"))
+    val quality = rows("quality",
+      "n_short_docs" -> col("a"), "repeated_token_mass" -> col("b"))(
+      perDoc.agg(
+        count(when(col("n_tokens") < shortDocTokens, 1)).as("a"),
+        sum(col("n_tokens") - col("n_distinct")).as("b")))
+    val pack = rows("pack",
+      s"n_shards_$shardTokens" ->
+        expr(s"(b + ${shardTokens - 1}) div $shardTokens"))(
+      perDoc.agg(sum(col("n_tokens")).as("b")))
+    corpus.unionByName(dedup).unionByName(byLang).unionByName(bySource)
+      .unionByName(quality).unionByName(pack)
+  }
 }

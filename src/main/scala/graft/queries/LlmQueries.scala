@@ -2223,6 +2223,47 @@ object LlmQueries {
         .stripMargin)),
 
     QuerySpec(
+      "l84_data_card",
+      "the one-command corpus DATA CARD — the standing ops report a corpus run ships with its output, composing the census family (corpus mass, exact-dup structure incl. duplicated token mass, language/source composition, short-doc and repeated-token quality flags, shard-packing forecast) into ONE typed (section, metric, value) frame: documents are scanned ONCE into a narrow checkpointed per-doc frame (id, lang, source, counts, SHA-256 digest — never the text) and every section is a tiny aggregate over it (the l55 shared-scan pattern; DataCardSpec plan-probes that no section replans the parquet scan); every value is BIGINT so the card hash-matches end to end",
+      (s, dir) => Curation.dataCard(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+        "source"),
+      Some("""WITH pd AS (
+             |  SELECT doc_id, lang, source,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+             |      AS n_tokens,
+             |    CAST(len(list_distinct(string_split(trim(text), ' ')))
+             |      AS BIGINT) AS n_distinct,
+             |    sha256(text) AS digest
+             |  FROM documents),
+             |dg AS (
+             |  SELECT digest, count(*) AS cnt, max(n_tokens) AS tok
+             |  FROM pd GROUP BY 1)
+             |SELECT 'corpus' AS section, 'n_docs' AS metric,
+             |  count(*) AS value FROM pd
+             |UNION ALL SELECT 'corpus', 'n_tokens',
+             |  CAST(sum(n_tokens) AS BIGINT) FROM pd
+             |UNION ALL SELECT 'corpus', 'n_chars',
+             |  CAST(sum(n_chars) AS BIGINT) FROM pd
+             |UNION ALL SELECT 'dedup', 'n_unique_digests', count(*) FROM dg
+             |UNION ALL SELECT 'dedup', 'n_dup_docs',
+             |  CAST(sum(cnt - 1) AS BIGINT) FROM dg
+             |UNION ALL SELECT 'dedup', 'dup_token_mass',
+             |  CAST(sum((cnt - 1) * tok) AS BIGINT) FROM dg
+             |UNION ALL SELECT 'lang', lang, count(*) FROM pd GROUP BY lang
+             |UNION ALL SELECT 'source', source, count(*) FROM pd
+             |  GROUP BY source
+             |UNION ALL SELECT 'quality', 'n_short_docs',
+             |  CAST(sum(CASE WHEN n_tokens < 32 THEN 1 ELSE 0 END)
+             |    AS BIGINT) FROM pd
+             |UNION ALL SELECT 'quality', 'repeated_token_mass',
+             |  CAST(sum(n_tokens - n_distinct) AS BIGINT) FROM pd
+             |UNION ALL SELECT 'pack', 'n_shards_4096',
+             |  CAST((sum(n_tokens) + 4095) // 4096 AS BIGINT) FROM pd"""
+        .stripMargin)),
+
+    QuerySpec(
       "l85_image_decode_quarantine",
       "l71's mixed-format REAL codec under the PRODUCTION ingest contract (the l74 count-and-quarantine discipline): every doc_id%11=0 blob is deterministically poisoned (first 8 bytes zeroed — both magic signatures killed), and the quarantine decode tier emits (format='corrupt', NULL dims) for exactly those rows instead of failing the task — rare poison must never kill a 100 TB ingest, and a reader that throws mid-decode is dropped from the per-batch cache so its state cannot leak into later rows; the oracle replays the poison predicate byte-for-byte, so the hash only matches if quarantine catches EXACTLY the corrupted rows and both codecs still round-trip the clean ones",
       (s, dir) => Multimodal.decodeImageQuarantine(
