@@ -99,11 +99,16 @@ object Bpe {
     *
     * Encoding applies each merge as ONE left-to-right pass in rank
     * order over a sentinel-joined symbol string ("c1<SEP>c2<SEP>...";
-    * the merge (a,b) is `replace("a<SEP>b<SEP>" -> "ab<SEP>")`).
-    * One pass per rank is EXACT BPE: a merge never makes an
-    * earlier-rank pair newly adjacent (merging combines neighbors, it
-    * cannot delete a symbol between two others), and left-to-right
-    * non-overlapping replacement is the leftmost-first merge order.
+    * the merge (a,b) rewrites boundary-anchored "a<SEP>b<SEP>" to
+    * "ab<SEP>" — anchored, because an unanchored substring match can
+    * fire on the SUFFIX of a longer token ending in `a` and merge
+    * across a token boundary). One pass per rank is EXACT BPE: a merge
+    * never makes an earlier-rank pair newly adjacent (merging combines
+    * neighbors, it cannot delete a symbol between two others), and
+    * anchored left-to-right non-overlapping replacement is the
+    * leftmost-first merge order — pinned by the NgramLmSpec property
+    * against an iterative reference encoder over trained merge lists
+    * of arbitrary depth.
     * Token count = sentinel count. Per-row string ops only — no
     * shuffle before the ≤|groups| census; the sentinel must not occur
     * in corpus text (U+0001 never does in whitespace-tokenized prose,
@@ -154,7 +159,18 @@ object Bpe {
         word))).otherwise(word)
     val sym0 = concat(concat_ws(sep, charSymbols(safeWord)), lit(sep))
     merges.foldLeft(sym0) { case (s, (a, b)) =>
-      replace(s, lit(a + sep + b + sep), lit(a + b + sep))
+      // the match start is ANCHORED to a token boundary (string start
+      // or a preceding sentinel, zero-width lookbehind): the naive
+      // substring replace of "a<SEP>b<SEP>" can match the SUFFIX of a
+      // longer token ending in `a` (e.g. tokens [bb, c] match "b<SEP>
+      // c<SEP>" at offset 1) and merge across the boundary — a defect
+      // the NgramLmSpec property over arbitrary trained merge lists
+      // caught; anchored, one left-to-right non-overlapping pass per
+      // rank is exactly leftmost-first BPE application of that rank
+      regexp_replace(s,
+        "(?<=^|" + sep + ")" + java.util.regex.Pattern.quote(a) + sep +
+          java.util.regex.Pattern.quote(b) + sep,
+        java.util.regex.Matcher.quoteReplacement(a + b + sep))
     }
   }
 
