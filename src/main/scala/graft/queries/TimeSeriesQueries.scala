@@ -1005,6 +1005,40 @@ object TimeSeriesQueries {
              |    AS BIGINT) AS n_tokens,
              |  CAST(sum(length(s) - length(replace(s, chr(1), '')))
              |    AS DOUBLE) / count(*) AS fertility
-             |FROM e GROUP BY lang ORDER BY grp""".stripMargin))
+             |FROM e GROUP BY lang ORDER BY grp""".stripMargin)),
+
+    QuerySpec(
+      "t30_stream_mm_quarantine",
+      "the streaming ingest face of l85's quarantine codec — corrupt media COUNTED at ingest, never fatal: the poisoned mixed-format blob stream decodes through the same batched quarantine tier (mapPartitions is a stateless narrow transform, streaming-legal; one reader per format per batch) and a complete-mode per-format census accumulates — n_items plus exact width/height mass, with the 'corrupt' bucket's dimension sums NULL; the oracle replays the poison predicate and both codecs' dimension arithmetic, so the hash only matches if quarantine isolates exactly the poisoned rows on a live stream too",
+      (s, dir) => {
+        val M = graft.multimodal.Multimodal
+        val census = M.decodeImageQuarantine(
+            M.corruptBlobs(
+              M.withMixedImageBlob(
+                Tables.loadStream(s, dir, "documents")
+                  .select(col("doc_id")), "doc_id"),
+              "doc_id", modulo = 11),
+            "doc_id")
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("width")).cast("long").as("w_sum"),
+            sum(col("height")).cast("long").as("h_sum"))
+        runBounded(s, census, "t30_stream_mm_quarantine_mem", "complete",
+          statePartitions = Some(4))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
+             |         WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+             |      AS format,
+             |    CASE WHEN doc_id % 11 = 0 THEN NULL
+             |         ELSE 8 + doc_id % 16 END AS w,
+             |    CASE WHEN doc_id % 11 = 0 THEN NULL
+             |         ELSE 8 + (doc_id * 3) % 16 END AS h
+             |  FROM documents)
+             |SELECT format, count(*) AS n_items,
+             |  CAST(sum(w) AS BIGINT) AS w_sum,
+             |  CAST(sum(h) AS BIGINT) AS h_sum
+             |FROM m GROUP BY format""".stripMargin))
   )
 }
