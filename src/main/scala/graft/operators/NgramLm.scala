@@ -112,50 +112,94 @@ object NgramLm {
   }
 
   /** The collected serve-time artifact (the t25 codebook-at-boot
-    * discipline): pair and context counts as in-process maps plus the
-    * vocab scalar, collected ONCE at serve start so per-document
+    * discipline), with the surprisal PRECOMPUTED: per context a map of
+    * known continuations to their bits, the context's unseen-
+    * continuation default (num=1), and the unknown-context constant
+    * bitlen(V)-1. Collected ONCE at serve start so per-document
     * scoring becomes a pure per-row fold — the shape a streaming
     * score-at-ingest needs (no joins to re-plan per micro-batch, no
-    * window). Guarded against silently collecting an unbounded table.
+    * window). The NESTED layout matters: Spark scans literal maps
+    * linearly on element_at, so two vocab-sized probes beat one
+    * vocab-squared probe by the vocab factor. Guarded against silently
+    * collecting an unbounded table.
     */
-  final case class ServeModel(pairCounts: Map[String, Long],
-      ctxCounts: Map[String, Long], v: Long)
+  final case class ServeModel(pairBits: Map[String, Map[String, Int]],
+      ctxDefaultBits: Map[String, Int], unseenBits: Int, v: Long)
 
   def collectServeModel(model: BigramModel,
       maxEntries: Int = 65536): ServeModel = {
-    val pc = model.pairCounts.collect()
-      .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2))
-      .toMap
-    require(pc.size <= maxEntries,
-      s"collectServeModel: ${pc.size} bigrams exceed the $maxEntries" +
-        " in-process bound — serve this model via the broadcast-join" +
-        " batch path instead")
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val v = model.vocab.collect().head.getLong(0)
     val ctx = model.ctxCounts.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = model.vocab.collect().head.getLong(0)
-    ServeModel(pc, ctx, v)
+    val pcRows = model.pairCounts.collect()
+    require(pcRows.length <= maxEntries,
+      s"collectServeModel: ${pcRows.length} bigrams exceed the" +
+        s" $maxEntries in-process bound — serve this model via the" +
+        " broadcast-join batch path instead")
+    val pair = pcRows
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (prev, rs) =>
+        val den = ctx(prev) + v
+        prev -> rs.map(r => r._2 -> (bitlen(den) - bitlen(r._3 + 1L))).toMap
+      }
+    ServeModel(pair,
+      ctx.map { case (prev, c) => prev -> (bitlen(c + v) - 1) },
+      bitlen(v) - 1, v)
   }
 
-  /** Per-ROW surprisal over a token array against the collected model:
-    * map-literal lookups + the same integer bit-length arithmetic, no
-    * join, no aggregation — streaming-safe anywhere a column is. Yields
-    * a struct (n_scored, total_bits, bpt); total_bits/bpt are NULL for
-    * < 2 tokens, exactly `surprisalBits`' contract (the two paths are
-    * equal row-for-row; NgramLmSpec pins it).
-    */
-  def surprisalBitsLocal(serve: ServeModel, toks: Column): Column = {
-    val pcLit = typedLit(serve.pairCounts)
-    val ctxLit = typedLit(serve.ctxCounts)
-    val pairBits = transform(tokenPairs(toks), p =>
-      bitsExpr(
-        element_at(pcLit, concat_ws(" ", p.getField("prev"),
-          p.getField("cur"))),
+  private def pairBitsArr(serve: ServeModel, toks: Column): Column = {
+    val pairLit = typedLit(serve.pairBits)
+    val ctxLit = typedLit(serve.ctxDefaultBits)
+    transform(tokenPairs(toks), p =>
+      coalesce(
+        element_at(element_at(pairLit, p.getField("prev")),
+          p.getField("cur")),
         element_at(ctxLit, p.getField("prev")),
-        lit(serve.v)))
-    val n = size(pairBits).cast("long")
-    val total = when(n > 0,
-      aggregate(pairBits, lit(0L), (acc, b) => acc + b))
-    struct(n.as("n_scored"), total.as("total_bits"),
-      (total.cast("double") / n).as("bpt"))
+        lit(serve.unseenBits)).cast("long"))
   }
+
+  /** ONE aggregate pass over the per-pair bits, finished by `fin` over
+    * the (sum, count) accumulator. Single-pass matters twice over:
+    * higher-order functions are interpreted without common-
+    * subexpression elimination, so (a) referencing the pair array from
+    * several output expressions re-evaluates the WHOLE fold per
+    * reference, and (b) callers must hand in `toks` as a MATERIALIZED
+    * column (project `tokens(text)` first, then fold over the
+    * attribute) — an inlined split(text) child would be re-split by
+    * every element_at inside the lambda, O(tokens²) per document.
+    * T28Probe measured the two together as a 10x difference.
+    */
+  private def foldBits(serve: ServeModel, toks: Column,
+      fin: (Column, Column) => Column): Column =
+    aggregate(pairBitsArr(serve, toks),
+      struct(lit(0L).as("s"), lit(0L).as("c")),
+      (acc, b) => struct((acc.getField("s") + b).as("s"),
+        (acc.getField("c") + lit(1L)).as("c")),
+      acc => fin(acc.getField("s"), acc.getField("c")))
+
+  /** Per-ROW surprisal over a token array against the collected model:
+    * nested map-literal lookups of precomputed bits, no join, no
+    * aggregation — streaming-safe anywhere a column is. Yields a
+    * struct (n_scored, total_bits, bpt); total_bits/bpt are NULL for
+    * < 2 tokens, exactly `surprisalBits`' contract (the two paths are
+    * equal row-for-row; NgramLmSpec pins it). Extract ONE field per
+    * projection where possible — see `foldBits` — or use
+    * `surprisalBandLocal` for the band-census shape.
+    */
+  def surprisalBitsLocal(serve: ServeModel, toks: Column): Column =
+    foldBits(serve, toks, (s, c) => {
+      val total = when(c > 0, s)
+      struct(c.as("n_scored"), total.as("total_bits"),
+        (total.cast("double") / c).as("bpt"))
+    })
+
+  /** The perplexity BAND of one document (floor bits-per-token; NULL
+    * under 2 tokens) as a single scalar column — the band-census serve
+    * shape (t28): one fold, one output, no struct extraction.
+    */
+  def surprisalBandLocal(serve: ServeModel, toks: Column): Column =
+    foldBits(serve, toks, (s, c) =>
+      when(c > 0, floor(s.cast("double") / c).cast("long")))
 }

@@ -929,10 +929,16 @@ object TimeSeriesQueries {
         val serve = graft.operators.NgramLm.collectServeModel(
           graft.operators.NgramLm.trainBigram(
             d.where(col("doc_id") % 7 === 0), "text"))
+        // two-step projection ON PURPOSE: the fold reads the token
+        // array as a materialized attribute (CollapseProject keeps the
+        // boundary for a multiply-referenced non-cheap alias); inlining
+        // tokens(text) would re-split the text inside every lambda
+        // element_at — see NgramLm.foldBits
         val census = Tables.loadStream(s, dir, "documents")
-          .select(graft.operators.NgramLm.surprisalBitsLocal(serve,
-            graft.functions.TextFunctions.tokens(col("text"))).as("sc"))
-          .select(floor(col("sc.bpt")).cast("long").as("k"))
+          .select(graft.functions.TextFunctions.tokens(col("text"))
+            .as("toks"))
+          .select(graft.operators.NgramLm
+            .surprisalBandLocal(serve, col("toks")).as("k"))
           .groupBy(col("k"))
           .agg(count(lit(1)).as("n_docs"))
         runBounded(s, census, "t28_stream_perplexity_mem", "complete",

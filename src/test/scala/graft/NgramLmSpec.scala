@@ -70,15 +70,29 @@ class NgramLmSpec extends SparkSpec {
           if (r.isNullAt(3)) null else r.getDouble(3))).toMap
       val serve = NgramLm.collectServeModel(model)
       val fold = docs
-        .select(col("doc_id"), NgramLm.surprisalBitsLocal(serve,
-          graft.functions.TextFunctions.tokens(col("text"))).as("sc"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          NgramLm.surprisalBitsLocal(serve, col("toks")).as("sc"))
         .select(col("doc_id"), col("sc.n_scored"), col("sc.total_bits"),
           col("sc.bpt"))
         .collect()
         .map(r => r.getLong(0) -> (r.getLong(1),
           if (r.isNullAt(2)) null else r.getLong(2),
           if (r.isNullAt(3)) null else r.getDouble(3))).toMap
-      join == fold
+      val band = docs
+        .select(graft.functions.TextFunctions.tokens(col("text"))
+          .as("toks"))
+        .select(NgramLm.surprisalBandLocal(serve, col("toks")).as("k"))
+        .collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+      val bandWant = docs.select(col("doc_id")).collect().map(_.getLong(0))
+        .map(id => join(id)._3 match {
+          case null => null
+          case d: java.lang.Double => java.lang.Long.valueOf(
+            math.floor(d.doubleValue).toLong)
+        })
+      join == fold && band.toSeq == bandWant.toSeq
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
