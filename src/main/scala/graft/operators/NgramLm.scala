@@ -39,12 +39,25 @@ object NgramLm {
   /** Adjacent (prev, cur) token-pair structs of a token array. The
     * `size >= 2` guard matters: Spark's `sequence(1, 0)` counts DOWN.
     */
-  def tokenPairs(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("prev"),
-          element_at(toks, i + 1).as("cur"))))
+  def tokenPairs(toks: Column): Column = ngramPairs(toks, 2)
+
+  /** (context, cur) structs for an order-n model: context = the n-1
+    * preceding tokens space-joined into ONE key string (tokens are
+    * whitespace-split, so the join is unambiguous), cur = the
+    * conditioned token. order=2 is `tokenPairs`; order=3 gives the
+    * trigram frame with the SAME (prev, cur) schema, so the whole
+    * count/score machinery below is order-generic for free.
+    */
+  def ngramPairs(toks: Column, order: Int): Column = {
+    require(order >= 2, "ngramPairs needs order >= 2")
+    val ctxLen = order - 1
+    when(size(toks) >= order,
+      transform(sequence(lit(1), size(toks) - lit(ctxLen)),
+        i => struct(
+          concat_ws(" ", slice(toks, i, lit(ctxLen))).as("prev"),
+          element_at(toks, i + lit(ctxLen)).as("cur"))))
       .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+  }
 
   /** The trained artifact: bigram counts (prev, cur, pair_c), context
     * counts (prev, ctx_c — the row sums of the pair table), and the
@@ -53,13 +66,16 @@ object NgramLm {
   final case class BigramModel(pairCounts: DataFrame, ctxCounts: DataFrame,
       vocab: DataFrame)
 
-  /** Train the add-one bigram model on `train` (the held-out clean
-    * slice): one adjacent-pair count aggregate, context counts derived
-    * from it, distinct-token vocab size.
+  /** Train the add-one order-n model on `train` (the held-out clean
+    * slice): one adjacent-ngram count aggregate, context counts
+    * derived from it, distinct-token (unigram) vocab size for the
+    * smoothing denominator. Default order 2 = the bigram model.
     */
-  def trainBigram(train: DataFrame, textCol: String): BigramModel = {
+  def trainBigram(train: DataFrame, textCol: String,
+      order: Int = 2): BigramModel = {
     val pc = train
-      .select(explode(tokenPairs(TextFunctions.tokens(col(textCol))))
+      .select(explode(
+          ngramPairs(TextFunctions.tokens(col(textCol)), order))
         .as("p"))
       .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
       .groupBy(col("prev"), col("cur"))
@@ -87,10 +103,11 @@ object NgramLm {
     * condition nothing).
     */
   def surprisalBits(docs: DataFrame, idCol: String, textCol: String,
-      model: BigramModel): DataFrame = {
+      model: BigramModel, order: Int = 2): DataFrame = {
     val ap = docs
       .select(col(idCol).as("doc_id"),
-        explode(tokenPairs(TextFunctions.tokens(col(textCol)))).as("p"))
+        explode(ngramPairs(TextFunctions.tokens(col(textCol)), order))
+          .as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"),
         col("p.cur").as("cur"))
     val scored = ap

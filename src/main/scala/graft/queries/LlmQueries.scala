@@ -109,6 +109,42 @@ object LlmQueries {
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        |WHERE cos >= $threshold""".stripMargin
 
+  /** l83/l86's shared assembly: train the order-n count LM on the
+    * clean slice, score every document (one checkpointed per-doc
+    * frame), and emit the band census + top/bottom-10 card.
+    */
+  private def perplexityCard(s: org.apache.spark.sql.SparkSession,
+      dir: String, order: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents")
+    val model = NgramLm.trainBigram(
+      d.where(col("doc_id") % 7 === 0), "text", order)
+    val pd = NgramLm.surprisalBits(d, "doc_id", "text", model, order)
+      .localCheckpoint(eager = true)
+    val bands = pd
+      .groupBy(floor(col("bpt")).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("band").as("section"), col("k"),
+        lit(null).cast("long").as("doc_id"), col("n_docs"),
+        lit(null).cast("long").as("n_scored"),
+        lit(null).cast("long").as("total_bits"),
+        lit(null).cast("double").as("bpt"))
+    def extreme(tag: String, descending: Boolean) = {
+      val key = if (descending) col("bpt").desc else col("bpt").asc
+      pd.where(col("bpt").isNotNull)
+        .orderBy(key, col("doc_id"))
+        .limit(10)
+        .withColumn("k",
+          row_number().over(Window.orderBy(key, col("doc_id")))
+            .cast("long"))
+        .select(lit(tag).as("section"), col("k"), col("doc_id"),
+          lit(null).cast("long").as("n_docs"), col("n_scored"),
+          col("total_bits"), col("bpt"))
+    }
+    bands.unionByName(extreme("top", descending = true))
+      .unionByName(extreme("bot", descending = false))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -2136,37 +2172,7 @@ object LlmQueries {
     QuerySpec(
       "l83_lm_perplexity",
       "add-one-smoothed bigram LM quality filter — the real CCNet/Gopher-style perplexity shape l44's vocabulary coverage stood in for: the model trains on the held-out clean slice doc_id%7=0 (one pair-count aggregate; context counts DERIVED from the pair table; both vocab-bounded and broadcast), every document is scored by its per-token surprisal, and the output is the log2-perplexity BAND census plus the top/bottom-10 documents by bits-per-token (high = garble candidates, low = boilerplate). Surprisal is the INTEGER-QUANTIZED log2 — bits = bitlen(ctxCount+V) - bitlen(pairCount+1) via length(bin(x)), pure BIGINT arithmetic on both engines (the l47 rational no-libm discipline; bands of quantized bits-per-token ARE perplexity bands, 2^bpt) — so the whole frame hash-matches; per-doc scores localCheckpoint'ed once and shared by all three sections (the l55 pattern)",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val d = Tables.load(s, dir, "documents")
-        val model = NgramLm.trainBigram(
-          d.where(col("doc_id") % 7 === 0), "text")
-        val pd = NgramLm.surprisalBits(d, "doc_id", "text", model)
-          .localCheckpoint(eager = true)
-        val bands = pd
-          .groupBy(floor(col("bpt")).cast("long").as("k"))
-          .agg(count(lit(1)).as("n_docs"))
-          .select(lit("band").as("section"), col("k"),
-            lit(null).cast("long").as("doc_id"), col("n_docs"),
-            lit(null).cast("long").as("n_scored"),
-            lit(null).cast("long").as("total_bits"),
-            lit(null).cast("double").as("bpt"))
-        def extreme(tag: String, descending: Boolean) = {
-          val key =
-            if (descending) col("bpt").desc else col("bpt").asc
-          pd.where(col("bpt").isNotNull)
-            .orderBy(key, col("doc_id"))
-            .limit(10)
-            .withColumn("k",
-              row_number().over(Window.orderBy(key, col("doc_id")))
-                .cast("long"))
-            .select(lit(tag).as("section"), col("k"), col("doc_id"),
-              lit(null).cast("long").as("n_docs"), col("n_scored"),
-              col("total_bits"), col("bpt"))
-        }
-        bands.unionByName(extreme("top", descending = true))
-          .unionByName(extreme("bot", descending = false))
-      },
+      (s, dir) => perplexityCard(s, dir, order = 2),
       Some("""WITH tk AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS t
              |  FROM documents),
@@ -2280,6 +2286,67 @@ object LlmQueries {
              |       ELSE CAST(8 + (doc_id * 3) % 16 AS INT) END AS height,
              |  CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
              |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l86_lm_trigram",
+      "l83's perplexity filter at order 3 — the trigram count LM (one step closer to CCNet's 5-gram KenLM shape): the (n-1)-token context is space-joined into ONE key string (tokens are whitespace-split, so the join is unambiguous), which makes the whole count/score machinery order-generic — same add-one smoothing over the unigram vocab, same integer bit-length surprisal, same broadcast count tables, same band census + top/bottom-10 frame; docs under 3 tokens condition nothing (NULL band). Longer contexts sharpen the filter: seen trigrams score near their context entropy while unseen contexts fall to the uniform 1/V floor, so the band spread widens vs l83 — the reason production filters climb n until the count tables stop fitting",
+      (s, dir) => perplexityCard(s, dir, order = 3),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT doc_id,
+             |    unnest([{'prev': array_to_string(t[i:i+1], ' '),
+             |             'cur': t[i+2]}
+             |            for i in range(1, len(t) - 1)],
+             |           recursive := true)
+             |  FROM tk),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS v FROM (
+             |    SELECT unnest(t) AS tok FROM tk WHERE doc_id % 7 = 0)),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_c FROM ap
+             |  WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_c) AS BIGINT) AS ctx_c
+             |  FROM pc GROUP BY 1),
+             |sc AS (
+             |  SELECT ap.doc_id,
+             |    length(bin(coalesce(ctx.ctx_c, 0) + (SELECT v FROM v)))
+             |      - length(bin(coalesce(pc.pair_c, 0) + 1)) AS bits
+             |  FROM ap
+             |  LEFT JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  LEFT JOIN ctx ON ap.prev = ctx.prev),
+             |pd AS (
+             |  SELECT d.doc_id,
+             |    count(sc.bits) AS n_scored,
+             |    CAST(sum(sc.bits) AS BIGINT) AS total_bits
+             |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |  GROUP BY 1),
+             |pdd AS (
+             |  SELECT doc_id, n_scored, total_bits,
+             |    CASE WHEN n_scored > 0
+             |      THEN CAST(total_bits AS DOUBLE) / n_scored END AS bpt
+             |  FROM pd)
+             |SELECT 'band' AS section, CAST(floor(bpt) AS BIGINT) AS k,
+             |  CAST(NULL AS BIGINT) AS doc_id, count(*) AS n_docs,
+             |  CAST(NULL AS BIGINT) AS n_scored,
+             |  CAST(NULL AS BIGINT) AS total_bits,
+             |  CAST(NULL AS DOUBLE) AS bpt
+             |FROM pdd GROUP BY 2
+             |UNION ALL
+             |SELECT 'top', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt DESC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10
+             |UNION ALL
+             |SELECT 'bot', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt ASC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10"""
+        .stripMargin))
   )
 }

@@ -36,6 +36,26 @@ class NgramLmSpec extends SparkSpec {
     assert(got(2L)._1 === 0L && got(2L)._2 === -1L && got(2L)._3.isNaN)
   }
 
+  test("order-3 model: space-joined contexts, hand-computed scores") {
+    // train "a b c a b c": triples ("a b",c)x2 ("b c",a) ("c a",b); V=3
+    // ctx: "a b"->2, "b c"->1, "c a"->1
+    val model = NgramLm.trainBigram(docsDF(Seq("a b c a b c")), "text",
+      order = 3)
+    val pc = model.pairCounts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pc === Map(("a b", "c") -> 2L, ("b c", "a") -> 1L,
+      ("c a", "b") -> 1L))
+    // "a b c": ("a b",c) num=3 den=5 -> 1 bit; "a b": conditions nothing
+    val got = NgramLm.surprisalBits(docsDF(Seq("a b c", "a b")),
+        "doc_id", "text", model, order = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      .toMap
+    assert(got(0L) === ((1L, 1.0)))
+    assert(got(1L)._1 === 0L && got(1L)._2.isNaN)
+  }
+
   test("property: quantized surprisal is within 1 bit of -log2 p") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
