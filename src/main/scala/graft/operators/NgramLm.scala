@@ -96,6 +96,24 @@ object NgramLm {
     (length(bin(coalesce(ctxC, lit(0L)) + v))
       - length(bin(coalesce(pairC, lit(0L)) + lit(1L)))).cast("long")
 
+  /** The per-doc assembly shared by every scorer: sum the per-pair
+    * bits, restore unscored documents (n_scored 0, NULL bits), emit
+    * the bits-per-token mean. `scored` is a (doc_id, bits) frame.
+    */
+  private def perDocBits(docs: DataFrame, idCol: String,
+      scored: DataFrame): DataFrame = {
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(col("bits")).as("n_scored"),
+        sum(col("bits")).as("total_bits"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("total_bits"),
+        when(coalesce(col("n_scored"), lit(0L)) > 0,
+          col("total_bits").cast("double") / col("n_scored")).as("bpt"))
+  }
+
   /** Score every document against the model: (doc_id, n_scored,
     * total_bits, bpt) where n_scored is the number of conditioned
     * tokens (pairs), total_bits their summed quantized surprisal, bpt
@@ -116,16 +134,58 @@ object NgramLm {
       .crossJoin(broadcast(model.vocab))
       .select(col("doc_id"),
         bitsExpr(col("pair_c"), col("ctx_c"), col("v")).as("bits"))
-    val perDoc = scored.groupBy(col("doc_id"))
-      .agg(count(col("bits")).as("n_scored"),
-        sum(col("bits")).as("total_bits"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    perDocBits(docs, idCol, scored)
+  }
+
+  /** The interpolated model: the bigram artifact plus unigram counts
+    * (cur, uni_c) and the one-row train-token total (n).
+    */
+  final case class BackoffModel(base: BigramModel, uniCounts: DataFrame,
+      totals: DataFrame)
+
+  def trainBackoff(train: DataFrame, textCol: String): BackoffModel = {
+    val toks = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    BackoffModel(trainBigram(train, textCol),
+      toks.groupBy(col("tok").as("cur")).agg(count(lit(1)).as("uni_c")),
+      toks.agg(count(lit(1)).as("n")))
+  }
+
+  /** Interpolated bigram↔unigram scoring — the smoothing shape real
+    * CCNet-style LM filters use (a raw add-one bigram over-penalizes
+    * frequent words after unseen contexts): p = ½·p_bi + ½·p_uni with
+    * p_bi = (pair+1)/(ctx+V) and p_uni = (uni+1)/(N+V), carried as ONE
+    * exact BIGINT rational — num = pbn·pud + pun·pbd, den = 2·pbd·pud
+    * (num <= den since each mixture component is <= 1) — and quantized
+    * to bits = bitlen(den) - bitlen(num) like `surprisalBits`, so the
+    * output stays hash-exact with zero libm. Exactness bound: the den
+    * product must fit a BIGINT, i.e. (ctx+V)·(N+V) < 2^62 — true for
+    * any count table a broadcast join would ship; a corpus past that
+    * scales its counts down first (the standard KenLM quantization
+    * step, which this integer discipline models anyway).
+    */
+  def backoffBits(docs: DataFrame, idCol: String, textCol: String,
+      model: BackoffModel): DataFrame = {
+    val ap = docs
+      .select(col(idCol).as("doc_id"),
+        explode(ngramPairs(TextFunctions.tokens(col(textCol)), 2))
+          .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"),
+        col("p.cur").as("cur"))
+    val pbd = coalesce(col("ctx_c"), lit(0L)) + col("v")
+    val pud = col("n") + col("v")
+    val num = (coalesce(col("pair_c"), lit(0L)) + lit(1L)) * pud +
+      (coalesce(col("uni_c"), lit(0L)) + lit(1L)) * pbd
+    val den = lit(2L) * pbd * pud
+    val scored = ap
+      .join(broadcast(model.base.pairCounts), Seq("prev", "cur"), "left")
+      .join(broadcast(model.base.ctxCounts), Seq("prev"), "left")
+      .join(broadcast(model.uniCounts), Seq("cur"), "left")
+      .crossJoin(broadcast(model.base.vocab))
+      .crossJoin(broadcast(model.totals))
       .select(col("doc_id"),
-        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
-        col("total_bits"),
-        when(coalesce(col("n_scored"), lit(0L)) > 0,
-          col("total_bits").cast("double") / col("n_scored")).as("bpt"))
+        (length(bin(den)) - length(bin(num))).cast("long").as("bits"))
+    perDocBits(docs, idCol, scored)
   }
 
   /** The collected serve-time artifact (the t25 codebook-at-boot

@@ -115,12 +115,20 @@ object LlmQueries {
     */
   private def perplexityCard(s: org.apache.spark.sql.SparkSession,
       dir: String, order: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = Tables.load(s, dir, "documents")
     val model = NgramLm.trainBigram(
       d.where(col("doc_id") % 7 === 0), "text", order)
-    val pd = NgramLm.surprisalBits(d, "doc_id", "text", model, order)
-      .localCheckpoint(eager = true)
+    cardOf(NgramLm.surprisalBits(d, "doc_id", "text", model, order))
+  }
+
+  /** Band census + top/bottom-10 card over a (doc_id, n_scored,
+    * total_bits, bpt) per-doc score frame (checkpointed once, shared
+    * by the three sections).
+    */
+  private def cardOf(pd0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pd = pd0.localCheckpoint(eager = true)
     val bands = pd
       .groupBy(floor(col("bpt")).cast("long").as("k"))
       .agg(count(lit(1)).as("n_docs"))
@@ -2318,6 +2326,80 @@ object LlmQueries {
              |  FROM ap
              |  LEFT JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
              |  LEFT JOIN ctx ON ap.prev = ctx.prev),
+             |pd AS (
+             |  SELECT d.doc_id,
+             |    count(sc.bits) AS n_scored,
+             |    CAST(sum(sc.bits) AS BIGINT) AS total_bits
+             |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |  GROUP BY 1),
+             |pdd AS (
+             |  SELECT doc_id, n_scored, total_bits,
+             |    CASE WHEN n_scored > 0
+             |      THEN CAST(total_bits AS DOUBLE) / n_scored END AS bpt
+             |  FROM pd)
+             |SELECT 'band' AS section, CAST(floor(bpt) AS BIGINT) AS k,
+             |  CAST(NULL AS BIGINT) AS doc_id, count(*) AS n_docs,
+             |  CAST(NULL AS BIGINT) AS n_scored,
+             |  CAST(NULL AS BIGINT) AS total_bits,
+             |  CAST(NULL AS DOUBLE) AS bpt
+             |FROM pdd GROUP BY 2
+             |UNION ALL
+             |SELECT 'top', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt DESC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10
+             |UNION ALL
+             |SELECT 'bot', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt ASC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10"""
+        .stripMargin)),
+
+    QuerySpec(
+      "l87_lm_backoff",
+      "interpolated bigram<->unigram LM scoring — the smoothing shape production CCNet-style filters actually use (a raw add-one bigram over-penalizes frequent words after unseen contexts; l83 is the textbook baseline, this is the deployable variant): p = 1/2 p_bi + 1/2 p_uni carried as ONE exact BIGINT rational (num = pbn*pud + pun*pbd, den = 2*pbd*pud — each mixture component <= 1 so num <= den) and quantized to bit-length surprisal exactly like l83, so the band census + top/bottom-10 card stays hash-exact with zero libm; the unigram table and train-token total join broadcast alongside the bigram tables — same one-scan-per-doc scoring plan, one extra vocab-bounded broadcast",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val model = NgramLm.trainBackoff(
+          d.where(col("doc_id") % 7 === 0), "text")
+        cardOf(NgramLm.backoffBits(d, "doc_id", "text", model))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT doc_id,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]}
+             |            for i in range(1, len(t))], recursive := true)
+             |  FROM tk),
+             |trtok AS (
+             |  SELECT unnest(t) AS tok FROM tk WHERE doc_id % 7 = 0),
+             |v AS (SELECT count(DISTINCT tok) AS v FROM trtok),
+             |tot AS (SELECT count(*) AS n FROM trtok),
+             |uni AS (SELECT tok AS cur, count(*) AS uni_c
+             |        FROM trtok GROUP BY 1),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_c FROM ap
+             |  WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_c) AS BIGINT) AS ctx_c
+             |  FROM pc GROUP BY 1),
+             |sc AS (
+             |  SELECT ap.doc_id,
+             |    length(bin(2 * (coalesce(ctx.ctx_c, 0) + (SELECT v FROM v))
+             |                 * ((SELECT n FROM tot) + (SELECT v FROM v))))
+             |    - length(bin(
+             |        (coalesce(pc.pair_c, 0) + 1)
+             |          * ((SELECT n FROM tot) + (SELECT v FROM v))
+             |        + (coalesce(uni.uni_c, 0) + 1)
+             |          * (coalesce(ctx.ctx_c, 0) + (SELECT v FROM v))))
+             |      AS bits
+             |  FROM ap
+             |  LEFT JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  LEFT JOIN ctx ON ap.prev = ctx.prev
+             |  LEFT JOIN uni ON ap.cur = uni.cur),
              |pd AS (
              |  SELECT d.doc_id,
              |    count(sc.bits) AS n_scored,

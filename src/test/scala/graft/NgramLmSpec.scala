@@ -36,6 +36,24 @@ class NgramLmSpec extends SparkSpec {
     assert(got(2L)._1 === 0L && got(2L)._2 === -1L && got(2L)._3.isNaN)
   }
 
+  test("backoff model: hand-computed interpolated rational scores") {
+    // train "a b a b c": pairs (a,b)x2 (b,a) (b,c); ctx a->2 b->2;
+    // uni a:2 b:2 c:1; N=5; V=3
+    val model = NgramLm.trainBackoff(docsDF(Seq("a b a b c")), "text")
+    // "a b": (a,b) pbn=3 pbd=5 pun=uni(b)+1=3 pud=N+V=8
+    //   num = 3*8 + 3*5 = 39, den = 2*5*8 = 80
+    //   bits = bitlen(80)=7 - bitlen(39)=6 = 1
+    // "z q": pbn=1 pbd=0+3 pun=1 pud=8
+    //   num = 1*8 + 1*3 = 11, den = 2*3*8 = 48
+    //   bits = bitlen(48)=6 - bitlen(11)=4 = 2
+    val got = NgramLm.backoffBits(docsDF(Seq("a b", "z q")),
+        "doc_id", "text", model)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) === ((1L, 1L)))
+    assert(got(1L) === ((1L, 2L)))
+  }
+
   test("order-3 model: space-joined contexts, hand-computed scores") {
     // train "a b c a b c": triples ("a b",c)x2 ("b c",a) ("c a",b); V=3
     // ctx: "a b"->2, "b c"->1, "c a"->1
