@@ -279,4 +279,61 @@ object NgramLm {
   def surprisalBandLocal(serve: ServeModel, toks: Column): Column =
     foldBits(serve, toks, (s, c) =>
       when(c > 0, floor(s.cast("double") / c).cast("long")))
+
+  /** The collected backoff artifact. Unlike the pure-bigram
+    * `ServeModel`, the surprisal of an (unseen-pair, seen-cur) event
+    * depends on BOTH the context and the continuation, so bits cannot
+    * be fully precomputed — the serve fold carries the count maps and
+    * does the rational arithmetic per pair (the fold itself is the
+    * cheap part once single-pass over a materialized token column).
+    */
+  final case class BackoffServeModel(pairC: Map[String, Map[String, Long]],
+      ctxC: Map[String, Long], uniC: Map[String, Long], n: Long, v: Long)
+
+  def collectBackoffServeModel(model: BackoffModel,
+      maxEntries: Int = 65536): BackoffServeModel = {
+    val pcRows = model.base.pairCounts.collect()
+    require(pcRows.length <= maxEntries,
+      s"collectBackoffServeModel: ${pcRows.length} bigrams exceed the" +
+        s" $maxEntries in-process bound — serve via the broadcast-join" +
+        " batch path instead")
+    BackoffServeModel(
+      pcRows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (p, rs) => p -> rs.map(r => r._2 -> r._3).toMap },
+      model.base.ctxCounts.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      model.uniCounts.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      model.totals.collect().head.getLong(0),
+      model.base.vocab.collect().head.getLong(0))
+  }
+
+  /** Per-row interpolated band (t31's serve shape): same exact BIGINT
+    * rational as `backoffBits`, computed in one fold per document.
+    */
+  def backoffBandLocal(serve: BackoffServeModel, toks: Column): Column = {
+    val pairLit = typedLit(serve.pairC)
+    val ctxLit = typedLit(serve.ctxC)
+    val uniLit = typedLit(serve.uniC)
+    val pairBits = transform(tokenPairs(toks), p => {
+      val pbd = coalesce(element_at(ctxLit, p.getField("prev")), lit(0L)) +
+        lit(serve.v)
+      val pud = lit(serve.n + serve.v)
+      val num = (coalesce(element_at(element_at(pairLit,
+          p.getField("prev")), p.getField("cur")), lit(0L)) + lit(1L)) *
+        pud +
+        (coalesce(element_at(uniLit, p.getField("cur")), lit(0L)) +
+          lit(1L)) * pbd
+      (length(bin(lit(2L) * pbd * pud)) - length(bin(num))).cast("long")
+    })
+    aggregate(pairBits,
+      struct(lit(0L).as("s"), lit(0L).as("c")),
+      (acc, b) => struct((acc.getField("s") + b).as("s"),
+        (acc.getField("c") + lit(1L)).as("c")),
+      acc => {
+        val (s, c) = (acc.getField("s"), acc.getField("c"))
+        when(c > 0, floor(s.cast("double") / c).cast("long"))
+      })
+  }
 }

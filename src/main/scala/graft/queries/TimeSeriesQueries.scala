@@ -1045,6 +1045,69 @@ object TimeSeriesQueries {
              |SELECT format, count(*) AS n_items,
              |  CAST(sum(w) AS BIGINT) AS w_sum,
              |  CAST(sum(h) AS BIGINT) AS h_sum
-             |FROM m GROUP BY format""".stripMargin))
+             |FROM m GROUP BY format""".stripMargin)),
+
+    QuerySpec(
+      "t31_stream_backoff",
+      "the streaming face of l87's interpolated backoff scorer — the deployable LM filter at ingest: bigram/context/unigram count maps plus the (N, V) scalars are driver-collected once at serve start (unlike t28's pure-bigram model the surprisal of an unseen-pair/seen-continuation event depends on BOTH sides, so bits cannot be precomputed — the per-row fold carries the maps and does the exact BIGINT rational per pair, single-pass over a materialized token column), and the only state is the complete-mode perplexity-band census. The oracle recomputes the bands through l87's join formulation, so the hash only matches if the fold's rational arithmetic is token-for-token identical",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val serve = graft.operators.NgramLm.collectBackoffServeModel(
+          graft.operators.NgramLm.trainBackoff(
+            d.where(col("doc_id") % 7 === 0), "text"))
+        val census = Tables.loadStream(s, dir, "documents")
+          .select(graft.functions.TextFunctions.tokens(col("text"))
+            .as("toks"))
+          .select(graft.operators.NgramLm
+            .backoffBandLocal(serve, col("toks")).as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_docs"))
+        runBounded(s, census, "t31_stream_backoff_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT doc_id,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]}
+             |            for i in range(1, len(t))], recursive := true)
+             |  FROM tk),
+             |trtok AS (
+             |  SELECT unnest(t) AS tok FROM tk WHERE doc_id % 7 = 0),
+             |v AS (SELECT count(DISTINCT tok) AS v FROM trtok),
+             |tot AS (SELECT count(*) AS n FROM trtok),
+             |uni AS (SELECT tok AS cur, count(*) AS uni_c
+             |        FROM trtok GROUP BY 1),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_c FROM ap
+             |  WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_c) AS BIGINT) AS ctx_c
+             |  FROM pc GROUP BY 1),
+             |sc AS (
+             |  SELECT ap.doc_id,
+             |    length(bin(2 * (coalesce(ctx.ctx_c, 0) + (SELECT v FROM v))
+             |                 * ((SELECT n FROM tot) + (SELECT v FROM v))))
+             |    - length(bin(
+             |        (coalesce(pc.pair_c, 0) + 1)
+             |          * ((SELECT n FROM tot) + (SELECT v FROM v))
+             |        + (coalesce(uni.uni_c, 0) + 1)
+             |          * (coalesce(ctx.ctx_c, 0) + (SELECT v FROM v))))
+             |      AS bits
+             |  FROM ap
+             |  LEFT JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  LEFT JOIN ctx ON ap.prev = ctx.prev
+             |  LEFT JOIN uni ON ap.cur = uni.cur),
+             |pd AS (
+             |  SELECT d.doc_id, count(sc.bits) AS n_scored,
+             |    CAST(sum(sc.bits) AS BIGINT) AS total_bits
+             |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |  GROUP BY 1)
+             |SELECT CAST(floor(CASE WHEN n_scored > 0
+             |    THEN CAST(total_bits AS DOUBLE) / n_scored END)
+             |    AS BIGINT) AS k,
+             |  count(*) AS n_docs
+             |FROM pd GROUP BY 1""".stripMargin))
   )
 }

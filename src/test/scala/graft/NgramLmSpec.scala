@@ -137,6 +137,37 @@ class NgramLmSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: backoff serve fold equals the join path band-for-band") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("a", "b", "c", "dd", "e")
+    val doc = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 8).flatMap(Gen.listOfN(_, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = docsDF(texts)
+      val model = NgramLm.trainBackoff(
+        docs.where(col("doc_id") % 2 === 0), "text")
+      val join = NgramLm.backoffBits(docs, "doc_id", "text", model)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null
+          else java.lang.Long.valueOf(
+            math.floor(r.getDouble(3)).toLong))).toMap
+      val serve = NgramLm.collectBackoffServeModel(model)
+      val fold = docs
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          NgramLm.backoffBandLocal(serve, col("toks")).as("k"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+          else java.lang.Long.valueOf(r.getLong(1)))).toMap
+      join == fold
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("collectServeModel refuses an over-bound bigram table") {
     val model = NgramLm.trainBigram(docsDF(Seq("a b c d e")), "text")
     intercept[IllegalArgumentException] {
