@@ -221,20 +221,30 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](contentIdx)
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          var fmtInUse: Option[String] = None
+          // the CACHE key the reader sits under (sniff token or
+          // SPI-derived name) — remembered at insertion, because
+          // re-deriving it from reader.getFormatName in the catch could
+          // name a different string than the sniff token for plugins
+          // whose first format name differs, leaving the poisoned
+          // reader cached
+          var cacheKey: Option[String] = None
           try {
             val reader = sniffed(bytes) match {
-              case Some(fmt) => readers.getOrElseUpdate(fmt,
-                javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+              case Some(fmt) =>
+                cacheKey = Some(fmt)
+                readers.getOrElseUpdate(fmt,
+                  javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+                    .next())
               case None =>
                 val it = javax.imageio.ImageIO.getImageReaders(iis)
                 if (!it.hasNext) throw new IllegalArgumentException(
                   s"no installed ImageReader understands the ${bytes.length}" +
                     "-byte stream (unknown signature)")
                 val rd = it.next()
-                readers.getOrElseUpdate(rd.getFormatName.toLowerCase, rd)
+                val k = rd.getFormatName.toLowerCase
+                cacheKey = Some(k)
+                readers.getOrElseUpdate(k, rd)
             }
-            fmtInUse = Some(reader.getFormatName.toLowerCase)
             reader.setInput(iis)
             // header-only reads: no pixel materialization for metadata
             Row(r.getLong(idIdx), reader.getWidth(0), reader.getHeight(0),
@@ -242,9 +252,9 @@ object Multimodal {
           } catch {
             case scala.util.control.NonFatal(e) if quarantine =>
               // a reader that threw mid-decode may hold poisoned state:
-              // drop it from the per-batch cache so the next row gets a
-              // fresh instance
-              fmtInUse.foreach(f => readers.remove(f).foreach(_.dispose()))
+              // drop it from the per-batch cache (by the key it was
+              // inserted under) so the next row gets a fresh instance
+              cacheKey.foreach(k => readers.remove(k).foreach(_.dispose()))
               Row(r.getLong(idIdx), null, null, "corrupt")
           } finally iis.close()
         }

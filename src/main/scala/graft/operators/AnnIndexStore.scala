@@ -27,21 +27,43 @@ object AnnIndexStore {
   private final case class Key(appId: String, dir: String, nCentroids: Int,
       trainIters: Int, m: Int, nCodes: Int, pqTrainIters: Int)
 
+  /** The harness's ONE shared build parameterization — 8 coarse
+    * centroids (seeded, no Lloyd iterations — deterministic), m=16
+    * sub-blocks at 64 codes with one PQ training round, the l72
+    * fidelity-grade codebook. Single source of truth: `sharedIndex`'s
+    * defaults and `sharedServe`'s cache key both read THESE constants,
+    * so they cannot silently desync.
+    */
+  val DefaultNCentroids = 8
+  val DefaultTrainIters = 0
+  val DefaultM = 16
+  val DefaultNCodes = 64
+  val DefaultPqTrainIters = 1
+
   private val cache =
     scala.collection.mutable.Map.empty[Key, Similarity.AnnIndex]
 
-  /** The harness's one shared build parameterization: 8 coarse
-    * centroids (seeded, no Lloyd iterations — deterministic), m=16
-    * sub-blocks at 64 codes with one PQ training round — the l72
-    * fidelity-grade codebook, which t22's agreement gate only benefits
-    * from.
-    */
-  def sharedIndex(s: SparkSession, dir: String, nCentroids: Int = 8,
-      trainIters: Int = 0, m: Int = 16, nCodes: Int = 64,
-      pqTrainIters: Int = 1): Similarity.AnnIndex = synchronized {
+  private def keyFor(s: SparkSession, dir: String, nCentroids: Int,
+      trainIters: Int, m: Int, nCodes: Int, pqTrainIters: Int): Key = {
     val key = Key(s.sparkContext.applicationId,
       new java.io.File(dir).getCanonicalPath,
       nCentroids, trainIters, m, nCodes, pqTrainIters)
+    // entries from stopped applications (earlier SparkSessions in the
+    // same JVM — test suites, notebooks) can never be hit again but
+    // would pin checkpointed frames for the JVM's life: evict them
+    cache.filterInPlace((k, _) => k.appId == key.appId)
+    serveCache.filterInPlace((k, _) => k.appId == key.appId)
+    key
+  }
+
+  def sharedIndex(s: SparkSession, dir: String,
+      nCentroids: Int = DefaultNCentroids,
+      trainIters: Int = DefaultTrainIters, m: Int = DefaultM,
+      nCodes: Int = DefaultNCodes,
+      pqTrainIters: Int = DefaultPqTrainIters): Similarity.AnnIndex =
+    synchronized {
+    val key = keyFor(s, dir, nCentroids, trainIters, m, nCodes,
+      pqTrainIters)
     cache.getOrElseUpdate(key, {
       val e = Tables.load(s, dir, "embeddings")
       val idx = Similarity.buildAnnIndex(e, "vec_id", "embedding",
@@ -65,8 +87,8 @@ object AnnIndexStore {
   def sharedServe(s: SparkSession, dir: String)
       : (Similarity.AnnServeMeta, org.apache.spark.sql.DataFrame) =
     synchronized {
-      val key = Key(s.sparkContext.applicationId,
-        new java.io.File(dir).getCanonicalPath, 8, 0, 16, 64, 1)
+      val key = keyFor(s, dir, DefaultNCentroids, DefaultTrainIters,
+        DefaultM, DefaultNCodes, DefaultPqTrainIters)
       serveCache.getOrElseUpdate(key, {
         val idx = sharedIndex(s, dir)
         val meta = Similarity.collectServeMeta(idx.centroids, idx.codebook)

@@ -205,7 +205,11 @@ object NgramLm {
 
   def collectServeModel(model: BigramModel,
       maxEntries: Int = 65536): ServeModel = {
-    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    // matches length(bin(x)) exactly INCLUDING x=0 (bin(0) is the
+    // 1-char string "0", numberOfLeadingZeros(0) is 64): a degenerate
+    // empty train slice (v=0) must score 0 bits on both paths, not -1
+    def bitlen(x: Long) =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x))
     val v = model.vocab.collect().head.getLong(0)
     val ctx = model.ctxCounts.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -547,16 +547,6 @@ object Similarity {
       (vecNorm(qEmb) * cNorm)
   }
 
-  /** `codes` (c_id, blk, code) pivoted to one blk-ordered array per
-    * vector — the record layout a serving tier actually stores (m small
-    * values in one row fetch instead of m rows).
-    */
-  def codesAsArray(codes: DataFrame): DataFrame =
-    codes.groupBy(col("c_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("blk"), col("code")))),
-        x => x.getField("code")).as("codes"))
-
   /** Stateless serve scoring over a (possibly STREAMING) query frame:
     * per-row probe (literal centroids) -> equi-join the persisted lists
     * on cent_id -> fetch codes+norm by c_id -> per-row ADC cosine.

@@ -168,6 +168,23 @@ class NgramLmSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("degenerate empty train slice: fold and join both score 0 bits") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val model = NgramLm.trainBigram(empty, "text")
+    val docs = docsDF(Seq("a b c"))
+    val join = NgramLm.surprisalBits(docs, "doc_id", "text", model)
+      .collect().head
+    assert(join.getLong(1) === 2L && join.getLong(2) === 0L)
+    val serve = NgramLm.collectServeModel(model)
+    assert(serve.unseenBits === 0)
+    val fold = docs
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(NgramLm.surprisalBitsLocal(serve, col("toks")).as("sc"))
+      .select(col("sc.n_scored"), col("sc.total_bits")).collect().head
+    assert(fold.getLong(0) === 2L && fold.getLong(1) === 0L)
+  }
+
   test("collectServeModel refuses an over-bound bigram table") {
     val model = NgramLm.trainBigram(docsDF(Seq("a b c d e")), "text")
     intercept[IllegalArgumentException] {
