@@ -896,4 +896,79 @@ object Dedup {
         max(col("k")).cast("long").as("max_span"))
       .orderBy(col("doc_id"))
   }
+
+  /** Winnowing fingerprint sets (the MOSS local-fingerprinting
+    * algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every
+    * k-token gram with the deterministic rolling hash, slide a window
+    * of w consecutive gram hashes, and keep the MINIMUM of each window
+    * — the selected hashes are the document's fingerprints. The
+    * winnowing guarantee: any shared token run of >= w + k - 1 tokens
+    * produces at least one shared fingerprint (both documents see the
+    * same w-window of identical gram hashes and pick the same min), so
+    * detection of long matches is CERTAIN while storage shrinks by
+    * ~2/(w+1) — a principled local dedup between MinHash (probabilistic
+    * whole-document) and the exact span census (every gram shuffled).
+    *
+    * Documents with at least one gram but fewer than w of them keep one
+    * fingerprint (the min over what exists); under k tokens they have
+    * no grams and an empty set. Fully deterministic — fingerprints are
+    * oracle-exact, unlike seeded MinHash.
+    *
+    * The gram-hash array is materialized as a NAMED column before the
+    * window fold (HOFs re-evaluate non-trivial inlined children per
+    * element — the t28 lesson).
+    */
+  def winnowFingerprintSets(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= k,
+          transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
+            i => graft.functions.TextFunctions.rollingHash(
+              concat_ws(" ", slice(col("t"), i, lit(k))))))
+          .otherwise(array().cast("array<bigint>")).as("gh"))
+      .select(col("doc_id"),
+        when(size(col("gh")) >= w,
+          array_distinct(transform(
+            sequence(lit(1), size(col("gh")) - lit(w - 1)),
+            j => array_min(slice(col("gh"), j, lit(w))))))
+          .when(size(col("gh")) > 0, array(array_min(col("gh"))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+  }
+
+  /** Near-dup candidate pairs by shared winnowing fingerprints:
+    * (a_id < b_id, n_shared >= minShared), with the standard df-cap on
+    * hot fingerprints (boilerplate that appears in > dfCap documents
+    * carries no dedup signal and would quadratically explode the
+    * inverted-index join — the l50/l54 posting discipline).
+    *
+    * 100 TB shape: ONE tokenize+hash scan (checkpointed, feeds both the
+    * df aggregate and the pair join); the posting table shuffles
+    * (fp, doc_id) BIGINT pairs only — never text; the equi-join on fp
+    * is candidate-bounded by the cap, and the per-pair count is a
+    * map-side-combined aggregate. The fingerprint table is exactly what
+    * a standing corpus would persist bucketed on fp.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 2,
+      dfCap: Int = 64): DataFrame = {
+    require(minShared >= 1 && dfCap >= 2, "need minShared>=1, dfCap>=2")
+    val ex = winnowFingerprintSets(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint(eager = false)
+    val cold = ex.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("fp"))
+    val posting = ex.join(cold, "fp")
+    posting.select(col("fp"), col("doc_id").as("a_id"))
+      .join(posting.select(col("fp").as("fp2"), col("doc_id").as("b_id")),
+        col("fp") === col("fp2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -188,6 +188,75 @@ object NgramLm {
     perDocBits(docs, idCol, scored)
   }
 
+  /** The Kneser-Ney artifact: the bigram tables plus the three
+    * continuation statistics, ALL derived from the pair table (never a
+    * second corpus pass): per-context distinct-continuation counts
+    * N1+(u.) (dcont_c), per-word distinct-context counts N1+(.w)
+    * (cont_c), and the one-row bigram-type total T.
+    */
+  final case class KneserNeyModel(base: BigramModel, contCounts: DataFrame,
+      distinctCont: DataFrame, pairTypes: DataFrame)
+
+  def trainKneserNey(train: DataFrame, textCol: String): KneserNeyModel = {
+    val base = trainBigram(train, textCol)
+    KneserNeyModel(base,
+      base.pairCounts.groupBy(col("cur")).agg(count(lit(1)).as("cont_c")),
+      base.pairCounts.groupBy(col("prev")).agg(count(lit(1)).as("dcont_c")),
+      base.pairCounts.agg(count(lit(1)).as("t")))
+  }
+
+  /** Kneser-Ney smoothed scoring — THE production bigram smoothing
+    * (KenLM's default; CCNet filters ship KN 5-gram models): absolute
+    * discount D = 3/4 off every seen pair, the freed mass backing off
+    * to the CONTINUATION unigram p_cont(w) ~ "how many distinct
+    * contexts does w follow" — the fix for add-one/interpolated's
+    * over-scoring of frequent-but-context-bound words ("Francisco" is
+    * frequent but only ever follows "San"; KN scores it low in novel
+    * contexts, where l83/l87 score it high).
+    *
+    * Exact integer discipline (the l47/l87 rational contract, zero
+    * libm): multiply p through by 4 so D = 3/4 stays integral, and
+    * add-one the continuation model so unseen words keep mass:
+    *   seen context u:  num = max(4 c(uw) - 3, 0) * (T + V)
+    *                        + 3 * N1+(u.) * (N1+(.w) + 1)
+    *                    den = 4 c(u) * (T + V)
+    *   unseen context:  num = N1+(.w) + 1,  den = T + V
+    * Summed over the vocab the seen-context numerators telescope to
+    * exactly den (4c(u) - 3 N1+(u.) from the discounted terms plus
+    * 3 N1+(u.) from the backoff mass), so num <= den per pair and the
+    * quantized surprisal bits = bitlen(den) - bitlen(num) are >= 0.
+    * Same broadcast-join scoring plan as l83/l87 — the three extra
+    * tables are vocab-bounded rows derived from the pair table.
+    */
+  def kneserNeyBits(docs: DataFrame, idCol: String, textCol: String,
+      model: KneserNeyModel): DataFrame = {
+    val ap = docs
+      .select(col(idCol).as("doc_id"),
+        explode(ngramPairs(TextFunctions.tokens(col(textCol)), 2))
+          .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"),
+        col("p.cur").as("cur"))
+    val contDen = col("t") + col("v")
+    val contNum = coalesce(col("cont_c"), lit(0L)) + lit(1L)
+    val seen = col("ctx_c").isNotNull
+    val num = when(seen,
+      greatest(lit(4L) * coalesce(col("pair_c"), lit(0L)) - lit(3L),
+        lit(0L)) * contDen + lit(3L) * col("dcont_c") * contNum)
+      .otherwise(contNum)
+    val den = when(seen, lit(4L) * col("ctx_c") * contDen)
+      .otherwise(contDen)
+    val scored = ap
+      .join(broadcast(model.base.pairCounts), Seq("prev", "cur"), "left")
+      .join(broadcast(model.base.ctxCounts), Seq("prev"), "left")
+      .join(broadcast(model.distinctCont), Seq("prev"), "left")
+      .join(broadcast(model.contCounts), Seq("cur"), "left")
+      .crossJoin(broadcast(model.pairTypes))
+      .crossJoin(broadcast(model.base.vocab))
+      .select(col("doc_id"),
+        (length(bin(den)) - length(bin(num))).cast("long").as("bits"))
+    perDocBits(docs, idCol, scored)
+  }
+
   /** The collected serve-time artifact (the t25 codebook-at-boot
     * discipline), with the surprisal PRECOMPUTED: per context a map of
     * known continuations to their bits, the context's unseen-

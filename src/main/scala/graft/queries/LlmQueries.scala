@@ -2432,6 +2432,120 @@ object LlmQueries {
              |  SELECT doc_id, n_scored, total_bits, bpt,
              |    row_number() OVER (ORDER BY bpt ASC, doc_id) AS rk
              |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10"""
-        .stripMargin))
+        .stripMargin)),
+
+    QuerySpec(
+      "l88_lm_kneser_ney",
+      "Kneser-Ney smoothed bigram LM scoring — THE production smoothing (KenLM's default; what CCNet's 5-gram filters actually ship), completing the family l83 (add-one) / l86 (trigram) / l87 (interpolated) built up to: absolute discount D = 3/4 off every seen pair, the freed mass backing off to the CONTINUATION unigram (how many distinct contexts a word follows — the fix for frequent-but-context-bound words that l87's raw-frequency backoff over-scores); p is carried times-4 as an exact BIGINT rational (num = max(4c(uw)-3,0)*(T+V) + 3*N1+(u.)*(N1+(.w)+1), den = 4c(u)*(T+V); over the vocab the numerators telescope to exactly den, so num <= den) and quantized to bit-length surprisal — hash-exact with zero libm; the three continuation tables are all DERIVED from the pair table (never a second corpus pass), vocab-bounded, and broadcast — same one-scan scoring plan as l83/l87",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val model = NgramLm.trainKneserNey(
+          d.where(col("doc_id") % 7 === 0), "text")
+        cardOf(NgramLm.kneserNeyBits(d, "doc_id", "text", model))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT doc_id,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]}
+             |            for i in range(1, len(t))], recursive := true)
+             |  FROM tk),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS v FROM (
+             |    SELECT unnest(t) AS tok FROM tk WHERE doc_id % 7 = 0)),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_c FROM ap
+             |  WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_c) AS BIGINT) AS ctx_c
+             |  FROM pc GROUP BY 1),
+             |dct AS (SELECT prev, count(*) AS dcont_c FROM pc GROUP BY 1),
+             |cont AS (SELECT cur, count(*) AS cont_c FROM pc GROUP BY 1),
+             |tt AS (SELECT count(*) AS t FROM pc),
+             |sc AS (
+             |  SELECT ap.doc_id,
+             |    length(bin(CASE WHEN ctx.ctx_c IS NOT NULL
+             |      THEN 4 * ctx.ctx_c
+             |             * ((SELECT t FROM tt) + (SELECT v FROM v))
+             |      ELSE (SELECT t FROM tt) + (SELECT v FROM v) END))
+             |    - length(bin(CASE WHEN ctx.ctx_c IS NOT NULL
+             |      THEN greatest(4 * coalesce(pc.pair_c, 0) - 3, 0)
+             |             * ((SELECT t FROM tt) + (SELECT v FROM v))
+             |           + 3 * dct.dcont_c * (coalesce(cont.cont_c, 0) + 1)
+             |      ELSE coalesce(cont.cont_c, 0) + 1 END)) AS bits
+             |  FROM ap
+             |  LEFT JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  LEFT JOIN ctx ON ap.prev = ctx.prev
+             |  LEFT JOIN dct ON ap.prev = dct.prev
+             |  LEFT JOIN cont ON ap.cur = cont.cur),
+             |pd AS (
+             |  SELECT d.doc_id,
+             |    count(sc.bits) AS n_scored,
+             |    CAST(sum(sc.bits) AS BIGINT) AS total_bits
+             |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |  GROUP BY 1),
+             |pdd AS (
+             |  SELECT doc_id, n_scored, total_bits,
+             |    CASE WHEN n_scored > 0
+             |      THEN CAST(total_bits AS DOUBLE) / n_scored END AS bpt
+             |  FROM pd)
+             |SELECT 'band' AS section, CAST(floor(bpt) AS BIGINT) AS k,
+             |  CAST(NULL AS BIGINT) AS doc_id, count(*) AS n_docs,
+             |  CAST(NULL AS BIGINT) AS n_scored,
+             |  CAST(NULL AS BIGINT) AS total_bits,
+             |  CAST(NULL AS DOUBLE) AS bpt
+             |FROM pdd GROUP BY 2
+             |UNION ALL
+             |SELECT 'top', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt DESC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10
+             |UNION ALL
+             |SELECT 'bot', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt ASC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10"""
+        .stripMargin)),
+
+    QuerySpec(
+      "l89_winnowing",
+      "winnowing-fingerprint near-dup pairs — the MOSS local-fingerprinting algorithm (Schleimer/Wilkerson/Aiken SIGMOD'03) between MinHash (probabilistic whole-document, l03) and the exact span census (every gram shuffled, l77): hash every 4-token gram with the deterministic rolling hash, slide a 5-hash window, keep each window's MINIMUM — any shared run of >= w+k-1 = 8 tokens then provably shares a fingerprint (both docs see the same window and pick the same min; DedupSimilaritySpec property-pins the guarantee) while storage shrinks ~2/(w+1); pairs sharing >= 2 fingerprints surface, with the l50/l54 df-cap on hot boilerplate fingerprints (df > 64 carries no dedup signal and would explode the inverted-index join); ONE tokenize+hash scan is checkpointed and feeds both the df aggregate and the pair join, the posting table shuffles (fp, doc_id) BIGINTs only — and unlike seeded MinHash the fingerprints are deterministic, so the whole pair frame is oracle-exact, not a recall gate",
+      (s, dir) => Dedup.winnowPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 5, minShared = 2, dfCap = 64),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |gh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 4 THEN
+             |      [list_reduce([unicode(c) for c in
+             |          regexp_split_to_array(
+             |            array_to_string(t[i:i+3], ' '), '')],
+             |        (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+             |       for i in range(1, len(t) - 2)]
+             |    ELSE CAST([] AS BIGINT[]) END AS gh
+             |  FROM tk),
+             |fpt AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(gh) >= 5 THEN
+             |      list_distinct([list_min(gh[j:j+4])
+             |                     for j in range(1, len(gh) - 3)])
+             |    WHEN len(gh) > 0 THEN [list_min(gh)]
+             |    ELSE CAST([] AS BIGINT[]) END AS fps
+             |  FROM gh),
+             |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpt),
+             |cold AS (
+             |  SELECT fp FROM ex GROUP BY 1
+             |  HAVING count(*) BETWEEN 2 AND 64),
+             |po AS (SELECT ex.doc_id, ex.fp FROM ex JOIN cold USING (fp))
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  count(*) AS n_shared
+             |FROM po a JOIN po b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 2""".stripMargin))
   )
 }

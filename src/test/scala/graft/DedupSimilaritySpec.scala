@@ -748,4 +748,67 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.length === 6)
     assert(got.forall { case (_, t, p, c) => t === p && c === 1L })
   }
+
+  test("winnowing: planted 8-token run pairs its docs, disjoint doc stays out, short-doc tiers") {
+    import spark.implicits._
+    val shared = "q w e r t y u i" // 8 tokens = w + k - 1
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta"),
+      (2L, s"one two $shared three four five"),
+      (3L, "completely different words here entirely now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // fewer grams than the window -> ONE fingerprint (min of what
+    // exists); under k tokens -> empty set
+    val tiers = Dedup.winnowFingerprintSets(
+        Seq((9L, "a b c d e"), (10L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 4, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(tiers(9L).size === 1)
+    assert(tiers(10L).isEmpty)
+  }
+
+  test("property: winnowing guarantee — a shared w+k-1 run always shares a fingerprint; sets equal a plain-Scala reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 4
+    val w = 5
+    // the RollingHash fold, reimplemented independently
+    def rollHash(s: String): Long = {
+      var acc = 0L; var first = true; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); i += Character.charCount(cp)
+        if (first) { acc = cp.toLong; first = false }
+        else acc = (acc * 31L + cp) % 1000000007L
+      }
+      acc
+    }
+    def refFps(toks: Seq[String]): Set[Long] = {
+      val gh = toks.sliding(k).filter(_.size == k)
+        .map(g => rollHash(g.mkString(" "))).toIndexedSeq
+      if (gh.isEmpty) Set.empty
+      else if (gh.size < w) Set(gh.min)
+      else gh.sliding(w).map(_.min).toSet
+    }
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val run = Gen.listOfN(w + k - 1, word)
+    val pad = Gen.choose(0, 6).flatMap(Gen.listOfN(_, word))
+    val cps = for { r <- run; p1 <- pad; p2 <- pad; p3 <- pad; p4 <- pad }
+      yield ((p1 ++ r ++ p2).mkString(" "), (p3 ++ r ++ p4).mkString(" "))
+    val prop = Prop.forAll(cps) { case (ta, tb) =>
+      import spark.implicits._
+      val docs = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      val got = Dedup.winnowFingerprintSets(docs, "doc_id", "text", k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val ra = refFps(ta.trim.split(" ", -1).toSeq)
+      val rb = refFps(tb.trim.split(" ", -1).toSeq)
+      got(1L) == ra && got(2L) == rb && (ra intersect rb).nonEmpty
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

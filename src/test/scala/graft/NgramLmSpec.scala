@@ -54,6 +54,81 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1L) === ((1L, 2L)))
   }
 
+  test("kneser-ney: hand-computed discounted scores") {
+    // train "a b a b c": pairs (a,b):2 (b,a):1 (b,c):1; V=3; T=3 types
+    // ctx a->2 b->2; dcont a->1 b->2; cont a->1 b->1 c->1; T+V=6
+    val model = NgramLm.trainKneserNey(docsDF(Seq("a b a b c")), "text")
+    // "a b": seen pair:  num=(4*2-3)*6 + 3*1*(1+1)=36, den=4*2*6=48
+    //        -> bitlen(48)=6 - bitlen(36)=6 -> 0 bits
+    // "a c": unseen pair, seen ctx: num=3*1*(1+1)=6, den=48 -> 6-3=3
+    // "z a": unseen ctx: num=cont(a)+1=2, den=T+V=6 -> 3-2=1
+    // "z q": unseen ctx, unseen cur: num=1, den=6 -> 3-1=2
+    val got = NgramLm.kneserNeyBits(
+        docsDF(Seq("a b", "a c", "z a", "z q")), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("property: KN numerators telescope to the denominator; Spark scorer equals a plain-Scala reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def bitlen(x: Long) =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x))
+    val word = Gen.oneOf("a", "b", "c", "dd", "e")
+    val doc = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 8).flatMap(Gen.listOfN(_, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = docsDF(texts)
+      val model = NgramLm.trainKneserNey(
+        docs.where(col("doc_id") % 2 === 0), "text")
+      val pc = model.base.pairCounts.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val ctx = model.base.ctxCounts.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dct = model.distinctCont.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cont = model.contCounts.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val t = model.pairTypes.collect().head.getLong(0)
+      val v = model.base.vocab.collect().head.getLong(0)
+      // tokens() == split(trim(text), " "): "" stays a (single) token
+      def toks(tx: String) = tx.trim.split(" ", -1).toSeq
+      val vocab = texts.indices.filter(_ % 2 == 0)
+        .flatMap(i => toks(texts(i))).distinct
+      def numDen(prev: String, cur: String): (Long, Long) =
+        ctx.get(prev) match {
+          case Some(c) =>
+            val cd = t + v
+            (math.max(4L * pc.getOrElse((prev, cur), 0L) - 3L, 0L) * cd +
+              3L * dct(prev) * (cont.getOrElse(cur, 0L) + 1L),
+              4L * c * cd)
+          case None => (cont.getOrElse(cur, 0L) + 1L, t + v)
+        }
+      // the exact-normalization identity behind num <= den
+      val telescopes = ctx.keys.forall { u =>
+        vocab.map(w => numDen(u, w)._1).sum == 4L * ctx(u) * (t + v)
+      }
+      val ref = texts.zipWithIndex.map { case (tx, i) =>
+        val bits = toks(tx).sliding(2).filter(_.size == 2)
+          .map { p =>
+            val (n, d) = numDen(p(0), p(1))
+            (bitlen(d) - bitlen(n)).toLong
+          }.toSeq
+        i.toLong -> (bits.size.toLong,
+          if (bits.isEmpty) null else bits.sum.asInstanceOf[Any])
+      }.toMap
+      val got = NgramLm.kneserNeyBits(docs, "doc_id", "text", model)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) null
+          else r.getLong(2).asInstanceOf[Any])).toMap
+      telescopes && got == ref
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("order-3 model: space-joined contexts, hand-computed scores") {
     // train "a b c a b c": triples ("a b",c)x2 ("b c",a) ("c a",b); V=3
     // ctx: "a b"->2, "b c"->1, "c a"->1
