@@ -956,7 +956,17 @@ object Dedup {
       k: Int = 4, w: Int = 5, minShared: Int = 2,
       dfCap: Int = 64): DataFrame = {
     require(minShared >= 1 && dfCap >= 2, "need minShared>=1, dfCap>=2")
+    // The fingerprint ARRAYS are checkpointed BEFORE the explode:
+    // InferFiltersFromGenerate synthesizes `size(fps) > 0 AND
+    // isnotnull(fps)` under the Generate and inlines the WHOLE
+    // two-level HOF chain into that filter (twice, with the gram-hash
+    // transform re-evaluated inside the window lambda per element —
+    // quadratic per row; the same constraint-duplication failure that
+    // made shingles a single codegen expression). Measured 87 s vs
+    // 0.8 s at sf0.1. Materializing the arrays first leaves the
+    // inferred filter probing a cheap attribute.
     val ex = winnowFingerprintSets(docs, idCol, textCol, k, w)
+      .localCheckpoint(eager = false)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .localCheckpoint(eager = false)
     val cold = ex.groupBy(col("fp"))
