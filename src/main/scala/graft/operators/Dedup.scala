@@ -914,30 +914,19 @@ object Dedup {
     * no grams and an empty set. Fully deterministic — fingerprints are
     * oracle-exact, unlike seeded MinHash.
     *
-    * The gram-hash array is materialized as a NAMED column before the
-    * window fold (HOFs re-evaluate non-trivial inlined children per
-    * element — the t28 lesson).
+    * One fused codegen'd expression (`WinnowFromText`: byte-range
+    * grams, rolling hashes, deque window minima, first-seen dedup) —
+    * the split/transform/slice/array_min HOF formulation was correct
+    * but Catalyst's InferFiltersFromGenerate duplicated the whole
+    * stack into a per-row quadratic filter under the downstream
+    * explode (measured 87 s vs 0.8 s at sf0.1; the same constraint-
+    * duplication that made shingles a single expression).
     */
   def winnowFingerprintSets(docs: DataFrame, idCol: String,
-      textCol: String, k: Int = 4, w: Int = 5): DataFrame = {
-    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
-    docs
-      .select(col(idCol).as("doc_id"),
-        split(trim(col(textCol)), " ").as("t"))
-      .select(col("doc_id"),
-        when(size(col("t")) >= k,
-          transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
-            i => graft.functions.TextFunctions.rollingHash(
-              concat_ws(" ", slice(col("t"), i, lit(k))))))
-          .otherwise(array().cast("array<bigint>")).as("gh"))
-      .select(col("doc_id"),
-        when(size(col("gh")) >= w,
-          array_distinct(transform(
-            sequence(lit(1), size(col("gh")) - lit(w - 1)),
-            j => array_min(slice(col("gh"), j, lit(w))))))
-          .when(size(col("gh")) > 0, array(array_min(col("gh"))))
-          .otherwise(array().cast("array<bigint>")).as("fps"))
-  }
+      textCol: String, k: Int = 4, w: Int = 5): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SketchFunctions.winnowFromText(col(textCol), k, w)
+        .as("fps"))
 
   /** Near-dup candidate pairs by shared winnowing fingerprints:
     * (a_id < b_id, n_shared >= minShared), with the standard df-cap on
@@ -956,17 +945,9 @@ object Dedup {
       k: Int = 4, w: Int = 5, minShared: Int = 2,
       dfCap: Int = 64): DataFrame = {
     require(minShared >= 1 && dfCap >= 2, "need minShared>=1, dfCap>=2")
-    // The fingerprint ARRAYS are checkpointed BEFORE the explode:
-    // InferFiltersFromGenerate synthesizes `size(fps) > 0 AND
-    // isnotnull(fps)` under the Generate and inlines the WHOLE
-    // two-level HOF chain into that filter (twice, with the gram-hash
-    // transform re-evaluated inside the window lambda per element —
-    // quadratic per row; the same constraint-duplication failure that
-    // made shingles a single codegen expression). Measured 87 s vs
-    // 0.8 s at sf0.1. Materializing the arrays first leaves the
-    // inferred filter probing a cheap attribute.
+    // checkpointed because the posting table feeds the df aggregate
+    // AND both sides of the pair join (the l50 one-scan discipline)
     val ex = winnowFingerprintSets(docs, idCol, textCol, k, w)
-      .localCheckpoint(eager = false)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .localCheckpoint(eager = false)
     val cold = ex.groupBy(col("fp"))

@@ -1108,6 +1108,59 @@ object TimeSeriesQueries {
              |    THEN CAST(total_bits AS DOUBLE) / n_scored END)
              |    AS BIGINT) AS k,
              |  count(*) AS n_docs
-             |FROM pd GROUP BY 1""".stripMargin))
+             |FROM pd GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t32_stream_winnow",
+      "the streaming face of l89 — span-level contamination flagging at ingest: the standing corpus (non-every-5th sources) publishes its winnowing fingerprint set ONCE (the persisted index l89's scaladoc describes), every-5th docs STREAM in, each row's fingerprints come from the same fused per-row `WinnowFromText` expression (winnowing is stateless per document — streaming-safe anywhere a column is), exploded and stream-static equi-joined against the index; streaming dropDuplicates keeps only the FIRST hit per document (state = flagged doc ids, the t27 discipline — not per-fingerprint), and the census counts documents provably sharing a >= w+k-1-token run with the corpus. The winnowing guarantee makes the flag deterministic, so unlike a bloom-probe face the count is oracle-exact",
+      (s, dir) => {
+        val isNew = substring(col("source"), 4, 10).cast("int") % 5 === 0
+        val corpusFps = graft.operators.Dedup.winnowFingerprintSets(
+            Tables.load(s, dir, "documents").where(!isNew),
+            "doc_id", "text", k = 4, w = 5)
+          .select(explode(col("fps")).as("fp")).distinct()
+          .localCheckpoint(eager = false)
+        val hits = Tables.loadStream(s, dir, "documents")
+          .where(isNew)
+          .select(col("doc_id"),
+            explode(graft.functions.SketchFunctions.winnowFromText(
+              col("text"), 4, 5)).as("fp"))
+          .join(corpusFps, Seq("fp"))
+          .dropDuplicates("doc_id")
+        val flagged = runBounded(s, hits.select(col("doc_id")),
+          "t32_stream_winnow_mem", "append", statePartitions = Some(8))
+        flagged.agg(count(lit(1)).as("n_flagged"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    CAST(source[4:] AS INT) % 5 = 0 AS is_new,
+             |    string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |gh AS (
+             |  SELECT doc_id, is_new,
+             |    CASE WHEN len(t) >= 4 THEN
+             |      [list_reduce([unicode(c) for c in
+             |          regexp_split_to_array(
+             |            array_to_string(t[i:i+3], ' '), '')],
+             |        (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+             |       for i in range(1, len(t) - 2)]
+             |    ELSE CAST([] AS BIGINT[]) END AS gh
+             |  FROM tk),
+             |fpt AS (
+             |  SELECT doc_id, is_new,
+             |    CASE WHEN len(gh) >= 5 THEN
+             |      list_distinct([list_min(gh[j:j+4])
+             |                     for j in range(1, len(gh) - 3)])
+             |    WHEN len(gh) > 0 THEN [list_min(gh)]
+             |    ELSE CAST([] AS BIGINT[]) END AS fps
+             |  FROM gh),
+             |corpus_fp AS (
+             |  SELECT DISTINCT fp FROM (
+             |    SELECT unnest(fps) AS fp FROM fpt WHERE NOT is_new)),
+             |hits AS (
+             |  SELECT DISTINCT b.doc_id FROM (
+             |    SELECT doc_id, unnest(fps) AS fp FROM fpt WHERE is_new) b
+             |  JOIN corpus_fp USING (fp))
+             |SELECT count(*) AS n_flagged FROM hits""".stripMargin))
   )
 }

@@ -6,11 +6,12 @@ import graft.operators.Dedup
 
 /** Diagnostic main for the winnowing pipeline (not a test): times the
   * fingerprint build and the pair join, and (WINNOW_EXPLAIN=1) prints
-  * the optimized plan of the raw explode so the
-  * InferFiltersFromGenerate duplication that motivated the
-  * checkpoint-before-explode in `winnowPairs` stays visible (measured
-  * 87 s vs 0.8 s at sf0.1 when the inferred filter inlines the
-  * two-level HOF chain).
+  * the optimized plan of the explode. Historical note: the original
+  * HOF formulation of the fingerprints went quadratic per row here —
+  * InferFiltersFromGenerate duplicated the two-level transform stack
+  * into size/isnotnull filters under the Generate (87 s vs 0.8 s at
+  * sf0.1) — which is why `WinnowFromText` is one fused codegen'd
+  * expression.
   */
 object WinnowProbe {
   def main(args: Array[String]): Unit = {
