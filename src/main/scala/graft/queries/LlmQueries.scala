@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Curation, Dedup, NgramLm, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, NbClassifier, NgramLm, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.2 M5) registered as
@@ -126,9 +126,16 @@ object LlmQueries {
     * by the three sections).
     */
   private def cardOf(pd0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cardSections(pd0.localCheckpoint(eager = true))
+
+  /** The three card sections over an ALREADY-materialized per-doc
+    * frame — split out so callers adding extra sections (l90's keep
+    * census) share the one checkpoint.
+    */
+  private def cardSections(pd: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pd = pd0.localCheckpoint(eager = true)
     val bands = pd
       .groupBy(floor(col("bpt")).cast("long").as("k"))
       .agg(count(lit(1)).as("n_docs"))
@@ -2546,6 +2553,143 @@ object LlmQueries {
              |  count(*) AS n_shared
              |FROM po a JOIN po b ON a.fp = b.fp AND a.doc_id < b.doc_id
              |GROUP BY 1, 2
-             |HAVING count(*) >= 2""".stripMargin))
+             |HAVING count(*) >= 2""".stripMargin)),
+
+    QuerySpec(
+      "l90_nb_quality_filter",
+      "dedup-bootstrapped boilerplate classifier — the trained-classifier curation filter (GPT-3's WebText-vs-crawl, LLaMA's Wikipedia-reference), with the labels BOOTSTRAPPED from a cheaper pass the way FineWeb-style pipelines do: the winnowing dedup pass (l89's exact pair frame) labels every doc in a near-dup pair as boilerplate, multinomial Naive Bayes trains reference-vs-boilerplate on word-BIGRAM features (the shared-phrasing signature — a duplicated passage contributes its exact bigrams, random text draws them independently) in ONE feature-count aggregate (totals row DERIVED from the count table — no second pass, no iteration, no solver), and every document's log-odds margin is the sum of per-feature INTEGER-QUANTIZED class-surprisal differences, margin = [bitlen(N_neg+V)-bitlen(c_neg+1)] - [bitlen(N_pos+V)-bitlen(c_pos+1)] — pure BIGINT arithmetic on both engines (the l83 discipline), so the frame hash-matches end to end; output = the margin-per-feature band census + top/bottom-10 extremes (the l83 card off the same shared checkpoint), the keep census (margin >= 0 is the Bayes decision at equal priors), and the CONFUSION census vs the dedup labels (k = 2*keep + is_dup — on the fixture the classifier rejects every labeled dup, the generalization the frozen model then applies at ingest with NO corpus join, t33's face and t32's cheap complement); scoring is explode -> one broadcast vocab-bounded join -> one-row totals attach -> map-side-combined per-doc sum",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pairs = Dedup.winnowPairs(d, "doc_id", "text",
+          k = 4, w = 5, minShared = 2, dfCap = 64)
+        val labeled = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id")))
+          .distinct()
+          .select(col("doc_id"), lit(1L).as("is_dup"))
+          .localCheckpoint(eager = false)
+        val model = NbClassifier.trainNb(
+          d.join(labeled, Seq("doc_id"), "left_anti"),
+          d.join(labeled.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "text", NbClassifier.bigramFeats)
+        val pd = NbClassifier
+          .marginBits(d, "doc_id", "text", model, NbClassifier.bigramFeats)
+          .join(broadcast(labeled), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_scored"), col("total_bits"),
+            col("bpt"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+          .localCheckpoint(eager = true)
+        def census(tag: String, key: org.apache.spark.sql.Column) = pd
+          .groupBy(key.as("k"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(tag).as("section"), col("k"),
+            lit(null).cast("long").as("doc_id"), col("n_docs"),
+            lit(null).cast("long").as("n_scored"),
+            lit(null).cast("long").as("total_bits"),
+            lit(null).cast("double").as("bpt"))
+        val keepBit = (col("total_bits") >= 0).cast("long")
+        cardSections(pd.drop("is_dup"))
+          .unionByName(census("keep",
+            when(col("total_bits").isNotNull, keepBit)))
+          .unionByName(census("conf",
+            when(col("total_bits").isNotNull,
+              keepBit * 2 + col("is_dup"))))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |gh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 4 THEN
+             |      [list_reduce([unicode(c) for c in
+             |          regexp_split_to_array(
+             |            array_to_string(t[i:i+3], ' '), '')],
+             |        (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+             |       for i in range(1, len(t) - 2)]
+             |    ELSE CAST([] AS BIGINT[]) END AS gh
+             |  FROM tk),
+             |fpt AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(gh) >= 5 THEN
+             |      list_distinct([list_min(gh[j:j+4])
+             |                     for j in range(1, len(gh) - 3)])
+             |    WHEN len(gh) > 0 THEN [list_min(gh)]
+             |    ELSE CAST([] AS BIGINT[]) END AS fps
+             |  FROM gh),
+             |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpt),
+             |cold AS (
+             |  SELECT fp FROM ex GROUP BY 1
+             |  HAVING count(*) BETWEEN 2 AND 64),
+             |po AS (SELECT ex.doc_id, ex.fp FROM ex JOIN cold USING (fp)),
+             |pr AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM po a JOIN po b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |lab AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT a_id AS doc_id FROM pr
+             |    UNION ALL SELECT b_id FROM pr)),
+             |bg AS (
+             |  SELECT doc_id, unnest(
+             |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS feat
+             |  FROM tk),
+             |tc AS (
+             |  SELECT feat,
+             |    CAST(count(*) FILTER (WHERE lab.doc_id IS NULL) AS BIGINT)
+             |      AS pos_c,
+             |    CAST(count(*) FILTER (WHERE lab.doc_id IS NOT NULL)
+             |      AS BIGINT) AS neg_c
+             |  FROM bg LEFT JOIN lab USING (doc_id) GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+             |    CAST(sum(neg_c) AS BIGINT) AS n_neg,
+             |    count(*) AS v FROM tc),
+             |sc AS (
+             |  SELECT bg.doc_id,
+             |    (length(bin((SELECT n_neg FROM tot) + (SELECT v FROM tot)))
+             |      - length(bin(coalesce(tc.neg_c, 0) + 1)))
+             |    - (length(bin((SELECT n_pos FROM tot) + (SELECT v FROM tot)))
+             |      - length(bin(coalesce(tc.pos_c, 0) + 1))) AS bits
+             |  FROM bg LEFT JOIN tc USING (feat)),
+             |pd AS (
+             |  SELECT d.doc_id, count(sc.bits) AS n_scored,
+             |    CAST(sum(sc.bits) AS BIGINT) AS total_bits
+             |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |  GROUP BY 1),
+             |pdd AS (
+             |  SELECT pd.doc_id, n_scored, total_bits,
+             |    CASE WHEN n_scored > 0
+             |      THEN CAST(total_bits AS DOUBLE) / n_scored END AS bpt,
+             |    CASE WHEN lab.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+             |  FROM pd LEFT JOIN lab ON pd.doc_id = lab.doc_id)
+             |SELECT 'band' AS section, CAST(floor(bpt) AS BIGINT) AS k,
+             |  CAST(NULL AS BIGINT) AS doc_id, count(*) AS n_docs,
+             |  CAST(NULL AS BIGINT) AS n_scored,
+             |  CAST(NULL AS BIGINT) AS total_bits,
+             |  CAST(NULL AS DOUBLE) AS bpt
+             |FROM pdd GROUP BY 2
+             |UNION ALL
+             |SELECT 'top', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt DESC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10
+             |UNION ALL
+             |SELECT 'bot', rk, doc_id, NULL, n_scored, total_bits, bpt
+             |FROM (
+             |  SELECT doc_id, n_scored, total_bits, bpt,
+             |    row_number() OVER (ORDER BY bpt ASC, doc_id) AS rk
+             |  FROM pdd WHERE bpt IS NOT NULL) WHERE rk <= 10
+             |UNION ALL
+             |SELECT 'keep',
+             |  CASE WHEN total_bits IS NULL THEN NULL
+             |    WHEN total_bits >= 0 THEN 1 ELSE 0 END,
+             |  NULL, count(*), NULL, NULL, NULL
+             |FROM pdd GROUP BY 2
+             |UNION ALL
+             |SELECT 'conf',
+             |  CASE WHEN total_bits IS NULL THEN NULL
+             |    ELSE 2 * (CASE WHEN total_bits >= 0 THEN 1 ELSE 0 END)
+             |      + is_dup END,
+             |  NULL, count(*), NULL, NULL, NULL
+             |FROM pdd GROUP BY 2""".stripMargin))
   )
 }

@@ -1161,6 +1161,100 @@ object TimeSeriesQueries {
              |  SELECT DISTINCT b.doc_id FROM (
              |    SELECT doc_id, unnest(fps) AS fp FROM fpt WHERE is_new) b
              |  JOIN corpus_fp USING (fp))
-             |SELECT count(*) AS n_flagged FROM hits""".stripMargin))
+             |SELECT count(*) AS n_flagged FROM hits""".stripMargin)),
+
+    QuerySpec(
+      "t33_stream_nb_filter",
+      "the streaming face of l90's dedup-bootstrapped boilerplate classifier — and t32's cheap complement: t32 flags PROVEN contamination by joining every arriving document against the standing corpus fingerprint index; t33 flags boilerplate-LIKE documents with NO corpus artifact in the stream at all. The winnowing dedup pass labels the corpus batch-side, Naive Bayes trains on word-bigram features, and the frozen model is driver-collected ONCE at serve start (NbClassifier.collectNbServeModel, bounded, margins PRECOMPUTED per feature — the t25 codebook-at-boot discipline), so each arriving document's keep decision is a pure per-row fold (map-literal lookups + one sum, no join, no window) and the only state is the complete-mode keep census. The oracle recomputes the census through the broadcast-JOIN formulation, so the hash only matches if fold-scoring ≡ join-scoring feature-for-feature",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.Dedup.winnowPairs(d, "doc_id", "text",
+          k = 4, w = 5, minShared = 2, dfCap = 64)
+        val labeled = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id")))
+          .distinct().localCheckpoint(eager = false)
+        val serve = graft.operators.NbClassifier.collectNbServeModel(
+          graft.operators.NbClassifier.trainNb(
+            d.join(labeled, Seq("doc_id"), "left_anti"),
+            d.join(labeled, Seq("doc_id"), "left_semi"),
+            "text", graft.operators.NbClassifier.bigramFeats))
+        // two-step projection ON PURPOSE: the fold reads the token
+        // array as a materialized attribute (the t28 lesson)
+        val census = Tables.loadStream(s, dir, "documents")
+          .select(graft.functions.TextFunctions.tokens(col("text"))
+            .as("toks"))
+          .select(graft.operators.NbClassifier.keepLocal(serve,
+            graft.operators.NbClassifier.bigramFeats(col("toks")))
+            .as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_docs"))
+        runBounded(s, census, "t33_stream_nb_filter_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |gh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 4 THEN
+             |      [list_reduce([unicode(c) for c in
+             |          regexp_split_to_array(
+             |            array_to_string(t[i:i+3], ' '), '')],
+             |        (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+             |       for i in range(1, len(t) - 2)]
+             |    ELSE CAST([] AS BIGINT[]) END AS gh
+             |  FROM tk),
+             |fpt AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(gh) >= 5 THEN
+             |      list_distinct([list_min(gh[j:j+4])
+             |                     for j in range(1, len(gh) - 3)])
+             |    WHEN len(gh) > 0 THEN [list_min(gh)]
+             |    ELSE CAST([] AS BIGINT[]) END AS fps
+             |  FROM gh),
+             |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpt),
+             |cold AS (
+             |  SELECT fp FROM ex GROUP BY 1
+             |  HAVING count(*) BETWEEN 2 AND 64),
+             |po AS (SELECT ex.doc_id, ex.fp FROM ex JOIN cold USING (fp)),
+             |pr AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM po a JOIN po b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |lab AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT a_id AS doc_id FROM pr
+             |    UNION ALL SELECT b_id FROM pr)),
+             |bg AS (
+             |  SELECT doc_id, unnest(
+             |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS feat
+             |  FROM tk),
+             |tc AS (
+             |  SELECT feat,
+             |    CAST(count(*) FILTER (WHERE lab.doc_id IS NULL) AS BIGINT)
+             |      AS pos_c,
+             |    CAST(count(*) FILTER (WHERE lab.doc_id IS NOT NULL)
+             |      AS BIGINT) AS neg_c
+             |  FROM bg LEFT JOIN lab USING (doc_id) GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+             |    CAST(sum(neg_c) AS BIGINT) AS n_neg,
+             |    count(*) AS v FROM tc),
+             |sc AS (
+             |  SELECT bg.doc_id,
+             |    (length(bin((SELECT n_neg FROM tot) + (SELECT v FROM tot)))
+             |      - length(bin(coalesce(tc.neg_c, 0) + 1)))
+             |    - (length(bin((SELECT n_pos FROM tot) + (SELECT v FROM tot)))
+             |      - length(bin(coalesce(tc.pos_c, 0) + 1))) AS bits
+             |  FROM bg LEFT JOIN tc USING (feat)),
+             |pd AS (
+             |  SELECT d.doc_id, count(sc.bits) AS n_scored,
+             |    CAST(sum(sc.bits) AS BIGINT) AS total_bits
+             |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |  GROUP BY 1)
+             |SELECT CASE WHEN total_bits IS NULL THEN NULL
+             |    WHEN total_bits >= 0 THEN 1 ELSE 0 END AS k,
+             |  count(*) AS n_docs
+             |FROM pd GROUP BY 1""".stripMargin))
   )
 }
