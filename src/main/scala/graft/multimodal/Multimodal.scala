@@ -314,4 +314,128 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Near-dup PNG FIXTURE: four variants per group (`group = id /
+    * groupSize`) share one group-seeded pixel pattern and the GROUP's
+    * dimensions (w = 16 + group%8, h = 16 + (group*3)%8); each variant
+    * v = id%groupSize inverts the single pixel (v, 3v). Byte-exact
+    * dedup sees four distinct blobs; a perceptual hash must see one
+    * image. The pixel mix is a MULTIPLY-then-fold (not a plain
+    * seed-XOR of a positional gradient, whose block-brightness
+    * structure is shared across every seed and made unrelated groups
+    * collide perceptually): distinct groups hash to independent
+    * 64-bit dHashes, so cross-group Hamming matches are ~2^-34 per
+    * pair. PNG only — the perceptual oracle replays PIXELS, and only
+    * the lossless codec carries them exactly.
+    */
+  def withNearDupPngBlob(df: DataFrame, idCol: String,
+      groupSize: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val group = id / groupSize
+        val v = (id % groupSize).toInt
+        val w = (16 + group % 8).toInt
+        val h = (16 + (group * 3) % 8).toInt
+        val seed = (group * 2654435761L) & 0xFFFFFFL
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // nonneg 64-bit throughout (< 2^57), so >> and % replay
+            // verbatim as DuckDB BIGINT arithmetic
+            val t = (seed + x * 7349L + y * 131071L) * 2654435761L
+            var p = (((t >> 8) ^ (t >> 24)) & 0xFFFFFFL).toInt
+            if (x == v && y == 3 * v) p = p ^ 0xFFFFFF
+            img.setRGB(x, y, p)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Difference-hash (dHash) of REAL decoded pixels, as 8 row-byte
+    * BANDS — the perceptual-dedup analogue of the MinHash band trick:
+    * gray-sum the image, block-average it onto a 9-column x 8-row
+    * grid, and bit (i,j) says "block (i,j) is brighter than its right
+    * neighbor"; band j packs row j's 8 bits. Every step is INTEGER
+    * arithmetic with explicit floor boundaries (block (i,j) covers
+    * x in [i*w/9, (i+1)*w/9), y in [j*h/8, (j+1)*h/8); brightness
+    * compares cross-multiplied sums, never divides), so the oracle can
+    * replay the hash from the fixture's pixel formula — equality holds
+    * only if the PNG decode returns the exact RGB values. Requires
+    * w >= 9, h >= 8 (every block non-empty); violations fail loudly.
+    *
+    * Why bands and not one 64-bit hash: pairs within Hamming distance
+    * 7 differ in at most 7 of the 8 bands, so a band equi-join finds
+    * every such pair by pigeonhole — no all-pairs comparison at any
+    * scale. Per-row mapPartitions, no shuffle here.
+    */
+  def dHashBands(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bands", ArrayType(LongType, containsNull = false))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]](contentIdx)))
+          require(img != null, "dHashBands: undecodable image bytes")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= 9 && h >= 8,
+            s"dHashBands: image ${w}x$h too small for a 9x8 grid")
+          // block gray sums and areas on the 9x8 grid
+          val sums = Array.ofDim[Long](9, 8)
+          val areas = Array.ofDim[Long](9, 8)
+          var y = 0
+          while (y < h) {
+            // y is in block j iff j*h/8 <= y < (j+1)*h/8; the closed
+            // form (8y+7)/h inverts those floor boundaries exactly
+            // (property-verified for every h) — the oracle replays it
+            val jj = (8 * y + 7) / h
+            var x = 0
+            while (x < w) {
+              val ii = (9 * x + 8) / w
+              val p = img.getRGB(x, y) & 0xFFFFFF
+              sums(ii)(jj) +=
+                ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              areas(ii)(jj) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          val bands = new Array[Any](8)
+          var j = 0
+          while (j < 8) {
+            var band = 0L
+            var i = 0
+            while (i < 8) {
+              if (sums(i)(j) * areas(i + 1)(j) >
+                  sums(i + 1)(j) * areas(i)(j))
+                band |= 1L << i
+              i += 1
+            }
+            bands(j) = band
+            j += 1
+          }
+          Row(r.getLong(idIdx), bands.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

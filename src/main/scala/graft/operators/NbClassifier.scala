@@ -83,8 +83,12 @@ object NbClassifier {
       .groupBy(col("feat"))
       .agg(sum(col("is_pos")).as("pos_c"),
         sum(lit(1L) - col("is_pos")).as("neg_c"))
-    val totals = tc.agg(sum(col("pos_c")).as("n_pos"),
-      sum(col("neg_c")).as("n_neg"), count(lit(1)).as("v"))
+    // coalesce: a degenerate corpus with NO features (every doc under
+    // 2 tokens with bigram feats) must yield the all-zero model — every
+    // margin 0, keep everything — not NULL totals
+    val totals = tc.agg(coalesce(sum(col("pos_c")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("neg_c")), lit(0L)).as("n_neg"),
+      count(lit(1)).as("v"))
     NbModel(tc, totals)
   }
 

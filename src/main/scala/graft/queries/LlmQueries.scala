@@ -2690,6 +2690,74 @@ object LlmQueries {
              |    ELSE 2 * (CASE WHEN total_bits >= 0 THEN 1 ELSE 0 END)
              |      + is_dup END,
              |  NULL, count(*), NULL, NULL, NULL
-             |FROM pdd GROUP BY 2""".stripMargin))
+             |FROM pdd GROUP BY 2""".stripMargin)),
+
+    QuerySpec(
+      "l91_image_dhash_neardup",
+      "perceptual image near-dup through the REAL codec — the multimodal analogue of MinHash dedup (a web corpus's images recur with tiny edits: recompression, watermarks, single-pixel noise; byte dedup sees distinct blobs, a perceptual hash must see one image): the near-dup PNG fixture encodes four genuine PNG variants per group (one id-seeded pattern, each variant inverting ONE pixel), dHashBands decodes the real bytes with javax.imageio and computes a difference hash under an all-INTEGER contract (9x8 block grid with exact floor boundaries inverted by the property-verified closed form (9x+8)/w, gray sums compared cross-multiplied — never a division), packed as 8 row-byte BANDS; candidate pairs come from a band equi-join (by pigeonhole every pair within Hamming 7 shares a band — no all-pairs stage at any scale), verified by exact Hamming over the band arrays. The oracle replays the hash from the fixture's pixel FORMULA, so the frame only matches if the PNG decode returns every RGB value exactly — the decode is inside the gate, not mocked (the l66 contract, extended from dimensions to pixels); the decode runs ONCE (checkpointed) and feeds both sides of the self-join",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val hb = graft.multimodal.Multimodal.dHashBands(
+          graft.multimodal.Multimodal.withNearDupPngBlob(d, "doc_id"),
+          "doc_id").localCheckpoint(eager = false)
+        val ex = hb.selectExpr("doc_id", "bands",
+          "posexplode(bands) as (b, v)")
+        val cand = ex.as("a").join(ex.as("b"),
+            col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.bands").as("ab"), col("b.bands").as("bb"))
+          .distinct()
+        cand
+          .select(col("a_id"), col("b_id"),
+            aggregate(zip_with(col("ab"), col("bb"),
+                (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+              lit(0L), (acc, e) => acc + e).as("hamming"))
+          .where(col("hamming") <= 7)
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS v
+             |  FROM documents),
+             |dims AS (
+             |  SELECT doc_id, v,
+             |    16 + grp % 8 AS w, 16 + (grp * 3) % 8 AS h,
+             |    (grp * 2654435761) % 16777216 AS seed
+             |  FROM ids),
+             |pt AS (
+             |  SELECT doc_id, v, w, h, xs.x AS x, ys.y AS y,
+             |    (seed + xs.x * 7349 + ys.y * 131071) * 2654435761 AS t
+             |  FROM dims
+             |  CROSS JOIN range(0, 23) xs(x) CROSS JOIN range(0, 23) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |px AS (
+             |  SELECT doc_id,
+             |    (9 * x + 8) // w AS i, (8 * y + 7) // h AS j,
+             |    CASE WHEN x = v AND y = 3 * v
+             |      THEN xor(xor(t >> 8, t >> 24) % 16777216, 16777215)
+             |      ELSE xor(t >> 8, t >> 24) % 16777216 END AS p
+             |  FROM pt),
+             |blk AS (
+             |  SELECT doc_id, i, j,
+             |    CAST(sum(((p >> 16) & 255) + ((p >> 8) & 255)
+             |      + (p & 255)) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS a
+             |  FROM px GROUP BY 1, 2, 3),
+             |bnd AS (
+             |  SELECT l.doc_id, l.j,
+             |    CAST(sum(CASE WHEN l.s * r.a > r.s * l.a
+             |      THEN 1 << l.i ELSE 0 END) AS BIGINT) AS band
+             |  FROM blk l JOIN blk r
+             |    ON l.doc_id = r.doc_id AND l.j = r.j AND r.i = l.i + 1
+             |  GROUP BY 1, 2),
+             |hv AS (
+             |  SELECT doc_id, list(band ORDER BY j) AS bands
+             |  FROM bnd GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(list_sum([bit_count(xor(a.bands[k], b.bands[k]))
+             |                   for k in range(1, 9)]) AS BIGINT)
+             |      AS hamming
+             |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
+             |WHERE hamming <= 7""".stripMargin))
   )
 }

@@ -97,4 +97,79 @@ class MultimodalSpec extends SparkSpec {
           if (id % 2 == 0) "png" else "jpeg")))
     }
   }
+
+  /** Plain-Scala dHash reference computed from the FIXTURE FORMULA —
+    * no codec anywhere. Equality with `dHashBands` (which reads the
+    * real PNG bytes) proves the decode returns every RGB value
+    * exactly, the l91 oracle contract.
+    */
+  private def refDHash(id: Long, groupSize: Int = 4): Seq[Long] = {
+    val group = id / groupSize
+    val v = (id % groupSize).toInt
+    val w = (16 + group % 8).toInt
+    val h = (16 + (group * 3) % 8).toInt
+    val seed = (group * 2654435761L) & 0xFFFFFFL
+    val sums = Array.ofDim[Long](9, 8)
+    val areas = Array.ofDim[Long](9, 8)
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = (seed + x * 7349L + y * 131071L) * 2654435761L
+      var p = (((t >> 8) ^ (t >> 24)) & 0xFFFFFFL).toInt
+      if (x == v && y == 3 * v) p = p ^ 0xFFFFFF
+      val (i, j) = ((9 * x + 8) / w, (8 * y + 7) / h)
+      sums(i)(j) += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      areas(i)(j) += 1L
+    }
+    (0 until 8).map { j =>
+      (0 until 8).foldLeft(0L) { (band, i) =>
+        if (sums(i)(j) * areas(i + 1)(j) > sums(i + 1)(j) * areas(i)(j))
+          band | (1L << i)
+        else band
+      }
+    }
+  }
+
+  test("dHashBands of real decoded PNGs equals the formula reference pixel-for-pixel") {
+    import spark.implicits._
+    // ids straddling the group dimension period and all four variants
+    val ids = (0L to 35L) ++ Seq(100L, 1001L, 4999L)
+    val got = Multimodal.dHashBands(
+        Multimodal.withNearDupPngBlob(ids.toDF("doc_id"), "doc_id"),
+        "doc_id", batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    ids.foreach(id => assert(got(id) === refDHash(id), s"id=$id"))
+  }
+
+  test("dHash variants: one inverted pixel moves Hamming by at most 2 per pixel; groups pair, strangers don't") {
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+    // within a group: each variant pair differs in exactly two pixels,
+    // each affecting at most its block's two horizontal comparisons
+    for (g <- 0L until 12L; va <- 0 until 4; vb <- va + 1 until 4) {
+      val d = ham(refDHash(g * 4 + va), refDHash(g * 4 + vb))
+      assert(d <= 4, s"group $g variants $va/$vb hamming $d")
+    }
+    // across groups: the multiply-fold mix keeps unrelated images far
+    // apart (band-join candidates stay group-shaped, not corpus-shaped)
+    val far = for (ga <- 0L until 8L; gb <- ga + 1 until 8L)
+      yield ham(refDHash(ga * 4), refDHash(gb * 4))
+    assert(far.count(_ <= 7) === 0, s"cross-group collisions: $far")
+  }
+
+  test("dHashBands rejects an image too small for the 9x8 grid") {
+    import spark.implicits._
+    val tiny = Seq(1L).toDF("doc_id").select(col("doc_id"),
+      lit {
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }.as("content"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.dHashBands(tiny, "doc_id").collect()
+    }
+    assert(e.getMessage.contains("too small") ||
+      e.getCause.getMessage.contains("too small"))
+  }
 }

@@ -104,6 +104,28 @@ class NbClassifierSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
   }
 
+  test("degenerate corpus with no features: all-zero model, margin 0, keep everything, fold agrees") {
+    // every doc under 2 tokens -> bigram feats empty everywhere -> the
+    // count table is EMPTY; totals must coalesce to the all-zero model
+    // (margin 0 for any future doc = keep), not NULL
+    val docs = docsDF(Seq("a", "b", "c", "d"))
+    val model = NbClassifier.trainNb(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1),
+      "text", NbClassifier.bigramFeats)
+    val scored = NbClassifier.marginBits(docsDF(Seq("x y z")), "doc_id",
+      "text", model, NbClassifier.bigramFeats).collect().head
+    assert(scored.getLong(1) === 2L && scored.getLong(2) === 0L)
+    val serve = NbClassifier.collectNbServeModel(model)
+    assert(serve.featMargin.isEmpty && serve.unseenMargin === 0)
+    val k = docsDF(Seq("x y z"))
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(NbClassifier.keepLocal(serve,
+        NbClassifier.bigramFeats(col("t"))).as("k"))
+      .collect().head
+    assert(k.getLong(0) === 1L)
+  }
+
   test("collectNbServeModel refuses an over-bound feature table") {
     val docs = docsDF((1 to 40).map(i => s"u$i v$i"))
     val model = NbClassifier.trainNb(
