@@ -1255,6 +1255,78 @@ object TimeSeriesQueries {
              |SELECT CASE WHEN total_bits IS NULL THEN NULL
              |    WHEN total_bits >= 0 THEN 1 ELSE 0 END AS k,
              |  count(*) AS n_docs
-             |FROM pd GROUP BY 1""".stripMargin))
+             |FROM pd GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t34_stream_image_neardup",
+      "the streaming face of l91 — perceptual image dedup at ingest: the standing corpus (every doc except whole every-5th GROUPS, which arrive later, plus one lone straggler variant per 20) publishes its dHash band index ONCE; arriving blobs are decoded and hashed per row by the SAME batched mapPartitions path (mapPartitions composes with streaming datasets — the codec tier needs no separate streaming implementation), band-joined against the index (a match is only a CANDIDATE), verified by exact Hamming <= 7 over the band arrays, and streaming dropDuplicates keeps the first hit per document (state = flagged doc ids). The whole-group arrivals have no corpus twin and pass; the lone variants are recompressed-duplicate lookalikes and flag — both branches live at every sf. Pigeonhole completeness makes the count deterministic, so the face is oracle-exact against a brute-force pixel-formula replay",
+      (s, dir) => {
+        val mm = graft.multimodal.Multimodal
+        val isNew = expr("(doc_id div 4) % 5 = 0 OR doc_id % 20 = 7")
+        val d = Tables.load(s, dir, "documents")
+        val index = mm.dHashBands(
+            mm.withNearDupPngBlob(d.where(!isNew), "doc_id"), "doc_id")
+          .selectExpr("bands as cbands", "posexplode(bands) as (b, v)")
+          .dropDuplicates("b", "v", "cbands")
+          .localCheckpoint(eager = false)
+        val hits = mm.dHashBands(
+            mm.withNearDupPngBlob(
+              Tables.loadStream(s, dir, "documents").where(isNew),
+              "doc_id"), "doc_id")
+          .selectExpr("doc_id", "bands", "posexplode(bands) as (b, v)")
+          .join(index, Seq("b", "v"))
+          .where(aggregate(zip_with(col("bands"), col("cbands"),
+              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, e) => acc + e) <= 7)
+          .dropDuplicates("doc_id")
+        val flagged = runBounded(s, hits.select(col("doc_id")),
+          "t34_stream_image_neardup_mem", "append",
+          statePartitions = Some(8))
+        flagged.agg(count(lit(1)).as("n_flagged"))
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS v,
+             |    (doc_id // 4) % 5 = 0 OR doc_id % 20 = 7 AS is_new
+             |  FROM documents),
+             |dims AS (
+             |  SELECT doc_id, is_new, v,
+             |    16 + grp % 8 AS w, 16 + (grp * 3) % 8 AS h,
+             |    (grp * 2654435761) % 16777216 AS seed
+             |  FROM ids),
+             |pt AS (
+             |  SELECT doc_id, is_new, v, w, h, xs.x AS x, ys.y AS y,
+             |    (seed + xs.x * 7349 + ys.y * 131071) * 2654435761 AS t
+             |  FROM dims
+             |  CROSS JOIN range(0, 23) xs(x) CROSS JOIN range(0, 23) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |px AS (
+             |  SELECT doc_id, is_new,
+             |    (9 * x + 8) // w AS i, (8 * y + 7) // h AS j,
+             |    CASE WHEN x = v AND y = 3 * v
+             |      THEN xor(xor(t >> 8, t >> 24) % 16777216, 16777215)
+             |      ELSE xor(t >> 8, t >> 24) % 16777216 END AS p
+             |  FROM pt),
+             |blk AS (
+             |  SELECT doc_id, is_new, i, j,
+             |    CAST(sum(((p >> 16) & 255) + ((p >> 8) & 255)
+             |      + (p & 255)) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS a
+             |  FROM px GROUP BY 1, 2, 3, 4),
+             |bnd AS (
+             |  SELECT l.doc_id, l.is_new, l.j,
+             |    CAST(sum(CASE WHEN l.s * r.a > r.s * l.a
+             |      THEN 1 << l.i ELSE 0 END) AS BIGINT) AS band
+             |  FROM blk l JOIN blk r
+             |    ON l.doc_id = r.doc_id AND l.j = r.j AND r.i = l.i + 1
+             |  GROUP BY 1, 2, 3),
+             |hv AS (
+             |  SELECT doc_id, is_new, list(band ORDER BY j) AS bands
+             |  FROM bnd GROUP BY 1, 2),
+             |hits AS (
+             |  SELECT DISTINCT n.doc_id
+             |  FROM hv n JOIN hv c ON n.is_new AND NOT c.is_new
+             |  WHERE CAST(list_sum([bit_count(xor(n.bands[k], c.bands[k]))
+             |                       for k in range(1, 9)]) AS BIGINT) <= 7)
+             |SELECT count(*) AS n_flagged FROM hits""".stripMargin))
   )
 }
