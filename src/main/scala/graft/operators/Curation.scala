@@ -198,4 +198,64 @@ object Curation {
     corpus.unionByName(dedup).unionByName(byLang).unionByName(bySource)
       .unionByName(quality).unionByName(pack)
   }
+
+  /** Token-budget waterfill across sources — the mixture PLANNER the
+    * sampling executors (temperature resampling, stratified quotas)
+    * run downstream of: rank every source by its clean-token rate
+    * (clean = not flagged by the dedup labeling pass the caller hands
+    * in — the standing NbModelStore/winnowing artifact), then walk the
+    * ranking pouring the token budget: each source contributes
+    * min(its clean tokens, what remains), so the best sources are
+    * taken whole, one marginal source is taken partially, and the
+    * tail gets zero. All arithmetic is BIGINT (the clean rate is held
+    * in basis points — clean_toks*10000 div total_toks — with the
+    * (rate desc, source asc) tie-break), so the plan frame is
+    * hash-exact.
+    *
+    * 100 TB shape: ONE per-source token aggregate over the corpus
+    * (the labels frame joins broadcast — it is dup-bounded); the
+    * waterfill itself is a cumulative window over O(sources) rows —
+    * planning cost is independent of corpus size, which is the point
+    * of planning before sampling.
+    */
+  def budgetWaterfill(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, labeled: DataFrame,
+      budgetNum: Int = 3, budgetDen: Int = 5): DataFrame = {
+    require(budgetNum >= 0 && budgetDen >= 1, "need a valid budget ratio")
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_toks"),
+        col(idCol).as("doc_id"))
+      .join(broadcast(labeled.select(col("doc_id"), col("is_dup"))),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("total_toks"),
+        sum(when(col("is_dup").isNull, col("n_toks")).otherwise(lit(0L)))
+          .as("clean_toks"))
+      .select(col("source"), col("total_toks"), col("clean_toks"),
+        expr("clean_toks * 10000 div greatest(total_toks, 1)")
+          .as("clean_bp"))
+    val rankW = Window.orderBy(col("clean_bp").desc, col("source"))
+    val ranked = perSource
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("clean_toks")).over(
+          rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // budget = floor(total_clean * num / den), attached as a one-row
+    // broadcast so the plan stays a single pass over the source rows
+    val budget = perSource.agg(
+      expr(s"sum(clean_toks) * $budgetNum div $budgetDen").as("budget"))
+    ranked.crossJoin(broadcast(budget))
+      .select(col("source"), col("rank"), col("total_toks"),
+        col("clean_toks"), col("clean_bp"),
+        greatest(lit(0L),
+          least(col("clean_toks"), col("budget") - col("cum_before")))
+          .as("toks_taken"))
+      .withColumn("take_state",
+        when(col("toks_taken") === col("clean_toks"), lit("full"))
+          .when(col("toks_taken") === 0L, lit("none"))
+          .otherwise(lit("partial")))
+  }
 }

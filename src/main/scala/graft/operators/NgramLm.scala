@@ -245,10 +245,14 @@ object NgramLm {
       .otherwise(contNum)
     val den = when(seen, lit(4L) * col("ctx_c") * contDen)
       .otherwise(contDen)
+    // ctx_c and dcont_c are both prev-keyed aggregates of the SAME
+    // pair table (identical key sets), so they fuse into one broadcast
+    // — three corpus-sized probe joins instead of four
+    val prevStats = model.base.ctxCounts
+      .join(model.distinctCont, Seq("prev"))
     val scored = ap
       .join(broadcast(model.base.pairCounts), Seq("prev", "cur"), "left")
-      .join(broadcast(model.base.ctxCounts), Seq("prev"), "left")
-      .join(broadcast(model.distinctCont), Seq("prev"), "left")
+      .join(broadcast(prevStats), Seq("prev"), "left")
       .join(broadcast(model.contCounts), Seq("cur"), "left")
       .crossJoin(broadcast(model.pairTypes))
       .crossJoin(broadcast(model.base.vocab))

@@ -2560,17 +2560,12 @@ object LlmQueries {
       "dedup-bootstrapped boilerplate classifier — the trained-classifier curation filter (GPT-3's WebText-vs-crawl, LLaMA's Wikipedia-reference), with the labels BOOTSTRAPPED from a cheaper pass the way FineWeb-style pipelines do: the winnowing dedup pass (l89's exact pair frame) labels every doc in a near-dup pair as boilerplate, multinomial Naive Bayes trains reference-vs-boilerplate on word-BIGRAM features (the shared-phrasing signature — a duplicated passage contributes its exact bigrams, random text draws them independently) in ONE feature-count aggregate (totals row DERIVED from the count table — no second pass, no iteration, no solver), and every document's log-odds margin is the sum of per-feature INTEGER-QUANTIZED class-surprisal differences, margin = [bitlen(N_neg+V)-bitlen(c_neg+1)] - [bitlen(N_pos+V)-bitlen(c_pos+1)] — pure BIGINT arithmetic on both engines (the l83 discipline), so the frame hash-matches end to end; output = the margin-per-feature band census + top/bottom-10 extremes (the l83 card off the same shared checkpoint), the keep census (margin >= 0 is the Bayes decision at equal priors), and the CONFUSION census vs the dedup labels (k = 2*keep + is_dup — on the fixture the classifier rejects every labeled dup, the generalization the frozen model then applies at ingest with NO corpus join, t33's face and t32's cheap complement); scoring is explode -> one broadcast vocab-bounded join -> one-row totals attach -> map-side-combined per-doc sum",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val pairs = Dedup.winnowPairs(d, "doc_id", "text",
-          k = 4, w = 5, minShared = 2, dfCap = 64)
-        val labeled = pairs.select(col("a_id").as("doc_id"))
-          .unionByName(pairs.select(col("b_id").as("doc_id")))
-          .distinct()
-          .select(col("doc_id"), lit(1L).as("is_dup"))
-          .localCheckpoint(eager = false)
-        val model = NbClassifier.trainNb(
-          d.join(labeled, Seq("doc_id"), "left_anti"),
-          d.join(labeled.select("doc_id"), Seq("doc_id"), "left_semi"),
-          "text", NbClassifier.bigramFeats)
+        // the standing artifact: label + train ONCE per application
+        // (NbModelStore — the AnnIndexStore discipline); l90 consumes
+        // the count tables, t33 the collected serve view of the SAME
+        // build
+        val (labeled, model) =
+          graft.operators.NbModelStore.sharedBoilerplateModel(s, dir)
         val pd = NbClassifier
           .marginBits(d, "doc_id", "text", model, NbClassifier.bigramFeats)
           .join(broadcast(labeled), Seq("doc_id"), "left")
@@ -2758,6 +2753,82 @@ object LlmQueries {
              |                   for k in range(1, 9)]) AS BIGINT)
              |      AS hamming
              |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
-             |WHERE hamming <= 7""".stripMargin))
+             |WHERE hamming <= 7""".stripMargin)),
+
+    QuerySpec(
+      "l92_budget_waterfill",
+      "token-budget waterfill across sources — the mixture PLANNER the sampling executors (l67 temperature rates, l73 stratified quotas) run downstream of: every source is ranked by its clean-token rate in basis points (clean = not flagged by the standing winnowing dedup labels NbModelStore already holds — the l90 artifact reused, not recomputed), then the budget (3/5 of total clean tokens — chosen so full, partial AND zero takes all occur at every sf) pours down the ranking, each source contributing min(its clean tokens, what remains); output = the per-source plan (rank, token masses, clean_bp, toks_taken, full/partial/none) in pure BIGINT arithmetic, hash-exact. Planning is ONE per-source token aggregate (labels broadcast — dup-bounded) plus a cumulative window over O(sources) rows, so plan cost is independent of corpus size — the point of planning before sampling",
+      (s, dir) => {
+        val (labeled, _) =
+          graft.operators.NbModelStore.sharedBoilerplateModel(s, dir)
+        Curation.budgetWaterfill(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", labeled)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |gh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 4 THEN
+             |      [list_reduce([unicode(c) for c in
+             |          regexp_split_to_array(
+             |            array_to_string(t[i:i+3], ' '), '')],
+             |        (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+             |       for i in range(1, len(t) - 2)]
+             |    ELSE CAST([] AS BIGINT[]) END AS gh
+             |  FROM tk),
+             |fpt AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(gh) >= 5 THEN
+             |      list_distinct([list_min(gh[j:j+4])
+             |                     for j in range(1, len(gh) - 3)])
+             |    WHEN len(gh) > 0 THEN [list_min(gh)]
+             |    ELSE CAST([] AS BIGINT[]) END AS fps
+             |  FROM gh),
+             |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpt),
+             |cold AS (
+             |  SELECT fp FROM ex GROUP BY 1
+             |  HAVING count(*) BETWEEN 2 AND 64),
+             |po AS (SELECT ex.doc_id, ex.fp FROM ex JOIN cold USING (fp)),
+             |pr AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM po a JOIN po b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |lab AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT a_id AS doc_id FROM pr
+             |    UNION ALL SELECT b_id FROM pr)),
+             |ps AS (
+             |  SELECT d.source,
+             |    CAST(sum(len(string_split(trim(d.text), ' ')))
+             |      AS BIGINT) AS total_toks,
+             |    CAST(sum(CASE WHEN lab.doc_id IS NULL
+             |      THEN len(string_split(trim(d.text), ' '))
+             |      ELSE 0 END) AS BIGINT) AS clean_toks
+             |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+             |  GROUP BY 1),
+             |rk AS (
+             |  SELECT source, total_toks, clean_toks,
+             |    clean_toks * 10000 // greatest(total_toks, 1) AS clean_bp,
+             |    CAST(row_number() OVER w AS BIGINT) AS rank,
+             |    CAST(coalesce(sum(clean_toks) OVER (w ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS cum_before
+             |  FROM ps
+             |  WINDOW w AS (ORDER BY clean_toks * 10000
+             |    // greatest(total_toks, 1) DESC, source)),
+             |bud AS (
+             |  SELECT CAST(sum(clean_toks) * 3 // 5 AS BIGINT) AS budget
+             |  FROM ps)
+             |SELECT source, rank, total_toks, clean_toks, clean_bp,
+             |  greatest(0, least(clean_toks,
+             |    (SELECT budget FROM bud) - cum_before)) AS toks_taken,
+             |  CASE WHEN greatest(0, least(clean_toks,
+             |      (SELECT budget FROM bud) - cum_before)) = clean_toks
+             |    THEN 'full'
+             |    WHEN greatest(0, least(clean_toks,
+             |      (SELECT budget FROM bud) - cum_before)) = 0 THEN 'none'
+             |    ELSE 'partial' END AS take_state
+             |FROM rk""".stripMargin))
   )
 }

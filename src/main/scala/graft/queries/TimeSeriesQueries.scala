@@ -1167,17 +1167,9 @@ object TimeSeriesQueries {
       "t33_stream_nb_filter",
       "the streaming face of l90's dedup-bootstrapped boilerplate classifier — and t32's cheap complement: t32 flags PROVEN contamination by joining every arriving document against the standing corpus fingerprint index; t33 flags boilerplate-LIKE documents with NO corpus artifact in the stream at all. The winnowing dedup pass labels the corpus batch-side, Naive Bayes trains on word-bigram features, and the frozen model is driver-collected ONCE at serve start (NbClassifier.collectNbServeModel, bounded, margins PRECOMPUTED per feature — the t25 codebook-at-boot discipline), so each arriving document's keep decision is a pure per-row fold (map-literal lookups + one sum, no join, no window) and the only state is the complete-mode keep census. The oracle recomputes the census through the broadcast-JOIN formulation, so the hash only matches if fold-scoring ≡ join-scoring feature-for-feature",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val pairs = graft.operators.Dedup.winnowPairs(d, "doc_id", "text",
-          k = 4, w = 5, minShared = 2, dfCap = 64)
-        val labeled = pairs.select(col("a_id").as("doc_id"))
-          .unionByName(pairs.select(col("b_id").as("doc_id")))
-          .distinct().localCheckpoint(eager = false)
-        val serve = graft.operators.NbClassifier.collectNbServeModel(
-          graft.operators.NbClassifier.trainNb(
-            d.join(labeled, Seq("doc_id"), "left_anti"),
-            d.join(labeled, Seq("doc_id"), "left_semi"),
-            "text", graft.operators.NbClassifier.bigramFeats))
+        // the frozen model is the STANDING artifact NbModelStore owns:
+        // labeled + trained once per application, collected once here
+        val serve = graft.operators.NbModelStore.sharedServeModel(s, dir)
         // two-step projection ON PURPOSE: the fold reads the token
         // array as a materialized attribute (the t28 lesson)
         val census = Tables.loadStream(s, dir, "documents")

@@ -45,7 +45,10 @@ object PlanAudit {
     "t22_stream_ann_serve",
     // one-row count/mismatch/agreement scalar attaches + the same
     // centroid-probe shape, twice (updated and rebuilt serve)
-    "l82_ann_index_update")
+    "l82_ann_index_update",
+    // one-row budget scalar attached to the O(sources) plan frame
+    // (the l67/l78 scalar-attach shape)
+    "l92_budget_waterfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
