@@ -2829,6 +2829,97 @@ object LlmQueries {
              |    WHEN greatest(0, least(clean_toks,
              |      (SELECT budget FROM bud) - cum_before)) = 0 THEN 'none'
              |    ELSE 'partial' END AS take_state
-             |FROM rk""".stripMargin))
+             |FROM rk""".stripMargin)),
+
+    QuerySpec(
+      "l93_data_card_diff",
+      "data-card DIFF between corpus snapshots — the ops answer to 'what changed when this batch landed': l84's one-command card runs on the pre-ingest snapshot (l69's source%5<>0 convention) and on the full corpus, and ONE full-outer join on (section, metric) emits (v_base, v_full, delta) for every card line — corpus mass, dup structure, language/source composition, quality flags and the shard forecast all diffed in a single typed frame, all BIGINT so it hash-matches end to end. Each snapshot pays its one narrow checkpointed scan (two snapshots ARE two scans — the card's shared-scan discipline per side); the join is over the O(sections x metrics) card rows, not the corpus",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val srcNum = substring(col("source"), 4, 10).cast("int")
+        def card(d: org.apache.spark.sql.DataFrame) =
+          Curation.dataCard(d, "doc_id", "text", "lang", "source")
+        card(docs.where(srcNum % 5 =!= 0))
+          .withColumnRenamed("value", "v_base")
+          .join(card(docs).withColumnRenamed("value", "v_full"),
+            Seq("section", "metric"), "full_outer")
+          .select(col("section"), col("metric"), col("v_base"),
+            col("v_full"),
+            (coalesce(col("v_full"), lit(0L))
+              - coalesce(col("v_base"), lit(0L))).as("delta"))
+      },
+      Some("""WITH pd AS (
+             |  SELECT doc_id, lang, source,
+             |    CAST(source[4:] AS INT) % 5 <> 0 AS in_base,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+             |      AS n_tokens,
+             |    CAST(len(list_distinct(string_split(trim(text), ' ')))
+             |      AS BIGINT) AS n_distinct,
+             |    sha256(text) AS digest
+             |  FROM documents),
+             |dga AS (
+             |  SELECT digest, count(*) AS cnt, max(n_tokens) AS tok
+             |  FROM pd WHERE in_base GROUP BY 1),
+             |dgf AS (
+             |  SELECT digest, count(*) AS cnt, max(n_tokens) AS tok
+             |  FROM pd GROUP BY 1),
+             |ca AS (
+             |  SELECT 'corpus' AS section, 'n_docs' AS metric,
+             |    count(*) AS value FROM pd WHERE in_base
+             |  UNION ALL SELECT 'corpus', 'n_tokens',
+             |    CAST(sum(n_tokens) AS BIGINT) FROM pd WHERE in_base
+             |  UNION ALL SELECT 'corpus', 'n_chars',
+             |    CAST(sum(n_chars) AS BIGINT) FROM pd WHERE in_base
+             |  UNION ALL SELECT 'dedup', 'n_unique_digests', count(*)
+             |    FROM dga
+             |  UNION ALL SELECT 'dedup', 'n_dup_docs',
+             |    CAST(sum(cnt - 1) AS BIGINT) FROM dga
+             |  UNION ALL SELECT 'dedup', 'dup_token_mass',
+             |    CAST(sum((cnt - 1) * tok) AS BIGINT) FROM dga
+             |  UNION ALL SELECT 'lang', lang, count(*) FROM pd
+             |    WHERE in_base GROUP BY lang
+             |  UNION ALL SELECT 'source', source, count(*) FROM pd
+             |    WHERE in_base GROUP BY source
+             |  UNION ALL SELECT 'quality', 'n_short_docs',
+             |    CAST(sum(CASE WHEN n_tokens < 32 THEN 1 ELSE 0 END)
+             |      AS BIGINT) FROM pd WHERE in_base
+             |  UNION ALL SELECT 'quality', 'repeated_token_mass',
+             |    CAST(sum(n_tokens - n_distinct) AS BIGINT) FROM pd
+             |    WHERE in_base
+             |  UNION ALL SELECT 'pack', 'n_shards_4096',
+             |    CAST((sum(n_tokens) + 4095) // 4096 AS BIGINT) FROM pd
+             |    WHERE in_base),
+             |cf AS (
+             |  SELECT 'corpus' AS section, 'n_docs' AS metric,
+             |    count(*) AS value FROM pd
+             |  UNION ALL SELECT 'corpus', 'n_tokens',
+             |    CAST(sum(n_tokens) AS BIGINT) FROM pd
+             |  UNION ALL SELECT 'corpus', 'n_chars',
+             |    CAST(sum(n_chars) AS BIGINT) FROM pd
+             |  UNION ALL SELECT 'dedup', 'n_unique_digests', count(*)
+             |    FROM dgf
+             |  UNION ALL SELECT 'dedup', 'n_dup_docs',
+             |    CAST(sum(cnt - 1) AS BIGINT) FROM dgf
+             |  UNION ALL SELECT 'dedup', 'dup_token_mass',
+             |    CAST(sum((cnt - 1) * tok) AS BIGINT) FROM dgf
+             |  UNION ALL SELECT 'lang', lang, count(*) FROM pd
+             |    GROUP BY lang
+             |  UNION ALL SELECT 'source', source, count(*) FROM pd
+             |    GROUP BY source
+             |  UNION ALL SELECT 'quality', 'n_short_docs',
+             |    CAST(sum(CASE WHEN n_tokens < 32 THEN 1 ELSE 0 END)
+             |      AS BIGINT) FROM pd
+             |  UNION ALL SELECT 'quality', 'repeated_token_mass',
+             |    CAST(sum(n_tokens - n_distinct) AS BIGINT) FROM pd
+             |  UNION ALL SELECT 'pack', 'n_shards_4096',
+             |    CAST((sum(n_tokens) + 4095) // 4096 AS BIGINT) FROM pd)
+             |SELECT coalesce(ca.section, cf.section) AS section,
+             |  coalesce(ca.metric, cf.metric) AS metric,
+             |  ca.value AS v_base, cf.value AS v_full,
+             |  coalesce(cf.value, 0) - coalesce(ca.value, 0) AS delta
+             |FROM ca FULL OUTER JOIN cf
+             |  ON ca.section = cf.section AND ca.metric = cf.metric"""
+        .stripMargin))
   )
 }
