@@ -2920,6 +2920,67 @@ object LlmQueries {
              |  coalesce(cf.value, 0) - coalesce(ca.value, 0) AS delta
              |FROM ca FULL OUTER JOIN cf
              |  ON ca.section = cf.section AND ca.metric = cf.metric"""
-        .stripMargin))
+        .stripMargin)),
+
+    QuerySpec(
+      "l94_dsir_select",
+      "DSIR-style data selection via importance resampling (hashed-ngram importance weights, Xie et al. 2023) — every document scored by quantized log2 [p_target/p_raw] under hashed word-BIGRAM bag models (B=4096 buckets, add-one smoothing; target = the l83 held-out clean slice doc_id%7=0), then SAMPLED with probability min(1, 2^(bits - corpus-mean)) realized exactly: the l67 content-hash basis-point window vs a rate built from integer shifts — exponential tilting with zero libm, so re-runs keep the same documents and the whole ledger hash-matches. Output = per-source (n_docs, n_selected, sel_bits), the mixture-shift evidence. The mean threshold self-normalizes across corpus sizes (add-one smoothing drags absolute scores down when the target slice is sparse); full/partial/never acceptance regimes all live at the gate sf. Scale: one checkpointed hashed-bucket scan feeds the B-row count table AND the scoring join (l78's discipline); importance table broadcasts; per-doc sum map-side-combined; two one-row scalar attaches (totals, threshold); ledger O(sources)",
+      (s, dir) => graft.operators.Dsir.dsirResample(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        col("doc_id") % 7 === 0),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND trim(text) <> ''),
+              |bg AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_t,
+              |    unnest(CASE WHEN len(t) >= 2
+              |      THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+              |      ELSE CAST([] AS VARCHAR[]) END) AS g
+              |  FROM tk),
+              |hb AS (
+              |  SELECT doc_id, is_t,
+              |    list_reduce([unicode(c) for c in
+              |        regexp_split_to_array(g, '')],
+              |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+              |      % 4096 AS bkt
+              |  FROM bg),
+              |tc AS (
+              |  SELECT bkt, CAST(sum(is_t) AS BIGINT) AS ct,
+              |    count(*) AS cr
+              |  FROM hb GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+              |    CAST(sum(cr) AS BIGINT) AS nr
+              |  FROM tc),
+              |w AS (
+              |  SELECT bkt,
+              |    (length(bin(nr + 4096)) - length(bin(cr + 1)))
+              |      - (length(bin(nt + 4096)) - length(bin(ct + 1))) AS imp
+              |  FROM tc, tot),
+              |sc AS (SELECT hb.doc_id, w.imp FROM hb JOIN w USING (bkt)),
+              |dd AS (SELECT doc_id, source, $fpSql AS fp FROM documents),
+              |pd AS (
+              |  SELECT dd.doc_id, dd.source, dd.fp,
+              |    coalesce(CAST(sum(sc.imp) AS BIGINT), 0) AS imp
+              |  FROM dd LEFT JOIN sc USING (doc_id)
+              |  GROUP BY 1, 2, 3),
+              |th AS (
+              |  SELECT CAST((CAST(sum(imp) AS BIGINT)
+              |      - ((CAST(sum(imp) AS BIGINT) % count(*)) + count(*))
+              |        % count(*)) // count(*) AS BIGINT) AS thr
+              |  FROM pd),
+              |acc AS (
+              |  SELECT source, imp, (fp // 100) % 10000 AS win,
+              |    CASE WHEN imp >= thr THEN 10000
+              |         WHEN imp <= thr - 14 THEN 0
+              |         ELSE 10000 >> CAST(thr - imp AS INT) END AS rate
+              |  FROM pd, th)
+              |SELECT source, count(*) AS n_docs,
+              |  count(CASE WHEN win < rate THEN 1 END) AS n_selected,
+              |  coalesce(CAST(sum(CASE WHEN win < rate THEN imp END)
+              |    AS BIGINT), 0) AS sel_bits
+              |FROM acc GROUP BY 1""".stripMargin))
   )
 }

@@ -1319,6 +1319,82 @@ object TimeSeriesQueries {
              |  FROM hv n JOIN hv c ON n.is_new AND NOT c.is_new
              |  WHERE CAST(list_sum([bit_count(xor(n.bands[k], c.bands[k]))
              |                       for k in range(1, 9)]) AS BIGINT) <= 7)
-             |SELECT count(*) AS n_flagged FROM hits""".stripMargin))
+             |SELECT count(*) AS n_flagged FROM hits""".stripMargin)),
+
+    QuerySpec(
+      "t35_stream_dsir",
+      "the streaming face of l94's DSIR importance resampler — data SELECTION at ingest: the hashed-bigram importance table and the mean-anchored threshold are trained batch-side and driver-collected at serve start (collectDsirServeModel, the t25 codebook-at-boot discipline: <=4096 map entries + two scalars), and every arriving document decides its own fate STATELESSLY per row — bigrams hashed, importance summed in one fold, acceptance = the content-hash basis-point window vs the integer-shift rate, no join and no per-doc state; the only stream state is the O(sources)-row complete-mode admission census. Row-for-row equal to the batch acceptance (pinned in DsirSpec), so the census is oracle-exact",
+      (s, dir) => {
+        val serve = graft.operators.Dsir.collectDsirServeModel(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 7 === 0)
+        val scored = Tables.loadStream(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextFunctions.tokens(col("text")).as("t"),
+            graft.functions.TextFunctions.rollingHash(col("text"))
+              .as("fp"))
+          .select(col("source"),
+            graft.operators.Dsir.acceptLocal(serve, col("t"), col("fp"))
+              .as("acc"))
+        val census = scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_seen"),
+            sum(col("acc")).as("n_selected"))
+        runBounded(s, census, "t35_stream_dsir_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND trim(text) <> ''),
+              |bg AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_t,
+              |    unnest(CASE WHEN len(t) >= 2
+              |      THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+              |      ELSE CAST([] AS VARCHAR[]) END) AS g
+              |  FROM tk),
+              |hb AS (
+              |  SELECT doc_id, is_t,
+              |    list_reduce([unicode(c) for c in
+              |        regexp_split_to_array(g, '')],
+              |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+              |      % 4096 AS bkt
+              |  FROM bg),
+              |tc AS (
+              |  SELECT bkt, CAST(sum(is_t) AS BIGINT) AS ct,
+              |    count(*) AS cr
+              |  FROM hb GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+              |    CAST(sum(cr) AS BIGINT) AS nr
+              |  FROM tc),
+              |w AS (
+              |  SELECT bkt,
+              |    (length(bin(nr + 4096)) - length(bin(cr + 1)))
+              |      - (length(bin(nt + 4096)) - length(bin(ct + 1))) AS imp
+              |  FROM tc, tot),
+              |sc AS (SELECT hb.doc_id, w.imp FROM hb JOIN w USING (bkt)),
+              |dd AS (SELECT doc_id, source, ${QuerySpec.fpSql} AS fp FROM documents),
+              |pd AS (
+              |  SELECT dd.doc_id, dd.source, dd.fp,
+              |    coalesce(CAST(sum(sc.imp) AS BIGINT), 0) AS imp
+              |  FROM dd LEFT JOIN sc USING (doc_id)
+              |  GROUP BY 1, 2, 3),
+              |th AS (
+              |  SELECT CAST((CAST(sum(imp) AS BIGINT)
+              |      - ((CAST(sum(imp) AS BIGINT) % count(*)) + count(*))
+              |        % count(*)) // count(*) AS BIGINT) AS thr
+              |  FROM pd),
+              |acc AS (
+              |  SELECT source, imp, (fp // 100) % 10000 AS win,
+              |    CASE WHEN imp >= thr THEN 10000
+              |         WHEN imp <= thr - 14 THEN 0
+              |         ELSE 10000 >> CAST(thr - imp AS INT) END AS rate
+              |  FROM pd, th)
+              |SELECT source, count(*) AS n_seen,
+              |  CAST(sum(CASE WHEN win IS NULL THEN 0
+              |    WHEN win < rate THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_selected
+              |FROM acc GROUP BY 1""".stripMargin))
   )
 }

@@ -48,7 +48,11 @@ object PlanAudit {
     "l82_ann_index_update",
     // one-row budget scalar attached to the O(sources) plan frame
     // (the l67/l78 scalar-attach shape)
-    "l92_budget_waterfill")
+    "l92_budget_waterfill",
+    // two one-row scalar attaches: the (N_target, N_raw) totals on the
+    // <=buckets importance table and the mean-importance threshold on
+    // the per-doc frame (the l78/l92 shape)
+    "l94_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
