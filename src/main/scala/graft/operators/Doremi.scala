@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+  * Data Mixtures Speeds Up Language Model Pretraining"): compute a
+  * training-mixture weight per SOURCE/domain from each domain's EXCESS
+  * LOSS — how much worse the proxy model (trained on the raw mixture)
+  * does on the domain than the reference model (trained on the held-out
+  * clean/target slice). Domains with positive excess are
+  * "reference-like but underfit by the mixture" and get upweighted;
+  * domains the reference model itself cannot predict clip to zero
+  * excess and fall back to the uniform floor. Completes the mixture
+  * family: l95 sets the weights, l92 pours the token budget, l67/l73
+  * execute the sampling, l94 selects documents.
+  *
+  * Both models are the add-one bigram count LMs of NgramLm (l83's
+  * machinery) trained in ONE aggregate: the proxy's pair table counts
+  * every corpus bigram and the reference's pair table is the `sum(is_r)`
+  * column of the SAME aggregate (a pair unseen by the reference carries
+  * pair_r = 0, numerically identical to l83's left-join miss under
+  * add-one smoothing).
+  *
+  * The raw excess carries a systematic bias — the reference trains on a
+  * fraction of the corpus, so add-one smoothing scores EVERYTHING higher
+  * under it and every domain's excess would clip to zero. DoReMi itself
+  * is insensitive to a shared offset (the DRO step renormalizes the
+  * weight vector, so only RELATIVE excess moves it); we make that
+  * explicit with the l94 mean-anchor discipline: each domain's excess is
+  * measured against the CORPUS-average excess, which self-normalizes
+  * across corpus sizes and smoothing sparsity.
+  *
+  * Determinism (the l47/l83/l94 no-libm contract): per-pair surprisal is
+  * the INTEGER-QUANTIZED log2, bitlen(ctx+V) - bitlen(pair+1); per-domain
+  * excess is the clipped mean-anchored milli-bit average
+  * max(0, fdiv(1000*(self_bits - ref_bits), n_pairs) - anchor) with
+  * anchor = fdiv(1000*(SUM self_bits - SUM ref_bits), SUM n_pairs), both
+  * divisions the exact FLOOR form fdiv(x,n) = (x - pmod(x,n)) div n so
+  * Spark's trunc-div and DuckDB's floor-div agree on negative numerators
+  * (the l94 lesson); and DoReMi's exponentiated-gradient step
+  * exp(excess) is realized as the EXACT piecewise-linear base-2
+  * exponential (the float-mantissa construction, monotone, equal to 2^m
+  * at whole bits):
+  * w_raw = (1000 + m mod 1000) << min(m div 1000, 30). A domain at the
+  * clip (m = 0) gets w_raw = 1000, so the uniform fallback — DoReMi's
+  * epsilon-uniform smoothing — is built into the construction rather than
+  * bolted on. Weights are published as floor basis points of w_raw over
+  * the corpus total; everything is BIGINT, so the ledger hash-matches.
+  *
+  * 100 TB shape: the exploded pair frame is localCheckpoint'ed and feeds
+  * the count aggregate AND the scoring join (the l78/l94 one-scan
+  * discipline); both count tables are vocab-bounded and broadcast (past
+  * broadcast size the same plan degrades to a shuffle join on prev,cur —
+  * the NgramLm note); per-domain sums are map-side combined; the weight
+  * arithmetic runs on the O(sources) ledger with two one-row scalar
+  * attaches (vocab sizes, excess anchor, weight total). Overflow
+  * headroom: excess is capped at 30 whole bits so 10000*w_raw <= 2.1e16,
+  * and the milli-bit numerator 1000*|self-ref| stays under 2^63 for any
+  * corpus whose summed per-pair bits fit 2^49 (~5e14 scored tokens at 20
+  * bits each).
+  */
+object Doremi {
+
+  private def bitlen(x: Column): Column = length(bin(x)).cast("long")
+
+  /** Cap on whole-bit excess before the exponential: keeps
+    * 10000 * w_raw comfortably inside BIGINT ((2000 << 30) * 1e4 ~ 2e16).
+    */
+  private val CapBits = 30L
+
+  /** exp2 of a non-negative milli-bit excess as the exact piecewise-
+    * linear base-2 exponential (the float-mantissa construction):
+    * (1000 + m mod 1000) << min(m div 1000, 30). Monotone, equals
+    * 1000 * 2^(m/1000) exactly at whole bits, and within a factor
+    * (1+f)/2^f <= 1.0615 of it everywhere. NULL (a domain with no
+    * conditioned pairs) maps to weight 0. Pinned against a plain-Scala
+    * reference in DoremiSpec.
+    */
+  private[graft] def expWeight(excessMilli: Column): Column = {
+    val whole = ((excessMilli - pmod(excessMilli, lit(1000L))) /
+      lit(1000L)).cast("long")
+    when(excessMilli.isNull, lit(0L))
+      .otherwise(call_function("shiftleft",
+        lit(1000L) + pmod(excessMilli, lit(1000L)),
+        least(whole, lit(CapBits)).cast("int")))
+  }
+
+  /** Per-domain mixture ledger: (source, n_docs, n_pairs, ref_bits,
+    * self_bits, excess_milli, weight_bp). `ref_bits`/`self_bits` are the
+    * domain's summed quantized surprisal under the reference (clean
+    * slice `refPred`) and proxy (full corpus) models; `excess_milli` the
+    * clipped milli-bit average excess (NULL for a domain with no
+    * conditioned pairs, which also takes weight 0); `weight_bp` the
+    * DoReMi mixture weight in floor basis points (sums to <= 10000).
+    */
+  /** Per-source summed surprisal under both models: (source, n_pairs,
+    * ref_bits, self_bits). The corpus-scoring subtree of
+    * `domainWeights`, exposed for plan probing.
+    */
+  private[graft] def sourceBits(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, refPred: Column): DataFrame = {
+    // one pair explode feeds model training AND scoring — checkpoint it
+    // (narrow: source, is_r, prev, cur) or the explode runs twice
+    val pairs = docs
+      .select(col(groupCol).as("source"),
+        when(refPred, 1L).otherwise(0L).as("is_r"),
+        explode(NgramLm.ngramPairs(
+          TextFunctions.tokens(col(textCol)), 2)).as("p"))
+      .select(col("source"), col("is_r"),
+        col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .localCheckpoint(eager = false)
+    // both models from ONE count aggregate; context counts DERIVED from
+    // the pair table (the NgramLm discipline — never a second pass)
+    val pc = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("pair_f"), sum(col("is_r")).as("pair_r"))
+    val ctx = pc.groupBy(col("prev"))
+      .agg(sum(col("pair_f")).as("ctx_f"), sum(col("pair_r")).as("ctx_r"))
+    val vocab = docs
+      .select(when(refPred, 1L).otherwise(0L).as("is_r"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v_f"),
+        count_distinct(when(col("is_r") === 1L, col("tok"))).as("v_r"))
+    pairs
+      .join(broadcast(pc), Seq("prev", "cur"))
+      .join(broadcast(ctx), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(bitlen(col("ctx_r") + col("v_r"))
+          - bitlen(col("pair_r") + 1L)).as("ref_bits"),
+        sum(bitlen(col("ctx_f") + col("v_f"))
+          - bitlen(col("pair_f") + 1L)).as("self_bits"))
+  }
+
+  def domainWeights(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, refPred: Column): DataFrame = {
+    val sb = sourceBits(docs, idCol, textCol, groupCol, refPred)
+    // the O(sources) ledger feeds the anchor and weight-total attaches
+    // AND the final projection — checkpoint it (tiny) or the corpus
+    // scoring subtree runs once per consumer
+    val led = docs
+      .groupBy(col(groupCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(sb, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("ref_bits"), col("self_bits"),
+        // exact floor division (the l94 pmod form) — the raw per-domain
+        // excess is NEGATIVE under the sparse reference, and Spark div
+        // truncates where DuckDB // floors, so the pmod subtraction is
+        // what keeps the two engines equal pre-clip
+        when(col("n_pairs") > 0,
+          expr("""(1000 * (self_bits - ref_bits)
+                 | - pmod(1000 * (self_bits - ref_bits), n_pairs))
+                 | div n_pairs""".stripMargin.replace("\n", " ")))
+          .as("dom_milli"))
+      .localCheckpoint(eager = false)
+    val anchor = led
+      .agg(sum(col("self_bits")).as("sb"), sum(col("ref_bits")).as("rb"),
+        sum(col("n_pairs")).as("np"))
+      .select(when(col("np") > 0,
+        expr("""(1000 * (sb - rb) - pmod(1000 * (sb - rb), np))
+               | div np""".stripMargin.replace("\n", " ")))
+        .otherwise(lit(0L)).as("anchor_milli"))
+    // checkpoint again after the anchor attach (still O(sources) rows):
+    // the weight-total attach would otherwise replay the whole
+    // anchor-attach subtree on its build side
+    val ww = led.crossJoin(broadcast(anchor))
+      .withColumn("excess_milli",
+        when(col("dom_milli").isNotNull,
+          greatest(lit(0L), col("dom_milli") - col("anchor_milli"))))
+      .withColumn("w_raw", expWeight(col("excess_milli")))
+      .localCheckpoint(eager = false)
+    val tot = ww.agg(coalesce(sum(col("w_raw")), lit(0L)).as("w_tot"))
+    ww.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_pairs"),
+        col("ref_bits"), col("self_bits"), col("excess_milli"),
+        when(col("w_tot") > 0, expr("(10000 * w_raw) div w_tot"))
+          .otherwise(lit(0L)).as("weight_bp"))
+  }
+
+  /** The collected serve artifact (the t25 codebook-at-boot discipline,
+    * O(sources) entries): per-source ADMISSION RATES in basis points,
+    * derived from the PUBLISHED weight ledger — the artifact a
+    * downstream consumer actually holds — by scaling the top domain to
+    * full pass-through: rate_s = (10000 * weight_bp_s) div max(weight_bp)
+    * (the standard proportional-sampling reading of mixture weights; a
+    * domain with weight 0 is never admitted).
+    */
+  final case class MixtureServeModel(rateBp: Map[String, Long])
+
+  def collectMixtureRates(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, refPred: Column,
+      maxEntries: Int = 65536): MixtureServeModel = {
+    val rows = domainWeights(docs, idCol, textCol, groupCol, refPred)
+      .select(col("source"), col("weight_bp")).collect()
+    require(rows.length <= maxEntries,
+      s"collectMixtureRates: ${rows.length} sources exceed the" +
+        s" $maxEntries in-process bound")
+    val wbp = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mx = if (wbp.isEmpty) 0L else wbp.values.max
+    MixtureServeModel(
+      wbp.view.mapValues(w => if (mx > 0) 10000L * w / mx else 0L).toMap)
+  }
+
+  /** Per-ROW admission decision against the collected rates (1 =
+    * admitted, 0 = not; 0 for NULL-text rows and unknown sources) —
+    * one map-literal lookup plus the l67 content-hash basis-point
+    * window: stateless, streaming-safe anywhere a column is,
+    * row-for-row equal to the batch replay (pinned in DoremiSpec).
+    */
+  def admitLocal(serve: MixtureServeModel, groupCol: Column,
+      fpCol: Column): Column = {
+    val rates = typedLit(serve.rateBp)
+    val rate = coalesce(element_at(rates, groupCol), lit(0L))
+    // fp < 1e9+7 so fp/100.0 is floor-exact in double (the l94 note)
+    val win = pmod(floor(fpCol.cast("double") / 100.0).cast("long"),
+      lit(10000L))
+    when(fpCol.isNull, lit(0L)).otherwise((win < rate).cast("long"))
+  }
+}

@@ -2981,6 +2981,85 @@ object LlmQueries {
               |  count(CASE WHEN win < rate THEN 1 END) AS n_selected,
               |  coalesce(CAST(sum(CASE WHEN win < rate THEN imp END)
               |    AS BIGINT), 0) AS sel_bits
-              |FROM acc GROUP BY 1""".stripMargin))
+              |FROM acc GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "l95_doremi_weights",
+      "DoReMi-style domain reweighting (Xie et al. 2023) — the mixture-weight setter upstream of l92's budget planner and l67/l73's sampling executors: each SOURCE's training weight comes from its EXCESS LOSS, how much worse the proxy model (add-one bigram LM trained on the full raw mixture) does on the domain than the reference model (same LM trained on the held-out clean slice doc_id%7=0) — both models from ONE pair-count aggregate (the reference's counts are the sum(is_r) column of the proxy's table). Excess is measured against the CORPUS-MEAN excess (the l94 mean-anchor discipline: DoReMi's DRO step renormalizes the weight vector, so only relative excess moves it — and the anchor cancels the systematic sparse-reference bias), clipped at 0 per DoReMi, in exact milli-bits via the pmod floor-division form; exp(excess) is the EXACT piecewise-linear base-2 exponential (the float-mantissa construction: (1000 + m mod 1000) << (m div 1000)), so a clipped domain lands on the built-in uniform floor (DoReMi's eps-uniform smoothing) and the whole ledger is BIGINT, hash-exact, zero libm. Scale: one checkpointed pair explode feeds model training AND scoring; count tables broadcast; per-domain sums map-side combined; weight arithmetic on the O(sources) ledger with three one-row scalar attaches (vocab, anchor, total)",
+      (s, dir) => graft.operators.Doremi.domainWeights(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        col("doc_id") % 7 === 0),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_r,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]}
+             |            for i in range(1, len(t))], recursive := true)
+             |  FROM tk),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_f,
+             |    CAST(sum(is_r) AS BIGINT) AS pair_r
+             |  FROM ap GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_f) AS BIGINT) AS ctx_f,
+             |    CAST(sum(pair_r) AS BIGINT) AS ctx_r
+             |  FROM pc GROUP BY 1),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS v_f,
+             |    count(DISTINCT CASE WHEN is_r = 1 THEN tok END) AS v_r
+             |  FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+             |          AS is_r, unnest(t) AS tok FROM tk)),
+             |sb AS (
+             |  SELECT ap.source, count(*) AS n_pairs,
+             |    CAST(sum(length(bin(ctx.ctx_r + v.v_r))
+             |      - length(bin(pc.pair_r + 1))) AS BIGINT) AS ref_bits,
+             |    CAST(sum(length(bin(ctx.ctx_f + v.v_f))
+             |      - length(bin(pc.pair_f + 1))) AS BIGINT) AS self_bits
+             |  FROM ap
+             |  JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  JOIN ctx ON ap.prev = ctx.prev, v
+             |  GROUP BY 1),
+             |led AS (
+             |  SELECT ds.source, ds.n_docs,
+             |    coalesce(sb.n_pairs, 0) AS n_pairs,
+             |    sb.ref_bits, sb.self_bits,
+             |    CASE WHEN sb.n_pairs > 0 THEN
+             |      (1000 * (sb.self_bits - sb.ref_bits)
+             |       - ((1000 * (sb.self_bits - sb.ref_bits)) % sb.n_pairs
+             |          + sb.n_pairs) % sb.n_pairs) // sb.n_pairs
+             |    END AS dom_milli
+             |  FROM (SELECT source, count(*) AS n_docs FROM documents
+             |        GROUP BY 1) ds
+             |  LEFT JOIN sb ON ds.source = sb.source),
+             |an AS (
+             |  SELECT CASE WHEN np > 0 THEN
+             |      (1000 * (sbt - rbt) - ((1000 * (sbt - rbt)) % np + np)
+             |       % np) // np
+             |    ELSE 0 END AS anchor_milli
+             |  FROM (SELECT CAST(sum(self_bits) AS BIGINT) AS sbt,
+             |          CAST(sum(ref_bits) AS BIGINT) AS rbt,
+             |          CAST(sum(n_pairs) AS BIGINT) AS np FROM led)),
+             |ww AS (
+             |  SELECT led.*,
+             |    CASE WHEN dom_milli IS NOT NULL
+             |      THEN greatest(0, dom_milli - an.anchor_milli)
+             |    END AS excess_milli
+             |  FROM led, an),
+             |ww2 AS (
+             |  SELECT *, CASE WHEN excess_milli IS NULL THEN 0
+             |    ELSE (CAST(1000 AS BIGINT) + excess_milli % 1000)
+             |         << CAST(least(excess_milli // 1000, 30) AS INT)
+             |    END AS w_raw
+             |  FROM ww),
+             |tot AS (
+             |  SELECT CAST(coalesce(sum(w_raw), 0) AS BIGINT) AS w_tot
+             |  FROM ww2)
+             |SELECT source, n_docs, n_pairs, ref_bits, self_bits,
+             |  excess_milli,
+             |  CASE WHEN w_tot > 0 THEN (10000 * w_raw) // w_tot
+             |       ELSE 0 END AS weight_bp
+             |FROM ww2, tot""".stripMargin))
   )
 }

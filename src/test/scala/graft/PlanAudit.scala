@@ -52,7 +52,11 @@ object PlanAudit {
     // two one-row scalar attaches: the (N_target, N_raw) totals on the
     // <=buckets importance table and the mean-importance threshold on
     // the per-doc frame (the l78/l92 shape)
-    "l94_dsir_select")
+    "l94_dsir_select",
+    // three one-row scalar attaches: vocab sizes on the scoring join,
+    // the corpus-mean excess anchor and the weight total on the
+    // O(sources) ledger (the l94 shape)
+    "l95_doremi_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
