@@ -1395,6 +1395,113 @@ object TimeSeriesQueries {
               |  CAST(sum(CASE WHEN win IS NULL THEN 0
               |    WHEN win < rate THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_selected
-              |FROM acc GROUP BY 1""".stripMargin))
+              |FROM acc GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t36_stream_mixture_admit",
+      "the streaming face of l95's DoReMi reweighter — the mixture weights APPLIED at ingest as per-source admission rates (the standard proportional-sampling reading: the top-weight domain passes whole, every other domain at weight_bp/max ratio, a zero-weight domain never): rates are derived batch-side from the PUBLISHED weight ledger — the artifact a downstream consumer actually holds — and driver-collected at serve start (collectMixtureRates, the t25 codebook-at-boot discipline: O(sources) entries), and every arriving document decides its own fate STATELESSLY per row — one map-literal rate lookup, acceptance = the l67 content-hash basis-point window vs the rate, no join and no per-doc state; the only stream state is the O(sources)-row complete-mode admission census. Row-for-row equal to the batch replay (pinned in DoremiSpec), so the census is oracle-exact",
+      (s, dir) => {
+        val serve = graft.operators.Doremi.collectMixtureRates(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+          col("doc_id") % 7 === 0)
+        val admitted = Tables.loadStream(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextFunctions.rollingHash(col("text"))
+              .as("fp"))
+          .select(col("source"),
+            graft.operators.Doremi.admitLocal(serve, col("source"),
+              col("fp")).as("acc"))
+        val census = admitted.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_seen"),
+            sum(col("acc")).as("n_admitted"))
+        runBounded(s, census, "t36_stream_mixture_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
+              |  FROM documents),
+              |ap AS (
+              |  SELECT source,
+              |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_r,
+              |    unnest([{'prev': t[i], 'cur': t[i+1]}
+              |            for i in range(1, len(t))], recursive := true)
+              |  FROM tk),
+              |pc AS (
+              |  SELECT prev, cur, count(*) AS pair_f,
+              |    CAST(sum(is_r) AS BIGINT) AS pair_r
+              |  FROM ap GROUP BY 1, 2),
+              |ctx AS (
+              |  SELECT prev, CAST(sum(pair_f) AS BIGINT) AS ctx_f,
+              |    CAST(sum(pair_r) AS BIGINT) AS ctx_r
+              |  FROM pc GROUP BY 1),
+              |v AS (
+              |  SELECT count(DISTINCT tok) AS v_f,
+              |    count(DISTINCT CASE WHEN is_r = 1 THEN tok END) AS v_r
+              |  FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+              |          AS is_r, unnest(t) AS tok FROM tk)),
+              |sb AS (
+              |  SELECT ap.source, count(*) AS n_pairs,
+              |    CAST(sum(length(bin(ctx.ctx_r + v.v_r))
+              |      - length(bin(pc.pair_r + 1))) AS BIGINT) AS ref_bits,
+              |    CAST(sum(length(bin(ctx.ctx_f + v.v_f))
+              |      - length(bin(pc.pair_f + 1))) AS BIGINT) AS self_bits
+              |  FROM ap
+              |  JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+              |  JOIN ctx ON ap.prev = ctx.prev, v
+              |  GROUP BY 1),
+              |led AS (
+              |  SELECT ds.source,
+              |    coalesce(sb.n_pairs, 0) AS n_pairs,
+              |    sb.ref_bits, sb.self_bits,
+              |    CASE WHEN sb.n_pairs > 0 THEN
+              |      (1000 * (sb.self_bits - sb.ref_bits)
+              |       - ((1000 * (sb.self_bits - sb.ref_bits)) % sb.n_pairs
+              |          + sb.n_pairs) % sb.n_pairs) // sb.n_pairs
+              |    END AS dom_milli
+              |  FROM (SELECT source, count(*) AS n_docs FROM documents
+              |        GROUP BY 1) ds
+              |  LEFT JOIN sb ON ds.source = sb.source),
+              |an AS (
+              |  SELECT CASE WHEN np > 0 THEN
+              |      (1000 * (sbt - rbt) - ((1000 * (sbt - rbt)) % np + np)
+              |       % np) // np
+              |    ELSE 0 END AS anchor_milli
+              |  FROM (SELECT CAST(sum(self_bits) AS BIGINT) AS sbt,
+              |          CAST(sum(ref_bits) AS BIGINT) AS rbt,
+              |          CAST(sum(n_pairs) AS BIGINT) AS np FROM led)),
+              |ww AS (
+              |  SELECT led.*,
+              |    CASE WHEN dom_milli IS NOT NULL
+              |      THEN greatest(0, dom_milli - an.anchor_milli)
+              |    END AS excess_milli
+              |  FROM led, an),
+              |ww2 AS (
+              |  SELECT *, CASE WHEN excess_milli IS NULL THEN 0
+              |    ELSE (CAST(1000 AS BIGINT) + excess_milli % 1000)
+              |         << CAST(least(excess_milli // 1000, 30) AS INT)
+              |    END AS w_raw
+              |  FROM ww),
+              |tot AS (
+              |  SELECT CAST(coalesce(sum(w_raw), 0) AS BIGINT) AS w_tot
+              |  FROM ww2),
+              |wbp AS (
+              |  SELECT source,
+              |    CASE WHEN w_tot > 0 THEN (10000 * w_raw) // w_tot
+              |         ELSE 0 END AS weight_bp
+              |  FROM ww2, tot),
+              |mx AS (SELECT max(weight_bp) AS mw FROM wbp),
+              |rt AS (
+              |  SELECT source,
+              |    CASE WHEN mw > 0 THEN (10000 * weight_bp) // mw
+              |         ELSE 0 END AS rate
+              |  FROM wbp, mx),
+              |dd AS (SELECT source, ${QuerySpec.fpSql} AS fp
+              |       FROM documents)
+              |SELECT dd.source, count(*) AS n_seen,
+              |  CAST(sum(CASE WHEN dd.fp IS NULL THEN 0
+              |    WHEN (dd.fp // 100) % 10000 < rt.rate THEN 1 ELSE 0
+              |    END) AS BIGINT) AS n_admitted
+              |FROM dd JOIN rt ON dd.source = rt.source
+              |GROUP BY 1""".stripMargin))
   )
 }

@@ -129,6 +129,50 @@ class DoremiSpec extends SparkSpec {
     }
   }
 
+  test("admitLocal: per-source admit counts equal the batch-ledger replay") {
+    val docs = Tables.load(spark, sf, "documents")
+    val serve = graft.operators.Doremi.collectMixtureRates(docs,
+      "doc_id", "text", "source", col("doc_id") % 7 === 0)
+    // plain replay from the published weight ledger
+    val wbp = graft.operators.Doremi.domainWeights(docs, "doc_id", "text",
+        "source", col("doc_id") % 7 === 0)
+      .select(col("source"), col("weight_bp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mx = wbp.values.max
+    val rates = wbp.view.mapValues(w =>
+      if (mx > 0) 10000L * w / mx else 0L).toMap
+    assert(serve.rateBp === rates)
+    assert(rates.values.max === 10000L,
+      "the top-weight domain must pass whole")
+    val expected = docs
+      .select(col("source"),
+        graft.functions.TextFunctions.rollingHash(col("text")).as("fp"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .groupBy(_._1).view.mapValues { rows =>
+        (rows.size.toLong, rows.count { case (s, fp) =>
+          fp.exists(f => (f / 100L) % 10000L < rates(s))
+        }.toLong)
+      }.toMap
+    val got = docs
+      .select(col("source"),
+        graft.functions.TextFunctions.rollingHash(col("text")).as("fp"))
+      .select(col("source"),
+        graft.operators.Doremi.admitLocal(serve, col("source"), col("fp"))
+          .as("acc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("acc").as("a"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === expected)
+    // partial admission must be live at the gate sf (rates differ)
+    assert(got.exists { case (_, (n, a)) => a < n },
+      "some domain must be sub-sampled")
+    assert(got.exists { case (_, (n, a)) => a === n } ||
+      rates.values.count(_ === 10000L) >= 1, "full pass-through live")
+  }
+
   test("plan: count tables broadcast; only the three scalar attaches are BNLJ") {
     import spark.implicits._
     val docs = (1L to 300L).map(i =>
