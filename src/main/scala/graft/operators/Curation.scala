@@ -258,4 +258,72 @@ object Curation {
           .when(col("toks_taken") === 0L, lit("none"))
           .otherwise(lit("partial")))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining") — the FAIRNESS-based mixture planner next to
+    * `budgetWaterfill`'s quality-greedy pour: spread the token budget
+    * as uniformly as possible across sources, except no source repeats
+    * more than `epochCap` epochs — small sources are capped at
+    * epochCap x their capacity (the anti-oversampling rule), everyone
+    * else sits at a common water level.
+    *
+    * Exact integer construction: sort sources by cap = epochCap*c_toks
+    * ascending (source-name tie-break); a source is CAPPED iff
+    * cap_i * (L - rank_i + 1) <= budget - capPrefix_{i-1} — the flag is
+    * prefix-closed under the ascending sort (if a cap fits under the
+    * waterline, every smaller cap did), so k = count(capped) and the
+    * level is ONE floor division share = (budget - sum capped caps) div
+    * (L - k). alloc = cap for capped sources, share for the rest; the
+    * <= L-1-token floor remainder is deliberately left unallocated.
+    * Everything is BIGINT, so the plan frame is hash-exact.
+    *
+    * 100 TB shape: ONE per-source token aggregate over the corpus; the
+    * sort/flag/level arithmetic runs over O(sources) rows with two
+    * one-row scalar attaches (budget+count, waterline) — planning cost
+    * independent of corpus size, the l92 discipline.
+    */
+  def unimaxAllocate(docs: DataFrame, textCol: String, sourceCol: String,
+      epochCap: Int = 1, budgetBp: Int = 9000): DataFrame = {
+    require(epochCap >= 1 && budgetBp >= 0, "need epochCap>=1, budgetBp>=0")
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("c_toks"))
+      .select(col("source"), col("c_toks"),
+        (col("c_toks") * epochCap).as("cap"))
+    val tot = perSource.agg(
+      expr(s"sum(c_toks) * $budgetBp div 10000").as("budget"),
+      count(lit(1)).as("n_src"))
+    val w = Window.orderBy(col("cap").asc, col("source"))
+    // the flagged frame feeds the waterline aggregate AND the final
+    // projection — checkpoint the O(sources) rows
+    val flagged = perSource.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cap_before", coalesce(sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("cap") * (col("n_src") - col("rank") + 1L) <=
+          col("budget") - col("cap_before"))
+      .localCheckpoint(eager = false)
+    val lvl = flagged.agg(
+        coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("k"),
+        coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("cap_k"),
+        max(col("budget")).as("b"), max(col("n_src")).as("l"))
+      .select(when(col("l") > col("k"),
+        expr("(b - cap_k) div (l - k)")).otherwise(lit(0L)).as("share"))
+    flagged.crossJoin(broadcast(lvl))
+      .select(col("source"), col("c_toks"), col("cap"),
+        when(col("capped"), col("cap")).otherwise(col("share"))
+          .as("alloc"),
+        when(col("capped"), lit("capped")).otherwise(lit("level"))
+          .as("state"))
+      .withColumn("epochs_bp",
+        expr("(10000 * alloc) div greatest(c_toks, 1)"))
+      .select(col("source"), col("c_toks"), col("cap"), col("alloc"),
+        col("epochs_bp"), col("state"))
+  }
 }

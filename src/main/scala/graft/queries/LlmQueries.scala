@@ -3060,6 +3060,52 @@ object LlmQueries {
              |  excess_milli,
              |  CASE WHEN w_tot > 0 THEN (10000 * w_raw) // w_tot
              |       ELSE 0 END AS weight_bp
-             |FROM ww2, tot""".stripMargin))
+             |FROM ww2, tot""".stripMargin)),
+
+    QuerySpec(
+      "l96_unimax_alloc",
+      "UniMax budget allocation (Chung et al. 2023) — the FAIRNESS-based mixture planner next to l92's quality-greedy waterfill: the token budget (90% of corpus tokens) spreads as uniformly as possible across sources, except no source repeats more than epochCap=1 epochs — small sources are CAPPED at their full capacity (the anti-oversampling rule), everyone else sits at one common water level. Exact integer waterline: sources sorted by capacity ascending (name tie-break); capped iff cap*(L-rank+1) <= budget - capPrefix (prefix-closed under the sort), level = ONE floor division over the uncapped count; the <=L-1-token floor remainder is left unallocated by contract. alloc = min(cap, level) everywhere — the characterization property-pinned in DataCardSpec over random capacities. All BIGINT, hash-exact. Scale: ONE per-source token aggregate over the corpus; sort/flag/level over O(sources) rows with two one-row scalar attaches (budget+count, waterline) — planning cost independent of corpus size",
+      (s, dir) => graft.operators.Curation.unimaxAllocate(
+        Tables.load(s, dir, "documents"), "text", "source",
+        epochCap = 1, budgetBp = 9000),
+      Some("""WITH ps AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+             |      AS c_toks
+             |  FROM documents GROUP BY 1),
+             |tot AS (
+             |  SELECT (CAST(sum(c_toks) AS BIGINT) * 9000) // 10000
+             |      AS budget,
+             |    count(*) AS n_src
+             |  FROM ps),
+             |rk AS (
+             |  SELECT ps.*, c_toks AS cap,
+             |    row_number() OVER (ORDER BY c_toks ASC, source)
+             |      AS rank,
+             |    coalesce(CAST(sum(c_toks) OVER (
+             |      ORDER BY c_toks ASC, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS cap_before
+             |  FROM ps),
+             |fl AS (
+             |  SELECT rk.*, tot.budget, tot.n_src,
+             |    (cap * (tot.n_src - rank + 1) <= tot.budget - cap_before)
+             |      AS capped
+             |  FROM rk, tot),
+             |lv AS (
+             |  SELECT CASE WHEN n_src > k THEN (budget - cap_k)
+             |      // (n_src - k) ELSE 0 END AS share
+             |  FROM (SELECT max(n_src) AS n_src, max(budget) AS budget,
+             |      CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+             |        AS BIGINT) AS k,
+             |      CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+             |        AS BIGINT) AS cap_k
+             |    FROM fl))
+             |SELECT source, c_toks, cap,
+             |  CASE WHEN capped THEN cap ELSE lv.share END AS alloc,
+             |  (10000 * (CASE WHEN capped THEN cap ELSE lv.share END))
+             |    // greatest(c_toks, 1) AS epochs_bp,
+             |  CASE WHEN capped THEN 'capped' ELSE 'level' END AS state
+             |FROM fl, lv""".stripMargin))
   )
 }

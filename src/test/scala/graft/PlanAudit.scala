@@ -56,7 +56,10 @@ object PlanAudit {
     // three one-row scalar attaches: vocab sizes on the scoring join,
     // the corpus-mean excess anchor and the weight total on the
     // O(sources) ledger (the l94 shape)
-    "l95_doremi_weights")
+    "l95_doremi_weights",
+    // two one-row scalar attaches: budget+count, then the waterline
+    // level, both on the O(sources) plan frame (the l92 shape)
+    "l96_unimax_alloc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
