@@ -96,20 +96,21 @@ object Doremi {
     * conditioned pairs, which also takes weight 0); `weight_bp` the
     * DoReMi mixture weight in floor basis points (sums to <= 10000).
     */
-  /** Per-source summed surprisal under both models: (source, n_pairs,
-    * ref_bits, self_bits). The corpus-scoring subtree of
-    * `domainWeights`, exposed for plan probing.
+  /** Summed surprisal under both models grouped by an arbitrary key
+    * (source for l95's domain weights, doc id for l97's per-document
+    * learnability): (key, n_pairs, ref_bits, self_bits). The
+    * corpus-scoring subtree, exposed for plan probing.
     */
-  private[graft] def sourceBits(docs: DataFrame, idCol: String,
-      textCol: String, groupCol: String, refPred: Column): DataFrame = {
+  private[graft] def groupedBits(docs: DataFrame, textCol: String,
+      keyCol: String, refPred: Column): DataFrame = {
     // one pair explode feeds model training AND scoring — checkpoint it
-    // (narrow: source, is_r, prev, cur) or the explode runs twice
+    // (narrow: key, is_r, prev, cur) or the explode runs twice
     val pairs = docs
-      .select(col(groupCol).as("source"),
+      .select(col(keyCol).as("key"),
         when(refPred, 1L).otherwise(0L).as("is_r"),
         explode(NgramLm.ngramPairs(
           TextFunctions.tokens(col(textCol)), 2)).as("p"))
-      .select(col("source"), col("is_r"),
+      .select(col("key"), col("is_r"),
         col("p.prev").as("prev"), col("p.cur").as("cur"))
       .localCheckpoint(eager = false)
     // both models from ONE count aggregate; context counts DERIVED from
@@ -127,13 +128,19 @@ object Doremi {
       .join(broadcast(pc), Seq("prev", "cur"))
       .join(broadcast(ctx), Seq("prev"))
       .crossJoin(broadcast(vocab))
-      .groupBy(col("source"))
+      .groupBy(col("key"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(bitlen(col("ctx_r") + col("v_r"))
           - bitlen(col("pair_r") + 1L)).as("ref_bits"),
         sum(bitlen(col("ctx_f") + col("v_f"))
           - bitlen(col("pair_f") + 1L)).as("self_bits"))
   }
+
+  /** `groupedBits` keyed by source — `domainWeights`' scoring subtree. */
+  private[graft] def sourceBits(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, refPred: Column): DataFrame =
+    groupedBits(docs, textCol, groupCol, refPred)
+      .withColumnRenamed("key", "source")
 
   def domainWeights(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, refPred: Column): DataFrame = {
@@ -180,6 +187,77 @@ object Doremi {
         col("ref_bits"), col("self_bits"), col("excess_milli"),
         when(col("w_tot") > 0, expr("(10000 * w_raw) div w_tot"))
           .otherwise(lit(0L)).as("weight_bp"))
+  }
+
+  /** RHO-style per-document learnability selection (Mindermann et al.
+    * 2022, "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt"; the document-level shape of RHO-1,
+    * Lin et al. 2024): keep the documents whose EXCESS LOSS — proxy
+    * (raw-mixture) model surprisal minus reference (clean-slice) model
+    * surprisal — is high: "the reference can predict it, the mixture
+    * model can't yet", the learnable-and-not-yet-learnt signal. The
+    * document-level counterpart of `domainWeights` (same two models,
+    * same ONE-aggregate training, same mean anchor — l97's threshold is
+    * the same corpus-mean l95 anchors its weights at) and of l94's DSIR
+    * (importance selection under a target model; RHO selects under a
+    * reference/proxy PAIR).
+    *
+    * Output is one typed frame (section, k, src, n_docs, n_sel):
+    * 'band' rows census the mean-anchored relative excess in deci-bit
+    * bands (k = fdiv(rel_milli, 100); k NULL collects the docs with no
+    * conditioned pairs, which are never selected); 'source' rows ledger
+    * per-source selection counts at the mean threshold (rel >= 0). All
+    * arithmetic BIGINT with pmod floor divisions (the l94/l95
+    * discipline), so the frame is hash-exact.
+    *
+    * 100 TB shape: the `groupedBits` scoring subtree (one checkpointed
+    * pair explode, broadcast count tables, map-side-combined per-doc
+    * sums); the per-doc ledger is checkpointed once and feeds the
+    * anchor attach AND both section aggregates (the l55 shared-scan
+    * pattern); two one-row scalar attaches (vocab, anchor).
+    */
+  def learnabilitySelect(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, refPred: Column): DataFrame = {
+    val pd = groupedBits(docs, textCol, idCol, refPred)
+    val led = docs
+      .select(col(idCol).as("key"), col(groupCol).as("source"))
+      .join(pd, Seq("key"), "left")
+      .select(col("source"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("ref_bits"), col("self_bits"),
+        when(col("n_pairs") > 0,
+          expr("""(1000 * (self_bits - ref_bits)
+                 | - pmod(1000 * (self_bits - ref_bits), n_pairs))
+                 | div n_pairs""".stripMargin.replace("\n", " ")))
+          .as("doc_milli"))
+      .localCheckpoint(eager = false)
+    val anchor = led
+      .agg(sum(col("self_bits")).as("sb"), sum(col("ref_bits")).as("rb"),
+        sum(col("n_pairs")).as("np"))
+      .select(when(col("np") > 0,
+        expr("""(1000 * (sb - rb) - pmod(1000 * (sb - rb), np))
+               | div np""".stripMargin.replace("\n", " ")))
+        .otherwise(lit(0L)).as("anchor_milli"))
+    // the scored per-doc frame feeds BOTH sections — checkpoint it
+    val scored = led.crossJoin(broadcast(anchor))
+      .select(col("source"),
+        (col("doc_milli") - col("anchor_milli")).as("rel"))
+      .localCheckpoint(eager = false)
+    val bands = scored
+      .groupBy(expr("""case when rel is null then null
+                      | else (rel - pmod(rel, 100)) div 100
+                      | end""".stripMargin.replace("\n", " ")).as("k"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("band").as("section"), col("k"),
+        lit(null).cast("string").as("src"), col("n_docs"),
+        lit(null).cast("long").as("n_sel"))
+    val bySrc = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rel") >= 0L, 1)).as("n_sel"))
+      .select(lit("source").as("section"),
+        lit(null).cast("long").as("k"), col("source").as("src"),
+        col("n_docs"), col("n_sel"))
+    bands.unionByName(bySrc)
   }
 
   /** The collected serve artifact (the t25 codebook-at-boot discipline,

@@ -3106,6 +3106,76 @@ object LlmQueries {
              |  (10000 * (CASE WHEN capped THEN cap ELSE lv.share END))
              |    // greatest(c_toks, 1) AS epochs_bp,
              |  CASE WHEN capped THEN 'capped' ELSE 'level' END AS state
-             |FROM fl, lv""".stripMargin))
+             |FROM fl, lv""".stripMargin)),
+
+    QuerySpec(
+      "l97_rho_select",
+      "RHO-style learnability document selection (Mindermann et al. 2022; the document-level shape of RHO-1) — the per-DOCUMENT counterpart of l95's domain reweighting, same two add-one bigram models from ONE pair-count aggregate: each document's EXCESS LOSS (proxy/raw-mixture surprisal minus reference/clean-slice surprisal) says 'the reference can predict it, the mixture model can't yet' — learnable and not yet learnt, so keep it. Selection threshold = the corpus-mean excess (the same anchor l95 weights at, the l94 mean-anchor discipline), everything in exact pmod-floor milli-bits. Output: one typed frame — 'band' rows census the mean-anchored relative excess in deci-bit bands (k NULL collects pair-less never-selected docs), 'source' rows ledger per-source selection counts at the threshold. Scale: the shared groupedBits scoring subtree (checkpointed pair explode, broadcast count tables, map-side-combined per-doc sums); the per-doc ledger checkpointed ONCE feeds the anchor attach and both sections (the l55 pattern); two one-row scalar attaches",
+      (s, dir) => graft.operators.Doremi.learnabilitySelect(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        col("doc_id") % 7 === 0),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_r,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]}
+             |            for i in range(1, len(t))], recursive := true)
+             |  FROM tk),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_f,
+             |    CAST(sum(is_r) AS BIGINT) AS pair_r
+             |  FROM ap GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_f) AS BIGINT) AS ctx_f,
+             |    CAST(sum(pair_r) AS BIGINT) AS ctx_r
+             |  FROM pc GROUP BY 1),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS v_f,
+             |    count(DISTINCT CASE WHEN is_r = 1 THEN tok END) AS v_r
+             |  FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+             |          AS is_r, unnest(t) AS tok FROM tk)),
+             |sb AS (
+             |  SELECT ap.doc_id, count(*) AS n_pairs,
+             |    CAST(sum(length(bin(ctx.ctx_r + v.v_r))
+             |      - length(bin(pc.pair_r + 1))) AS BIGINT) AS ref_bits,
+             |    CAST(sum(length(bin(ctx.ctx_f + v.v_f))
+             |      - length(bin(pc.pair_f + 1))) AS BIGINT) AS self_bits
+             |  FROM ap
+             |  JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  JOIN ctx ON ap.prev = ctx.prev, v
+             |  GROUP BY 1),
+             |led AS (
+             |  SELECT d.source, coalesce(sb.n_pairs, 0) AS n_pairs,
+             |    sb.ref_bits, sb.self_bits,
+             |    CASE WHEN sb.n_pairs > 0 THEN
+             |      (1000 * (sb.self_bits - sb.ref_bits)
+             |       - ((1000 * (sb.self_bits - sb.ref_bits)) % sb.n_pairs
+             |          + sb.n_pairs) % sb.n_pairs) // sb.n_pairs
+             |    END AS doc_milli
+             |  FROM documents d LEFT JOIN sb ON d.doc_id = sb.doc_id),
+             |an AS (
+             |  SELECT CASE WHEN np > 0 THEN
+             |      (1000 * (sbt - rbt) - ((1000 * (sbt - rbt)) % np + np)
+             |       % np) // np
+             |    ELSE 0 END AS anchor_milli
+             |  FROM (SELECT CAST(sum(self_bits) AS BIGINT) AS sbt,
+             |          CAST(sum(ref_bits) AS BIGINT) AS rbt,
+             |          CAST(sum(n_pairs) AS BIGINT) AS np FROM led)),
+             |sc AS (
+             |  SELECT led.source, doc_milli - an.anchor_milli AS rel
+             |  FROM led, an)
+             |SELECT 'band' AS section,
+             |  CASE WHEN rel IS NULL THEN NULL
+             |    ELSE (rel - ((rel % 100) + 100) % 100) // 100
+             |  END AS k,
+             |  CAST(NULL AS VARCHAR) AS src, count(*) AS n_docs,
+             |  CAST(NULL AS BIGINT) AS n_sel
+             |FROM sc GROUP BY 2
+             |UNION ALL
+             |SELECT 'source', CAST(NULL AS BIGINT), source, count(*),
+             |  CAST(sum(CASE WHEN rel >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM sc GROUP BY 3""".stripMargin))
   )
 }

@@ -173,6 +173,42 @@ class DoremiSpec extends SparkSpec {
       rates.values.count(_ === 10000L) >= 1, "full pass-through live")
   }
 
+  test("learnability: threshold is l95's anchor; ledger is consistent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = graft.operators.Doremi.learnabilitySelect(docs, "doc_id",
+        "text", "source", col("doc_id") % 7 === 0)
+      .collect()
+    val bands = out.filter(_.getString(0) == "band")
+      .map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(3)))
+    val srcs = out.filter(_.getString(0) == "source")
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+    // the same docs are counted by both sections
+    assert(bands.map(_._2).sum === srcs.map(_._2).sum)
+    // the mean anchor puts documents on BOTH sides of the threshold
+    assert(bands.exists(b => b._1.exists(_ < 0)), "below-threshold live")
+    assert(bands.exists(b => b._1.exists(_ >= 0)), "selected regime live")
+    val nSel = srcs.map(_._3).sum
+    val nonNeg = bands.filter(_._1.exists(_ >= 0)).map(_._2).sum
+    // selection (rel >= 0) is exactly the non-negative bands' mass
+    assert(nSel === nonNeg)
+    // per-doc sums grouped by source must reproduce l95's source sums —
+    // the two faces score with the SAME models and anchor
+    val pd = graft.operators.Doremi.groupedBits(docs, "text", "doc_id",
+        col("doc_id") % 7 === 0)
+      .join(docs.select(col("doc_id").as("key"), col("source")), Seq("key"))
+      .groupBy("source")
+      .agg(sum("n_pairs").as("np"), sum("ref_bits").as("rb"),
+        sum("self_bits").as("sb"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val sb = graft.operators.Doremi.sourceBits(docs, "doc_id", "text",
+        "source", col("doc_id") % 7 === 0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pd === sb)
+  }
+
   test("plan: count tables broadcast; only the three scalar attaches are BNLJ") {
     import spark.implicits._
     val docs = (1L to 300L).map(i =>

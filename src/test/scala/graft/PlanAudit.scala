@@ -59,7 +59,10 @@ object PlanAudit {
     "l95_doremi_weights",
     // two one-row scalar attaches: budget+count, then the waterline
     // level, both on the O(sources) plan frame (the l92 shape)
-    "l96_unimax_alloc")
+    "l96_unimax_alloc",
+    // two one-row scalar attaches: vocab sizes on the scoring join and
+    // the corpus-mean excess anchor on the per-doc ledger (l95's shape)
+    "l97_rho_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
