@@ -260,6 +260,106 @@ object Doremi {
     bands.unionByName(bySrc)
   }
 
+  /** The collected learnability serve artifact (the t25 codebook-at-boot
+    * discipline): per-pair surprisal DIFFERENCES bits_proxy - bits_ref
+    * precomputed — the excess of a document is the plain SUM of its
+    * pairs' diffs, so the stream fold carries one integer per pair
+    * instead of two models. Nested layout (the NgramLm.ServeModel
+    * lesson): pairDiff for seen pairs, ctxDefault for a seen context
+    * with an unseen continuation (both counts zero there), unseenDiff
+    * bitlen(v_f)-bitlen(v_r) for unknown contexts. `anchorMilli` is the
+    * corpus-mean excess resolved batch-side at collect time, so the
+    * serve path never touches the corpus again.
+    */
+  final case class RhoServeModel(pairDiff: Map[String, Map[String, Int]],
+      ctxDefault: Map[String, Int], unseenDiff: Int, anchorMilli: Long)
+
+  def collectRhoServeModel(docs: DataFrame, idCol: String,
+      textCol: String, refPred: Column,
+      maxEntries: Int = 65536): RhoServeModel = {
+    def bl(x: Long) =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x))
+    val pairs = docs
+      .select(when(refPred, 1L).otherwise(0L).as("is_r"),
+        explode(NgramLm.ngramPairs(
+          TextFunctions.tokens(col(textCol)), 2)).as("p"))
+      .select(col("is_r"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val pcRows = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("pair_f"), sum(col("is_r")).as("pair_r"))
+      .collect()
+    require(pcRows.length <= maxEntries,
+      s"collectRhoServeModel: ${pcRows.length} bigrams exceed the" +
+        s" $maxEntries in-process bound — serve via the broadcast-join" +
+        " batch path instead")
+    val vRow = docs
+      .select(when(refPred, 1L).otherwise(0L).as("is_r"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v_f"),
+        count_distinct(when(col("is_r") === 1L, col("tok"))).as("v_r"))
+      .collect().head
+    val (vF, vR) = (vRow.getLong(0), vRow.getLong(1))
+    val byPrev = pcRows
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val ctx = byPrev.map { case (p, rs) =>
+      p -> (rs.map(_._3).sum, rs.map(_._4).sum)
+    }
+    def diff(pf: Long, pr: Long, cf: Long, cr: Long): Int =
+      (bl(cf + vF) - bl(pf + 1L)) - (bl(cr + vR) - bl(pr + 1L))
+    val pairDiff = byPrev.map { case (p, rs) =>
+      val (cf, cr) = ctx(p)
+      p -> rs.map(r => r._2 -> diff(r._3, r._4, cf, cr)).toMap
+    }
+    val ctxDefault = ctx.map { case (p, (cf, cr)) =>
+      p -> diff(0L, 0L, cf, cr)
+    }
+    // the mean anchor, driver-side from the collected type counts: the
+    // batch anchor's per-doc sums commute — sum over docs of self-ref
+    // bits IS sum over pair occurrences of diff = sum over pair TYPES
+    // of pair_f * diff — so no second corpus-scoring pass is needed
+    // (halved the serve-boot cost, 8.2 -> ~4 s warm at sf0.1)
+    val totalPairs = pcRows.map(_.getLong(2)).sum
+    val totalDiff = byPrev.values.flatten.map { r =>
+      val (cf, cr) = ctx(r._1)
+      r._3 * diff(r._3, r._4, cf, cr).toLong
+    }.sum
+    val anchor =
+      if (totalPairs > 0) Math.floorDiv(1000L * totalDiff, totalPairs)
+      else 0L
+    RhoServeModel(pairDiff, ctxDefault, bl(vF) - bl(vR), anchor)
+  }
+
+  /** Per-ROW learnability selection against the collected model (1 =
+    * selected, 0 = not; 0 for docs with no conditioned pairs) — nested
+    * map-literal lookups of precomputed per-pair diffs in ONE
+    * single-pass (sum, count) fold with a single scalar output (the
+    * t28 interpreted-HOF lessons; `toksCol` must be a MATERIALIZED
+    * token-array column). Row-for-row equal to the batch threshold
+    * rel >= 0 (pinned in DoremiSpec).
+    */
+  def selectLocal(serve: RhoServeModel, toksCol: Column): Column = {
+    val pairLit = typedLit(serve.pairDiff)
+    val ctxLit = typedLit(serve.ctxDefault)
+    val diffs = transform(NgramLm.tokenPairs(toksCol), p =>
+      coalesce(
+        element_at(element_at(pairLit, p.getField("prev")),
+          p.getField("cur")),
+        element_at(ctxLit, p.getField("prev")),
+        lit(serve.unseenDiff)).cast("long"))
+    aggregate(diffs,
+      struct(lit(0L).as("s"), lit(0L).as("c")),
+      (acc, d) => struct((acc.getField("s") + d).as("s"),
+        (acc.getField("c") + lit(1L)).as("c")),
+      acc => {
+        val (s, c) = (acc.getField("s"), acc.getField("c"))
+        val m = lit(1000L) * s
+        val docMilli = (m - pmod(m, c)) / c
+        when(c > 0,
+          (docMilli.cast("long") >= lit(serve.anchorMilli)).cast("long"))
+          .otherwise(lit(0L))
+      })
+  }
+
   /** The collected serve artifact (the t25 codebook-at-boot discipline,
     * O(sources) entries): per-source ADMISSION RATES in basis points,
     * derived from the PUBLISHED weight ledger — the artifact a

@@ -1502,6 +1502,81 @@ object TimeSeriesQueries {
               |    WHEN (dd.fp // 100) % 10000 < rt.rate THEN 1 ELSE 0
               |    END) AS BIGINT) AS n_admitted
               |FROM dd JOIN rt ON dd.source = rt.source
-              |GROUP BY 1""".stripMargin))
+              |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t37_stream_rho_select",
+      "the streaming face of l97's RHO learnability selector — excess-loss data selection at ingest: the per-pair surprisal DIFFERENCE table (bits_proxy - bits_ref, nested prev->cur maps with context and unknown defaults) and the corpus-mean anchor are trained batch-side and driver-collected at serve start (collectRhoServeModel, the t25 codebook-at-boot discipline), and every arriving document decides its own fate STATELESSLY per row: ONE single-pass (sum,count) fold over its pairs' precomputed diffs emitting a single 0/1 scalar (the t28 interpreted-HOF discipline — no struct re-extraction, tokens materialized first), no join, no per-doc state; the only stream state is the O(sources)-row complete-mode selection census. Row-for-row equal to l97's batch threshold rel >= anchor (pinned in DoremiSpec), so the census is oracle-exact — the oracle is l97's source section verbatim",
+      (s, dir) => {
+        val serve = graft.operators.Doremi.collectRhoServeModel(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 7 === 0)
+        val scored = Tables.loadStream(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextFunctions.tokens(col("text")).as("t"))
+          .select(col("source"),
+            graft.operators.Doremi.selectLocal(serve, col("t")).as("acc"))
+        val census = scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_seen"),
+            sum(col("acc")).as("n_selected"))
+        runBounded(s, census, "t37_stream_rho_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ap AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_r,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]}
+             |            for i in range(1, len(t))], recursive := true)
+             |  FROM tk),
+             |pc AS (
+             |  SELECT prev, cur, count(*) AS pair_f,
+             |    CAST(sum(is_r) AS BIGINT) AS pair_r
+             |  FROM ap GROUP BY 1, 2),
+             |ctx AS (
+             |  SELECT prev, CAST(sum(pair_f) AS BIGINT) AS ctx_f,
+             |    CAST(sum(pair_r) AS BIGINT) AS ctx_r
+             |  FROM pc GROUP BY 1),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS v_f,
+             |    count(DISTINCT CASE WHEN is_r = 1 THEN tok END) AS v_r
+             |  FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+             |          AS is_r, unnest(t) AS tok FROM tk)),
+             |sb AS (
+             |  SELECT ap.doc_id, count(*) AS n_pairs,
+             |    CAST(sum(length(bin(ctx.ctx_r + v.v_r))
+             |      - length(bin(pc.pair_r + 1))) AS BIGINT) AS ref_bits,
+             |    CAST(sum(length(bin(ctx.ctx_f + v.v_f))
+             |      - length(bin(pc.pair_f + 1))) AS BIGINT) AS self_bits
+             |  FROM ap
+             |  JOIN pc ON ap.prev = pc.prev AND ap.cur = pc.cur
+             |  JOIN ctx ON ap.prev = ctx.prev, v
+             |  GROUP BY 1),
+             |led AS (
+             |  SELECT d.source, coalesce(sb.n_pairs, 0) AS n_pairs,
+             |    sb.ref_bits, sb.self_bits,
+             |    CASE WHEN sb.n_pairs > 0 THEN
+             |      (1000 * (sb.self_bits - sb.ref_bits)
+             |       - ((1000 * (sb.self_bits - sb.ref_bits)) % sb.n_pairs
+             |          + sb.n_pairs) % sb.n_pairs) // sb.n_pairs
+             |    END AS doc_milli
+             |  FROM documents d LEFT JOIN sb ON d.doc_id = sb.doc_id),
+             |an AS (
+             |  SELECT CASE WHEN np > 0 THEN
+             |      (1000 * (sbt - rbt) - ((1000 * (sbt - rbt)) % np + np)
+             |       % np) // np
+             |    ELSE 0 END AS anchor_milli
+             |  FROM (SELECT CAST(sum(self_bits) AS BIGINT) AS sbt,
+             |          CAST(sum(ref_bits) AS BIGINT) AS rbt,
+             |          CAST(sum(n_pairs) AS BIGINT) AS np FROM led)),
+             |sc AS (
+             |  SELECT led.source, doc_milli - an.anchor_milli AS rel
+             |  FROM led, an)
+             |SELECT source, count(*) AS n_seen,
+             |  CAST(sum(CASE WHEN rel >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_selected
+             |FROM sc GROUP BY 1""".stripMargin))
   )
 }

@@ -209,6 +209,24 @@ class DoremiSpec extends SparkSpec {
     assert(pd === sb)
   }
 
+  test("selectLocal: per-source select counts equal l97's batch ledger") {
+    val docs = Tables.load(spark, sf, "documents")
+    val serve = graft.operators.Doremi.collectRhoServeModel(docs,
+      "doc_id", "text", col("doc_id") % 7 === 0)
+    val local = docs
+      .select(col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("source"),
+        graft.operators.Doremi.selectLocal(serve, col("t")).as("acc"))
+      .groupBy("source").agg(sum("acc").as("n_sel"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Doremi.learnabilitySelect(docs, "doc_id",
+        "text", "source", col("doc_id") % 7 === 0)
+      .where(col("section") === "source")
+      .collect().map(r => r.getString(2) -> r.getLong(4)).toMap
+    assert(local === batch)
+  }
+
   test("plan: count tables broadcast; only the three scalar attaches are BNLJ") {
     import spark.implicits._
     val docs = (1L to 300L).map(i =>
