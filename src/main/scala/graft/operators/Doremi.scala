@@ -216,13 +216,18 @@ object Doremi {
     * anchor attach AND both section aggregates (the l55 shared-scan
     * pattern); two one-row scalar attaches (vocab, anchor).
     */
-  def learnabilitySelect(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, refPred: Column): DataFrame = {
+  /** Per-doc relative-excess frame (key, source, rel): the learnability
+    * signal BEFORE the section aggregates — rel >= 0 is l97's keep
+    * decision — for consumers that compose per-document decisions
+    * (l98's selector-agreement census).
+    */
+  private[graft] def perDocRel(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, refPred: Column): DataFrame = {
     val pd = groupedBits(docs, textCol, idCol, refPred)
     val led = docs
       .select(col(idCol).as("key"), col(groupCol).as("source"))
       .join(pd, Seq("key"), "left")
-      .select(col("source"),
+      .select(col("key"), col("source"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         col("ref_bits"), col("self_bits"),
         when(col("n_pairs") > 0,
@@ -238,10 +243,15 @@ object Doremi {
         expr("""(1000 * (sb - rb) - pmod(1000 * (sb - rb), np))
                | div np""".stripMargin.replace("\n", " ")))
         .otherwise(lit(0L)).as("anchor_milli"))
-    // the scored per-doc frame feeds BOTH sections — checkpoint it
-    val scored = led.crossJoin(broadcast(anchor))
-      .select(col("source"),
+    led.crossJoin(broadcast(anchor))
+      .select(col("key"), col("source"),
         (col("doc_milli") - col("anchor_milli")).as("rel"))
+  }
+
+  def learnabilitySelect(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, refPred: Column): DataFrame = {
+    // the scored per-doc frame feeds BOTH sections — checkpoint it
+    val scored = perDocRel(docs, idCol, textCol, groupCol, refPred)
       .localCheckpoint(eager = false)
     val bands = scored
       .groupBy(expr("""case when rel is null then null

@@ -143,9 +143,14 @@ object Dsir {
     * but `//` floors on DuckDB, so the oracle-shared form subtracts the
     * non-negative pmod first, making the division exact on both.
     */
-  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, targetPred: Column, buckets: Int = 4096,
-      offsetBits: Long = 0L): DataFrame = {
+  /** Per-doc acceptance frame (doc_id, source, imp, acc): the scored
+    * frame with the mean-anchored threshold applied — the selection
+    * decision BEFORE the ledger aggregate, for consumers that compose
+    * per-document decisions (l98's selector-agreement census).
+    */
+  private[graft] def perDocAccept(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, targetPred: Column,
+      buckets: Int = 4096, offsetBits: Long = 0L): DataFrame = {
     require(buckets > 0, "need buckets>0")
     // the per-doc frame feeds the threshold aggregate AND the acceptance
     // pass — checkpoint it (narrow: source, imp, win) or the whole
@@ -157,6 +162,13 @@ object Dsir {
       .select((expr("(s - pmod(s, n)) div n") + offsetBits).as("thr"))
     scored.crossJoin(broadcast(thr))
       .withColumn("acc", col("win") < rateBp(col("imp"), col("thr")))
+  }
+
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, targetPred: Column, buckets: Int = 4096,
+      offsetBits: Long = 0L): DataFrame = {
+    perDocAccept(docs, idCol, textCol, groupCol, targetPred, buckets,
+      offsetBits)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("acc"), 1)).as("n_selected"),

@@ -3176,6 +3176,167 @@ object LlmQueries {
              |UNION ALL
              |SELECT 'source', CAST(NULL AS BIGINT), source, count(*),
              |  CAST(sum(CASE WHEN rel >= 0 THEN 1 ELSE 0 END) AS BIGINT)
-             |FROM sc GROUP BY 3""".stripMargin))
+             |FROM sc GROUP BY 3""".stripMargin)),
+
+    QuerySpec(
+      "l98_selector_agreement",
+      "selector-agreement census — the ops answer to 'do our data selectors agree, and where': every document's keep decision under TWO independent published selectors — l94's DSIR importance resampling (hashed-bigram target/raw importance, exponential-tilt acceptance) and l97's RHO learnability threshold (proxy-vs-reference excess loss at the corpus-mean anchor) — joined per doc_id and censused per source: (n_docs, n_dsir, n_rho, n_both, n_neither, jaccard_bp), the cross-method confusion ledger a 100 TB curation run reads before trusting either selector alone (high jaccard = redundant signals, low = complementary). jaccard_bp = (10000*n_both) div (n_dsir+n_rho-n_both), 10000 when both sets are empty (vacuous agreement); decisions replayed through the SAME perDocAccept/perDocRel frames the l94/l97 ledgers aggregate (pinned in DoremiSpec), pair-less/NULL-text docs coalesced to not-selected on both engines. Scale: both scoring subtrees are the checkpointed one-scan shapes of their parent queries; the join is per-doc on doc_id (map-side combinable census after), everything BIGINT hash-exact",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val d = graft.operators.Dsir.perDocAccept(docs, "doc_id", "text",
+            "source", col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("acc"), lit(false)).as("dsir"))
+        val r = graft.operators.Doremi.perDocRel(docs, "doc_id", "text",
+            "source", col("doc_id") % 7 === 0)
+          .select(col("key").as("doc_id"),
+            coalesce(col("rel") >= 0L, lit(false)).as("rho"))
+        d.join(r, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("dsir"), 1)).as("n_dsir"),
+            count(when(col("rho"), 1)).as("n_rho"),
+            count(when(col("dsir") && col("rho"), 1)).as("n_both"),
+            count(when(!col("dsir") && !col("rho"), 1)).as("n_neither"))
+          .withColumn("jaccard_bp",
+            when(col("n_dsir") + col("n_rho") - col("n_both") > 0,
+              expr("(10000 * n_both) div (n_dsir + n_rho - n_both)"))
+              .otherwise(lit(10000L)))
+      },
+      Some(s"""WITH d_tk AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND trim(text) <> ''),
+              |d_bg AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_t,
+              |    unnest(CASE WHEN len(t) >= 2
+              |      THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+              |      ELSE CAST([] AS VARCHAR[]) END) AS g
+              |  FROM d_tk),
+              |d_hb AS (
+              |  SELECT doc_id, is_t,
+              |    list_reduce([unicode(c) for c in
+              |        regexp_split_to_array(g, '')],
+              |      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007)
+              |      % 4096 AS bkt
+              |  FROM d_bg),
+              |d_tc AS (
+              |  SELECT bkt, CAST(sum(is_t) AS BIGINT) AS ct,
+              |    count(*) AS cr
+              |  FROM d_hb GROUP BY 1),
+              |d_tot AS (
+              |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+              |    CAST(sum(cr) AS BIGINT) AS nr
+              |  FROM d_tc),
+              |d_w AS (
+              |  SELECT bkt,
+              |    (length(bin(nr + 4096)) - length(bin(cr + 1)))
+              |      - (length(bin(nt + 4096)) - length(bin(ct + 1)))
+              |      AS imp
+              |  FROM d_tc, d_tot),
+              |d_sc AS (SELECT d_hb.doc_id, d_w.imp
+              |         FROM d_hb JOIN d_w USING (bkt)),
+              |d_dd AS (SELECT doc_id, source, $fpSql AS fp
+              |         FROM documents),
+              |d_pd AS (
+              |  SELECT d_dd.doc_id, d_dd.source, d_dd.fp,
+              |    coalesce(CAST(sum(d_sc.imp) AS BIGINT), 0) AS imp
+              |  FROM d_dd LEFT JOIN d_sc USING (doc_id)
+              |  GROUP BY 1, 2, 3),
+              |d_th AS (
+              |  SELECT CAST((CAST(sum(imp) AS BIGINT)
+              |      - ((CAST(sum(imp) AS BIGINT) % count(*)) + count(*))
+              |        % count(*)) // count(*) AS BIGINT) AS thr
+              |  FROM d_pd),
+              |d_acc AS (
+              |  SELECT doc_id, source,
+              |    coalesce((fp // 100) % 10000 <
+              |      CASE WHEN imp >= thr THEN 10000
+              |           WHEN imp <= thr - 14 THEN 0
+              |           ELSE 10000 >> CAST(thr - imp AS INT) END,
+              |      FALSE) AS dsir
+              |  FROM d_pd, d_th),
+              |r_tk AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t
+              |  FROM documents),
+              |r_ap AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_r,
+              |    unnest([{'prev': t[i], 'cur': t[i+1]}
+              |            for i in range(1, len(t))], recursive := true)
+              |  FROM r_tk),
+              |r_pc AS (
+              |  SELECT prev, cur, count(*) AS pair_f,
+              |    CAST(sum(is_r) AS BIGINT) AS pair_r
+              |  FROM r_ap GROUP BY 1, 2),
+              |r_ctx AS (
+              |  SELECT prev, CAST(sum(pair_f) AS BIGINT) AS ctx_f,
+              |    CAST(sum(pair_r) AS BIGINT) AS ctx_r
+              |  FROM r_pc GROUP BY 1),
+              |r_v AS (
+              |  SELECT count(DISTINCT tok) AS v_f,
+              |    count(DISTINCT CASE WHEN is_r = 1 THEN tok END) AS v_r
+              |  FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+              |          AS is_r, unnest(t) AS tok FROM r_tk)),
+              |r_sb AS (
+              |  SELECT r_ap.doc_id, count(*) AS n_pairs,
+              |    CAST(sum(length(bin(r_ctx.ctx_r + r_v.v_r))
+              |      - length(bin(r_pc.pair_r + 1))) AS BIGINT)
+              |      AS ref_bits,
+              |    CAST(sum(length(bin(r_ctx.ctx_f + r_v.v_f))
+              |      - length(bin(r_pc.pair_f + 1))) AS BIGINT)
+              |      AS self_bits
+              |  FROM r_ap
+              |  JOIN r_pc ON r_ap.prev = r_pc.prev AND r_ap.cur = r_pc.cur
+              |  JOIN r_ctx ON r_ap.prev = r_ctx.prev, r_v
+              |  GROUP BY 1),
+              |r_led AS (
+              |  SELECT d.doc_id, coalesce(r_sb.n_pairs, 0) AS n_pairs,
+              |    r_sb.ref_bits, r_sb.self_bits,
+              |    CASE WHEN r_sb.n_pairs > 0 THEN
+              |      (1000 * (r_sb.self_bits - r_sb.ref_bits)
+              |       - ((1000 * (r_sb.self_bits - r_sb.ref_bits))
+              |          % r_sb.n_pairs + r_sb.n_pairs) % r_sb.n_pairs)
+              |      // r_sb.n_pairs
+              |    END AS doc_milli
+              |  FROM documents d LEFT JOIN r_sb ON d.doc_id = r_sb.doc_id),
+              |r_an AS (
+              |  SELECT CASE WHEN np > 0 THEN
+              |      (1000 * (sbt - rbt) - ((1000 * (sbt - rbt)) % np + np)
+              |       % np) // np
+              |    ELSE 0 END AS anchor_milli
+              |  FROM (SELECT CAST(sum(self_bits) AS BIGINT) AS sbt,
+              |          CAST(sum(ref_bits) AS BIGINT) AS rbt,
+              |          CAST(sum(n_pairs) AS BIGINT) AS np FROM r_led)),
+              |r_sc AS (
+              |  SELECT doc_id,
+              |    coalesce(doc_milli - r_an.anchor_milli >= 0, FALSE)
+              |      AS rho
+              |  FROM r_led, r_an),
+              |j AS (
+              |  SELECT a.source, a.dsir, r.rho
+              |  FROM d_acc a JOIN r_sc r ON a.doc_id = r.doc_id)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN dsir THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dsir,
+              |  CAST(sum(CASE WHEN rho THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_rho,
+              |  CAST(sum(CASE WHEN dsir AND rho THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_both,
+              |  CAST(sum(CASE WHEN NOT dsir AND NOT rho THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_neither,
+              |  CASE WHEN CAST(sum(CASE WHEN dsir THEN 1 ELSE 0 END)
+              |      + sum(CASE WHEN rho THEN 1 ELSE 0 END)
+              |      - sum(CASE WHEN dsir AND rho THEN 1 ELSE 0 END)
+              |      AS BIGINT) > 0
+              |    THEN (10000 * CAST(sum(CASE WHEN dsir AND rho THEN 1
+              |        ELSE 0 END) AS BIGINT))
+              |      // CAST(sum(CASE WHEN dsir THEN 1 ELSE 0 END)
+              |        + sum(CASE WHEN rho THEN 1 ELSE 0 END)
+              |        - sum(CASE WHEN dsir AND rho THEN 1 ELSE 0 END)
+              |        AS BIGINT)
+              |    ELSE 10000 END AS jaccard_bp
+              |FROM j GROUP BY 1""".stripMargin))
   )
 }

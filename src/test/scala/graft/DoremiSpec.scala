@@ -227,6 +227,30 @@ class DoremiSpec extends SparkSpec {
     assert(local === batch)
   }
 
+  test("selector agreement: per-doc frames reproduce the parent ledgers") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pred = col("doc_id") % 7 === 0
+    // DSIR per-doc acceptance grouped by source == l94's ledger
+    val dAgg = graft.operators.Dsir.perDocAccept(docs, "doc_id", "text",
+        "source", pred)
+      .groupBy("source").agg(count(when(col("acc"), 1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dLed = graft.operators.Dsir.dsirResample(docs, "doc_id", "text",
+        "source", pred)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dAgg === dLed)
+    // RHO per-doc rel grouped by source == l97's source section
+    val rAgg = graft.operators.Doremi.perDocRel(docs, "doc_id", "text",
+        "source", pred)
+      .groupBy("source").agg(count(when(col("rel") >= 0L, 1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rLed = graft.operators.Doremi.learnabilitySelect(docs, "doc_id",
+        "text", "source", pred)
+      .where(col("section") === "source")
+      .collect().map(r => r.getString(2) -> r.getLong(4)).toMap
+    assert(rAgg === rLed)
+  }
+
   test("plan: count tables broadcast; only the three scalar attaches are BNLJ") {
     import spark.implicits._
     val docs = (1L to 300L).map(i =>

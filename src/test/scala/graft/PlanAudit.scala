@@ -62,7 +62,10 @@ object PlanAudit {
     "l96_unimax_alloc",
     // two one-row scalar attaches: vocab sizes on the scoring join and
     // the corpus-mean excess anchor on the per-doc ledger (l95's shape)
-    "l97_rho_select")
+    "l97_rho_select",
+    // composes l94's and l97's scoring subtrees: their four one-row
+    // scalar attaches (dsir totals+threshold, rho vocab+anchor)
+    "l98_selector_agreement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
