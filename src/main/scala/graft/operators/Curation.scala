@@ -326,4 +326,28 @@ object Curation {
       .select(col("source"), col("c_toks"), col("cap"), col("alloc"),
         col("epochs_bp"), col("state"))
   }
+
+  /** The collected UniMax serve artifact (the t25 codebook-at-boot
+    * discipline): per-source ADMISSION RATES in basis points, which at
+    * epochCap = 1 are exactly the plan's effective-epoch fractions —
+    * capped sources pass whole (10000), level sources at
+    * alloc/capacity. Only the single-epoch plan is realizable as a
+    * one-pass admission filter (a multi-epoch allocation needs a
+    * repeating sampler, not an ingest gate), hence the require.
+    * Returns Doremi's MixtureServeModel so the same `admitLocal`
+    * per-row decision serves both planners.
+    */
+  def collectUnimaxRates(docs: DataFrame, textCol: String,
+      sourceCol: String, budgetBp: Int = 9000,
+      maxEntries: Int = 65536): Doremi.MixtureServeModel = {
+    val rows = unimaxAllocate(docs, textCol, sourceCol, epochCap = 1,
+        budgetBp = budgetBp)
+      .select(col("source"), col("epochs_bp")).collect()
+    require(rows.length <= maxEntries,
+      s"collectUnimaxRates: ${rows.length} sources exceed the" +
+        s" $maxEntries in-process bound")
+    Doremi.MixtureServeModel(
+      rows.map(r => r.getString(0) -> math.min(r.getLong(1), 10000L))
+        .toMap)
+  }
 }

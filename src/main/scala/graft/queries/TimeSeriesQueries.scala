@@ -1577,6 +1577,74 @@ object TimeSeriesQueries {
              |SELECT source, count(*) AS n_seen,
              |  CAST(sum(CASE WHEN rel >= 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_selected
-             |FROM sc GROUP BY 1""".stripMargin))
+             |FROM sc GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t38_stream_unimax_admit",
+      "the streaming face of l96's UniMax plan — the single-epoch allocation APPLIED at ingest: at epochCap=1 the plan's effective-epoch fractions (epochs_bp = 10000*alloc div capacity) ARE per-source admission rates — capped sources pass whole, level sources at alloc/capacity — so the planner's output becomes the ingest gate with no further arithmetic (only the epochCap=1 plan is realizable this way; a multi-epoch allocation needs a repeating sampler, which is why collectUnimaxRates requires it). Rates driver-collected at serve start (the t25 boot discipline, O(sources) entries) and every arriving document decides statelessly per row through the SAME Doremi.admitLocal decision t36 uses (one map-literal lookup vs the l67 content-hash basis-point window); the only stream state is the complete-mode admission census, row-for-row equal to the batch replay, oracle-exact",
+      (s, dir) => {
+        val serve = graft.operators.Curation.collectUnimaxRates(
+          Tables.load(s, dir, "documents"), "text", "source",
+          budgetBp = 9000)
+        val admitted = Tables.loadStream(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextFunctions.rollingHash(col("text"))
+              .as("fp"))
+          .select(col("source"),
+            graft.operators.Doremi.admitLocal(serve, col("source"),
+              col("fp")).as("acc"))
+        val census = admitted.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_seen"),
+            sum(col("acc")).as("n_admitted"))
+        runBounded(s, census, "t38_stream_unimax_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT source,
+              |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+              |      AS c_toks
+              |  FROM documents GROUP BY 1),
+              |tot AS (
+              |  SELECT (CAST(sum(c_toks) AS BIGINT) * 9000) // 10000
+              |      AS budget,
+              |    count(*) AS n_src
+              |  FROM ps),
+              |rk AS (
+              |  SELECT ps.*, c_toks AS cap,
+              |    row_number() OVER (ORDER BY c_toks ASC, source)
+              |      AS rank,
+              |    coalesce(CAST(sum(c_toks) OVER (
+              |      ORDER BY c_toks ASC, source
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS BIGINT), 0) AS cap_before
+              |  FROM ps),
+              |fl AS (
+              |  SELECT rk.*, tot.budget, tot.n_src,
+              |    (cap * (tot.n_src - rank + 1) <= tot.budget - cap_before)
+              |      AS capped
+              |  FROM rk, tot),
+              |lv AS (
+              |  SELECT CASE WHEN n_src > k THEN (budget - cap_k)
+              |      // (n_src - k) ELSE 0 END AS share
+              |  FROM (SELECT max(n_src) AS n_src, max(budget) AS budget,
+              |      CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+              |        AS BIGINT) AS k,
+              |      CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+              |        AS BIGINT) AS cap_k
+              |    FROM fl)),
+              |rt AS (
+              |  SELECT source,
+              |    least((10000 * (CASE WHEN capped THEN cap
+              |                    ELSE lv.share END))
+              |      // greatest(c_toks, 1), 10000) AS rate
+              |  FROM fl, lv),
+              |dd AS (SELECT source, ${QuerySpec.fpSql} AS fp
+              |       FROM documents)
+              |SELECT dd.source, count(*) AS n_seen,
+              |  CAST(sum(CASE WHEN dd.fp IS NULL THEN 0
+              |    WHEN (dd.fp // 100) % 10000 < rt.rate THEN 1 ELSE 0
+              |    END) AS BIGINT) AS n_admitted
+              |FROM dd JOIN rt ON dd.source = rt.source
+              |GROUP BY 1""".stripMargin))
   )
 }

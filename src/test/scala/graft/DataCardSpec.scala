@@ -63,6 +63,20 @@ class DataCardSpec extends SparkSpec {
     assert(got("s3") === ((10L, 5L, 5000L, "level")))
   }
 
+  test("unimax rates: serve map equals the published ledger's epoch fractions") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val serve = Curation.collectUnimaxRates(docs, "text", "source")
+    val ledger = Curation.unimaxAllocate(docs, "text", "source",
+        epochCap = 1, budgetBp = 9000)
+      .collect()
+      .map(r => r.getString(0) -> math.min(r.getLong(4), 10000L)).toMap
+    assert(serve.rateBp === ledger)
+    assert(serve.rateBp.values.exists(_ === 10000L),
+      "a capped source must pass whole")
+    assert(serve.rateBp.values.exists(_ < 10000L),
+      "a level source must be sub-sampled")
+  }
+
   test("unimax: min(cap, level) characterization holds on random capacities") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)
