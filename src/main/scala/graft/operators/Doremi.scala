@@ -96,25 +96,32 @@ object Doremi {
     * conditioned pairs, which also takes weight 0); `weight_bp` the
     * DoReMi mixture weight in floor basis points (sums to <= 10000).
     */
-  /** Summed surprisal under both models grouped by an arbitrary key
-    * (source for l95's domain weights, doc id for l97's per-document
-    * learnability): (key, n_pairs, ref_bits, self_bits). The
-    * corpus-scoring subtree, exposed for plan probing.
+  /** The shared trained artifact both models live in: the checkpointed
+    * pair-occurrence frame (doc_id, source, is_r, prev, cur) plus the
+    * joint count tables — proxy counts and reference counts are two
+    * columns of ONE aggregate, context counts DERIVED from the pair
+    * table (the NgramLm discipline), vocab sizes one row. Train once
+    * per (corpus, clean-slice) — MixtureModelStore keeps the standing
+    * instance the whole l95/l97/l98/t36/t37 family consumes.
     */
-  private[graft] def groupedBits(docs: DataFrame, textCol: String,
-      keyCol: String, refPred: Column): DataFrame = {
-    // one pair explode feeds model training AND scoring — checkpoint it
-    // (narrow: key, is_r, prev, cur) or the explode runs twice
+  final case class JointLm(pairs: DataFrame, pc: DataFrame,
+      ctx: DataFrame, vocab: DataFrame)
+
+  def trainJoint(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, refPred: Column,
+      eagerPairs: Boolean = false): JointLm = {
+    // one pair explode feeds model training AND every scoring consumer
+    // — checkpoint it (narrow: ids, is_r, prev, cur) or it re-explodes;
+    // the store passes eagerPairs=true so the standing instance is
+    // materialized exactly once
     val pairs = docs
-      .select(col(keyCol).as("key"),
+      .select(col(idCol).as("doc_id"), col(groupCol).as("source"),
         when(refPred, 1L).otherwise(0L).as("is_r"),
         explode(NgramLm.ngramPairs(
           TextFunctions.tokens(col(textCol)), 2)).as("p"))
-      .select(col("key"), col("is_r"),
+      .select(col("doc_id"), col("source"), col("is_r"),
         col("p.prev").as("prev"), col("p.cur").as("cur"))
-      .localCheckpoint(eager = false)
-    // both models from ONE count aggregate; context counts DERIVED from
-    // the pair table (the NgramLm discipline — never a second pass)
+      .localCheckpoint(eager = eagerPairs)
     val pc = pairs.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("pair_f"), sum(col("is_r")).as("pair_r"))
     val ctx = pc.groupBy(col("prev"))
@@ -124,27 +131,45 @@ object Doremi {
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("v_f"),
         count_distinct(when(col("is_r") === 1L, col("tok"))).as("v_r"))
-    pairs
-      .join(broadcast(pc), Seq("prev", "cur"))
-      .join(broadcast(ctx), Seq("prev"))
-      .crossJoin(broadcast(vocab))
-      .groupBy(col("key"))
+    JointLm(pairs, pc, ctx, vocab)
+  }
+
+  /** Summed surprisal under both models grouped by a pairs-frame key
+    * ("source" for l95's domain weights, "doc_id" for l97's
+    * per-document learnability): (key, n_pairs, ref_bits, self_bits).
+    * The scoring subtree every consumer shares.
+    */
+  private[graft] def scoredBits(jl: JointLm, keyCol: String): DataFrame =
+    jl.pairs
+      .join(broadcast(jl.pc), Seq("prev", "cur"))
+      .join(broadcast(jl.ctx), Seq("prev"))
+      .crossJoin(broadcast(jl.vocab))
+      .groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(bitlen(col("ctx_r") + col("v_r"))
           - bitlen(col("pair_r") + 1L)).as("ref_bits"),
         sum(bitlen(col("ctx_f") + col("v_f"))
           - bitlen(col("pair_f") + 1L)).as("self_bits"))
-  }
 
-  /** `groupedBits` keyed by source — `domainWeights`' scoring subtree. */
+  /** `scoredBits` keyed by source — `domainWeights`' scoring subtree. */
   private[graft] def sourceBits(docs: DataFrame, idCol: String,
       textCol: String, groupCol: String, refPred: Column): DataFrame =
-    groupedBits(docs, textCol, groupCol, refPred)
+    scoredBits(trainJoint(docs, idCol, textCol, groupCol, refPred),
+        "source")
       .withColumnRenamed("key", "source")
 
   def domainWeights(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, refPred: Column): DataFrame = {
-    val sb = sourceBits(docs, idCol, textCol, groupCol, refPred)
+      groupCol: String, refPred: Column): DataFrame =
+    domainWeightsFrom(
+      trainJoint(docs, idCol, textCol, groupCol, refPred),
+      docs, groupCol)
+
+  /** `domainWeights` over a pretrained (typically store-shared) joint
+    * model; `docs`/`groupCol` only feed the per-source doc counts.
+    */
+  def domainWeightsFrom(jl: JointLm, docs: DataFrame,
+      groupCol: String): DataFrame = {
+    val sb = scoredBits(jl, "source").withColumnRenamed("key", "source")
     // the O(sources) ledger feeds the anchor and weight-total attaches
     // AND the final projection — checkpoint it (tiny) or the corpus
     // scoring subtree runs once per consumer
@@ -222,8 +247,13 @@ object Doremi {
     * (l98's selector-agreement census).
     */
   private[graft] def perDocRel(docs: DataFrame, idCol: String,
-      textCol: String, groupCol: String, refPred: Column): DataFrame = {
-    val pd = groupedBits(docs, textCol, idCol, refPred)
+      textCol: String, groupCol: String, refPred: Column): DataFrame =
+    perDocRelFrom(trainJoint(docs, idCol, textCol, groupCol, refPred),
+      docs, idCol, groupCol)
+
+  private[graft] def perDocRelFrom(jl: JointLm, docs: DataFrame,
+      idCol: String, groupCol: String): DataFrame = {
+    val pd = scoredBits(jl, "doc_id")
     val led = docs
       .select(col(idCol).as("key"), col(groupCol).as("source"))
       .join(pd, Seq("key"), "left")
@@ -249,9 +279,16 @@ object Doremi {
   }
 
   def learnabilitySelect(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, refPred: Column): DataFrame = {
+      groupCol: String, refPred: Column): DataFrame =
+    learnabilitySelectFrom(
+      trainJoint(docs, idCol, textCol, groupCol, refPred),
+      docs, idCol, groupCol)
+
+  /** `learnabilitySelect` over a pretrained (store-shared) joint model. */
+  def learnabilitySelectFrom(jl: JointLm, docs: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
     // the scored per-doc frame feeds BOTH sections — checkpoint it
-    val scored = perDocRel(docs, idCol, textCol, groupCol, refPred)
+    val scored = perDocRelFrom(jl, docs, idCol, groupCol)
       .localCheckpoint(eager = false)
     val bands = scored
       .groupBy(expr("""case when rel is null then null
@@ -286,27 +323,23 @@ object Doremi {
 
   def collectRhoServeModel(docs: DataFrame, idCol: String,
       textCol: String, refPred: Column,
+      maxEntries: Int = 65536): RhoServeModel =
+    collectRhoServeModelFrom(
+      trainJoint(docs, idCol, textCol, idCol, refPred), maxEntries)
+
+  /** `collectRhoServeModel` over a pretrained (store-shared) joint
+    * model — the boot collect reads the standing count tables only.
+    */
+  def collectRhoServeModelFrom(jl: JointLm,
       maxEntries: Int = 65536): RhoServeModel = {
     def bl(x: Long) =
       math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x))
-    val pairs = docs
-      .select(when(refPred, 1L).otherwise(0L).as("is_r"),
-        explode(NgramLm.ngramPairs(
-          TextFunctions.tokens(col(textCol)), 2)).as("p"))
-      .select(col("is_r"), col("p.prev").as("prev"), col("p.cur").as("cur"))
-    val pcRows = pairs.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("pair_f"), sum(col("is_r")).as("pair_r"))
-      .collect()
+    val pcRows = jl.pc.collect()
     require(pcRows.length <= maxEntries,
       s"collectRhoServeModel: ${pcRows.length} bigrams exceed the" +
         s" $maxEntries in-process bound — serve via the broadcast-join" +
         " batch path instead")
-    val vRow = docs
-      .select(when(refPred, 1L).otherwise(0L).as("is_r"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .agg(count_distinct(col("tok")).as("v_f"),
-        count_distinct(when(col("is_r") === 1L, col("tok"))).as("v_r"))
-      .collect().head
+    val vRow = jl.vocab.collect().head
     val (vF, vR) = (vRow.getLong(0), vRow.getLong(1))
     val byPrev = pcRows
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -382,8 +415,15 @@ object Doremi {
 
   def collectMixtureRates(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, refPred: Column,
-      maxEntries: Int = 65536): MixtureServeModel = {
-    val rows = domainWeights(docs, idCol, textCol, groupCol, refPred)
+      maxEntries: Int = 65536): MixtureServeModel =
+    collectMixtureRatesFrom(
+      trainJoint(docs, idCol, textCol, groupCol, refPred),
+      docs, groupCol, maxEntries)
+
+  /** `collectMixtureRates` over a pretrained (store-shared) joint model. */
+  def collectMixtureRatesFrom(jl: JointLm, docs: DataFrame,
+      groupCol: String, maxEntries: Int = 65536): MixtureServeModel = {
+    val rows = domainWeightsFrom(jl, docs, groupCol)
       .select(col("source"), col("weight_bp")).collect()
     require(rows.length <= maxEntries,
       s"collectMixtureRates: ${rows.length} sources exceed the" +

@@ -51,8 +51,8 @@ object Dsir {
     * bigram OCCURRENCE (DSIR's bag-of-ngrams uses multiplicities).
     * Checkpointed by callers that consume it twice.
     */
-  private def bucketFrame(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, buckets: Int): DataFrame =
+  private[graft] def bucketFrame(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: Column, buckets: Int): DataFrame =
     docs
       .where(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc_id"),
@@ -101,9 +101,17 @@ object Dsir {
     */
   private[graft] def perDocImp(docs: DataFrame, idCol: String,
       textCol: String, groupCol: String, targetPred: Column,
+      buckets: Int): DataFrame =
+    perDocImpFrom(docs, idCol, textCol, groupCol,
+      bucketFrame(docs, idCol, textCol, targetPred, buckets)
+        .localCheckpoint(eager = false), buckets)
+
+  /** `perDocImp` over a pretrained (typically store-shared, already
+    * checkpointed) bucket frame.
+    */
+  private[graft] def perDocImpFrom(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, bucketed: DataFrame,
       buckets: Int): DataFrame = {
-    val bucketed = bucketFrame(docs, idCol, textCol, targetPred, buckets)
-      .localCheckpoint(eager = false)
     val w = importanceOf(bucketed, buckets)
     val perDoc = bucketed.join(broadcast(w), Seq("bkt"))
       .groupBy(col("doc_id"))
@@ -152,10 +160,19 @@ object Dsir {
       textCol: String, groupCol: String, targetPred: Column,
       buckets: Int = 4096, offsetBits: Long = 0L): DataFrame = {
     require(buckets > 0, "need buckets>0")
+    perDocAcceptFrom(docs, idCol, textCol, groupCol,
+      bucketFrame(docs, idCol, textCol, targetPred, buckets)
+        .localCheckpoint(eager = false), buckets, offsetBits)
+  }
+
+  /** `perDocAccept` over a pretrained (store-shared) bucket frame. */
+  private[graft] def perDocAcceptFrom(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, bucketed: DataFrame,
+      buckets: Int = 4096, offsetBits: Long = 0L): DataFrame = {
     // the per-doc frame feeds the threshold aggregate AND the acceptance
     // pass — checkpoint it (narrow: source, imp, win) or the whole
     // scoring subtree, importance build included, runs twice
-    val scored = perDocImp(docs, idCol, textCol, groupCol, targetPred,
+    val scored = perDocImpFrom(docs, idCol, textCol, groupCol, bucketed,
       buckets).localCheckpoint(eager = false)
     val thr = scored
       .agg(sum(col("imp")).as("s"), count(lit(1)).as("n"))
@@ -166,14 +183,23 @@ object Dsir {
 
   def dsirResample(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, targetPred: Column, buckets: Int = 4096,
-      offsetBits: Long = 0L): DataFrame = {
-    perDocAccept(docs, idCol, textCol, groupCol, targetPred, buckets,
-      offsetBits)
+      offsetBits: Long = 0L): DataFrame =
+    ledgerOf(perDocAccept(docs, idCol, textCol, groupCol, targetPred,
+      buckets, offsetBits))
+
+  /** `dsirResample` over a pretrained (store-shared) bucket frame. */
+  def dsirResampleFrom(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, bucketed: DataFrame, buckets: Int = 4096,
+      offsetBits: Long = 0L): DataFrame =
+    ledgerOf(perDocAcceptFrom(docs, idCol, textCol, groupCol, bucketed,
+      buckets, offsetBits))
+
+  private def ledgerOf(accepted: DataFrame): DataFrame =
+    accepted
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("acc"), 1)).as("n_selected"),
         coalesce(sum(when(col("acc"), col("imp"))), lit(0L)).as("sel_bits"))
-  }
 
   /** The collected serve artifact (the t25 codebook-at-boot discipline):
     * the <= `buckets`-row importance table as one in-process map plus the
@@ -190,9 +216,17 @@ object Dsir {
     */
   def collectDsirServeModel(docs: DataFrame, idCol: String,
       textCol: String, targetPred: Column, buckets: Int = 4096,
+      offsetBits: Long = 0L): DsirServeModel =
+    collectDsirServeModelFrom(docs, idCol, textCol,
+      bucketFrame(docs, idCol, textCol, targetPred, buckets)
+        .localCheckpoint(eager = false), buckets, offsetBits)
+
+  /** `collectDsirServeModel` over a pretrained (store-shared) bucket
+    * frame — train/threshold passes read the standing frame only.
+    */
+  def collectDsirServeModelFrom(docs: DataFrame, idCol: String,
+      textCol: String, bucketed: DataFrame, buckets: Int = 4096,
       offsetBits: Long = 0L): DsirServeModel = {
-    val bucketed = bucketFrame(docs, idCol, textCol, targetPred, buckets)
-      .localCheckpoint(eager = false)
     val tot = bucketed.agg(
       coalesce(sum(col("is_t")), lit(0L)).as("nt"),
       count(lit(1)).as("nr")).collect().head
@@ -200,7 +234,7 @@ object Dsir {
     def bl(x: Long) =
       math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(x))
     val rows = importanceOf(bucketed, buckets).collect()
-    val thr = perDocImp(docs, idCol, textCol, idCol, targetPred, buckets)
+    val thr = perDocImpFrom(docs, idCol, textCol, idCol, bucketed, buckets)
       .agg(sum(col("imp")).as("s"), count(lit(1)).as("n"))
       .select(expr("(s - pmod(s, n)) div n").as("thr"))
       .collect().head.getLong(0) + offsetBits

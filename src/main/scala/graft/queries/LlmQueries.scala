@@ -2925,9 +2925,9 @@ object LlmQueries {
     QuerySpec(
       "l94_dsir_select",
       "DSIR-style data selection via importance resampling (hashed-ngram importance weights, Xie et al. 2023) — every document scored by quantized log2 [p_target/p_raw] under hashed word-BIGRAM bag models (B=4096 buckets, add-one smoothing; target = the l83 held-out clean slice doc_id%7=0), then SAMPLED with probability min(1, 2^(bits - corpus-mean)) realized exactly: the l67 content-hash basis-point window vs a rate built from integer shifts — exponential tilting with zero libm, so re-runs keep the same documents and the whole ledger hash-matches. Output = per-source (n_docs, n_selected, sel_bits), the mixture-shift evidence. The mean threshold self-normalizes across corpus sizes (add-one smoothing drags absolute scores down when the target slice is sparse); full/partial/never acceptance regimes all live at the gate sf. Scale: one checkpointed hashed-bucket scan feeds the B-row count table AND the scoring join (l78's discipline); importance table broadcasts; per-doc sum map-side-combined; two one-row scalar attaches (totals, threshold); ledger O(sources)",
-      (s, dir) => graft.operators.Dsir.dsirResample(
+      (s, dir) => graft.operators.Dsir.dsirResampleFrom(
         Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-        col("doc_id") % 7 === 0),
+        graft.operators.MixtureModelStore.sharedDsirBuckets(s, dir)),
       Some(s"""WITH tk AS (
               |  SELECT doc_id, string_split(trim(text), ' ') AS t
               |  FROM documents
@@ -2986,9 +2986,9 @@ object LlmQueries {
     QuerySpec(
       "l95_doremi_weights",
       "DoReMi-style domain reweighting (Xie et al. 2023) — the mixture-weight setter upstream of l92's budget planner and l67/l73's sampling executors: each SOURCE's training weight comes from its EXCESS LOSS, how much worse the proxy model (add-one bigram LM trained on the full raw mixture) does on the domain than the reference model (same LM trained on the held-out clean slice doc_id%7=0) — both models from ONE pair-count aggregate (the reference's counts are the sum(is_r) column of the proxy's table). Excess is measured against the CORPUS-MEAN excess (the l94 mean-anchor discipline: DoReMi's DRO step renormalizes the weight vector, so only relative excess moves it — and the anchor cancels the systematic sparse-reference bias), clipped at 0 per DoReMi, in exact milli-bits via the pmod floor-division form; exp(excess) is the EXACT piecewise-linear base-2 exponential (the float-mantissa construction: (1000 + m mod 1000) << (m div 1000)), so a clipped domain lands on the built-in uniform floor (DoReMi's eps-uniform smoothing) and the whole ledger is BIGINT, hash-exact, zero libm. Scale: one checkpointed pair explode feeds model training AND scoring; count tables broadcast; per-domain sums map-side combined; weight arithmetic on the O(sources) ledger with three one-row scalar attaches (vocab, anchor, total)",
-      (s, dir) => graft.operators.Doremi.domainWeights(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-        col("doc_id") % 7 === 0),
+      (s, dir) => graft.operators.Doremi.domainWeightsFrom(
+        graft.operators.MixtureModelStore.sharedJoint(s, dir),
+        Tables.load(s, dir, "documents"), "source"),
       Some("""WITH tk AS (
              |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
              |  FROM documents),
@@ -3111,9 +3111,9 @@ object LlmQueries {
     QuerySpec(
       "l97_rho_select",
       "RHO-style learnability document selection (Mindermann et al. 2022; the document-level shape of RHO-1) — the per-DOCUMENT counterpart of l95's domain reweighting, same two add-one bigram models from ONE pair-count aggregate: each document's EXCESS LOSS (proxy/raw-mixture surprisal minus reference/clean-slice surprisal) says 'the reference can predict it, the mixture model can't yet' — learnable and not yet learnt, so keep it. Selection threshold = the corpus-mean excess (the same anchor l95 weights at, the l94 mean-anchor discipline), everything in exact pmod-floor milli-bits. Output: one typed frame — 'band' rows census the mean-anchored relative excess in deci-bit bands (k NULL collects pair-less never-selected docs), 'source' rows ledger per-source selection counts at the threshold. Scale: the shared groupedBits scoring subtree (checkpointed pair explode, broadcast count tables, map-side-combined per-doc sums); the per-doc ledger checkpointed ONCE feeds the anchor attach and both sections (the l55 pattern); two one-row scalar attaches",
-      (s, dir) => graft.operators.Doremi.learnabilitySelect(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-        col("doc_id") % 7 === 0),
+      (s, dir) => graft.operators.Doremi.learnabilitySelectFrom(
+        graft.operators.MixtureModelStore.sharedJoint(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id", "source"),
       Some("""WITH tk AS (
              |  SELECT doc_id, source, string_split(trim(text), ' ') AS t
              |  FROM documents),
@@ -3183,12 +3183,14 @@ object LlmQueries {
       "selector-agreement census — the ops answer to 'do our data selectors agree, and where': every document's keep decision under TWO independent published selectors — l94's DSIR importance resampling (hashed-bigram target/raw importance, exponential-tilt acceptance) and l97's RHO learnability threshold (proxy-vs-reference excess loss at the corpus-mean anchor) — joined per doc_id and censused per source: (n_docs, n_dsir, n_rho, n_both, n_neither, jaccard_bp), the cross-method confusion ledger a 100 TB curation run reads before trusting either selector alone (high jaccard = redundant signals, low = complementary). jaccard_bp = (10000*n_both) div (n_dsir+n_rho-n_both), 10000 when both sets are empty (vacuous agreement); decisions replayed through the SAME perDocAccept/perDocRel frames the l94/l97 ledgers aggregate (pinned in DoremiSpec), pair-less/NULL-text docs coalesced to not-selected on both engines. Scale: both scoring subtrees are the checkpointed one-scan shapes of their parent queries; the join is per-doc on doc_id (map-side combinable census after), everything BIGINT hash-exact",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val d = graft.operators.Dsir.perDocAccept(docs, "doc_id", "text",
-            "source", col("doc_id") % 7 === 0)
+        val d = graft.operators.Dsir.perDocAcceptFrom(docs, "doc_id",
+            "text", "source",
+            graft.operators.MixtureModelStore.sharedDsirBuckets(s, dir))
           .select(col("doc_id"), col("source"),
             coalesce(col("acc"), lit(false)).as("dsir"))
-        val r = graft.operators.Doremi.perDocRel(docs, "doc_id", "text",
-            "source", col("doc_id") % 7 === 0)
+        val r = graft.operators.Doremi.perDocRelFrom(
+            graft.operators.MixtureModelStore.sharedJoint(s, dir),
+            docs, "doc_id", "source")
           .select(col("key").as("doc_id"),
             coalesce(col("rel") >= 0L, lit(false)).as("rho"))
         d.join(r, Seq("doc_id"))

@@ -1325,9 +1325,9 @@ object TimeSeriesQueries {
       "t35_stream_dsir",
       "the streaming face of l94's DSIR importance resampler — data SELECTION at ingest: the hashed-bigram importance table and the mean-anchored threshold are trained batch-side and driver-collected at serve start (collectDsirServeModel, the t25 codebook-at-boot discipline: <=4096 map entries + two scalars), and every arriving document decides its own fate STATELESSLY per row — bigrams hashed, importance summed in one fold, acceptance = the content-hash basis-point window vs the integer-shift rate, no join and no per-doc state; the only stream state is the O(sources)-row complete-mode admission census. Row-for-row equal to the batch acceptance (pinned in DsirSpec), so the census is oracle-exact",
       (s, dir) => {
-        val serve = graft.operators.Dsir.collectDsirServeModel(
+        val serve = graft.operators.Dsir.collectDsirServeModelFrom(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          col("doc_id") % 7 === 0)
+          graft.operators.MixtureModelStore.sharedDsirBuckets(s, dir))
         val scored = Tables.loadStream(s, dir, "documents")
           .select(col("source"),
             graft.functions.TextFunctions.tokens(col("text")).as("t"),
@@ -1401,9 +1401,9 @@ object TimeSeriesQueries {
       "t36_stream_mixture_admit",
       "the streaming face of l95's DoReMi reweighter — the mixture weights APPLIED at ingest as per-source admission rates (the standard proportional-sampling reading: the top-weight domain passes whole, every other domain at weight_bp/max ratio, a zero-weight domain never): rates are derived batch-side from the PUBLISHED weight ledger — the artifact a downstream consumer actually holds — and driver-collected at serve start (collectMixtureRates, the t25 codebook-at-boot discipline: O(sources) entries), and every arriving document decides its own fate STATELESSLY per row — one map-literal rate lookup, acceptance = the l67 content-hash basis-point window vs the rate, no join and no per-doc state; the only stream state is the O(sources)-row complete-mode admission census. Row-for-row equal to the batch replay (pinned in DoremiSpec), so the census is oracle-exact",
       (s, dir) => {
-        val serve = graft.operators.Doremi.collectMixtureRates(
-          Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-          col("doc_id") % 7 === 0)
+        val serve = graft.operators.Doremi.collectMixtureRatesFrom(
+          graft.operators.MixtureModelStore.sharedJoint(s, dir),
+          Tables.load(s, dir, "documents"), "source")
         val admitted = Tables.loadStream(s, dir, "documents")
           .select(col("source"),
             graft.functions.TextFunctions.rollingHash(col("text"))
@@ -1508,9 +1508,8 @@ object TimeSeriesQueries {
       "t37_stream_rho_select",
       "the streaming face of l97's RHO learnability selector — excess-loss data selection at ingest: the per-pair surprisal DIFFERENCE table (bits_proxy - bits_ref, nested prev->cur maps with context and unknown defaults) and the corpus-mean anchor are trained batch-side and driver-collected at serve start (collectRhoServeModel, the t25 codebook-at-boot discipline), and every arriving document decides its own fate STATELESSLY per row: ONE single-pass (sum,count) fold over its pairs' precomputed diffs emitting a single 0/1 scalar (the t28 interpreted-HOF discipline — no struct re-extraction, tokens materialized first), no join, no per-doc state; the only stream state is the O(sources)-row complete-mode selection census. Row-for-row equal to l97's batch threshold rel >= anchor (pinned in DoremiSpec), so the census is oracle-exact — the oracle is l97's source section verbatim",
       (s, dir) => {
-        val serve = graft.operators.Doremi.collectRhoServeModel(
-          Tables.load(s, dir, "documents"), "doc_id", "text",
-          col("doc_id") % 7 === 0)
+        val serve = graft.operators.Doremi.collectRhoServeModelFrom(
+          graft.operators.MixtureModelStore.sharedJoint(s, dir))
         val scored = Tables.loadStream(s, dir, "documents")
           .select(col("source"),
             graft.functions.TextFunctions.tokens(col("text")).as("t"))

@@ -194,8 +194,9 @@ class DoremiSpec extends SparkSpec {
     assert(nSel === nonNeg)
     // per-doc sums grouped by source must reproduce l95's source sums —
     // the two faces score with the SAME models and anchor
-    val pd = graft.operators.Doremi.groupedBits(docs, "text", "doc_id",
-        col("doc_id") % 7 === 0)
+    val pd = graft.operators.Doremi.scoredBits(
+        graft.operators.Doremi.trainJoint(docs, "doc_id", "text",
+          "source", col("doc_id") % 7 === 0), "doc_id")
       .join(docs.select(col("doc_id").as("key"), col("source")), Seq("key"))
       .groupBy("source")
       .agg(sum("n_pairs").as("np"), sum("ref_bits").as("rb"),
