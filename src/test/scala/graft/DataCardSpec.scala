@@ -77,6 +77,29 @@ class DataCardSpec extends SparkSpec {
       "a level source must be sub-sampled")
   }
 
+  test("unimax degenerate budgets: zero => nothing, full multi-epoch => all capped") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c", "s1"),
+      (1L, "d e f g h", "s2"))
+      .toDF("doc_id", "text", "source")
+    val zero = Curation.unimaxAllocate(docs, "text", "source",
+        epochCap = 1, budgetBp = 0)
+      .collect().map(r => (r.getLong(3), r.getString(5)))
+    zero.foreach { case (a, st) =>
+      assert(a === 0L && st === "level", "zero budget allocates nothing")
+    }
+    // budget >= sum of caps: everyone takes the full epochCap
+    val full = Curation.unimaxAllocate(docs, "text", "source",
+        epochCap = 2, budgetBp = 30000)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    full.foreach { case (c, cap, a, ebp, st) =>
+      assert(st === "capped" && a === cap && cap === 2 * c &&
+        ebp === 20000L, "an over-provisioned budget caps everyone")
+    }
+  }
+
   test("unimax: min(cap, level) characterization holds on random capacities") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)

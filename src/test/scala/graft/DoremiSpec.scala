@@ -252,6 +252,30 @@ class DoremiSpec extends SparkSpec {
     assert(rAgg === rLed)
   }
 
+  test("degenerate: reference slice == corpus makes both models identical") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta w${i % 5} gamma", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    // refPred always true: proxy and reference train on the same rows,
+    // every pair's diff is 0, so every domain clips to the uniform
+    // floor and every document sits exactly at the anchor (selected)
+    val w = graft.operators.Doremi.domainWeights(docs, "doc_id", "text",
+        "source", lit(true))
+      .collect().map(r => (r.getLong(5), r.getLong(6)))
+    assert(w.map(_._1).distinct.toSeq === Seq(0L),
+      "identical models => zero excess everywhere")
+    assert(w.map(_._2).distinct.size === 1,
+      "identical models => uniform weights")
+    val sel = graft.operators.Doremi.learnabilitySelect(docs, "doc_id",
+        "text", "source", lit(true))
+      .where(col("section") === "source")
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    sel.foreach { case (n, nSel) =>
+      assert(n === nSel, "zero excess sits at the anchor => all selected")
+    }
+  }
+
   test("plan: count tables broadcast; only the three scalar attaches are BNLJ") {
     import spark.implicits._
     val docs = (1L to 300L).map(i =>
