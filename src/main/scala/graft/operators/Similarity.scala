@@ -930,4 +930,117 @@ object Similarity {
         sum(col("__z")).cast("long").as("n_zero"),
         sum(col("__n")).cast("long").as("n_nan"))
   }
+
+  /** SSL-prototype diversification pruning — the second stage of D4
+    * (public recipe: Tirumala et al. 2023, "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification",
+    * arXiv:2308.12284; the prototypicality score is Sorscher et al.
+    * 2022's SSL-prototypes metric): k-means-partition the embedding
+    * space, score every vector by cosine to its OWN cluster centroid
+    * (= prototypicality), and inside each cluster mark the most
+    * prototypical `pruneBp`/10000 fraction for removal — D4's finding
+    * is that after semantic dedup the remaining redundancy sits in the
+    * dense cluster cores, so diversification drops the core, not the
+    * fringe. Exactly floor(|c| * pruneBp / 10000) rows are pruned per
+    * cluster, ties broken by id, so the decision is a pure function of
+    * the (embedding, id) set.
+    *
+    * Returns (doc_id, cent_id, proto_cos, pruned). `proto_cos` is the
+    * sequential-fold cosine (bit-deterministic per row) but centroid
+    * TRAINING means are shuffled-double averages, so compositions are
+    * recall/property-gated (the l61 contract), never hash-compared.
+    *
+    * 100 TB shape: centroids train on the hash-sample and broadcast;
+    * assignment + scoring is one narrow map-side-combinable pass (max
+    * of (cos, -cent_id) structs — one shuffled row per vector); the
+    * only wide op is the per-cluster rank, bounded by cluster size —
+    * grow nClusters with the corpus to hold it, the same dial
+    * `semanticDedupPairs` documents. The fraction-of-cluster quota
+    * needs |c| before ranking, so the window form is canonical here
+    * (a fixed-k quota would use the l73 bottom-k aggregate instead).
+    */
+  def prototypePrune(df: DataFrame, idCol: String, embCol: String,
+      pruneBp: Long, nClusters: Int = 8, trainIters: Int = 0): DataFrame = {
+    require(pruneBp >= 0L && pruneBp <= 10000L,
+      s"pruneBp must be in [0, 10000], got $pruneBp")
+    val cents = trainCentroids(df, idCol, embCol, nClusters, trainIters)
+    val scored = prototypeScore(df, idCol, embCol, cents)
+    val rankW = Window.partitionBy(col("cent_id"))
+      .orderBy(col("proto_cos").desc, col("doc_id"))
+    val sizeW = Window.partitionBy(col("cent_id"))
+    // floor(|c| * bp / 10000) through double floor is exact while
+    // |c| * bp < 2^53 — i.e. clusters below ~9e11 rows at bp=10000.
+    scored
+      .withColumn("__r", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(sizeW))
+      .select(col("doc_id"), col("cent_id"), col("proto_cos"),
+        (col("__r") <= floor(col("__n") * lit(pruneBp) / lit(10000.0))
+          .cast("long")).as("pruned"))
+  }
+
+  /** The k-means coarse quantizer as a PUBLIC artifact builder —
+    * (cent_id, cent_emb), the frame `prototypeScore` / `topPAssign` /
+    * the IVF family consume. Training means are shuffled-double
+    * averages, so a caller composing two plans over the SAME quantizer
+    * (the t40 serve face) must materialize the returned frame
+    * (localCheckpoint) rather than recompute it per consumer.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, embCol: String,
+      nClusters: Int, trainIters: Int): DataFrame =
+    lloydRounds(df, idCol, embCol,
+      seedCentroids(df, idCol, embCol, nClusters), trainIters)
+
+  /** Prototypicality scoring against a FIXED centroid frame: each
+    * vector's nearest centroid and its cosine to it — (doc_id, cent_id,
+    * proto_cos). Map-side-combinable argmax (max of (cos, -cent_id)
+    * structs), one shuffled row per vector; ties to the smallest
+    * cent_id like `argmaxAssign`.
+    */
+  def prototypeScore(df: DataFrame, idCol: String, embCol: String,
+      cents: DataFrame): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(embCol).as("__e"))
+      .join(broadcast(cents))
+      .select(col("doc_id"), col("cent_id"),
+        cosineSim(col("__e"), col("cent_emb")).as("__cs"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("__cs"), (-col("cent_id")).as("negid"))).as("m"))
+      .select(col("doc_id"), (-col("m.negid")).as("cent_id"),
+        col("m.__cs").as("proto_cos"))
+
+  /** The admission-bar face of `prototypePrune`: per cluster the
+    * (proto_cos, doc_id) of the quota-th most-prototypical row —
+    * (cent_id, thr_cos, thr_id). A vector is in the pruned core iff
+    * (proto_cos, -id) >= (thr_cos, -thr_id) lexicographically, which for
+    * a fixed row set is EXACTLY `prototypePrune`'s rank <= quota (strict
+    * total order), so a serve tier holding only these <= nClusters rows
+    * replays the batch decision bit-for-bit. Clusters whose quota is 0
+    * emit no row (left-joining consumers read null => keep).
+    */
+  def prototypeThresholds(scored: DataFrame, pruneBp: Long): DataFrame = {
+    require(pruneBp >= 0L && pruneBp <= 10000L,
+      s"pruneBp must be in [0, 10000], got $pruneBp")
+    val rankW = Window.partitionBy(col("cent_id"))
+      .orderBy(col("proto_cos").desc, col("doc_id"))
+    val sizeW = Window.partitionBy(col("cent_id"))
+    scored
+      .withColumn("__r", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(sizeW))
+      .where(col("__r") ===
+        floor(col("__n") * lit(pruneBp) / lit(10000.0)).cast("long"))
+      .select(col("cent_id"), col("proto_cos").as("thr_cos"),
+        col("doc_id").as("thr_id"))
+  }
+
+  /** Per-row nearest-centroid against a COLLECTED centroid set — the
+    * stateless serve-side twin of `prototypeScore` (float literals, so
+    * the cosine arithmetic is bit-identical to the batch join; same
+    * (cos desc, cent_id asc) tie-break). Returns a struct column with
+    * fields `nc` (= -cos) and `cent_id`; streaming-safe: no window, no
+    * aggregation.
+    */
+  def prototypeAssignLocal(cents: Seq[(Long, Seq[Float])],
+      qEmb: Column): Column =
+    element_at(array_sort(transform(typedLit(cents), c =>
+      struct((-cosineSim(qEmb, c.getField("_2"))).as("nc"),
+        c.getField("_1").as("cent_id")))), 1)
 }

@@ -810,4 +810,53 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Per-group unigram KL divergence against the corpus mixture — the
+    * standing data-mixture diagnostic: KL(p_source || p_corpus) ranks
+    * sources by how distributionally DISTINCT their text is from the
+    * blend (a source whose divergence jumps between snapshots is the
+    * drift l76 sees token-by-token, collapsed to one number per
+    * source). The per-word log ratio log2(p_s(w)/p(w)) =
+    * log2((c_s*N)/(n_s*c)) is INTEGER-QUANTIZED as
+    * (bitlen(c_s)+bitlen(N)) - (bitlen(n_s)+bitlen(c)) via
+    * `length(bin(x))` — the l83 no-libm discipline — and the reported
+    * divergence is the count-weighted sum sum_w c_s(w)*qbits(w): pure
+    * BIGINT on both engines, so the whole frame hash-matches.
+    * (Quantization keeps the order structure of true KL: each qbits is
+    * within ±2 bits of the real log ratio; the census is a monitor,
+    * not a probability.)
+    *
+    * Returns (source, n_tokens, n_vocab, kl_qbits).
+    *
+    * 100 TB shape: ONE token-explode scan feeds a map-side-combined
+    * (group, word) count; corpus word counts and per-group totals both
+    * DERIVE from that table (no second corpus pass), so after the
+    * count aggregate every op is vocab- or group-bounded: the word
+    * join is on the (groups x vocab) count table, totals broadcast.
+    */
+  def sourceDivergence(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val sc = docs
+      .where(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(groupCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(eager = false)
+    val cw = sc.groupBy(col("tok")).agg(sum(col("c_s")).as("c"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val nt = ns.agg(sum(col("n_s")).as("n"))
+    sc.join(cw, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("n_s"), col("c_s"),
+        ((length(bin(col("c_s"))) + length(bin(col("n"))))
+          - (length(bin(col("n_s"))) + length(bin(col("c")))))
+          .cast("long").as("__qb"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("c_s") * col("__qb")).as("kl_qbits"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("n_vocab"), col("kl_qbits"))
+  }
 }

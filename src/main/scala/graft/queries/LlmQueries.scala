@@ -3339,6 +3339,95 @@ object LlmQueries {
               |        - sum(CASE WHEN dsir AND rho THEN 1 ELSE 0 END)
               |        AS BIGINT)
               |    ELSE 10000 END AS jaccard_bp
-              |FROM j GROUP BY 1""".stripMargin))
+              |FROM j GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "l99_d4_prune",
+      "D4 data curation end-to-end (public recipe, Tirumala et al. 2023 arXiv:2308.12284): SemDeDup drops semantic duplicates (l62's components over cluster-bounded pairs), then SSL-PROTOTYPE DIVERSIFICATION prunes the 25% most-prototypical survivors per k-means cluster (cosine to own centroid, the Sorscher et al. 2022 metric — dedup removes copies, diversification removes the redundant cluster CORE). Gates: sem recall >= 85% vs the exact-pair components (l62's gate), per-cluster prune count == floor(|c|*bp/10000) exactly, and every pruned vector strictly more prototypical than every kept one ((cos, -id) struct order, verified over the materialized frame); oracle = exact input/dropped counts + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val exactPairs =
+          Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
+        val semLbl = Dedup.components(Similarity.semanticDedupPairs(
+          e, "vec_id", "embedding", 0.4, nClusters = 8, trainIters = 1,
+          probes = 3))
+        def asDropped(lbl: org.apache.spark.sql.DataFrame, mark: String) =
+          lbl.where(col("cluster_id") =!= col("doc_id"))
+            .select(col("doc_id"), lit(1).as(mark))
+        val recall =
+          asDropped(Dedup.coarsenedComponents(semLbl, exactPairs), "__e")
+            .join(asDropped(semLbl, "__s"), Seq("doc_id"), "full_outer")
+            .agg(count(col("__e")).as("n_exact_dropped"),
+              count(when(col("__e").isNotNull && col("__s").isNotNull, 1))
+                .as("__n_hit"))
+            .select(col("n_exact_dropped"),
+              (col("__n_hit") * 100 >= col("n_exact_dropped") * 85)
+                .as("sem_recall_ok"))
+        val survivors = e.join(
+          semLbl.where(col("cluster_id") =!= col("doc_id"))
+            .select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        val pr = Similarity.prototypePrune(survivors, "vec_id",
+          "embedding", pruneBp = 2500L, nClusters = 8, trainIters = 1)
+        val perCluster = pr.groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("__n"),
+            count(when(col("pruned"), 1)).as("__p"),
+            min(when(col("pruned"),
+              struct(col("proto_cos"), (-col("doc_id")).as("nid"))))
+              .as("__minP"),
+            max(when(!col("pruned"),
+              struct(col("proto_cos"), (-col("doc_id")).as("nid"))))
+              .as("__maxK"))
+        val checks = perCluster.agg(
+          every(col("__p") ===
+            floor(col("__n") * lit(2500L) / lit(10000.0)).cast("long"))
+            .as("prune_frac_ok"),
+          every(col("__minP").isNull || col("__maxK").isNull ||
+            col("__minP") > col("__maxK")).as("proto_order_ok"))
+        e.agg(count(lit(1)).as("n_input"))
+          .crossJoin(recall).crossJoin(checks)
+      },
+      Some(s"""WITH RECURSIVE p AS (
+              |  SELECT a_id, b_id FROM (${embedPairsOracle(0.4)}) z),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM p
+              |  UNION ALL SELECT b_id, a_id FROM p),
+              |reach(node, lbl) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              |cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+              |SELECT (SELECT count(*) FROM embeddings) AS n_input,
+              |  count(*) AS n_exact_dropped, TRUE AS sem_recall_ok,
+              |  TRUE AS prune_frac_ok, TRUE AS proto_order_ok
+              |FROM cc WHERE cluster_id <> node""".stripMargin)),
+
+    QuerySpec(
+      "l100_source_kl",
+      "per-source unigram KL divergence vs the corpus mixture — the one-number-per-source distributional-distinctness census (the mixture diagnostic DoReMi/DSIR reweighting reads before touching weights; a source whose divergence jumps between snapshots is l76's token drift collapsed to a scalar): per-word log2(p_s/p) integer-quantized as (bitlen(c_s)+bitlen(N))-(bitlen(n_s)+bitlen(c)) via length(bin(x)) (the l83 no-libm discipline), divergence = count-weighted BIGINT sum — hash-exact end to end. One token-explode scan; corpus counts and totals DERIVE from the (source, word) table, so everything after the first aggregate is vocab-bounded",
+      (s, dir) => TextAnalysis.sourceDivergence(
+        Tables.load(s, dir, "documents"), "source", "text"),
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |sc AS (
+             |  SELECT source, tok, count(*) AS c_s FROM tok GROUP BY 1, 2),
+             |cw AS (
+             |  SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM sc GROUP BY 1),
+             |ns AS (
+             |  SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s
+             |  FROM sc GROUP BY 1),
+             |nt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns)
+             |SELECT sc.source, ns.n_s AS n_tokens,
+             |  count(*) AS n_vocab,
+             |  CAST(sum(c_s * ((length(bin(c_s)) + length(bin(n)))
+             |    - (length(bin(n_s)) + length(bin(c))))) AS BIGINT)
+             |    AS kl_qbits
+             |FROM sc
+             |JOIN cw ON sc.tok = cw.tok
+             |JOIN ns ON sc.source = ns.source
+             |CROSS JOIN nt
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -1644,6 +1644,127 @@ object TimeSeriesQueries {
               |    WHEN (dd.fp // 100) % 10000 < rt.rate THEN 1 ELSE 0
               |    END) AS BIGINT) AS n_admitted
               |FROM dd JOIN rt ON dd.source = rt.source
-              |GROUP BY 1""".stripMargin))
+              |GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t39_stream_kl_drift",
+      "the streaming face of l100's divergence census — the live 'is this source drifting off the reference mixture' monitor: the frozen reference is the pre-ingest snapshot's (l69's source%5<>0 convention) BUCKETED unigram distribution (rollingHash % 512, the l78 bucket discipline, so the standing artifact is <= 512 rows however big the corpus); the stream only COUNTS per (source, bucket) — complete-mode state = sources x buckets, bounded — and the divergence is computed from the drained state against the add-one-smoothed reference with l100's exact bitlen quantization, so the whole frame hash-matches. Bucketing trades word-level resolution for bounded state; the batch census (l100) is the word-exact companion",
+      (s, dir) => {
+        val b = 512L
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
+        val ref = docs
+          .where(substring(col("source"), 4, 10).cast("int") % 5 =!= 0)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+          .select(pmod(graft.functions.TextFunctions.rollingHash(col("tok")),
+            lit(b)).as("bkt"))
+          .groupBy(col("bkt")).agg(count(lit(1)).as("c_r"))
+          .localCheckpoint(eager = true)
+        val counts = Tables.loadStream(s, dir, "documents")
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("tok"))
+          .select(col("source"),
+            pmod(graft.functions.TextFunctions.rollingHash(col("tok")),
+              lit(b)).as("bkt"))
+          .groupBy(col("source"), col("bkt"))
+          .agg(count(lit(1)).as("c_s"))
+        val emitted = runBounded(s, counts, "t39_stream_kl_mem",
+          "complete", statePartitions = Some(8))
+        val nr = ref.agg(sum(col("c_r")).as("n_r"))
+        // Per-source totals via a window over the drained O(sources x
+        // buckets) state — a groupBy would self-join the memory-sink
+        // view, whose attribute ids collide.
+        val srcW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+        emitted.withColumn("n_s", sum(col("c_s")).over(srcW))
+          .join(ref, Seq("bkt"), "left")
+          .crossJoin(broadcast(nr))
+          .select(col("source"), col("n_s"), col("c_s"),
+            ((length(bin(col("c_s"))) + length(bin(col("n_r") + lit(b))))
+              - (length(bin(col("n_s")))
+                + length(bin(coalesce(col("c_r"), lit(0L)) + lit(1L)))))
+              .cast("long").as("__qb"))
+          .groupBy(col("source"), col("n_s"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("c_s") * col("__qb")).as("kl_qbits"))
+          .select(col("source"), col("n_s").as("n_tokens"),
+            col("n_buckets"), col("kl_qbits"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND trim(text) <> ''),
+              |bk AS (
+              |  SELECT source,
+              |    ${QuerySpec.fpSql.replace("(text", "(tok")} % 512 AS bkt
+              |  FROM tok),
+              |sb AS (
+              |  SELECT source, bkt, count(*) AS c_s FROM bk GROUP BY 1, 2),
+              |rf AS (
+              |  SELECT bkt, CAST(count(*) AS BIGINT) AS c_r FROM bk
+              |  WHERE CAST(source[4:] AS INT) % 5 <> 0 GROUP BY 1),
+              |nr AS (
+              |  SELECT CAST(coalesce(sum(c_r), 0) AS BIGINT) AS n_r FROM rf),
+              |ns AS (
+              |  SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s
+              |  FROM sb GROUP BY 1)
+              |SELECT sb.source, ns.n_s AS n_tokens,
+              |  count(*) AS n_buckets,
+              |  CAST(sum(c_s * ((length(bin(c_s)) + length(bin(n_r + 512)))
+              |    - (length(bin(n_s)) + length(bin(coalesce(c_r, 0) + 1)))))
+              |    AS BIGINT) AS kl_qbits
+              |FROM sb
+              |LEFT JOIN rf ON sb.bkt = rf.bkt
+              |JOIN ns ON sb.source = ns.source
+              |CROSS JOIN nr
+              |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "t40_stream_d4_admit",
+      "the serve face of l99's diversification stage — D4 prototype pruning as an INGEST decision: the standing artifact is <= nClusters centroids plus <= nClusters per-cluster admission BARS (the (proto_cos, doc_id) of the quota-th most-prototypical row, `prototypeThresholds`); arriving vectors are argmax-assigned against the boot-collected centroid literals (bit-identical cosine fold, the t22 codebook-at-boot discipline), bar-compared per row — stateless — into a complete-mode per-cluster (n_seen, n_core) census. Gate: the drained census EQUALS the batch flags' census exactly (same frozen artifacts, same IEEE folds, (cos,-id)>=bar is rank<=quota for a fixed row set — equality, not agreement-%); oracle = exact vector count + literal true",
+      (s, dir) => {
+        val sim = graft.operators.Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        // The one shared build (training means are shuffled doubles —
+        // materialize once, every consumer reads the same floats).
+        val cents = sim.trainCentroids(e, "vec_id", "embedding",
+          nClusters = 8, trainIters = 1).localCheckpoint(eager = true)
+        val scored = sim.prototypeScore(e, "vec_id", "embedding", cents)
+          .localCheckpoint(eager = true)
+        val thr = sim.prototypeThresholds(scored, pruneBp = 2500L)
+          .localCheckpoint(eager = true)
+        def core(cos: org.apache.spark.sql.Column,
+            id: org.apache.spark.sql.Column) =
+          col("thr_cos").isNotNull &&
+            (struct(cos.as("a"), (-id).as("b")) >=
+              struct(col("thr_cos").as("a"), (-col("thr_id")).as("b")))
+        val batch = scored.join(broadcast(thr), Seq("cent_id"), "left")
+          .groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_b"),
+            count(when(core(col("proto_cos"), col("doc_id")), 1)).as("c_b"))
+        val centsLocal = cents.collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+          .sortBy(_._1).toSeq
+        val decisions = Tables.loadStream(s, dir, "embeddings")
+          .select(col("vec_id"),
+            sim.prototypeAssignLocal(centsLocal, col("embedding")).as("__a"))
+          .select(col("vec_id"), col("__a.cent_id").as("cent_id"),
+            (-col("__a.nc")).as("proto_cos"))
+          .join(broadcast(thr), Seq("cent_id"), "left")
+          .groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_s"),
+            count(when(core(col("proto_cos"), col("vec_id")), 1)).as("c_s"))
+        val emitted = runBounded(s, decisions, "t40_stream_d4_mem",
+          "complete", statePartitions = Some(8))
+        emitted.join(batch, Seq("cent_id"), "full_outer")
+          .agg(sum(col("n_s")).as("n_vecs"),
+            every(col("n_s").isNotNull && col("n_b").isNotNull &&
+              col("n_s") === col("n_b") && col("c_s") === col("c_b"))
+              .as("census_match"))
+      },
+      Some("SELECT count(*) AS n_vecs, TRUE AS census_match FROM embeddings"))
   )
 }

@@ -811,4 +811,36 @@ class DedupSimilaritySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("prototypePrune: exact per-cluster quota, pruned are the most prototypical, bp edges") {
+    import spark.implicits._
+    // 40 unit vectors fanned around the circle — whatever clustering the
+    // seeding lands on, the QUOTA and ORDER contracts must hold within
+    // every produced cluster.
+    val vecs = (1 to 40).map { i =>
+      val a = i * 0.157
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.prototypePrune(vecs, "vec_id", "embedding",
+        pruneBp = 2500L, nClusters = 3, trainIters = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length === 40)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val quota = rows.length * 2500 / 10000
+      val pruned = rows.filter(_._4)
+      assert(pruned.length === quota)
+      // pruned == the quota-prefix of the (cos desc, id asc) order
+      val expect = rows.sortBy(r => (-r._3, r._1)).take(quota)
+        .map(_._1).toSet
+      assert(pruned.map(_._1).toSet === expect)
+    }
+    // bp edges: 0 prunes nothing, 10000 prunes everything
+    val none = Similarity.prototypePrune(vecs, "vec_id", "embedding",
+      pruneBp = 0L, nClusters = 3, trainIters = 0)
+    assert(none.where(col("pruned")).count() === 0L)
+    val all = Similarity.prototypePrune(vecs, "vec_id", "embedding",
+      pruneBp = 10000L, nClusters = 3, trainIters = 0)
+    assert(all.where(!col("pruned")).count() === 0L)
+  }
 }

@@ -906,4 +906,44 @@ class TextOpsSpec extends SparkSpec {
     assert(stream.getLong(1) > 0 && stream.getLong(2) > 0 &&
       stream.getLong(3) > 0)
   }
+
+  test("sourceDivergence: equals a plain-Scala reference, zero for every source when distributions are identical") {
+    import spark.implicits._
+
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def refKl(corpus: Seq[(String, String)])
+        : Map[String, (Long, Long, Long)] = {
+      val toks = corpus.filter(d => d._2 != null && d._2.trim.nonEmpty)
+        .flatMap { case (src, t) => t.trim.split(" ", -1).map(src -> _) }
+      val cS = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nS = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      cS.groupBy(_._1._1).map { case (src, m) =>
+        val kl = m.map { case ((_, w), cs) =>
+          cs * ((bitlen(cs) + bitlen(n)) - (bitlen(nS(src)) + bitlen(c(w))))
+        }.sum
+        src -> (nS(src), m.size.toLong, kl)
+      }
+    }
+
+    val corpus = Seq(
+      ("a", "x x y"), ("a", "y z"),
+      ("b", "x q q q"), ("b", "  "),
+      ("c", null.asInstanceOf[String]), ("c", "x y z"))
+    val got = TextAnalysis.sourceDivergence(
+        corpus.toDF("source", "text"), "source", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === refKl(corpus))
+
+    // Identical per-source distributions: p_s == p for every source, so
+    // every quantized term is bitlen(c_s)+bitlen(n)-bitlen(n_s)-bitlen(c)
+    // with c = 2*c_s and n = 2*n_s — the +1-bit shifts cancel exactly.
+    val same = Seq(("a", "u u v"), ("b", "u u v")).toDF("source", "text")
+    val kls = TextAnalysis.sourceDivergence(same, "source", "text")
+      .select(col("kl_qbits")).collect().map(_.getLong(0)).toSeq
+    assert(kls === Seq(0L, 0L))
+  }
 }
