@@ -143,10 +143,11 @@ object NgramLm {
   final case class BackoffModel(base: BigramModel, uniCounts: DataFrame,
       totals: DataFrame)
 
-  def trainBackoff(train: DataFrame, textCol: String): BackoffModel = {
+  def trainBackoff(train: DataFrame, textCol: String,
+      baseOpt: Option[BigramModel] = None): BackoffModel = {
     val toks = train
       .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    BackoffModel(trainBigram(train, textCol),
+    BackoffModel(baseOpt.getOrElse(trainBigram(train, textCol)),
       toks.groupBy(col("tok").as("cur")).agg(count(lit(1)).as("uni_c")),
       toks.agg(count(lit(1)).as("n")))
   }
@@ -197,8 +198,9 @@ object NgramLm {
   final case class KneserNeyModel(base: BigramModel, contCounts: DataFrame,
       distinctCont: DataFrame, pairTypes: DataFrame)
 
-  def trainKneserNey(train: DataFrame, textCol: String): KneserNeyModel = {
-    val base = trainBigram(train, textCol)
+  def trainKneserNey(train: DataFrame, textCol: String,
+      baseOpt: Option[BigramModel] = None): KneserNeyModel = {
+    val base = baseOpt.getOrElse(trainBigram(train, textCol))
     KneserNeyModel(base,
       base.pairCounts.groupBy(col("cur")).agg(count(lit(1)).as("cont_c")),
       base.pairCounts.groupBy(col("prev")).agg(count(lit(1)).as("dcont_c")),

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Application-scoped cache of the count-LM family's trained tables —
+  * the MixtureModelStore discipline applied to NgramLm: the add-one
+  * bigram tables (l83's model) also underlie the backoff (l87) and
+  * Kneser-Ney (l88) artifacts and both serve boots (t28/t31), so the
+  * clean-slice pair aggregate trains ONCE per application per order
+  * and the derived smoothing tables attach to the shared base instead
+  * of five queries re-counting the identical slice. Count tables are
+  * integer aggregates — deterministic — so reuse is hash-invisible.
+  *
+  * Canonical registry parameterization (hardcoded so consumers cannot
+  * silently desync): the `documents` table's doc_id/text columns, the
+  * held-out clean slice doc_id % 7 = 0.
+  */
+object NgramModelStore {
+
+  private final case class Key(appId: String, dir: String, kind: String)
+
+  private val bigramCache =
+    scala.collection.mutable.Map.empty[Key, NgramLm.BigramModel]
+  private val backoffCache =
+    scala.collection.mutable.Map.empty[Key, NgramLm.BackoffModel]
+  private val knCache =
+    scala.collection.mutable.Map.empty[Key, NgramLm.KneserNeyModel]
+
+  private def keyFor(s: SparkSession, dir: String, kind: String): Key = {
+    val key = Key(s.sparkContext.applicationId,
+      new java.io.File(dir).getCanonicalPath, kind)
+    bigramCache.filterInPlace((k, _) => k.appId == key.appId)
+    backoffCache.filterInPlace((k, _) => k.appId == key.appId)
+    knCache.filterInPlace((k, _) => k.appId == key.appId)
+    key
+  }
+
+  private def cleanSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").where(col("doc_id") % 7 === 0)
+
+  /** The standing add-one order-n count tables over `dir`'s clean
+    * slice (pair/context/vocab frames checkpointed).
+    */
+  def sharedBigram(s: SparkSession, dir: String,
+      order: Int = 2): NgramLm.BigramModel = synchronized {
+    bigramCache.getOrElseUpdate(keyFor(s, dir, s"bigram$order"), {
+      val m = NgramLm.trainBigram(cleanSlice(s, dir), "text", order)
+      NgramLm.BigramModel(m.pairCounts.localCheckpoint(eager = true),
+        m.ctxCounts.localCheckpoint(eager = true),
+        m.vocab.localCheckpoint(eager = true))
+    })
+  }
+
+  /** The interpolated-backoff artifact on the shared bigram base. */
+  def sharedBackoff(s: SparkSession, dir: String): NgramLm.BackoffModel =
+    synchronized {
+      backoffCache.getOrElseUpdate(keyFor(s, dir, "backoff"), {
+        val m = NgramLm.trainBackoff(cleanSlice(s, dir), "text",
+          baseOpt = Some(sharedBigram(s, dir)))
+        NgramLm.BackoffModel(m.base,
+          m.uniCounts.localCheckpoint(eager = true),
+          m.totals.localCheckpoint(eager = true))
+      })
+    }
+
+  /** The Kneser-Ney artifact on the shared bigram base (the three
+    * continuation tables derive from the checkpointed pair table, so
+    * building them is vocab-bounded work).
+    */
+  def sharedKneserNey(s: SparkSession, dir: String): NgramLm.KneserNeyModel =
+    synchronized {
+      knCache.getOrElseUpdate(keyFor(s, dir, "kn"), {
+        val m = NgramLm.trainKneserNey(cleanSlice(s, dir), "text",
+          baseOpt = Some(sharedBigram(s, dir)))
+        NgramLm.KneserNeyModel(m.base,
+          m.contCounts.localCheckpoint(eager = true),
+          m.distinctCont.localCheckpoint(eager = true),
+          m.pairTypes.localCheckpoint(eager = true))
+      })
+    }
+}

@@ -116,8 +116,9 @@ object LlmQueries {
   private def perplexityCard(s: org.apache.spark.sql.SparkSession,
       dir: String, order: Int): org.apache.spark.sql.DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val model = NgramLm.trainBigram(
-      d.where(col("doc_id") % 7 === 0), "text", order)
+    // the count tables come from the family's standing build
+    // (NgramModelStore) — shared with l87/l88/t28/t31
+    val model = graft.operators.NgramModelStore.sharedBigram(s, dir, order)
     cardOf(NgramLm.surprisalBits(d, "doc_id", "text", model, order))
   }
 
@@ -2366,8 +2367,7 @@ object LlmQueries {
       "interpolated bigram<->unigram LM scoring — the smoothing shape production CCNet-style filters actually use (a raw add-one bigram over-penalizes frequent words after unseen contexts; l83 is the textbook baseline, this is the deployable variant): p = 1/2 p_bi + 1/2 p_uni carried as ONE exact BIGINT rational (num = pbn*pud + pun*pbd, den = 2*pbd*pud — each mixture component <= 1 so num <= den) and quantized to bit-length surprisal exactly like l83, so the band census + top/bottom-10 card stays hash-exact with zero libm; the unigram table and train-token total join broadcast alongside the bigram tables — same one-scan-per-doc scoring plan, one extra vocab-bounded broadcast",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val model = NgramLm.trainBackoff(
-          d.where(col("doc_id") % 7 === 0), "text")
+        val model = graft.operators.NgramModelStore.sharedBackoff(s, dir)
         cardOf(NgramLm.backoffBits(d, "doc_id", "text", model))
       },
       Some("""WITH tk AS (
@@ -2440,8 +2440,7 @@ object LlmQueries {
       "Kneser-Ney smoothed bigram LM scoring — THE production smoothing (KenLM's default; what CCNet's 5-gram filters actually ship), completing the family l83 (add-one) / l86 (trigram) / l87 (interpolated) built up to: absolute discount D = 3/4 off every seen pair, the freed mass backing off to the CONTINUATION unigram (how many distinct contexts a word follows — the fix for frequent-but-context-bound words that l87's raw-frequency backoff over-scores); p is carried times-4 as an exact BIGINT rational (num = max(4c(uw)-3,0)*(T+V) + 3*N1+(u.)*(N1+(.w)+1), den = 4c(u)*(T+V); over the vocab the numerators telescope to exactly den, so num <= den) and quantized to bit-length surprisal — hash-exact with zero libm; the three continuation tables are all DERIVED from the pair table (never a second corpus pass), vocab-bounded, and broadcast — same one-scan scoring plan as l83/l87",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val model = NgramLm.trainKneserNey(
-          d.where(col("doc_id") % 7 === 0), "text")
+        val model = graft.operators.NgramModelStore.sharedKneserNey(s, dir)
         cardOf(NgramLm.kneserNeyBits(d, "doc_id", "text", model))
       },
       Some("""WITH tk AS (

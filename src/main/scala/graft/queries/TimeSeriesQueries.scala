@@ -18,6 +18,16 @@ import graft.queries.QuerySpec.decSum
   */
 object TimeSeriesQueries {
 
+  /** DuckDB-side cosine between two list(float) expressions — the same
+    * sequential left-fold LlmQueries' oracles use, bit-equal to
+    * `VectorFunctions.cosineSim` (t42's eval-proximity replay).
+    */
+  private def cosEvalSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
+       |  / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*x), (x,y) -> x+y))
+       |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*x), (x,y) -> x+y)))""".stripMargin
+
   /** Run a streaming plan to completion on currently-available data and
     * return the result table. Memory sink is the bounded-harness surface
     * only (the aggregate results are small); production plans point the
@@ -925,10 +935,8 @@ object TimeSeriesQueries {
       "t28_stream_perplexity",
       "the streaming face of l83's bigram-LM quality filter — score-at-ingest against a FROZEN model: the count tables train batch-side on the clean slice and are driver-collected once at serve start (NgramLm.collectServeModel, bounded — the t25 codebook-at-boot discipline; big-vocab corpora stay on l83's broadcast-join batch path), so each arriving document's bits-per-token is a pure per-row fold (map-literal lookups + integer bit-length arithmetic, no join, no window) and the only state is the complete-mode perplexity-band census — one row per band. The oracle recomputes the bands through the JOIN formulation, so the hash only matches if fold-scoring ≡ join-scoring token-for-token",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
         val serve = graft.operators.NgramLm.collectServeModel(
-          graft.operators.NgramLm.trainBigram(
-            d.where(col("doc_id") % 7 === 0), "text"))
+          graft.operators.NgramModelStore.sharedBigram(s, dir))
         // two-step projection ON PURPOSE: the fold reads the token
         // array as a materialized attribute (CollapseProject keeps the
         // boundary for a multiply-referenced non-cheap alias); inlining
@@ -1051,10 +1059,8 @@ object TimeSeriesQueries {
       "t31_stream_backoff",
       "the streaming face of l87's interpolated backoff scorer — the deployable LM filter at ingest: bigram/context/unigram count maps plus the (N, V) scalars are driver-collected once at serve start (unlike t28's pure-bigram model the surprisal of an unseen-pair/seen-continuation event depends on BOTH sides, so bits cannot be precomputed — the per-row fold carries the maps and does the exact BIGINT rational per pair, single-pass over a materialized token column), and the only state is the complete-mode perplexity-band census. The oracle recomputes the bands through l87's join formulation, so the hash only matches if the fold's rational arithmetic is token-for-token identical",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
         val serve = graft.operators.NgramLm.collectBackoffServeModel(
-          graft.operators.NgramLm.trainBackoff(
-            d.where(col("doc_id") % 7 === 0), "text"))
+          graft.operators.NgramModelStore.sharedBackoff(s, dir))
         val census = Tables.loadStream(s, dir, "documents")
           .select(graft.functions.TextFunctions.tokens(col("text"))
             .as("toks"))
@@ -1790,6 +1796,42 @@ object TimeSeriesQueries {
             every(col("n_s").isNotNull && col("n_b").isNotNull &&
               col("n_s") === col("n_b")).as("census_match"))
       },
-      Some("SELECT count(*) AS n_vecs, TRUE AS census_match FROM embeddings"))
+      Some("SELECT count(*) AS n_vecs, TRUE AS census_match FROM embeddings")),
+
+    QuerySpec(
+      "t42_stream_semantic_decontam",
+      "l103's semantic decontamination at INGEST — the benchmark-proximity gate a streaming corpus build runs on every arriving embedding: the eval slice (vec_id%25=0) is collected ONCE at serve start (eval benches are boot-artifact-sized — the t25/t22 codebook-at-boot discipline) and baked in as literals; each arriving corpus vector counts its eval neighbors at cos >= 0.4 by a per-row HOF filter over the literal vectors (stateless, the same sequential cosine fold as the batch side); the only state is the one-row complete-mode census (n_corpus, n_flagged, n_hits). Fully HASH-exact — the oracle replays the census from SQL, no batch-agreement indirection needed",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val evalVecs: Seq[Seq[Float]] = e.where(col("vec_id") % 25 === 0)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toSeq).toSeq
+        val hits = size(filter(typedLit(evalVecs), q =>
+          graft.functions.VectorFunctions.cosineSim(col("embedding"), q)
+            >= 0.4))
+        val census = Tables.loadStream(s, dir, "embeddings")
+          .where(col("vec_id") % 25 =!= 0)
+          .select(hits.as("__h"))
+          .agg(count(lit(1)).as("n_corpus"),
+            count(when(col("__h") > 0, 1)).as("n_flagged"),
+            sum(col("__h")).cast("long").as("n_hits"))
+        runBounded(s, census, "t42_stream_decontam_mem", "complete",
+          statePartitions = Some(8))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT embedding AS q_emb FROM embeddings
+              |  WHERE vec_id % 25 = 0),
+              |c AS (
+              |  SELECT vec_id AS doc_id, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id % 25 <> 0),
+              |h AS (
+              |  SELECT doc_id, count(*) AS nh
+              |  FROM c JOIN q ON TRUE
+              |  WHERE ${cosEvalSql("c_emb", "q_emb")} >= 0.4
+              |  GROUP BY 1)
+              |SELECT (SELECT count(*) FROM c) AS n_corpus,
+              |  count(*) AS n_flagged,
+              |  CAST(coalesce(sum(nh), 0) AS BIGINT) AS n_hits
+              |FROM h""".stripMargin))
   )
 }
