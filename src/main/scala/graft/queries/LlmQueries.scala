@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, Curation, Dedup, NbClassifier, NgramLm, Pca, SemDedupStore, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, NbClassifier, NgramLm, Pca, SemDedupStore, Similarity, Subword, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.2 M5) registered as
@@ -53,6 +53,64 @@ object LlmQueries {
     * oracle that fingerprints (split, sampling, ordering, shard packing).
     */
   private def fpSql: String = QuerySpec.fpSql
+
+  /** Shared l104/t43 oracle: rebuild the unigram seed vocabulary (all
+    * chars + top-64 substrings by corpus mass, deterministically
+    * tie-broken), quantize piece costs over the selected vocab, and
+    * replay the Viterbi DP by exhaustive recursive path enumeration —
+    * min over (cost, n_pieces) packed as cost*16 + np (np <= 8 word
+    * chars < 16, so the packing is lexicographic). Both the batch
+    * distinct-word census and the streaming occurrence census reduce
+    * to the same per-source sums because per-word Viterbi is
+    * deterministic.
+    */
+  private val unigramSegmentOracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT source, unnest(string_split(trim(text), ' ')) AS w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND trim(text) <> ''),
+      |wc AS (
+      |  SELECT source, w, count(*) AS cnt FROM tok
+      |  WHERE length(w) > 0 GROUP BY 1, 2),
+      |words AS (
+      |  SELECT w, CAST(sum(cnt) AS BIGINT) AS wcnt FROM wc GROUP BY 1),
+      |sub0 AS (
+      |  SELECT w, wcnt, unnest(range(1, length(w) + 1)) AS i FROM words),
+      |sub1 AS (
+      |  SELECT w, wcnt, i, unnest(range(1, 7)) AS l FROM sub0),
+      |sub AS (
+      |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+      |    CAST(sum(wcnt) AS BIGINT) AS cnt
+      |  FROM sub1 WHERE i + l - 1 <= length(w) GROUP BY 1),
+      |vocab AS (
+      |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt,
+      |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM sub WHERE length(piece) > 1) WHERE rn <= 64),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+      |pieces AS (
+      |  SELECT piece,
+      |    CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS cost
+      |  FROM vocab, tot),
+      |seg(w, pos, c, np) AS (
+      |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM words
+      |  UNION
+      |  SELECT s.w, s.pos + length(p.piece), s.c + p.cost, s.np + 1
+      |  FROM seg s JOIN pieces p
+      |    ON substr(s.w, CAST(s.pos + 1 AS INT), length(p.piece)) = p.piece
+      |  WHERE s.pos + length(p.piece) <= length(s.w)),
+      |best AS (
+      |  SELECT w, min(c * 16 + np) AS packed FROM seg
+      |  WHERE pos = length(w) GROUP BY 1)
+      |SELECT wc.source,
+      |  CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+      |  CAST(sum(wc.cnt * (packed % 16)) AS BIGINT) AS n_pieces,
+      |  CAST(sum(wc.cnt * (packed // 16)) AS BIGINT) AS total_bits
+      |FROM wc JOIN best ON wc.w = best.w
+      |GROUP BY 1""".stripMargin
 
   /** DuckDB-side cosine between two list(float) expressions: sequential
     * left-fold dot/norms in double — bit-equal to `CosineSimilarity`.
@@ -3525,6 +3583,66 @@ object LlmQueries {
               |  SELECT doc_id, ${cosSql("c_emb", "q_emb")} AS cos
               |  FROM c JOIN q ON TRUE)
               |SELECT doc_id, count(*) AS n_hits, max(cos) AS max_cos
-              |FROM p WHERE cos >= 0.4 GROUP BY 1""".stripMargin))
+              |FROM p WHERE cos >= 0.4 GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "l104_unigram_segment",
+      "SentencePiece-style unigram-LM subword segmentation (Kudo 2018 — the OTHER production tokenizer family next to BPE l79-l81): seed vocabulary = all single chars + top-64 substrings (length<=6) by corpus mass from the DISTINCT-WORD table (the l79 wordcount discipline — corpus-sized work is ONE word count), piece costs = bitlen-quantized unigram surprisal over the selected vocab, then exact VITERBI decoding per distinct word — dp minimizes (bits, n_pieces) lexicographically — weighted back to a per-source fertility census (n_words, n_pieces, total_bits). Hash-exact: the oracle rebuilds the same vocabulary and replays the DP by exhaustive path enumeration, so the frame only matches if the Viterbi fold finds the true minimum on every word",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("w"))
+          .where(length(col("w")) > 0)
+        val sc = tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
+        val words = sc.groupBy(col("w")).agg(sum(col("cnt")).as("wc"))
+        val costs = Subword.collectCosts(
+          Subword.seedVocab(Subword.pieceCensus(words), topK = 64))
+        val wDp = words.select(col("w"),
+            Subword.viterbiExpr(costs, col("w")).as("d"))
+          .select(col("w"), col("d.c").as("bits"), col("d.np").as("np"))
+        sc.join(wDp, Seq("w"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * col("np")).as("n_pieces"),
+            sum(col("cnt") * col("bits")).as("total_bits"))
+      },
+      Some(unigramSegmentOracle)),
+
+    QuerySpec(
+      "t43_stream_unigram_segment",
+      "the serve face of l104 — the frozen unigram tokenizer's fertility MONITOR at ingest (t39's discipline: the stream only COUNTS; model arithmetic runs on the drained state): vocabulary + quantized piece costs train batch-side (the standing artifact); the stream accumulates the per-(source, word) count census — complete-mode state bounded by sources x vocabulary, never re-decoding per occurrence (a per-row DP against the literal map measured 6x slower: the t22 literal-scan lesson applied to strings) — and each DISTINCT word pays its Viterbi exactly once against the drained counts. Fully hash-exact against the SAME oracle as l104 (per-word Viterbi is deterministic, so the weighted sums agree)",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
+        val words = docs
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("w"))
+          .where(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        val costs = Subword.collectCosts(
+          Subword.seedVocab(Subword.pieceCensus(words), topK = 64))
+        val counts = Tables.loadStream(s, dir, "documents")
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("w"))
+          .where(length(col("w")) > 0)
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("cnt"))
+        val emitted = TimeSeriesQueries.runBounded(s, counts,
+          "t43_stream_unigram_mem", "complete", statePartitions = Some(8))
+        emitted
+          .select(col("source"), col("cnt"),
+            Subword.viterbiExpr(costs, col("w")).as("d"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * col("d.np")).as("n_pieces"),
+            sum(col("cnt") * col("d.c")).as("total_bits"))
+      },
+      Some(unigramSegmentOracle))
   )
 }

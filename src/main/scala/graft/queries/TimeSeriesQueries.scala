@@ -33,7 +33,7 @@ object TimeSeriesQueries {
     * only (the aggregate results are small); production plans point the
     * same writeStream at a real sink.
     */
-  private def runBounded(s: org.apache.spark.sql.SparkSession,
+  private[queries] def runBounded(s: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.DataFrame, name: String, mode: String,
       statePartitions: Option[Int] = None,
       extraConf: Map[String, String] = Map.empty)

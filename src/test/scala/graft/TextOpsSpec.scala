@@ -946,4 +946,54 @@ class TextOpsSpec extends SparkSpec {
       .select(col("kl_qbits")).collect().map(_.getLong(0)).toSeq
     assert(kls === Seq(0L, 0L))
   }
+
+  test("property: viterbiExpr equals brute-force minimum over all segmentations") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    import graft.operators.Subword
+
+    // brute force: enumerate every split of `w` into vocab pieces of
+    // length <= MaxPieceLen, minimize (cost, n_pieces) lexicographically
+    def brute(costs: Map[String, Long], w: String): (Long, Long) = {
+      if (w.isEmpty) (0L, 0L)
+      else (1 to math.min(Subword.MaxPieceLen, w.length)).iterator
+        .flatMap { l =>
+          costs.get(w.take(l)).map { c =>
+            val (rc, rn) = brute(costs, w.drop(l))
+            (c + rc, rn + 1L)
+          }
+        }.minOption.getOrElse((1000000000L, 1L))
+    }
+
+    val alphabet = Seq("a", "b", "c")
+    val wordGen = Gen.choose(0, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    val pieceGen = Gen.choose(2, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    val caseGen = for {
+      words <- Gen.listOfN(4, wordGen)
+      pieces <- Gen.listOfN(5, pieceGen)
+      costVals <- Gen.listOfN(5 + alphabet.size, Gen.choose(1L, 20L))
+    } yield (words, (pieces ++ alphabet).distinct.zip(costVals).toMap)
+
+    val prop = Prop.forAll(caseGen) { case (words, costs) =>
+      val got = words.toDF("w")
+        .select(col("w"), Subword.viterbiExpr(costs, col("w")).as("d"))
+        .select(col("w"), col("d.c"), col("d.np"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      words.forall { w =>
+        // brute-force can stack multiple unreachable sentinels where the
+        // DP pays exactly one per stuck position; only compare where the
+        // word is genuinely segmentable (always true when every char is
+        // in the vocab, as in l104's alphabet-complete seed)
+        val want = brute(costs, w)
+        if (want._1 >= 1000000000L) got(w)._1 >= 1000000000L
+        else got(w) == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
