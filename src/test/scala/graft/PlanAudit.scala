@@ -65,7 +65,24 @@ object PlanAudit {
     "l97_rho_select",
     // composes l94's and l97's scoring subtrees: their four one-row
     // scalar attaches (dsir totals+threshold, rho vocab+anchor)
-    "l98_selector_agreement")
+    "l98_selector_agreement",
+    // the exact all-pairs gate twin (l61/l62's base side) plus the
+    // 8-row centroid broadcast replicate of the prototype stage and
+    // one-row recall/quota/order gate attaches
+    "l99_d4_prune",
+    // one-row corpus-total attach on the (source, word) count table
+    // (the l67/l78 scalar-attach shape)
+    "l100_source_kl",
+    // one-row gate frames (whitened variance, rotation norm) attached
+    // to the one-row count aggregate — pure scalar attaches
+    "l101_pca_whiten",
+    // the broadcast EVAL side replicated against the corpus scan with
+    // no equi key — the l06 brute-force shape; eval benches are always
+    // broadcast-sized
+    "l103_semantic_decontam",
+    // one-row smoothed-reference-total attach on the drained
+    // (source, bucket) state (the l100 shape)
+    "t39_stream_kl_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
