@@ -112,6 +112,63 @@ object LlmQueries {
       |FROM wc JOIN best ON wc.w = best.w
       |GROUP BY 1""".stripMargin
 
+  /** l105's universe: ids carrying BOTH a text and an embedding (the
+    * inner join of the two tables' id spaces), excluding the eval ids
+    * (id % 50 = 0 — l36's benchmark-set convention, applied to both
+    * modalities so the two detectors screen against the SAME bench).
+    */
+  private val decontamAgreementOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 4
+       |      THEN list_distinct([array_to_string(t[i:i+3], ' ')
+       |                          for i in range(1, len(t)-2)])
+       |      ELSE [] END AS s
+       |  FROM toks),
+       |uni AS (
+       |  SELECT d.doc_id FROM documents d
+       |  JOIN embeddings e ON d.doc_id = e.vec_id
+       |  WHERE d.doc_id % 50 <> 0),
+       |ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh
+       |       WHERE doc_id % 50 = 0),
+       |tokflag AS (
+       |  SELECT DISTINCT co.doc_id FROM (
+       |    SELECT doc_id, unnest(s) AS g FROM sh) co
+       |  JOIN ev ON co.g = ev.g),
+       |eq AS (SELECT embedding AS q_emb FROM embeddings
+       |       WHERE vec_id % 50 = 0),
+       |semflag AS (
+       |  SELECT DISTINCT c.vec_id AS doc_id
+       |  FROM embeddings c JOIN eq ON TRUE
+       |  WHERE c.vec_id % 50 <> 0
+       |    AND ${cosSql("c.embedding", "q_emb")} >= 0.4),
+       |j AS (
+       |  SELECT uni.doc_id,
+       |    tokflag.doc_id IS NOT NULL AS tok,
+       |    semflag.doc_id IS NOT NULL AS sem
+       |  FROM uni
+       |  LEFT JOIN tokflag ON uni.doc_id = tokflag.doc_id
+       |  LEFT JOIN semflag ON uni.doc_id = semflag.doc_id)
+       |SELECT count(*) AS n_universe,
+       |  CAST(sum(CASE WHEN tok THEN 1 ELSE 0 END) AS BIGINT) AS n_token,
+       |  CAST(sum(CASE WHEN sem THEN 1 ELSE 0 END) AS BIGINT) AS n_sem,
+       |  CAST(sum(CASE WHEN tok AND sem THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_both,
+       |  CAST(sum(CASE WHEN NOT tok AND NOT sem THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_neither,
+       |  CASE WHEN CAST(sum(CASE WHEN tok THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN sem THEN 1 ELSE 0 END)
+       |      - sum(CASE WHEN tok AND sem THEN 1 ELSE 0 END) AS BIGINT) > 0
+       |    THEN (10000 * CAST(sum(CASE WHEN tok AND sem THEN 1 ELSE 0 END)
+       |        AS BIGINT))
+       |      // CAST(sum(CASE WHEN tok THEN 1 ELSE 0 END)
+       |        + sum(CASE WHEN sem THEN 1 ELSE 0 END)
+       |        - sum(CASE WHEN tok AND sem THEN 1 ELSE 0 END) AS BIGINT)
+       |    ELSE 10000 END AS jaccard_bp
+       |FROM j""".stripMargin
+
   /** DuckDB-side cosine between two list(float) expressions: sequential
     * left-fold dot/norms in double — bit-equal to `CosineSimilarity`.
     */
@@ -3558,7 +3615,7 @@ object LlmQueries {
 
     QuerySpec(
       "l103_semantic_decontam",
-      "SEMANTIC decontamination — the embedding-space complement of l49's n-gram decontamination (the published lesson — e.g. the GPT-4/Llama report ablations — is that token overlap misses paraphrased benchmark leakage; the standard mitigation flags corpus docs too COSINE-close to any eval item): eval slice = vec_id%25=0 (l06's query-set convention), per corpus doc the count of eval items at cos >= 0.4 and the max such cosine — exact, hash-checked (sequential-fold cosine on both engines; max over per-row doubles is order-independent). The eval set is the BROADCAST side of one corpus scan — per-row work is |eval| folds, no shuffle before the per-doc aggregate; at 100 TB eval benches are always broadcast-sized",
+      "SEMANTIC decontamination — the embedding-space complement of l36's n-gram decontamination (the published lesson — e.g. the GPT-4/Llama report ablations — is that token overlap misses paraphrased benchmark leakage; the standard mitigation flags corpus docs too COSINE-close to any eval item): eval slice = vec_id%25=0 (l06's query-set convention), per corpus doc the count of eval items at cos >= 0.4 and the max such cosine — exact, hash-checked (sequential-fold cosine on both engines; max over per-row doubles is order-independent). The eval set is the BROADCAST side of one corpus scan — per-row work is |eval| folds, no shuffle before the per-doc aggregate; at 100 TB eval benches are always broadcast-sized",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val evalSide = e.where(col("vec_id") % 25 === 0)
@@ -3643,6 +3700,43 @@ object LlmQueries {
             sum(col("cnt") * col("d.np")).as("n_pieces"),
             sum(col("cnt") * col("d.c")).as("total_bits"))
       },
-      Some(unigramSegmentOracle))
+      Some(unigramSegmentOracle)),
+
+    QuerySpec(
+      "l105_decontam_agreement",
+      "decontamination-detector AGREEMENT census — l98's cross-method confusion ledger applied to the two leak detectors: every id carrying BOTH a text and an embedding (the inner join of the modality id spaces, eval ids id%50=0 excluded) is flagged by l36's token detector (shares a word 4-shingle with any eval text) AND by l103's semantic detector (cos >= 0.4 to any eval embedding), censused as (n_universe, n_token, n_sem, n_both, n_neither, jaccard_bp) — the number a 100 TB run reads before trusting either screen alone (low jaccard = the detectors catch DIFFERENT leaks, run both). Both detectors are exact, so the whole frame is hash-exact. Scale: eval shingles and eval vectors both broadcast; the flags join per-id; one aggregate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val e = Tables.load(s, dir, "embeddings")
+        val isEval = col("doc_id") % 50 === 0
+        val uni = docs.select(col("doc_id"))
+          .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+          .where(!isEval)
+        val tokFlag = TextAnalysis.decontaminate(docs,
+            docs.where(isEval), "doc_id", "text", k = 4)
+          .select(col("doc_id"), lit(true).as("__t"))
+        val semFlag = e.where(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("c_emb"))
+          .join(broadcast(e.where(col("vec_id") % 50 === 0)
+            .select(col("embedding").as("q_emb"))))
+          .where(graft.functions.VectorFunctions.cosineSim(col("c_emb"),
+            col("q_emb")) >= 0.4)
+          .select(col("doc_id")).distinct()
+          .select(col("doc_id"), lit(true).as("__s"))
+        uni.join(tokFlag, Seq("doc_id"), "left")
+          .join(semFlag, Seq("doc_id"), "left")
+          .select(coalesce(col("__t"), lit(false)).as("tok"),
+            coalesce(col("__s"), lit(false)).as("sem"))
+          .agg(count(lit(1)).as("n_universe"),
+            count(when(col("tok"), 1)).as("n_token"),
+            count(when(col("sem"), 1)).as("n_sem"),
+            count(when(col("tok") && col("sem"), 1)).as("n_both"),
+            count(when(!col("tok") && !col("sem"), 1)).as("n_neither"))
+          .withColumn("jaccard_bp",
+            when(col("n_token") + col("n_sem") - col("n_both") > 0,
+              expr("(10000 * n_both) div (n_token + n_sem - n_both)"))
+              .otherwise(lit(10000L)))
+      },
+      Some(decontamAgreementOracle))
   )
 }

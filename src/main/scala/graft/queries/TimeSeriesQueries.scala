@@ -1832,6 +1832,36 @@ object TimeSeriesQueries {
               |SELECT (SELECT count(*) FROM c) AS n_corpus,
               |  count(*) AS n_flagged,
               |  CAST(coalesce(sum(nh), 0) AS BIGINT) AS n_hits
-              |FROM h""".stripMargin))
+              |FROM h""".stripMargin)),
+
+    QuerySpec(
+      "t44_stream_k_anonymity",
+      "l102's k-anonymity census as a LIVE release-risk monitor — the privacy number that must hold continuously while a corpus ingests, not just at release time: the stream accumulates the (lang, source, token-length band) equivalence-class census in complete mode (state = one row per class — the t39 count-only discipline; class sizes only ever grow at ingest, so below-k mass shrinking to zero is the release-readiness signal), and the drained state reduces to the same (n_classes, below-k, min/max) summary as the batch census. Fully hash-exact against l102's oracle",
+      (s, dir) => {
+        val g = Tables.loadStream(s, dir, "documents")
+          .groupBy(col("lang"), col("source"),
+            floor(size(split(trim(col("text")), " ")) / 32).as("len_band"))
+          .agg(count(lit(1)).as("k"))
+        val emitted = runBounded(s, g, "t44_stream_kanon_mem",
+          "complete", statePartitions = Some(8))
+        emitted.agg(count(lit(1)).as("n_classes"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("classes_below_k"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("docs_below_k"),
+          min(col("k")).as("min_class"),
+          max(col("k")).as("max_class"))
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, source,
+             |    CAST(floor(len(string_split(trim(text), ' ')) / 32)
+             |      AS BIGINT) AS len_band,
+             |    count(*) AS k
+             |  FROM documents GROUP BY 1, 2, 3)
+             |SELECT count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_below_k,
+             |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             |    AS docs_below_k,
+             |  min(k) AS min_class, max(k) AS max_class
+             |FROM g""".stripMargin))
   )
 }

@@ -82,7 +82,10 @@ object PlanAudit {
     "l103_semantic_decontam",
     // one-row smoothed-reference-total attach on the drained
     // (source, bucket) state (the l100 shape)
-    "t39_stream_kl_drift")
+    "t39_stream_kl_drift",
+    // the semantic flag replicates the broadcast eval vectors against
+    // the embedding scan with no equi key (l103's shape)
+    "l105_decontam_agreement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
