@@ -3737,6 +3737,52 @@ object LlmQueries {
               expr("(10000 * n_both) div (n_token + n_sem - n_both)"))
               .otherwise(lit(10000L)))
       },
-      Some(decontamAgreementOracle))
+      Some(decontamAgreementOracle)),
+
+    QuerySpec(
+      "l106_opq_rotate_pq",
+      "PCA-ROTATED product quantization — the OPQ baseline (Ge et al. 2013, 'Optimized Product Quantization': rotate so the subspace split aligns with the principal axes before PQ; PCA rotation is the paper's non-iterative baseline, their R0): the l101 model's full-rank UNWHITENED projection is an exact rotation (norms and dot products preserved), applied once as an index-build pass, and the l57 fidelity gate re-runs entirely in the rotated space. Two gates: (1) rotation invariance — brute-force exact top-10 in the rotated space agrees >= 95% with the original space (pure-rotation geometry; fp drift only flips knife-edge ties), (2) the rotated IVF-PQ top-10 agrees >= 90% with the rotated full-precision ranking of the same candidates (l57's gate, now on the compaction-aligned codes). Oracle = exact query-count arithmetic + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val model = Pca.fit(e, "embedding")
+        val rot = e.select(col("vec_id"),
+            transform(Pca.projectExpr(model, col("embedding"), model.dim,
+              whiten = false), x => x.cast("float")).as("embedding"))
+          .localCheckpoint(eager = true)
+        val isQ = col("vec_id") % 25 === 0
+        def topkSet(corpus: org.apache.spark.sql.DataFrame, mark: String) =
+          Similarity.bruteForceTopK(corpus.where(isQ), corpus,
+              "vec_id", "embedding", 10)
+            .select(col("q_id"), col("c_id"), lit(1).as(mark))
+        val rotInv = topkSet(e, "__o")
+          .join(topkSet(rot, "__r"), Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__o")).as("n_exact"),
+            count(when(col("__o").isNotNull && col("__r").isNotNull, 1))
+              .as("__n_hit"))
+          .select(col("n_exact"),
+            (col("__n_hit") * 100 >= col("n_exact") * 95)
+              .as("rot_invariant_ok"))
+        val q = rot.where(isQ)
+        val cand = Similarity.ivfCandidates(s, q, rot, "vec_id",
+            "embedding", nCentroids = 8, nProbe = 6, trainIters = 0)
+          .localCheckpoint(eager = true)
+        val ivf = Similarity.ivfTopK(s, q, rot, "vec_id", "embedding", 10,
+            nCentroids = 8, nProbe = 6, candidatesOpt = Some(cand))
+          .select(col("q_id"), col("c_id"), lit(1).as("__i"))
+        val pq = Similarity.pqTopK(s, q, rot, "vec_id", "embedding", 10,
+            m = 16, nCodes = 64, trainIters = 1, nCentroids = 8,
+            nProbe = 6, rerank = 8, candidatesOpt = Some(cand))
+          .select(col("q_id"), col("c_id"), lit(1).as("__p"))
+        val pqGate = ivf.join(pq, Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__i")).as("__n_ivf"),
+            count(when(col("__i").isNotNull && col("__p").isNotNull, 1))
+              .as("__n_hit2"))
+          .select((col("__n_hit2") * 100 >= col("__n_ivf") * 90)
+            .as("pq_rot_ok"))
+        rotInv.crossJoin(pqGate)
+      },
+      Some("""SELECT 10 * count(*) AS n_exact, TRUE AS rot_invariant_ok,
+             |  TRUE AS pq_rot_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
   )
 }

@@ -85,7 +85,10 @@ object PlanAudit {
     "t39_stream_kl_drift",
     // the semantic flag replicates the broadcast eval vectors against
     // the embedding scan with no equi key (l103's shape)
-    "l105_decontam_agreement")
+    "l105_decontam_agreement",
+    // two brute-force exact sides (the l06 broadcast-query shape, once
+    // per space) plus l57's candidate probe — all deliberate gate twins
+    "l106_opq_rotate_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
