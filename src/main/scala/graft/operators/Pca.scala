@@ -49,7 +49,19 @@ object Pca {
   def fit(df: DataFrame, embCol: String): PcaModel = {
     val rows = df.select(col(embCol)).where(col(embCol).isNotNull)
       .rdd.map(_.getSeq[Float](0).toArray)
-    val d = rows.first().length
+    // dimensionality probe via take(1): an empty / all-null frame gets
+    // the intended error message instead of first()'s opaque
+    // NoSuchElementException
+    val head = rows.take(1)
+    require(head.nonEmpty, "PCA fit over an empty frame")
+    val d = head(0).length
+    // guard absurd dimensionality the way the serve collects guard
+    // their entry counts: the treeAggregate carries d^2 doubles per
+    // partition — fine at embedding scale, catastrophic if a caller
+    // points this at a wide matrix by mistake
+    require(d <= 4096, s"PCA fit dimensionality $d exceeds 4096 — the " +
+      "per-partition d^2 covariance state would not fit; reduce the " +
+      "column or use a randomized sketch")
     // acc = (n, sum[d], outer[d*d] upper triangle packed full)
     val zero = (0L, new Array[Double](d), new Array[Double](d * d))
     val (n, s, o) = rows.treeAggregate(zero)(

@@ -1001,7 +1001,7 @@ object Similarity {
     df.select(col(idCol).as("doc_id"), col(embCol).as("__e"))
       .join(broadcast(cents))
       .select(col("doc_id"), col("cent_id"),
-        cosineSim(col("__e"), col("cent_emb")).as("__cs"))
+        nanGuardedCos(cosineSim(col("__e"), col("cent_emb"))).as("__cs"))
       .groupBy(col("doc_id"))
       .agg(max(struct(col("__cs"), (-col("cent_id")).as("negid"))).as("m"))
       .select(col("doc_id"), (-col("m.negid")).as("cent_id"),
@@ -1031,16 +1031,29 @@ object Similarity {
         col("doc_id").as("thr_id"))
   }
 
+  /** NaN-cosine guard shared by the prototype faces: a zero-norm
+    * vector's cosine is 0/0 = NaN, and the two faces would otherwise
+    * DISAGREE on it — the batch argmax's max(struct(cos, ...)) treats
+    * NaN as greatest while the serve-side ascending sort over nc=-cos
+    * puts NaN last. Coalescing NaN to -2.0 (below any real cosine)
+    * makes zero-norm pairs rank worst on BOTH faces, and an all-NaN
+    * row falls through to the smallest cent_id on both (max negid ==
+    * ascending (nc, cent_id) head), so the t40 census equality holds
+    * on degenerate data too.
+    */
+  private def nanGuardedCos(cs: Column): Column =
+    when(isnan(cs), lit(-2.0)).otherwise(cs)
+
   /** Per-row nearest-centroid against a COLLECTED centroid set — the
     * stateless serve-side twin of `prototypeScore` (float literals, so
     * the cosine arithmetic is bit-identical to the batch join; same
-    * (cos desc, cent_id asc) tie-break). Returns a struct column with
-    * fields `nc` (= -cos) and `cent_id`; streaming-safe: no window, no
-    * aggregation.
+    * (cos desc, cent_id asc) tie-break, NaN guarded identically).
+    * Returns a struct column with fields `nc` (= -cos) and `cent_id`;
+    * streaming-safe: no window, no aggregation.
     */
   def prototypeAssignLocal(cents: Seq[(Long, Seq[Float])],
       qEmb: Column): Column =
     element_at(array_sort(transform(typedLit(cents), c =>
-      struct((-cosineSim(qEmb, c.getField("_2"))).as("nc"),
+      struct((-nanGuardedCos(cosineSim(qEmb, c.getField("_2")))).as("nc"),
         c.getField("_1").as("cent_id")))), 1)
 }

@@ -58,8 +58,11 @@ object LlmQueries {
     * chars + top-64 substrings by corpus mass, deterministically
     * tie-broken), quantize piece costs over the selected vocab, and
     * replay the Viterbi DP by exhaustive recursive path enumeration —
-    * min over (cost, n_pieces) packed as cost*16 + np (np <= 8 word
-    * chars < 16, so the packing is lexicographic). Both the batch
+    * min over (cost, n_pieces) packed as cost*256 + np, lexicographic
+    * while np < 256; the words CTE ERRORS on any word of 256+ chars,
+    * so the packing invariant is checked rather than assumed (the
+    * fixture caps words at 8 chars, but nothing upstream enforces
+    * that). Both the batch
     * distinct-word census and the streaming occurrence census reduce
     * to the same per-source sums because per-word Viterbi is
     * deterministic.
@@ -73,7 +76,11 @@ object LlmQueries {
       |  SELECT source, w, count(*) AS cnt FROM tok
       |  WHERE length(w) > 0 GROUP BY 1, 2),
       |words AS (
-      |  SELECT w, CAST(sum(cnt) AS BIGINT) AS wcnt FROM wc GROUP BY 1),
+      |  SELECT CASE WHEN length(w) >= 256
+      |      THEN error('l104 oracle: word >= 256 chars breaks the '
+      |        || 'cost*256+np lexicographic packing')
+      |      ELSE w END AS w,
+      |    CAST(sum(cnt) AS BIGINT) AS wcnt FROM wc GROUP BY 1),
       |sub0 AS (
       |  SELECT w, wcnt, unnest(range(1, length(w) + 1)) AS i FROM words),
       |sub1 AS (
@@ -103,12 +110,12 @@ object LlmQueries {
       |    ON substr(s.w, CAST(s.pos + 1 AS INT), length(p.piece)) = p.piece
       |  WHERE s.pos + length(p.piece) <= length(s.w)),
       |best AS (
-      |  SELECT w, min(c * 16 + np) AS packed FROM seg
+      |  SELECT w, min(c * 256 + np) AS packed FROM seg
       |  WHERE pos = length(w) GROUP BY 1)
       |SELECT wc.source,
       |  CAST(sum(wc.cnt) AS BIGINT) AS n_words,
-      |  CAST(sum(wc.cnt * (packed % 16)) AS BIGINT) AS n_pieces,
-      |  CAST(sum(wc.cnt * (packed // 16)) AS BIGINT) AS total_bits
+      |  CAST(sum(wc.cnt * (packed % 256)) AS BIGINT) AS n_pieces,
+      |  CAST(sum(wc.cnt * (packed // 256)) AS BIGINT) AS total_bits
       |FROM wc JOIN best ON wc.w = best.w
       |GROUP BY 1""".stripMargin
 
@@ -3589,7 +3596,11 @@ object LlmQueries {
       "l102_k_anonymity",
       "k-anonymity census over the (lang, source, token-length band) quasi-identifier (Sweeney 2002 — the release-risk number a PII-scrubbed corpus (l74) still owes: scrubbing direct identifiers does not stop re-identification through quasi-identifier classes of size < k): equivalence-class sizes at band width 32, classes and document mass below k=5 (what a k-anonymous release must suppress or generalize), plus the min/max class size. Pure BIGINT aggregates, hash-exact; one map-side-combined groupBy, summary is O(classes)",
       (s, dir) => {
+        // null/empty guard (the l100/t39 discipline): Spark's legacy
+        // sizeOfNull yields -1 where DuckDB bands NULL — filter both
+        // engines identically so the band column is engine-independent
         val docs = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
         val g = docs.groupBy(col("lang"), col("source"),
             floor(size(split(trim(col("text")), " ")) / 32).as("len_band"))
           .agg(count(lit(1)).as("k"))
@@ -3604,7 +3615,9 @@ object LlmQueries {
              |    CAST(floor(len(string_split(trim(text), ' ')) / 32)
              |      AS BIGINT) AS len_band,
              |    count(*) AS k
-             |  FROM documents GROUP BY 1, 2, 3)
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |  GROUP BY 1, 2, 3)
              |SELECT count(*) AS n_classes,
              |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS classes_below_k,

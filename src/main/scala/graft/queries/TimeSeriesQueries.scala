@@ -1838,7 +1838,10 @@ object TimeSeriesQueries {
       "t44_stream_k_anonymity",
       "l102's k-anonymity census as a LIVE release-risk monitor — the privacy number that must hold continuously while a corpus ingests, not just at release time: the stream accumulates the (lang, source, token-length band) equivalence-class census in complete mode (state = one row per class — the t39 count-only discipline; class sizes only ever grow at ingest, so below-k mass shrinking to zero is the release-readiness signal), and the drained state reduces to the same (n_classes, below-k, min/max) summary as the batch census. Fully hash-exact against l102's oracle",
       (s, dir) => {
+        // null/empty guard matching l102 (legacy sizeOfNull is -1 in
+        // Spark where the oracle bands NULL — filter on both engines)
         val g = Tables.loadStream(s, dir, "documents")
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
           .groupBy(col("lang"), col("source"),
             floor(size(split(trim(col("text")), " ")) / 32).as("len_band"))
           .agg(count(lit(1)).as("k"))
@@ -1855,7 +1858,9 @@ object TimeSeriesQueries {
              |    CAST(floor(len(string_split(trim(text), ' ')) / 32)
              |      AS BIGINT) AS len_band,
              |    count(*) AS k
-             |  FROM documents GROUP BY 1, 2, 3)
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |  GROUP BY 1, 2, 3)
              |SELECT count(*) AS n_classes,
              |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS classes_below_k,
