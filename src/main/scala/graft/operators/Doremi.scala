@@ -107,6 +107,23 @@ object Doremi {
   final case class JointLm(pairs: DataFrame, pc: DataFrame,
       ctx: DataFrame, vocab: DataFrame)
 
+  /** The pair-occurrence SCORING INPUT (doc_id, source, is_r, prev,
+    * cur) — a deterministic per-row function of the corpus, not model
+    * state: a serve tier that loads the count tables from PERSISTED
+    * artifacts still re-derives this frame per batch (l109's shape),
+    * exactly like NgramLm's scorer re-explodes the documents it
+    * scores.
+    */
+  def pairsFrame(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, refPred: Column): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("source"),
+        when(refPred, 1L).otherwise(0L).as("is_r"),
+        explode(NgramLm.ngramPairs(
+          TextFunctions.tokens(col(textCol)), 2)).as("p"))
+      .select(col("doc_id"), col("source"), col("is_r"),
+        col("p.prev").as("prev"), col("p.cur").as("cur"))
+
   def trainJoint(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, refPred: Column,
       eagerPairs: Boolean = false): JointLm = {
@@ -114,13 +131,7 @@ object Doremi {
     // — checkpoint it (narrow: ids, is_r, prev, cur) or it re-explodes;
     // the store passes eagerPairs=true so the standing instance is
     // materialized exactly once
-    val pairs = docs
-      .select(col(idCol).as("doc_id"), col(groupCol).as("source"),
-        when(refPred, 1L).otherwise(0L).as("is_r"),
-        explode(NgramLm.ngramPairs(
-          TextFunctions.tokens(col(textCol)), 2)).as("p"))
-      .select(col("doc_id"), col("source"), col("is_r"),
-        col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val pairs = pairsFrame(docs, idCol, textCol, groupCol, refPred)
       .localCheckpoint(eager = eagerPairs)
     val pc = pairs.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("pair_f"), sum(col("is_r")).as("pair_r"))

@@ -94,6 +94,15 @@ object Dsir {
       bucketFrame(docs, idCol, textCol, targetPred, buckets), buckets)
   }
 
+  /** `importanceTable` over a pretrained (store-shared) bucket frame —
+    * the one training aggregate, runnable once and PERSISTED (l110's
+    * build half).
+    */
+  def importanceTableFrom(bucketed: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, "need buckets>0")
+    importanceOf(bucketed, buckets)
+  }
+
   /** Per-doc importance frame (doc_id, source, imp, win): coalesced
     * summed importance bits plus the content-hash basis-point window.
     * One checkpointed bucket scan feeds the count aggregate and the
@@ -111,8 +120,18 @@ object Dsir {
     */
   private[graft] def perDocImpFrom(docs: DataFrame, idCol: String,
       textCol: String, groupCol: String, bucketed: DataFrame,
-      buckets: Int): DataFrame = {
-    val w = importanceOf(bucketed, buckets)
+      buckets: Int): DataFrame =
+    perDocImpFromTable(docs, idCol, textCol, groupCol, bucketed,
+      importanceOf(bucketed, buckets))
+
+  /** The serve half alone: per-doc importance against a FROZEN (bkt,
+    * imp) table (typically read back from a persisted artifact — the
+    * plan contains no training aggregate at all; the bucket frame is
+    * scoring input, re-derived or store-shared per batch).
+    */
+  private[graft] def perDocImpFromTable(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, bucketed: DataFrame,
+      w: DataFrame): DataFrame = {
     val perDoc = bucketed.join(broadcast(w), Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("imp")).as("imp_sum"))
@@ -168,12 +187,21 @@ object Dsir {
   /** `perDocAccept` over a pretrained (store-shared) bucket frame. */
   private[graft] def perDocAcceptFrom(docs: DataFrame, idCol: String,
       textCol: String, groupCol: String, bucketed: DataFrame,
-      buckets: Int = 4096, offsetBits: Long = 0L): DataFrame = {
+      buckets: Int = 4096, offsetBits: Long = 0L): DataFrame =
+    perDocAcceptFromTable(docs, idCol, textCol, groupCol, bucketed,
+      importanceOf(bucketed, buckets), offsetBits)
+
+  /** `perDocAccept` against a FROZEN importance table (the persisted-
+    * artifact serve face — no training aggregate in the plan).
+    */
+  private[graft] def perDocAcceptFromTable(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, bucketed: DataFrame,
+      w: DataFrame, offsetBits: Long = 0L): DataFrame = {
     // the per-doc frame feeds the threshold aggregate AND the acceptance
     // pass — checkpoint it (narrow: source, imp, win) or the whole
     // scoring subtree, importance build included, runs twice
-    val scored = perDocImpFrom(docs, idCol, textCol, groupCol, bucketed,
-      buckets).localCheckpoint(eager = false)
+    val scored = perDocImpFromTable(docs, idCol, textCol, groupCol,
+      bucketed, w).localCheckpoint(eager = false)
     val thr = scored
       .agg(sum(col("imp")).as("s"), count(lit(1)).as("n"))
       .select((expr("(s - pmod(s, n)) div n") + offsetBits).as("thr"))
@@ -193,6 +221,16 @@ object Dsir {
       offsetBits: Long = 0L): DataFrame =
     ledgerOf(perDocAcceptFrom(docs, idCol, textCol, groupCol, bucketed,
       buckets, offsetBits))
+
+  /** `dsirResample` against a FROZEN (bkt, imp) table — the l110
+    * persisted-artifact serve: the plan trains nothing, the importance
+    * weights come off disk.
+    */
+  def dsirResampleFromTable(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, bucketed: DataFrame,
+      w: DataFrame, offsetBits: Long = 0L): DataFrame =
+    ledgerOf(perDocAcceptFromTable(docs, idCol, textCol, groupCol,
+      bucketed, w, offsetBits))
 
   private def ledgerOf(accepted: DataFrame): DataFrame =
     accepted
