@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   * id-derived dimensions) and `decodeImageBatched` reads them back
   * header-only through javax.imageio — public JDK API, zero external
   * deps — inside the same batched shape, picking the reader per row by
-  * magic-byte sniff. For audio/video (no codec in this container) the
-  * byte-level decode stays a clearly-marked deterministic FAKE
-  * (`fakeDecode`); what is real and tested there is everything Spark
+  * magic-byte sniff. For audio the decode is REAL too: `withWavBlob`
+  * writes genuine RIFF/WAV PCM through javax.sound.sampled and
+  * `decodeAudioBatched` parses the header and scans the PCM payload
+  * back (in-JDK codec, zero external deps). For video (no codec in
+  * this container) the byte-level decode stays a clearly-marked
+  * deterministic FAKE (`fakeDecode`); what is real and tested there is
+  * everything Spark
   * cares about: the schema, the binary column handling, the batched
   * `mapPartitions` shape (the Scala analogue of `mapInPandas`: decode
   * wants amortized per-batch setup, not per-row), and the partitioning
@@ -260,6 +264,125 @@ object Multimodal {
         }
         readers.values.foreach(_.dispose())
         out.iterator
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic REAL-audio fixture — the WAV analogue of
+    * `withPngBlob` (the audio tier leaves the documented-synthetic
+    * `fakeDecode` rung: WAV/PCM is decodable with the in-JDK
+    * javax.sound.sampled codec, zero external deps): encode a genuine
+    * RIFF/WAV file per row through AudioSystem.write — 16-bit signed
+    * little-endian mono PCM, id-derived parameters that ARE the oracle
+    * contract:
+    *   sample_rate = 8000 + (id % 4) * 4000
+    *   n_samples   = 40 + id % 60
+    *   peak_amp    = 1000 + (id * 7) % 9000
+    * The samples are a square wave of amplitude peak_amp with
+    * half-period 4 + id % 8 (sample 0 is +peak, so the peak is always
+    * reached and exactly representable in 16 bits) — `decodeAudio*`
+    * must recover rate and count from the real header and the peak
+    * from the real PCM payload, so the oracle's arithmetic only
+    * matches if the codec round-trip is byte-exact. Narrow
+    * mapPartitions, no shuffle; the blob is a genuine WAV file, not a
+    * stand-in.
+    */
+  def withWavBlob(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val n = (40 + id % 60).toInt
+        val amp = (1000 + (id * 7) % 9000).toInt
+        val half = (4 + id % 8).toInt
+        val data = new Array[Byte](n * 2)
+        var k = 0
+        while (k < n) {
+          val s = if ((k / half) % 2 == 0) amp else -amp
+          data(2 * k) = (s & 0xFF).toByte
+          data(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL batched audio decode — the l66/l71 contract extended to the
+    * WAV codec: javax.sound.sampled.AudioSystem parses the actual RIFF
+    * header (sample rate, frame count) and the 16-bit PCM payload is
+    * scanned for the peak amplitude — metadata AND content come from
+    * the genuine byte stream, never from arithmetic. Same batched
+    * mapPartitions shape as the image tier (per-batch setup
+    * amortization; a streaming consumer uses it unchanged — stateless
+    * narrow transform). A non-WAV/undecodable blob FAILS the task.
+    */
+  def decodeAudioBatched(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame =
+    decodeAudioCore(df, idCol, batchSize, quarantine = false)
+
+  /** `decodeAudioBatched` under the PRODUCTION ingest contract (l85's
+    * count-and-quarantine discipline): a blob the codec rejects — or
+    * that throws mid-decode — emits (format='corrupt', NULL meta)
+    * instead of killing the task.
+    */
+  def decodeAudioQuarantine(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame =
+    decodeAudioCore(df, idCol, batchSize, quarantine = true)
+
+  private def decodeAudioCore(df: DataFrame, idCol: String,
+      batchSize: Int, quarantine: Boolean): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType, nullable = quarantine),
+      StructField("n_samples", LongType, nullable = quarantine),
+      StructField("peak_amp", LongType, nullable = quarantine),
+      StructField("format", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would cache decoder instances here;
+        // AudioSystem's WAV reader is stateless static API, so the
+        // batch loop is the amortization surface alone
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val f = ais.getFormat
+              require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+                  && !f.isBigEndian,
+                s"unsupported PCM layout: ${f}")
+              val n = ais.getFrameLength
+              val buf = ais.readAllBytes()
+              var peak = 0L
+              var k = 0
+              while (k + 1 < buf.length) {
+                val s = ((buf(k + 1).toInt << 8) | (buf(k) & 0xFF)).toLong
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                k += 2
+              }
+              Row(r.getLong(idIdx), f.getSampleRate.toInt, n, peak, "wave")
+            } finally ais.close()
+          } catch {
+            case scala.util.control.NonFatal(e) if quarantine =>
+              Row(r.getLong(idIdx), null, null, null, "corrupt")
+          }
+        }
       }
     }(Encoders.row(outSchema))
   }

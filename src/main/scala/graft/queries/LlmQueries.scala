@@ -3959,5 +3959,35 @@ object LlmQueries {
       oracleOf("l94_dsir_select"))
   )
 
-  val specs: Seq[QuerySpec] = baseSpecs ++ storeServeSpecs
+  /** The REAL-audio codec tier (the WAV rung the image tier's l66/l71/
+    * l85 contract extends to): genuine RIFF/WAV PCM synthesized per
+    * row, decoded back through the in-JDK javax.sound.sampled codec.
+    */
+  private val audioSpecs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "l111_audio_decode_real",
+      "REAL audio codec through the batched multimodal shape under the PRODUCTION quarantine contract (the l85 discipline applied to the WAV tier): per doc a genuine RIFF/WAV file is written via javax.sound.sampled.AudioSystem (16-bit mono PCM square wave; id-derived sample rate / length / amplitude — the oracle contract), every doc_id%13=0 header is deterministically poisoned (RIFF magic zeroed), and the quarantine decode tier recovers sample_rate and n_samples from the real header and peak_amp by scanning the real PCM payload — emitting (format='corrupt', NULL meta) for exactly the poisoned rows. The oracle replays the synthesis formulas and the poison predicate, so the hash only matches if the codec round-trip is byte-exact AND quarantine catches exactly the corrupted rows",
+      (s, dir) => Multimodal.decodeAudioQuarantine(
+        Multimodal.corruptBlobs(
+          Multimodal.withWavBlob(
+            Tables.load(s, dir, "documents").select(col("doc_id")),
+            "doc_id"),
+          "doc_id", modulo = 13),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 13 = 0 THEN NULL
+             |    ELSE CAST(8000 + (doc_id % 4) * 4000 AS INT)
+             |    END AS sample_rate,
+             |  CASE WHEN doc_id % 13 = 0 THEN NULL
+             |    ELSE CAST(40 + doc_id % 60 AS BIGINT) END AS n_samples,
+             |  CASE WHEN doc_id % 13 = 0 THEN NULL
+             |    ELSE CAST(1000 + (doc_id * 7) % 9000 AS BIGINT)
+             |    END AS peak_amp,
+             |  CASE WHEN doc_id % 13 = 0 THEN 'corrupt'
+             |    ELSE 'wave' END AS format
+             |FROM documents""".stripMargin))
+  )
+
+  val specs: Seq[QuerySpec] = baseSpecs ++ storeServeSpecs ++ audioSpecs
 }

@@ -1867,6 +1867,42 @@ object TimeSeriesQueries {
              |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
              |    AS docs_below_k,
              |  min(k) AS min_class, max(k) AS max_class
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    QuerySpec(
+      "t45_stream_audio_census",
+      "the streaming ingest face of l111's REAL WAV quarantine codec — audio media health monitored live, corrupt files counted, never fatal (the t30 discipline on the audio tier): the poisoned WAV blob stream decodes through the same batched quarantine tier (mapPartitions is a stateless narrow transform, streaming-legal) and a complete-mode per-(format, sample_rate) census accumulates — item count, exact sample mass and the max observed peak amplitude, with the 'corrupt' bucket's audio columns NULL; the oracle replays the synthesis formulas and poison predicate, so the hash only matches if the in-JDK codec round-trips exactly on a live stream too",
+      (s, dir) => {
+        val M = graft.multimodal.Multimodal
+        val census = M.decodeAudioQuarantine(
+            M.corruptBlobs(
+              M.withWavBlob(
+                Tables.loadStream(s, dir, "documents")
+                  .select(col("doc_id")), "doc_id"),
+              "doc_id", modulo = 13),
+            "doc_id")
+          .groupBy(col("format"), col("sample_rate"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n_samples")).cast("long").as("samples_sum"),
+            max(col("peak_amp")).cast("long").as("peak_max"))
+        runBounded(s, census, "t45_stream_audio_mem", "complete",
+          statePartitions = Some(4))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 0 THEN 'corrupt'
+             |      ELSE 'wave' END AS format,
+             |    CASE WHEN doc_id % 13 = 0 THEN NULL
+             |      ELSE CAST(8000 + (doc_id % 4) * 4000 AS INT)
+             |      END AS sample_rate,
+             |    CASE WHEN doc_id % 13 = 0 THEN NULL
+             |      ELSE 40 + doc_id % 60 END AS n,
+             |    CASE WHEN doc_id % 13 = 0 THEN NULL
+             |      ELSE 1000 + (doc_id * 7) % 9000 END AS p
+             |  FROM documents)
+             |SELECT format, sample_rate, count(*) AS n_items,
+             |  CAST(sum(n) AS BIGINT) AS samples_sum,
+             |  CAST(max(p) AS BIGINT) AS peak_max
+             |FROM m GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -172,4 +172,45 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("too small") ||
       e.getCause.getMessage.contains("too small"))
   }
+
+  test("withWavBlob -> decodeAudioBatched recovers rate, length and " +
+      "peak from real RIFF/WAV bytes") {
+    import spark.implicits._
+    // ids straddling every formula period: rate (id % 4), length
+    // (id % 60), amplitude ((id * 7) % 9000), half-period (id % 8)
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 59L, 60L, 1287L, 9000L)
+    val blobs = Multimodal.withWavBlob(ids.toDF("doc_id"), "doc_id")
+    // the blob really is a RIFF/WAV file: magic bytes 'RIFF'
+    blobs.select(substring(col("content"), 1, 4).as("head")).collect()
+      .foreach { r =>
+        assert(new String(r.getAs[Array[Byte]]("head"), "US-ASCII")
+          === "RIFF")
+      }
+    val got = Multimodal.decodeAudioBatched(blobs, "doc_id",
+        batchSize = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    ids.foreach { id =>
+      assert(got(id) === (((8000 + (id % 4) * 4000).toInt,
+        40 + id % 60, 1000 + (id * 7) % 9000, "wave")), s"id=$id")
+    }
+  }
+
+  test("audio quarantine isolates exactly the poisoned rows; strict " +
+      "decode dies on the same fixture") {
+    import spark.implicits._
+    val ids = (0L to 30L).toDF("doc_id")
+    val poisoned = Multimodal.corruptBlobs(
+      Multimodal.withWavBlob(ids, "doc_id"), "doc_id", modulo = 13)
+    val got = Multimodal.decodeAudioQuarantine(poisoned, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    (0L to 30L).foreach { id =>
+      assert(got(id) === (if (id % 13 == 0) "corrupt" else "wave"),
+        s"id=$id")
+    }
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioBatched(poisoned, "doc_id").collect()
+    }
+  }
 }
