@@ -64,7 +64,7 @@ object AnnIndexStore {
     synchronized {
     val key = keyFor(s, dir, nCentroids, trainIters, m, nCodes,
       pqTrainIters)
-    cache.getOrElseUpdate(key, {
+    cache.getOrElseUpdate(key, StoreBuildLedger.timed("ann_index") {
       val e = Tables.load(s, dir, "embeddings")
       val idx = Similarity.buildAnnIndex(e, "vec_id", "embedding",
         nCentroids, trainIters, m, nCodes, pqTrainIters)
@@ -89,8 +89,11 @@ object AnnIndexStore {
     synchronized {
       val key = keyFor(s, dir, DefaultNCentroids, DefaultTrainIters,
         DefaultM, DefaultNCodes, DefaultPqTrainIters)
-      serveCache.getOrElseUpdate(key, {
-        val idx = sharedIndex(s, dir)
+      // resolve the index OUTSIDE the timed body: on a serve-cache
+      // miss the index may itself be a miss, and its build seconds
+      // belong to the ann_index ledger key, not ann_serve's
+      val idx = sharedIndex(s, dir)
+      serveCache.getOrElseUpdate(key, StoreBuildLedger.timed("ann_serve") {
         val meta = Similarity.collectServeMeta(idx.centroids, idx.codebook)
         (meta, Similarity.codesAsDenseArray(s, idx.codes, meta)
           .localCheckpoint(eager = true))

@@ -57,7 +57,7 @@ object MixtureModelStore {
     */
   def sharedJoint(s: SparkSession, dir: String): Doremi.JointLm =
     synchronized {
-      jointCache.getOrElseUpdate(keyFor(s, dir), {
+      jointCache.getOrElseUpdate(keyFor(s, dir), StoreBuildLedger.timed("mixture_joint") {
         val docs = Tables.load(s, dir, "documents")
         val jl = Doremi.trainJoint(docs, "doc_id", "text", "source",
           cleanSlice, eagerPairs = true)
@@ -71,7 +71,7 @@ object MixtureModelStore {
   /** The standing DSIR hashed-bucket frame over `dir`'s documents. */
   def sharedDsirBuckets(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      dsirCache.getOrElseUpdate(keyFor(s, dir), {
+      dsirCache.getOrElseUpdate(keyFor(s, dir), StoreBuildLedger.timed("dsir_buckets") {
         val docs = Tables.load(s, dir, "documents")
         Dsir.bucketFrame(docs, "doc_id", "text", cleanSlice, DsirBuckets)
           .localCheckpoint(eager = true)

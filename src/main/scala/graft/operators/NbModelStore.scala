@@ -50,7 +50,7 @@ object NbModelStore {
   def sharedBoilerplateModel(s: SparkSession, dir: String)
       : (DataFrame, NbClassifier.NbModel) = synchronized {
     val key = keyFor(s, dir)
-    cache.getOrElseUpdate(key, {
+    cache.getOrElseUpdate(key, StoreBuildLedger.timed("nb_model") {
       val d = Tables.load(s, dir, "documents")
       val pairs = Dedup.winnowPairs(d, "doc_id", "text",
         k = WinnowK, w = WinnowW, minShared = MinShared, dfCap = DfCap)
@@ -73,7 +73,11 @@ object NbModelStore {
   def sharedServeModel(s: SparkSession, dir: String)
       : NbClassifier.NbServeModel = synchronized {
     val key = keyFor(s, dir)
-    serveCache.getOrElseUpdate(key,
-      NbClassifier.collectNbServeModel(sharedBoilerplateModel(s, dir)._2))
+    // resolve the model outside the timed body (its build seconds
+    // belong to nb_model's ledger key, not nb_serve's)
+    val model = sharedBoilerplateModel(s, dir)._2
+    serveCache.getOrElseUpdate(key, StoreBuildLedger.timed("nb_serve") {
+      NbClassifier.collectNbServeModel(model)
+    })
   }
 }

@@ -46,7 +46,8 @@ object NgramModelStore {
     */
   def sharedBigram(s: SparkSession, dir: String,
       order: Int = 2): NgramLm.BigramModel = synchronized {
-    bigramCache.getOrElseUpdate(keyFor(s, dir, s"bigram$order"), {
+    bigramCache.getOrElseUpdate(keyFor(s, dir, s"bigram$order"),
+        StoreBuildLedger.timed("lm_bigram") {
       val m = NgramLm.trainBigram(cleanSlice(s, dir), "text", order)
       NgramLm.BigramModel(m.pairCounts.localCheckpoint(eager = true),
         m.ctxCounts.localCheckpoint(eager = true),
@@ -57,9 +58,13 @@ object NgramModelStore {
   /** The interpolated-backoff artifact on the shared bigram base. */
   def sharedBackoff(s: SparkSession, dir: String): NgramLm.BackoffModel =
     synchronized {
-      backoffCache.getOrElseUpdate(keyFor(s, dir, "backoff"), {
+      // resolve the base outside the timed body (its build seconds
+      // belong to lm_bigram's ledger key)
+      val base = sharedBigram(s, dir)
+      backoffCache.getOrElseUpdate(keyFor(s, dir, "backoff"),
+          StoreBuildLedger.timed("lm_backoff") {
         val m = NgramLm.trainBackoff(cleanSlice(s, dir), "text",
-          baseOpt = Some(sharedBigram(s, dir)))
+          baseOpt = Some(base))
         NgramLm.BackoffModel(m.base,
           m.uniCounts.localCheckpoint(eager = true),
           m.totals.localCheckpoint(eager = true))
@@ -72,9 +77,11 @@ object NgramModelStore {
     */
   def sharedKneserNey(s: SparkSession, dir: String): NgramLm.KneserNeyModel =
     synchronized {
-      knCache.getOrElseUpdate(keyFor(s, dir, "kn"), {
+      val base = sharedBigram(s, dir)
+      knCache.getOrElseUpdate(keyFor(s, dir, "kn"),
+          StoreBuildLedger.timed("lm_kn") {
         val m = NgramLm.trainKneserNey(cleanSlice(s, dir), "text",
-          baseOpt = Some(sharedBigram(s, dir)))
+          baseOpt = Some(base))
         NgramLm.KneserNeyModel(m.base,
           m.contCounts.localCheckpoint(eager = true),
           m.distinctCont.localCheckpoint(eager = true),

@@ -50,7 +50,7 @@ object SemDedupStore {
   /** The exact all-pairs cosine set at the canonical threshold. */
   def sharedExactPairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      exactCache.getOrElseUpdate(keyFor(s, dir), {
+      exactCache.getOrElseUpdate(keyFor(s, dir), StoreBuildLedger.timed("semdedup_exact") {
         val e = Tables.load(s, dir, "embeddings")
         Similarity.exactCosinePairs(e, "vec_id", "embedding", Threshold)
           .localCheckpoint(eager = true)
@@ -62,7 +62,7 @@ object SemDedupStore {
     */
   def sharedSemPairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      semPairsCache.getOrElseUpdate(keyFor(s, dir), {
+      semPairsCache.getOrElseUpdate(keyFor(s, dir), StoreBuildLedger.timed("semdedup_pairs") {
         val e = Tables.load(s, dir, "embeddings")
         Similarity.semanticDedupPairs(e, "vec_id", "embedding", Threshold,
             nClusters = 8, trainIters = 1, probes = 3)
@@ -75,8 +75,12 @@ object SemDedupStore {
     */
   def sharedSemLabels(s: SparkSession, dir: String): DataFrame =
     synchronized {
+      // resolve the pair store outside the timed body (its build
+      // seconds belong to semdedup_pairs' ledger key)
+      val pairs = sharedSemPairs(s, dir)
       semLblCache.getOrElseUpdate(keyFor(s, dir),
-        Dedup.components(sharedSemPairs(s, dir))
-          .localCheckpoint(eager = true))
+        StoreBuildLedger.timed("semdedup_labels") {
+          Dedup.components(pairs).localCheckpoint(eager = true)
+        })
     }
 }
