@@ -3989,5 +3989,60 @@ object LlmQueries {
              |FROM documents""".stripMargin))
   )
 
-  val specs: Seq[QuerySpec] = baseSpecs ++ storeServeSpecs ++ audioSpecs
+  /** The trained-rotation OPQ refinement (finishing what l106's PCA
+    * baseline started — Ge et al. 2013's alternating OPQ_NP).
+    */
+  private val opqSpecs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "l112_opq_refine",
+      "TRAINED-rotation OPQ — the alternating refinement of Ge et al. 2013 §4 seeded by l106's PCA rotation (their R0): 4 iterations of { warm-started Lloyd codebook round under R; encode; closed-form orthogonal Procrustes re-fit of R from the (vector, reconstruction) pairing } — each iteration two treeAggregate passes with one driver sync each (the l80 argmax sync-point shape; state O(model) per partition, nothing corpus-sized moves). THREE gates: (1) the in-sample quantization-error trace is monotonically non-increasing (the coordinate-descent guarantee the warm start preserves — OpqSpec property-pins it on arbitrary data), (2) the final error improves on the PCA-seeded first iteration's, (3) the trained rotation's PURE-ADC top-10 agreement (rerank=1 — the rerank wash that l106's fidelity gate allows would mask exactly the quantization quality OPQ improves) with the full-precision ranking of the same candidates is >= the PCA rotation's at the identical budget (same candidate machinery, same m/nCodes/iters, both reported as the gate's two sides). Oracle = deterministic query-count arithmetic + literal true",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val pca = Pca.fit(e, "embedding")
+        val opq = graft.operators.Opq.fitRotation(e, "vec_id",
+          "embedding", m = 16, nCodes = 64, iters = 4, r0 = pca.axes)
+        val monotone = opq.errTrace.toSeq.sliding(2).forall {
+          case Seq(a, b) => b <= a * (1.0 + 1e-9) + 1e-12
+          case _ => true
+        }
+        val improved =
+          opq.errTrace.last <= opq.errTrace.head * (1.0 + 1e-12)
+        val isQ = col("vec_id") % 25 === 0
+        def adcHits(rot: Array[Array[Double]], mark: String) = {
+          val rc = e.select(col("vec_id"),
+              graft.operators.Opq.rotateExpr(rot, col("embedding"))
+                .as("embedding"))
+            .localCheckpoint(eager = true)
+          val q = rc.where(isQ)
+          val cand = Similarity.ivfCandidates(s, q, rc, "vec_id",
+              "embedding", nCentroids = 8, nProbe = 6, trainIters = 0)
+            .localCheckpoint(eager = true)
+          val ivf = Similarity.ivfTopK(s, q, rc, "vec_id", "embedding",
+              10, nCentroids = 8, nProbe = 6,
+              candidatesOpt = Some(cand))
+            .select(col("q_id"), col("c_id"), lit(1).as("__i"))
+          val pq = Similarity.pqTopK(s, q, rc, "vec_id", "embedding",
+              10, m = 16, nCodes = 64, trainIters = 1, nCentroids = 8,
+              nProbe = 6, rerank = 1, candidatesOpt = Some(cand))
+            .select(col("q_id"), col("c_id"), lit(1).as("__p"))
+          ivf.join(pq, Seq("q_id", "c_id"), "full_outer")
+            .agg(count(col("__i")).as("n_ivf"),
+              count(when(col("__i").isNotNull && col("__p").isNotNull,
+                1)).as(mark))
+        }
+        val a0 = adcHits(pca.axes, "__h_pca")
+        val a1 = adcHits(opq.rotation, "__h_opq").drop("n_ivf")
+        a0.crossJoin(a1)
+          .select(col("n_ivf"), lit(monotone).as("monotone_ok"),
+            lit(improved).as("err_improved_ok"),
+            (col("__h_opq") >= col("__h_pca")).as("opq_ge_pca_ok"))
+      },
+      Some("""SELECT 10 * count(*) AS n_ivf, TRUE AS monotone_ok,
+             |  TRUE AS err_improved_ok, TRUE AS opq_ge_pca_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
+  )
+
+  val specs: Seq[QuerySpec] =
+    baseSpecs ++ storeServeSpecs ++ audioSpecs ++ opqSpecs
 }
