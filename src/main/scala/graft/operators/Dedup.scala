@@ -705,6 +705,76 @@ object Dedup {
         coalesce(col("__xl"), col("__rep")).as("cluster_id"))
   }
 
+  /** INCREMENTAL component maintenance — l82's update≡rebuild contract
+    * applied to the dedup cluster labels: given the STANDING exact
+    * component labels of a base pair graph (doc_id, cluster_id — as
+    * `components` produces them: cluster_id = min reachable id) and a
+    * NEW batch of edges (a_id, b_id — endpoints may be new nodes, old
+    * nodes, or both), relabel ONLY the components the new edges touch
+    * and leave everything else byte-identical.
+    *
+    * Why it is exact (the `componentsFromRefined` contraction lemma,
+    * with the base graph as the refining subgraph of the union): every
+    * base edge lies inside one standing component, so contracting the
+    * NEW edges through the standing labels (endpoint → its cluster_id;
+    * an endpoint the standing frame has never seen → itself;
+    * self-edges dropped) yields a supernode graph whose components,
+    * composed back, are EXACTLY the union graph's: a merged component's
+    * min id = min over its constituent standing labels (each already
+    * the min of its old component) and new-node ids — precisely what
+    * label propagation over the contracted graph computes.
+    *
+    * The untouched-partition property is STRUCTURAL, not incidental: a
+    * standing cluster with no new incident edge never appears in the
+    * contracted graph, misses the relabel left-join, and keeps its
+    * label through the coalesce — no code path can rewrite it
+    * (DedupSimilaritySpec pins equality with a full recompute AND
+    * untouched-cluster identity on arbitrary graphs).
+    *
+    * 100 TB shape: the work is O(batch edges) + label propagation over
+    * a graph with one node per TOUCHED cluster — never a pass over the
+    * standing corpus graph; the final compose is one broadcast-sized
+    * left join against the relabel map (touched clusters only) on the
+    * standing frame.
+    */
+  def updateComponents(standing: DataFrame, newPairs: DataFrame)
+      : DataFrame = {
+    val p = newPairs.select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = true)
+    val la = standing
+      .select(col("doc_id").as("a_id"), col("cluster_id").as("__la"))
+    val lb = standing
+      .select(col("doc_id").as("b_id"), col("cluster_id").as("__lb"))
+    val contracted = p
+      .join(la, Seq("a_id"), "left")
+      .join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("__la"), col("a_id")).as("a_id"),
+        coalesce(col("__lb"), col("b_id")).as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+    // relabel map over TOUCHED supernodes only (checkpointed: it feeds
+    // the standing-side and new-node-side joins)
+    val relabel = components(contracted)
+      .select(col("doc_id").as("__rep"), col("cluster_id").as("__xl"))
+      .localCheckpoint(eager = true)
+    val updatedStanding = standing
+      .withColumn("__rep", col("cluster_id"))
+      .join(relabel, Seq("__rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__xl"), col("cluster_id")).as("cluster_id"))
+    // endpoints the standing frame has never seen label themselves,
+    // then relabel through their own supernode row (their id)
+    val newNodes = p.select(col("a_id").as("doc_id"))
+      .union(p.select(col("b_id").as("doc_id")))
+      .distinct()
+      .join(standing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newLabeled = newNodes
+      .withColumn("__rep", col("doc_id"))
+      .join(relabel, Seq("__rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__xl"), col("doc_id")).as("cluster_id"))
+    updatedStanding.unionByName(newLabeled)
+  }
+
   /** Repeated-passage detector — the substring-level dup diagnostic from
     * the deduplicating-training-data line of work: word k-shingles
     * contained in at least `minDocs` documents, i.e. the passages a model

@@ -191,6 +191,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: updateComponents == full recompute on random " +
+      "base+batch graphs; untouched clusters keep labels identically") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // base edges over old nodes 0..11; batch edges over 0..15 so they
+    // can hit old nodes, brand-new nodes (12..15), or bridge the two —
+    // including new edges strictly INSIDE an old cluster (no-ops) and
+    // the empty batch
+    def edgeGen(lo: Long, hi: Long) = for {
+      a <- Gen.choose(lo, hi); b <- Gen.choose(lo, hi) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graphs = for {
+      base <- Gen.listOfN(12, edgeGen(0L, 11L)).map(_.distinct)
+        if base.nonEmpty
+      batch <- Gen.choose(0, 8).flatMap(n =>
+        Gen.listOfN(n, edgeGen(0L, 15L)).map(_.distinct))
+    } yield (base, batch)
+    val prop = Prop.forAll(graphs) { case (base, batch) =>
+      val baseDf = base.toDF("a_id", "b_id")
+      val batchDf =
+        if (batch.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+        else batch.toDF("a_id", "b_id")
+      val standing = Dedup.components(baseDf)
+        .localCheckpoint(eager = true)
+      val standingMap = standing.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val updated = Dedup.updateComponents(standing, batchDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = Dedup.components(baseDf.unionByName(batchDf))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val equal = updated == direct
+      // the structural guarantee: clusters with no batch-incident
+      // member keep every member's label byte-identical
+      val touched = batch.flatMap { case (a, b) => Seq(a, b) }
+        .flatMap(n => standingMap.get(n)).toSet
+      val untouchedOk = standingMap.forall { case (n, l) =>
+        touched.contains(l) || updated(n) == l
+      }
+      equal && untouchedOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("lshTopK recall vs bruteForceTopK on fixture embeddings") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.where(col("vec_id") % 25 === 0)
