@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
 
@@ -859,4 +860,88 @@ object TextAnalysis {
       .select(col("source"), col("n_s").as("n_tokens"),
         col("n_vocab"), col("kl_qbits"))
   }
+
+  /** Per-document deflate compression ratio — the RefinedWeb/Gopher
+    * compressibility quality heuristic (extremely compressible =
+    * repetitive boilerplate/template spam; incompressible = binary
+    * junk or already-encoded noise): (doc_id, len_in, len_out,
+    * ratio_bp) where len_in is the UTF-8 byte length, len_out the
+    * java.util.zip.Deflater output at the FIXED `level`, and ratio_bp
+    * = floor(10000 * len_out / len_in) (NULL for empty/NULL text).
+    *
+    * Batched mapPartitions (the multimodal codec shape): ONE Deflater
+    * instance per batch, reset between rows — the per-row allocation a
+    * naive formulation would pay is exactly what the batch amortizes;
+    * a throwing row cannot leak state because reset() precedes every
+    * use. Deterministic: Deflater with a fixed level and strategy is a
+    * pure function of the input bytes on a given JDK — but NOT
+    * SQL-replayable, so consumers follow the l80 contract (rows-only
+    * frame, gated by an oracle-checked twin on the len_in side plus an
+    * in-test plain-Scala reference equivalence in DeflateSpec).
+    * Streaming-safe: stateless narrow transform.
+    */
+  def deflateRatio(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6, batchSize: Int = 256): DataFrame = {
+    require(level >= 0 && level <= 9, s"deflate level $level not in 0..9")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("len_in", LongType, nullable = false),
+      StructField("len_out", LongType, nullable = false),
+      StructField("ratio_bp", LongType, nullable = true)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](8192)
+        val out = try {
+          batch.map { r =>
+            val bytes =
+              if (r.isNullAt(textIdx)) Array.emptyByteArray
+              else r.getString(textIdx)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            defl.reset()
+            defl.setInput(bytes)
+            defl.finish()
+            var n = 0L
+            while (!defl.finished()) n += defl.deflate(buf)
+            val ratio =
+              if (bytes.length == 0) null
+              else java.lang.Long.valueOf(10000L * n / bytes.length)
+            Row(r.getLong(idIdx), bytes.length.toLong, n, ratio)
+          }
+        } finally defl.end()
+        out.iterator
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Worst-case deflate output bound for `n` input bytes (zlib's
+    * compressBound with the 6-byte zlib wrapper, plus slack) — the
+    * l115 gate's upper envelope: deflate stored-blocks can EXPAND
+    * input, but never past this.
+    */
+  def deflateBound(n: Column): Column =
+    n + shiftright(n, 12) + shiftright(n, 14) + shiftright(n, 25) + lit(16L)
+
+  /** The compression-ratio funnel census (the l35 filter-ledger shape
+    * for this signal): per ratio DECILE band (NULL band = empty/NULL
+    * text) the doc count, token mass, and byte mass — what a
+    * compressibility filter at any banded threshold would keep or
+    * drop. Rows-only by the deflate contract; l115 carries the
+    * oracle-checked gates over the same frame.
+    */
+  def deflateBandCensus(scored: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scored
+      .join(docs.select(col(idCol).as("doc_id"),
+        // explicit null/empty guard: legacy sizeOfNull yields -1,
+        // never NULL, so coalesce alone cannot catch it
+        when(col(textCol).isNotNull && trim(col(textCol)) =!= "",
+          size(split(trim(col(textCol)), " "))).otherwise(0)
+          .cast("long").as("__tok")), Seq("doc_id"))
+      .groupBy((col("ratio_bp") / 1000).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("tok_mass"),
+        sum(col("len_in")).as("bytes_in"))
 }

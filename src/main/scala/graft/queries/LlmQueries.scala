@@ -4113,6 +4113,50 @@ object LlmQueries {
              |FROM lab""".stripMargin))
   )
 
+  /** The deflate compressibility quality signal (RefinedWeb/Gopher's
+    * compression-ratio heuristic), under the l80 gating contract:
+    * deflate output is deterministic per JDK but not SQL-replayable,
+    * so the census (l114) is rows-only and its gates live in the
+    * oracle-checked twin (l115) plus DeflateSpec's plain-Scala
+    * reference equivalence.
+    */
+  private val deflateSpecs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "l114_deflate_census",
+      "compression-ratio funnel census — the RefinedWeb/Gopher compressibility heuristic the quality funnel still lacked (extremely compressible = repetitive template/boilerplate spam, incompressible = binary junk; the signal is orthogonal to the token-ratio heuristics of l09): per doc the java.util.zip.Deflater output size at FIXED level 6 over the UTF-8 bytes, banded by ratio decile — per band the doc count, token mass and byte mass, i.e. the l35-style ledger of what a compressibility filter at any banded threshold keeps/drops. ONE Deflater per batch reset between rows (the multimodal batched-codec shape). ROWS-ONLY BY CONTRACT (the l04/l80 tier): deflate bytes are a pure deterministic function of input + JDK but not SQL-replayable; the frame is gated by l115's oracle-checked bounds/mass twin over the SAME scored frame machinery and DeflateSpec's ScalaCheck equivalence against a per-row fresh-Deflater reference (pinning that batch-level reuse leaks no state)",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        TextAnalysis.deflateBandCensus(
+          TextAnalysis.deflateRatio(d, "doc_id", "text"),
+          d, "doc_id", "text")
+      },
+      None),
+
+    QuerySpec(
+      "l115_deflate_gate",
+      "l114's oracle-checked gate twin (the l80 discipline): over the same per-doc deflate frame, the input-side masses are SQL-exact — doc count and total UTF-8 byte mass (DuckDB strlen counts bytes) — and the deflate-side columns enter only as gated booleans: every output fits zlib's compressBound envelope (deflate can expand stored blocks, never past bound), every non-empty input produced bytes, and the corpus contains genuinely compressible documents (min ratio < 1.0 — natural-language text at level 6 always clears this). The hash only matches if the batched codec produced sane output for EVERY row at this sf",
+      (s, dir) => {
+        val pd = TextAnalysis.deflateRatio(
+            Tables.load(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint(eager = true)
+        pd.agg(count(lit(1)).as("n_docs"),
+          sum(col("len_in")).as("bytes_in"),
+          every(col("len_out") <=
+            TextAnalysis.deflateBound(col("len_in"))).as("bound_ok"),
+          every(col("len_out") > 0 || col("len_in") === 0)
+            .as("positive_ok"),
+          (min(col("ratio_bp")) < 10000).as("some_compression_ok"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(coalesce(sum(strlen(text)), 0) AS BIGINT)
+             |    AS bytes_in,
+             |  TRUE AS bound_ok, TRUE AS positive_ok,
+             |  TRUE AS some_compression_ok
+             |FROM documents""".stripMargin))
+  )
+
   val specs: Seq[QuerySpec] =
-    baseSpecs ++ storeServeSpecs ++ audioSpecs ++ opqSpecs ++ ccUpdateSpecs
+    baseSpecs ++ storeServeSpecs ++ audioSpecs ++ opqSpecs ++
+      ccUpdateSpecs ++ deflateSpecs
 }

@@ -1903,6 +1903,36 @@ object TimeSeriesQueries {
              |SELECT format, sample_rate, count(*) AS n_items,
              |  CAST(sum(n) AS BIGINT) AS samples_sum,
              |  CAST(max(p) AS BIGINT) AS peak_max
-             |FROM m GROUP BY 1, 2""".stripMargin))
+             |FROM m GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "t46_stream_deflate",
+      "the streaming ingest face of l114's compressibility funnel — the template-spam alarm live at ingest (a crawl suddenly dominated by one boilerplate family moves the low-ratio bands before any token heuristic reacts): the document stream runs through the same batched one-Deflater-per-batch codec (stateless narrow transform, streaming-legal) and a complete-mode per-ratio-decile census accumulates (state = one row per band). Deflate bytes are not SQL-replayable (the l114 contract), so the oracle-checkable gate is EXACT AGREEMENT with the batch census over the same corpus — band-for-band identical doc counts and byte masses (deflate at a fixed level is a pure function of the input bytes, so stream and batch must agree bit-for-bit) — plus the SQL-exact total doc count",
+      (s, dir) => {
+        val TA = graft.operators.TextAnalysis
+        def census(pd: org.apache.spark.sql.DataFrame) = pd
+          .groupBy((col("ratio_bp") / 1000).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len_in")).as("b_in"))
+        val batch = census(TA.deflateRatio(
+            Tables.load(s, dir, "documents"), "doc_id", "text"))
+          .localCheckpoint(eager = true)
+        val streamed = runBounded(s,
+          census(TA.deflateRatio(
+            Tables.loadStream(s, dir, "documents"), "doc_id", "text")),
+          "t46_stream_deflate_mem", "complete", statePartitions = Some(4))
+        val st = streamed.select(col("band"),
+          col("n_docs").as("__sn"), col("b_in").as("__sb"))
+        val bt = batch.select(col("band"),
+          col("n_docs").as("__bn"), col("b_in").as("__bb"))
+        // coalesce(false): a band present on only ONE side must fail
+        // the gate, not vanish into every()'s null-skipping
+        st.join(bt, Seq("band"), "full_outer")
+          .agg(sum(col("__sn")).as("n_docs"),
+            every(coalesce(col("__sn") === col("__bn") &&
+                col("__sb") === col("__bb"), lit(false)))
+              .as("stream_eq_batch_ok"))
+      },
+      Some("""SELECT count(*) AS n_docs, TRUE AS stream_eq_batch_ok
+             |FROM documents""".stripMargin))
   )
 }
