@@ -88,7 +88,11 @@ object PlanAudit {
     "l105_decontam_agreement",
     // two brute-force exact sides (the l06 broadcast-query shape, once
     // per space) plus l57's candidate probe — all deliberate gate twins
-    "l106_opq_rotate_pq")
+    "l106_opq_rotate_pq",
+    // the two rotation arms' ONE-ROW agreement-hit frames crossJoined
+    // into the gate row (pure scalar attach; the per-arm machinery is
+    // l106's candidate/ivf/pq shape)
+    "l112_opq_refine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
