@@ -129,6 +129,28 @@ class ModelStoreSpec extends SparkSpec {
     }
   }
 
+  test("serve-tier BOOT COLLECTS read back identically from persisted " +
+      "tables (the t28/t31/t33 boot artifacts could load off disk)") {
+    val docs = docsDF(texts)
+    val lm = NgramLm.trainBigram(docs.where(col("doc_id") % 3 === 0),
+      "text")
+    val nb = NbClassifier.trainNb(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 =!= 0),
+      "text", NbClassifier.bigramFeats)
+    withTables(Seq("pairs" -> lm.pairCounts, "ctx" -> lm.ctxCounts,
+        "vocab" -> lm.vocab, "feat" -> nb.featCounts,
+        "totals" -> nb.totals)) { t =>
+      val lmTables =
+        NgramLm.BigramModel(t("pairs"), t("ctx"), t("vocab"))
+      assert(NgramLm.collectServeModel(lmTables)
+        === NgramLm.collectServeModel(lm))
+      val nbTables = NbClassifier.NbModel(t("feat"), t("totals"))
+      assert(NbClassifier.collectNbServeModel(nbTables)
+        === NbClassifier.collectNbServeModel(nb))
+    }
+  }
+
   test("DSIR serve scoring from a persisted importance table has zero " +
       "training aggregates; trained twin does; ledgers equal") {
     val docs = docsDF(texts)
