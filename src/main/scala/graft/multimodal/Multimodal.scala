@@ -387,6 +387,64 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL audio feature extraction — the feature-extract rung of the
+    * audio tier (the brief's decode / feature-extract / resize chain,
+    * on genuinely decoded bytes): per blob the frame count, the peak
+    * amplitude AND the zero-crossing count (the standard integer audio
+    * descriptor — speech/music/noise discrimination uses ZCR before
+    * any spectral feature), all scanned from the decoded 16-bit PCM
+    * payload. Integer-exact, so the oracle can replay the synthesis
+    * formulas: for `withWavBlob`'s square wave the crossings are
+    * exactly floor((n-1)/half) — the hash only matches if every
+    * decoded sample's SIGN is byte-correct, a strictly stronger
+    * payload check than the peak alone. Same batched mapPartitions
+    * shape; a non-WAV blob fails the task (quarantine is the decode
+    * tier's job, upstream).
+    */
+  def audioFeaturesBatched(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak_amp", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+                && !f.isBigEndian,
+              s"unsupported PCM layout: ${f}")
+            val n = ais.getFrameLength
+            val buf = ais.readAllBytes()
+            var peak = 0L
+            var zc = 0L
+            var prevNeg = false
+            var first = true
+            var k = 0
+            while (k + 1 < buf.length) {
+              val s = (buf(k + 1).toInt << 8) | (buf(k) & 0xFF)
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              val neg = s < 0
+              if (!first && neg != prevNeg) zc += 1L
+              prevNeg = neg
+              first = false
+              k += 2
+            }
+            Row(r.getLong(idIdx), n, peak, zc)
+          } finally ais.close()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling: one output row per sampled frame index (every
     * `stride`-th frame) — a generator (posexplode), narrow, no shuffle.
     */

@@ -3986,6 +3986,21 @@ object LlmQueries {
              |    END AS peak_amp,
              |  CASE WHEN doc_id % 13 = 0 THEN 'corrupt'
              |    ELSE 'wave' END AS format
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l117_audio_features",
+      "REAL audio feature extraction — the feature-extract rung of the audio tier (decode / feature-extract / resize, the multimodal contract): per genuine WAV blob the frame count, peak amplitude AND zero-crossing count (ZCR — the standard integer audio descriptor, the pre-spectral speech/noise discriminator), all scanned from the decoded 16-bit PCM payload in the batched shape. For the square-wave fixture the crossings are EXACTLY floor((n_samples-1)/half_period), so the oracle replays the full formula chain — a strictly stronger payload check than l111's peak: the hash only matches if the SIGN of every decoded sample is byte-correct",
+      (s, dir) => Multimodal.audioFeaturesBatched(
+        Multimodal.withWavBlob(
+          Tables.load(s, dir, "documents").select(col("doc_id")),
+          "doc_id"),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(40 + doc_id % 60 AS BIGINT) AS n_samples,
+             |  CAST(1000 + (doc_id * 7) % 9000 AS BIGINT) AS peak_amp,
+             |  CAST((40 + doc_id % 60 - 1) // (4 + doc_id % 8)
+             |    AS BIGINT) AS zero_crossings
              |FROM documents""".stripMargin))
   )
 
