@@ -445,6 +445,62 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL audio resample (decimation) — the resize rung of the audio
+    * tier, and unlike the image tier's metadata-only `resizeMeta` this
+    * one transforms the actual BLOB: decode the WAV, keep every
+    * `stride`-th sample, re-encode a genuine WAV at rate/stride
+    * through the same in-JDK codec (duration preserved, bandwidth
+    * traded — the standard cheap downsample a 100 TB audio pipeline
+    * runs before feature extraction; a production resampler would
+    * low-pass first, which changes no Spark-side plumbing). Output is
+    * a (doc_id, content) frame of REAL re-encoded bytes, so a
+    * downstream decode pass verifies the whole
+    * decode→transform→encode round-trip. Batched shape, narrow.
+    */
+  def resampleWav(df: DataFrame, idCol: String, stride: Int = 2,
+      batchSize: Int = 256): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+                && !f.isBigEndian,
+              s"unsupported PCM layout: ${f}")
+            val buf = ais.readAllBytes()
+            val n = buf.length / 2
+            val nOut = (n + stride - 1) / stride
+            val data = new Array[Byte](nOut * 2)
+            var j = 0
+            while (j < nOut) {
+              data(2 * j) = buf(2 * j * stride)
+              data(2 * j + 1) = buf(2 * j * stride + 1)
+              j += 1
+            }
+            val outRate = f.getSampleRate / stride
+            val of = new javax.sound.sampled.AudioFormat(
+              outRate, 16, 1, true, false)
+            val oais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(data), of, nOut.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(oais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Row(r.getLong(idIdx), bos.toByteArray)
+          } finally ais.close()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling: one output row per sampled frame index (every
     * `stride`-th frame) — a generator (posexplode), narrow, no shuffle.
     */

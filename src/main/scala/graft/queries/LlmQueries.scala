@@ -4001,6 +4001,24 @@ object LlmQueries {
              |  CAST(1000 + (doc_id * 7) % 9000 AS BIGINT) AS peak_amp,
              |  CAST((40 + doc_id % 60 - 1) // (4 + doc_id % 8)
              |    AS BIGINT) AS zero_crossings
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l118_audio_resample",
+      "REAL audio resample — the resize rung of the audio tier, and unlike the image tier's metadata-only resize this transforms the actual blob: every WAV is decoded, decimated by 2 (every other sample kept), RE-ENCODED as a genuine half-rate WAV through the same in-JDK codec, and the downstream decode pass reads the re-encoded bytes back — so the hash verifies the whole decode -> transform -> encode -> decode round-trip. The oracle replays the arithmetic: rate' = rate/2, n' = ceil(n/2), and the peak survives decimation exactly because sample 0 (always +amplitude by the fixture contract) is always kept",
+      (s, dir) => Multimodal.decodeAudioBatched(
+        Multimodal.resampleWav(
+          Multimodal.withWavBlob(
+            Tables.load(s, dir, "documents").select(col("doc_id")),
+            "doc_id"),
+          "doc_id", stride = 2),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST((8000 + (doc_id % 4) * 4000) // 2 AS INT)
+             |    AS sample_rate,
+             |  CAST((40 + doc_id % 60 + 1) // 2 AS BIGINT) AS n_samples,
+             |  CAST(1000 + (doc_id * 7) % 9000 AS BIGINT) AS peak_amp,
+             |  'wave' AS format
              |FROM documents""".stripMargin))
   )
 
