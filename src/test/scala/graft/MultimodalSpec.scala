@@ -213,4 +213,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeAudioBatched(poisoned, "doc_id").collect()
     }
   }
+
+  test("audioFeaturesBatched recovers the square wave's exact " +
+      "zero-crossing count; resampleWav at stride=1 is an identity " +
+      "round-trip") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L, 11L, 59L, 1287L)
+    val blobs = Multimodal.withWavBlob(ids.toDF("doc_id"), "doc_id")
+    val feats = Multimodal.audioFeaturesBatched(blobs, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    ids.foreach { id =>
+      val n = 40 + id % 60
+      val half = 4 + id % 8
+      assert(feats(id) === ((n, 1000 + (id * 7) % 9000, (n - 1) / half)),
+        s"id=$id")
+    }
+    // stride=1: every sample kept, same rate — the decoded view of the
+    // re-encoded blob must equal the decoded view of the original
+    val orig = Multimodal.decodeAudioBatched(blobs, "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    val same = Multimodal.decodeAudioBatched(
+        Multimodal.resampleWav(blobs, "doc_id", stride = 1), "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(same === orig)
+    // stride=2: half the samples at half the rate, peak preserved
+    val deci = Multimodal.decodeAudioBatched(
+        Multimodal.resampleWav(blobs, "doc_id", stride = 2), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    ids.foreach { id =>
+      val n = 40 + id % 60
+      assert(deci(id) === (((8000 + (id % 4) * 4000).toInt / 2,
+        (n + 1) / 2, 1000 + (id * 7) % 9000)), s"id=$id")
+    }
+  }
 }
