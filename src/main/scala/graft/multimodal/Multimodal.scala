@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * magic-byte sniff. For audio the decode is REAL too: `withWavBlob`
   * writes genuine RIFF/WAV PCM through javax.sound.sampled and
   * `decodeAudioBatched` parses the header and scans the PCM payload
-  * back (in-JDK codec, zero external deps). For video (no codec in
-  * this container) the byte-level decode stays a clearly-marked
-  * deterministic FAKE (`fakeDecode`); what is real and tested there is
-  * everything Spark
+  * back (in-JDK codec, zero external deps). Video is REAL as of the
+  * MJPEG tier: the container ships no video codec, but MJPEG needs
+  * none beyond JPEG — `withAviBlob` writes spec-shaped RIFF/AVI files
+  * around genuine JPEG frames and `decodeVideoBatched` /
+  * `sampleVideoFramesBatched` demux them back with a generic RIFF
+  * walker and decode every (sampled) frame through javax.imageio.
+  * Only the legacy `fakeDecode` column tier (l12-l14/l18/l43 —
+  * deliberately kept as the SQL-mirrorable plumbing baseline) remains
+  * synthetic; what is real and tested everywhere is everything Spark
   * cares about: the schema, the binary column handling, the batched
   * `mapPartitions` shape (the Scala analogue of `mapInPandas`: decode
   * wants amortized per-batch setup, not per-row), and the partitioning
@@ -497,6 +502,232 @@ object Multimodal {
             Row(r.getLong(idIdx), bos.toByteArray)
           } finally ais.close()
         }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // --------------------------------------------------------------------
+  // REAL video tier: MJPEG-in-AVI. The container has no video CODEC,
+  // but MJPEG needs none beyond the JPEG codec javax.imageio already
+  // provides — so the video rung is a hand-rolled (public-spec) RIFF/
+  // AVI container around genuine JPEG frames: `withAviBlob` writes a
+  // spec-shaped minimal AVI (RIFF 'AVI ' { LIST hdrl { avih, LIST strl
+  // { strh 'vids'/'MJPG', strf BITMAPINFOHEADER } }, LIST movi { 00dc
+  // chunks } }), and `decodeVideoBatched` DEMUXES it back with a
+  // generic RIFF chunk walker (no assumption about the writer's byte
+  // offsets) and decodes every frame through the REAL JPEG codec —
+  // upgrading video from the documented-synthetic fakeDecode tier to
+  // real demux + real frame decode, still zero external deps.
+  // --------------------------------------------------------------------
+
+  private def fourCC(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte)
+    else Array.emptyByteArray
+    fourCC(id) ++ le32(body.length) ++ body ++ pad
+  }
+
+  private def list(kind: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fourCC(kind) ++ body)
+
+  /** One genuine JPEG frame, dims + pixel seed derived from (id, idx). */
+  private def jpegFrame(id: Long, idx: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val seed = ((id * 31L + idx) * 2654435761L).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (seed ^ (x * 31 + y * 131)) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-video fixture: a minimal spec-shaped MJPEG AVI
+    * per row — n_frames = 2 + id % 4 genuine JPEG frames at the l66
+    * dimension formulas (w = 8 + id % 16, h = 8 + (id * 3) % 16; all
+    * frames of a video share dims, per-frame pixels vary), 10 fps
+    * header metadata, dwTotalFrames filled truthfully (the demuxer
+    * cross-checks it against the actual chunk count). Narrow
+    * mapPartitions; the blob is a genuine RIFF/AVI byte stream.
+    */
+  def withAviBlob(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (2 + id % 4).toInt
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id * 3) % 16).toInt
+        val frames = (0 until n).map(i => jpegFrame(id, i, w, h))
+        val maxBytes = frames.map(_.length).max
+        // avih: 14 DWORDs (56 bytes)
+        val avih = chunk("avih",
+          le32(100000) ++ le32(maxBytes * 10) ++ le32(0) ++ le32(0) ++
+            le32(n) ++ le32(0) ++ le32(1) ++ le32(maxBytes) ++
+            le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++
+            le32(0))
+        // strh: 'vids'/'MJPG', scale 1 rate 10, dwLength n (56 bytes)
+        val strh = chunk("strh",
+          fourCC("vids") ++ fourCC("MJPG") ++ le32(0) ++ le32(0) ++
+            le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(n) ++
+            le32(maxBytes) ++ le32(0) ++ le32(0) ++
+            // rcFrame: four 16-bit shorts (left, top, right, bottom)
+            le32(0) ++ le32((h << 16) | w))
+        // strf: BITMAPINFOHEADER (40 bytes), biCompression = 'MJPG'
+        val strf = chunk("strf",
+          le32(40) ++ le32(w) ++ le32(h) ++
+            Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+            fourCC("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+            le32(0) ++ le32(0))
+        val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+        val movi = list("movi",
+          frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+        val body = fourCC("AVI ") ++ hdrl ++ movi
+        Row(id, fourCC("RIFF") ++ le32(body.length) ++ body)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Generic RIFF walk: demux an MJPEG AVI into (dwTotalFrames, frame
+    * payload list). Walks chunks by declared sizes — no assumption
+    * about the writer's layout beyond the public RIFF/AVI structure.
+    */
+  private def demuxAvi(bytes: Array[Byte])
+      : (Int, Seq[Array[Byte]]) = {
+    require(bytes.length >= 12 && cc(bytes, 0) == "RIFF" &&
+      cc(bytes, 8) == "AVI ",
+      s"not a RIFF/AVI stream (${bytes.length} bytes)")
+    var totalFrames = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = cc(bytes, off)
+        val sz = rdLe32(bytes, off + 4)
+        require(sz >= 0 && off + 8 + sz <= to,
+          s"corrupt chunk '$id' size $sz at $off")
+        if (id == "LIST") {
+          val kind = cc(bytes, off + 8)
+          if (kind == "hdrl" || kind == "strl" || kind == "movi")
+            walk(off + 12, off + 8 + sz)
+        } else if (id == "avih") {
+          totalFrames = rdLe32(bytes, off + 8 + 16)
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8,
+            off + 8 + sz)
+        }
+        off += 8 + sz + (sz % 2) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    (totalFrames, frames.toSeq)
+  }
+
+  /** REAL batched video decode — generic RIFF/AVI demux + every frame
+    * through the real JPEG codec: per video (n_frames, width, height,
+    * format='mjpeg'), with the container's dwTotalFrames CROSS-CHECKED
+    * against the demuxed chunk count and all frames checked for
+    * uniform dimensions (a container whose metadata lies about its
+    * payload must fail a curation pipeline, not pass silently). Same
+    * batched shape as the image tier; `quarantine` mode emits
+    * (format='corrupt', NULL meta) for undecodable rows instead.
+    */
+  def decodeVideoBatched(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame =
+    decodeVideoCore(df, idCol, batchSize, quarantine = false)
+
+  def decodeVideoQuarantine(df: DataFrame, idCol: String,
+      batchSize: Int = 256): DataFrame =
+    decodeVideoCore(df, idCol, batchSize, quarantine = true)
+
+  private def decodeVideoCore(df: DataFrame, idCol: String,
+      batchSize: Int, quarantine: Boolean): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", IntegerType, nullable = quarantine),
+      StructField("width", IntegerType, nullable = quarantine),
+      StructField("height", IntegerType, nullable = quarantine),
+      StructField("format", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          try {
+            val (meta, frames) = demuxAvi(bytes)
+            require(frames.nonEmpty, "AVI with no frame chunks")
+            require(meta == frames.size,
+              s"container claims $meta frames, demuxed ${frames.size}")
+            val dims = frames.map { f =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(f))
+              require(img != null, "undecodable JPEG frame")
+              (img.getWidth, img.getHeight)
+            }
+            require(dims.distinct.size == 1,
+              s"non-uniform frame dims: ${dims.distinct}")
+            Row(r.getLong(idIdx), frames.size, dims.head._1,
+              dims.head._2, "mjpeg")
+          } catch {
+            case scala.util.control.NonFatal(e) if quarantine =>
+              Row(r.getLong(idIdx), null, null, null, "corrupt")
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL frame sampling — the sampleFrames generator upgraded to the
+    * real tier: demux, keep every `stride`-th frame, decode each KEPT
+    * frame through the real JPEG codec, one output row per sampled
+    * frame with its actual decoded dimensions. Narrow; skipped frames
+    * are never decoded (the whole point of sampling at 100 TB).
+    */
+  def sampleVideoFramesBatched(df: DataFrame, idCol: String,
+      stride: Int = 2, batchSize: Int = 256): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val (_, frames) = demuxAvi(r.getAs[Array[Byte]](contentIdx))
+          frames.indices.collect {
+            case i if i % stride == 0 =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frames(i)))
+              require(img != null, s"undecodable JPEG frame $i")
+              Row(r.getLong(idIdx), i, img.getWidth, img.getHeight)
+          }
+        }.iterator
       }
     }(Encoders.row(outSchema))
   }

@@ -4019,6 +4019,42 @@ object LlmQueries {
              |  CAST((40 + doc_id % 60 + 1) // 2 AS BIGINT) AS n_samples,
              |  CAST(1000 + (doc_id * 7) % 9000 AS BIGINT) AS peak_amp,
              |  'wave' AS format
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l119_video_decode_real",
+      "REAL video codec tier — MJPEG-in-AVI (the container ships no video codec, but MJPEG needs none beyond the JPEG codec javax.imageio provides): per doc a spec-shaped RIFF/AVI file is written around 2+id%4 genuine JPEG frames (l66's dimension formulas), every doc_id%17=0 header is poisoned (RIFF magic zeroed), and the quarantine tier DEMUXES the container with a generic RIFF chunk walker (no writer-layout assumptions), decodes EVERY frame through the real JPEG codec, cross-checks the container's dwTotalFrames claim against the demuxed chunk count, and enforces uniform frame dims — a container whose metadata lies must quarantine, not pass. The oracle replays the synthesis formulas and poison predicate: the hash only matches if demux + frame decode + consistency checks are exact on every row",
+      (s, dir) => Multimodal.decodeVideoQuarantine(
+        Multimodal.corruptBlobs(
+          Multimodal.withAviBlob(
+            Tables.load(s, dir, "documents").select(col("doc_id")),
+            "doc_id"),
+          "doc_id", modulo = 17),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 17 = 0 THEN NULL
+             |    ELSE CAST(2 + doc_id % 4 AS INT) END AS n_frames,
+             |  CASE WHEN doc_id % 17 = 0 THEN NULL
+             |    ELSE CAST(8 + doc_id % 16 AS INT) END AS width,
+             |  CASE WHEN doc_id % 17 = 0 THEN NULL
+             |    ELSE CAST(8 + (doc_id * 3) % 16 AS INT) END AS height,
+             |  CASE WHEN doc_id % 17 = 0 THEN 'corrupt'
+             |    ELSE 'mjpeg' END AS format
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l120_video_frame_sample",
+      "REAL frame sampling over the MJPEG tier — the l14 generator upgraded from arithmetic to actual demux+decode: every 2nd frame of each AVI is extracted from the container and decoded through the real JPEG codec (skipped frames are NEVER decoded — the point of sampling at 100 TB), one row per sampled frame with its genuinely decoded dimensions. The oracle enumerates the sampled indices from the synthesis formulas, so the hash only matches if the demuxer walks the chunk sequence in exact order",
+      (s, dir) => Multimodal.sampleVideoFramesBatched(
+        Multimodal.withAviBlob(
+          Tables.load(s, dir, "documents").select(col("doc_id")),
+          "doc_id"),
+        "doc_id", stride = 2),
+      Some("""SELECT doc_id,
+             |  CAST(unnest(range(0, 2 + doc_id % 4, 2)) AS INT)
+             |    AS frame_idx,
+             |  CAST(8 + doc_id % 16 AS INT) AS width,
+             |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height
              |FROM documents""".stripMargin))
   )
 

@@ -1933,6 +1933,43 @@ object TimeSeriesQueries {
               .as("stream_eq_batch_ok"))
       },
       Some("""SELECT count(*) AS n_docs, TRUE AS stream_eq_batch_ok
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "t47_stream_video_census",
+      "the streaming ingest face of l119's REAL MJPEG video tier — container health live at ingest (the t30/t45 discipline on the video rung): the poisoned AVI stream demuxes + frame-decodes through the same batched quarantine tier (stateless narrow transform) and a complete-mode per-format census accumulates — item count, exact frame mass and pixel-dimension mass, the corrupt bucket's video columns NULL; the oracle replays the synthesis formulas and poison predicate, so the hash only matches if demux, frame decode and the container-consistency cross-check behave identically on a live stream",
+      (s, dir) => {
+        val M = graft.multimodal.Multimodal
+        val census = M.decodeVideoQuarantine(
+            M.corruptBlobs(
+              M.withAviBlob(
+                Tables.loadStream(s, dir, "documents")
+                  .select(col("doc_id")), "doc_id"),
+              "doc_id", modulo = 17),
+            "doc_id")
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n_frames")).cast("long").as("frames_sum"),
+            sum(col("width")).cast("long").as("w_sum"),
+            sum(col("height")).cast("long").as("h_sum"))
+        runBounded(s, census, "t47_stream_video_mem", "complete",
+          statePartitions = Some(4))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 17 = 0 THEN 'corrupt'
+             |      ELSE 'mjpeg' END AS format,
+             |    CASE WHEN doc_id % 17 = 0 THEN NULL
+             |      ELSE 2 + doc_id % 4 END AS nf,
+             |    CASE WHEN doc_id % 17 = 0 THEN NULL
+             |      ELSE 8 + doc_id % 16 END AS w,
+             |    CASE WHEN doc_id % 17 = 0 THEN NULL
+             |      ELSE 8 + (doc_id * 3) % 16 END AS h
+             |  FROM documents)
+             |SELECT format, count(*) AS n_items,
+             |  CAST(sum(nf) AS BIGINT) AS frames_sum,
+             |  CAST(sum(w) AS BIGINT) AS w_sum,
+             |  CAST(sum(h) AS BIGINT) AS h_sum
+             |FROM m GROUP BY 1""".stripMargin))
   )
 }

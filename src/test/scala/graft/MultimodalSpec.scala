@@ -248,4 +248,78 @@ class MultimodalSpec extends SparkSpec {
         (n + 1) / 2, 1000 + (id * 7) % 9000)), s"id=$id")
     }
   }
+
+  test("withAviBlob -> decodeVideoBatched demuxes real MJPEG AVIs and " +
+      "recovers the id-derived frame count and dims") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 15L, 16L, 21L, 100L)
+    val blobs = Multimodal.withAviBlob(ids.toDF("doc_id"), "doc_id")
+    blobs.select(substring(col("content"), 1, 4).as("head")).collect()
+      .foreach { r =>
+        assert(new String(r.getAs[Array[Byte]]("head"), "US-ASCII")
+          === "RIFF")
+      }
+    val got = Multimodal.decodeVideoBatched(blobs, "doc_id",
+        batchSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    ids.foreach { id =>
+      assert(got(id) === (((2 + id % 4).toInt, (8 + id % 16).toInt,
+        (8 + id * 3 % 16).toInt, "mjpeg")), s"id=$id")
+    }
+  }
+
+  test("video quarantine catches poisoned headers AND a container " +
+      "whose dwTotalFrames lies about its payload") {
+    import spark.implicits._
+    val ids = (0L to 20L).toDF("doc_id")
+    val poisoned = Multimodal.corruptBlobs(
+      Multimodal.withAviBlob(ids, "doc_id"), "doc_id", modulo = 17)
+    val got = Multimodal.decodeVideoQuarantine(poisoned, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    (0L to 20L).foreach { id =>
+      assert(got(id) === (if (id % 17 == 0) "corrupt" else "mjpeg"),
+        s"id=$id")
+    }
+    // metadata-lies case: overwrite the avih dwTotalFrames in-place
+    // (offset 16 inside the avih body) — demux must refuse it
+    val lying = Multimodal.withAviBlob(Seq(5L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("content").clone()
+    val avihAt = {
+      val s = new String(lying.map(b => (b & 0xFF).toChar))
+      s.indexOf("avih")
+    }
+    assert(avihAt > 0, "avih chunk not found")
+    lying(avihAt + 8 + 16) = 99.toByte // claim 99 frames
+    val lyingDf = Seq(5L).toDF("doc_id").select(col("doc_id"),
+      lit(lying).as("content"))
+    val q = Multimodal.decodeVideoQuarantine(lyingDf, "doc_id")
+      .collect().head
+    assert(q.getString(4) === "corrupt",
+      "a lying container must quarantine")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoBatched(lyingDf, "doc_id").collect()
+    }
+  }
+
+  test("sampleVideoFramesBatched decodes every stride-th frame with " +
+      "real dims; stride=1 yields all frames") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L) // n_frames 2, 3, 5, 5
+    val blobs = Multimodal.withAviBlob(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.sampleVideoFramesBatched(blobs, "doc_id",
+        stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val want = ids.flatMap { id =>
+      (0 until (2 + id % 4).toInt by 2).map(i =>
+        (id, i, (8 + id % 16).toInt, (8 + id * 3 % 16).toInt))
+    }.toSet
+    assert(got === want)
+    val all = Multimodal.sampleVideoFramesBatched(blobs, "doc_id",
+        stride = 1).collect()
+    assert(all.length === ids.map(id => (2 + id % 4).toInt).sum)
+  }
 }
