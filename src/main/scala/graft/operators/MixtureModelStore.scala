@@ -49,8 +49,16 @@ object MixtureModelStore {
     key
   }
 
-  private def cleanSlice: org.apache.spark.sql.Column =
+  /** The canonical held-out clean-slice predicate — PUBLIC so serve
+    * consumers (l109's scoring-input frame) reference THE slice the
+    * persisted counts were trained on instead of duplicating the
+    * literal (a drifted copy would silently score against the wrong
+    * reference).
+    */
+  def cleanSlicePred: org.apache.spark.sql.Column =
     col("doc_id") % 7 === 0
+
+  private def cleanSlice: org.apache.spark.sql.Column = cleanSlicePred
 
   /** The standing joint proxy+reference bigram model over `dir`'s
     * documents table.

@@ -62,8 +62,13 @@ object Opq {
       r0: Array[Array[Double]]): OpqModel = {
     require(m >= 1 && nCodes >= 1 && iters >= 1,
       s"need m, nCodes, iters >= 1, got ($m, $nCodes, $iters)")
+    // persist: the fit runs take(1) + 2*iters treeAggregate passes —
+    // an uncached RDD would re-scan and re-project the parquet source
+    // once per pass (the Dedup.components eager-materialization lesson)
     val rows = df.select(col(embCol)).where(col(embCol).isNotNull)
       .rdd.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val head = rows.take(1)
     require(head.nonEmpty, "OPQ fit over an empty frame")
     val d = head(0).length
@@ -200,6 +205,7 @@ object Opq {
       it += 1
     }
     OpqModel(rot, errs, codebook)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Closed-form orthogonal Procrustes: given A = sum_i x_i xhat_i^T

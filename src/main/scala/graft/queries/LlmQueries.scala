@@ -316,9 +316,9 @@ object LlmQueries {
     * serve join key when one exists — so a count table that outgrew
     * broadcast would still join shuffle-free on the index side.
     */
-  private def saveStoreTable(s: org.apache.spark.sql.SparkSession,
-      out: String, pfx: String, df: org.apache.spark.sql.DataFrame,
-      part: String, bucket: Option[String]): Unit = {
+  private def saveStoreTable(out: String, pfx: String,
+      df: org.apache.spark.sql.DataFrame, part: String,
+      bucket: Option[String]): Unit = {
     val w0 = df.write.mode("overwrite").option("path", s"$out/$part")
     bucket.fold(w0)(k => w0.bucketBy(8, k)).saveAsTable(s"${pfx}_$part")
   }
@@ -1920,16 +1920,11 @@ object LlmQueries {
           // lists/codes/norms are bucketed on their join keys so the
           // serving joins are shuffle-free on the index side.
           val idx = graft.operators.AnnIndexStore.sharedIndex(s, dir)
-          def save(df: org.apache.spark.sql.DataFrame, part: String,
-              bucket: Option[String]): Unit = {
-            val w0 = df.write.mode("overwrite").option("path", s"$out/$part")
-            bucket.fold(w0)(k => w0.bucketBy(8, k)).saveAsTable(s"${pfx}_$part")
-          }
-          save(idx.centroids, "cent", None)
-          save(idx.lists, "lists", Some("cent_id"))
-          save(idx.codebook, "codebook", None)
-          save(idx.codes, "codes", Some("c_id"))
-          save(idx.norms, "norms", Some("c_id"))
+          saveStoreTable(out, pfx, idx.centroids, "cent", None)
+          saveStoreTable(out, pfx, idx.lists, "lists", Some("cent_id"))
+          saveStoreTable(out, pfx, idx.codebook, "codebook", None)
+          saveStoreTable(out, pfx, idx.codes, "codes", Some("c_id"))
+          saveStoreTable(out, pfx, idx.norms, "norms", Some("c_id"))
           // daily SERVE: reads only the persisted tables — the path
           // contains no training machinery at all. One candidate set
           // feeds both rankers (the l57 shared-candidate contract).
@@ -3856,9 +3851,9 @@ object LlmQueries {
         val parts = Seq("pairs", "ctx", "vocab")
         try {
           val m = graft.operators.NgramModelStore.sharedBigram(s, dir, 2)
-          saveStoreTable(s, out, pfx, m.pairCounts, "pairs", Some("prev"))
-          saveStoreTable(s, out, pfx, m.ctxCounts, "ctx", Some("prev"))
-          saveStoreTable(s, out, pfx, m.vocab, "vocab", None)
+          saveStoreTable(out, pfx, m.pairCounts, "pairs", Some("prev"))
+          saveStoreTable(out, pfx, m.ctxCounts, "ctx", Some("prev"))
+          saveStoreTable(out, pfx, m.vocab, "vocab", None)
           val served = NgramLm.BigramModel(s.table(s"${pfx}_pairs"),
             s.table(s"${pfx}_ctx"), s.table(s"${pfx}_vocab"))
           // cardOf eagerly checkpoints the per-doc frame, so the card
@@ -3883,10 +3878,10 @@ object LlmQueries {
         try {
           val (labeled, model) =
             graft.operators.NbModelStore.sharedBoilerplateModel(s, dir)
-          saveStoreTable(s, out, pfx, model.featCounts, "feat",
+          saveStoreTable(out, pfx, model.featCounts, "feat",
             Some("feat"))
-          saveStoreTable(s, out, pfx, model.totals, "totals", None)
-          saveStoreTable(s, out, pfx, labeled, "labels", None)
+          saveStoreTable(out, pfx, model.totals, "totals", None)
+          saveStoreTable(out, pfx, labeled, "labels", None)
           val served = NbClassifier.NbModel(s.table(s"${pfx}_feat"),
             s.table(s"${pfx}_totals"))
           // nbCardOf eagerly checkpoints before the finally drops
@@ -3914,13 +3909,13 @@ object LlmQueries {
         val parts = Seq("pc", "ctx", "vocab")
         try {
           val jl0 = graft.operators.MixtureModelStore.sharedJoint(s, dir)
-          saveStoreTable(s, out, pfx, jl0.pc, "pc", Some("prev"))
-          saveStoreTable(s, out, pfx, jl0.ctx, "ctx", Some("prev"))
-          saveStoreTable(s, out, pfx, jl0.vocab, "vocab", None)
+          saveStoreTable(out, pfx, jl0.pc, "pc", Some("prev"))
+          saveStoreTable(out, pfx, jl0.ctx, "ctx", Some("prev"))
+          saveStoreTable(out, pfx, jl0.vocab, "vocab", None)
           val docs = Tables.load(s, dir, "documents")
           val served = graft.operators.Doremi.JointLm(
             graft.operators.Doremi.pairsFrame(docs, "doc_id", "text",
-              "source", col("doc_id") % 7 === 0),
+              "source", graft.operators.MixtureModelStore.cleanSlicePred),
             s.table(s"${pfx}_pc"), s.table(s"${pfx}_ctx"),
             s.table(s"${pfx}_vocab"))
           graft.operators.Doremi.domainWeightsFrom(served, docs, "source")
@@ -3944,7 +3939,7 @@ object LlmQueries {
           val docs = Tables.load(s, dir, "documents")
           val bucketed =
             graft.operators.MixtureModelStore.sharedDsirBuckets(s, dir)
-          saveStoreTable(s, out, pfx,
+          saveStoreTable(out, pfx,
             graft.operators.Dsir.importanceTableFrom(bucketed,
               graft.operators.MixtureModelStore.DsirBuckets),
             "imp", None)
@@ -4133,18 +4128,11 @@ object LlmQueries {
             m = graft.operators.OpqModelStore.M,
             nCodes = graft.operators.OpqModelStore.NCodes,
             pqTrainIters = 1)
-          def save(df: org.apache.spark.sql.DataFrame, part: String,
-              bucket: Option[String]): Unit = {
-            val w0 = df.write.mode("overwrite")
-              .option("path", s"$out/$part")
-            bucket.fold(w0)(k => w0.bucketBy(8, k))
-              .saveAsTable(s"${pfx}_$part")
-          }
-          save(idx.centroids, "cent", None)
-          save(idx.lists, "lists", Some("cent_id"))
-          save(idx.codebook, "codebook", None)
-          save(idx.codes, "codes", Some("c_id"))
-          save(idx.norms, "norms", Some("c_id"))
+          saveStoreTable(out, pfx, idx.centroids, "cent", None)
+          saveStoreTable(out, pfx, idx.lists, "lists", Some("cent_id"))
+          saveStoreTable(out, pfx, idx.codebook, "codebook", None)
+          saveStoreTable(out, pfx, idx.codes, "codes", Some("c_id"))
+          saveStoreTable(out, pfx, idx.norms, "norms", Some("c_id"))
           // daily SERVE: incoming queries are rotated per row (the OPQ
           // server's query-side pass) and answered from the persisted
           // tables only

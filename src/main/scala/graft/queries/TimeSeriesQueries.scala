@@ -1910,8 +1910,14 @@ object TimeSeriesQueries {
       "the streaming ingest face of l114's compressibility funnel — the template-spam alarm live at ingest (a crawl suddenly dominated by one boilerplate family moves the low-ratio bands before any token heuristic reacts): the document stream runs through the same batched one-Deflater-per-batch codec (stateless narrow transform, streaming-legal) and a complete-mode per-ratio-decile census accumulates (state = one row per band). Deflate bytes are not SQL-replayable (the l114 contract), so the oracle-checkable gate is EXACT AGREEMENT with the batch census over the same corpus — band-for-band identical doc counts and byte masses (deflate at a fixed level is a pure function of the input bytes, so stream and batch must agree bit-for-bit) — plus the SQL-exact total doc count",
       (s, dir) => {
         val TA = graft.operators.TextAnalysis
+        // band coalesced to a -1 sentinel (ratio_bp >= 0, so no real
+        // band collides): the NULL band (empty/NULL-text docs) must
+        // MATCH ITSELF across the stream/batch equi-join below — a
+        // nullable join key would leave both sides unmatched and fail
+        // the gate even when the censuses agree
         def census(pd: org.apache.spark.sql.DataFrame) = pd
-          .groupBy((col("ratio_bp") / 1000).cast("long").as("band"))
+          .groupBy(coalesce((col("ratio_bp") / 1000).cast("long"),
+            lit(-1L)).as("band"))
           .agg(count(lit(1)).as("n_docs"), sum(col("len_in")).as("b_in"))
         val batch = census(TA.deflateRatio(
             Tables.load(s, dir, "documents"), "doc_id", "text"))
