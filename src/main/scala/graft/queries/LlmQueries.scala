@@ -4050,6 +4050,23 @@ object LlmQueries {
              |    AS frame_idx,
              |  CAST(8 + doc_id % 16 AS INT) AS width,
              |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l121_video_resize",
+      "REAL video resize — the resize rung of the video tier, transforming the actual blob (the l118 audio discipline applied to MJPEG): every AVI is demuxed, every frame decoded through the real JPEG codec, scaled to half dimensions through a real AWT raster draw, re-encoded as a genuine JPEG, and a NEW spec-shaped AVI is rebuilt with truthful metadata — then the downstream decode pass (demux + frame decode + dwTotalFrames cross-check + uniformity gate) reads the rebuilt container. The oracle's halved-dimension arithmetic only matches if the whole demux -> decode -> scale -> encode -> remux -> decode chain is exact on every frame of every row",
+      (s, dir) => Multimodal.decodeVideoBatched(
+        Multimodal.resizeVideo(
+          Multimodal.withAviBlob(
+            Tables.load(s, dir, "documents").select(col("doc_id")),
+            "doc_id"),
+          "doc_id", num = 1, den = 2),
+        "doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(2 + doc_id % 4 AS INT) AS n_frames,
+             |  CAST((8 + doc_id % 16) // 2 AS INT) AS width,
+             |  CAST((8 + (doc_id * 3) % 16) // 2 AS INT) AS height,
+             |  'mjpeg' AS format
              |FROM documents""".stripMargin))
   )
 
