@@ -373,6 +373,13 @@ object Multimodal {
                 s"unsupported PCM layout: ${f}")
               val n = ais.getFrameLength
               val buf = ais.readAllBytes()
+              // the video tier's dwTotalFrames discipline: a container
+              // whose header lies about the payload (truncated data
+              // chunk, inflated frame count) must fail/quarantine, not
+              // pass with header-derived n and a short peak scan
+              require(buf.length == n * f.getFrameSize,
+                s"header claims $n frames (${n * f.getFrameSize} bytes)" +
+                  s", payload has ${buf.length}")
               var peak = 0L
               var k = 0
               while (k + 1 < buf.length) {
@@ -428,6 +435,9 @@ object Multimodal {
               s"unsupported PCM layout: ${f}")
             val n = ais.getFrameLength
             val buf = ais.readAllBytes()
+            require(buf.length == n * f.getFrameSize,
+              s"header claims $n frames (${n * f.getFrameSize} bytes)" +
+                s", payload has ${buf.length}")
             var peak = 0L
             var zc = 0L
             var prevNeg = false
@@ -683,6 +693,10 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val contentIdx = df.schema.fieldIndex("content")
     df.mapPartitions { rows =>
+      // grouped() here (and in the other video paths) is batch-shape
+      // parity with the image/audio tiers only: the RIFF walker and
+      // ImageIO.read are static calls with no per-format reader cache
+      // to amortize, so the batch boundary carries no setup cost
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val bytes = r.getAs[Array[Byte]](contentIdx)
@@ -691,16 +705,20 @@ object Multimodal {
             require(frames.nonEmpty, "AVI with no frame chunks")
             require(meta == frames.size,
               s"container claims $meta frames, demuxed ${frames.size}")
-            val dims = frames.map { f =>
+            // uniformity as a running fold: per-frame metadata never
+            // materializes per video, only the (w, h) of frame 0
+            var w0 = -1
+            var h0 = -1
+            frames.foreach { f =>
               val img = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(f))
               require(img != null, "undecodable JPEG frame")
-              (img.getWidth, img.getHeight)
+              if (w0 < 0) { w0 = img.getWidth; h0 = img.getHeight }
+              else require(img.getWidth == w0 && img.getHeight == h0,
+                s"non-uniform frame dims: ($w0, $h0) vs " +
+                  s"(${img.getWidth}, ${img.getHeight})")
             }
-            require(dims.distinct.size == 1,
-              s"non-uniform frame dims: ${dims.distinct}")
-            Row(r.getLong(idIdx), frames.size, dims.head._1,
-              dims.head._2, "mjpeg")
+            Row(r.getLong(idIdx), frames.size, w0, h0, "mjpeg")
           } catch {
             case scala.util.control.NonFatal(e) if quarantine =>
               Row(r.getLong(idIdx), null, null, null, "corrupt")
@@ -764,11 +782,20 @@ object Multimodal {
         batch.iterator.map { r =>
           val (_, frames) = demuxAvi(r.getAs[Array[Byte]](contentIdx))
           require(frames.nonEmpty, "AVI with no frame chunks")
+          // gate input uniformity here too (not just in the decode
+          // tier): remuxing a non-uniform input would emit a container
+          // whose header lies about every other frame, surfacing only
+          // at the NEXT decode pass
+          var (iw, ih) = (-1, -1)
           var (ow, oh) = (0, 0)
           val resized = frames.map { f =>
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(f))
             require(img != null, "undecodable JPEG frame")
+            if (iw < 0) { iw = img.getWidth; ih = img.getHeight }
+            else require(img.getWidth == iw && img.getHeight == ih,
+              s"non-uniform input frame dims: ($iw, $ih) vs " +
+                s"(${img.getWidth}, ${img.getHeight})")
             val nw = math.max(1, img.getWidth * num / den)
             val nh = math.max(1, img.getHeight * num / den)
             ow = nw; oh = nh

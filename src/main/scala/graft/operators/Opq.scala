@@ -174,6 +174,10 @@ object Opq {
       val zeroB = (new Array[Double](d * d), new Array[Double](1))
       val (a, errArr) = rows.treeAggregate(zeroB)(
         seqOp = { case ((acc, e), x) =>
+          // same invariant as pass A: rotate() would otherwise throw an
+          // opaque AIOOBE on a short row, and pass B must not depend on
+          // pass A having scanned the same cached RDD first
+          require(x.length == d, s"ragged embedding: ${x.length} != $d")
           val rx = rotate(x, r)
           val xhat = new Array[Double](d)
           var blk = 0
@@ -299,8 +303,16 @@ object Opq {
     * Output elements cast to float for embedding-column compatibility.
     * Streaming-safe: no window, no aggregation.
     */
-  def rotateExpr(rotation: Array[Array[Double]], emb: Column): Column =
-    transform(typedLit(rotation.map(_.toSeq).toSeq), row =>
+  def rotateExpr(rotation: Array[Array[Double]], emb: Column): Column = {
+    // zip_with pads the shorter side with nulls, so a dimension
+    // mismatch would silently yield null-filled vectors — fail loudly
+    // instead (the decode tiers' container-lies discipline)
+    val rotated = transform(typedLit(rotation.map(_.toSeq).toSeq), row =>
       aggregate(zip_with(emb, row, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, t) => acc + t).cast("float"))
+    when(size(emb) === lit(rotation.length), rotated)
+      .otherwise(raise_error(concat(
+        lit(s"rotateExpr: embedding dim != rotation dim ${rotation.length}: "),
+        size(emb).cast("string"))))
+  }
 }
