@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Bpe, Curation, Dedup, NbClassifier, NgramLm, Pca, SemDedupStore, Similarity, Subword, TextAnalysis}
-import graft.multimodal.Multimodal
+import graft.multimodal.{FixtureBlobStore, Multimodal}
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.2 M5) registered as
   * driver-graded queries over the `documents` / `embeddings` fixtures:
@@ -1876,9 +1876,7 @@ object LlmQueries {
       "l66_image_decode_real",
       "REAL image codec through the batched multimodal shape: per doc an actual PNG is encoded (javax.imageio, dimensions derived from doc_id — the oracle contract) and decoded back header-only by a per-batch-instantiated ImageReader; width/height/format come from the genuine byte stream, so the oracle's arithmetic only matches if the codec round-trip is exact",
       (s, dir) => Multimodal.decodeImageBatched(
-        Multimodal.withPngBlob(
-          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "doc_id"),
+        FixtureBlobStore.shared(s, dir, "png"), "doc_id"),
       Some("""SELECT doc_id,
              |  CAST(8 + doc_id % 16 AS INT) AS width,
              |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
@@ -1889,9 +1887,7 @@ object LlmQueries {
       "l71_image_decode_mixed",
       "l66's real codec over a MIXED-format corpus (the web-corpus shape: even ids genuine PNG, odd ids genuine JPEG): decodeImageBatched picks the reader per row by magic-byte sniff — no caller-side format config — and reuses one reader per format per batch; the oracle's id-parity format column and dimension arithmetic only match if both codecs' round-trips are exact",
       (s, dir) => Multimodal.decodeImageBatched(
-        Multimodal.withMixedImageBlob(
-          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "doc_id"),
+        FixtureBlobStore.shared(s, dir, "image_mixed"), "doc_id"),
       Some("""SELECT doc_id,
              |  CAST(8 + doc_id % 16 AS INT) AS width,
              |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
@@ -2444,9 +2440,7 @@ object LlmQueries {
       "l71's mixed-format REAL codec under the PRODUCTION ingest contract (the l74 count-and-quarantine discipline): every doc_id%11=0 blob is deterministically poisoned (first 8 bytes zeroed — both magic signatures killed), and the quarantine decode tier emits (format='corrupt', NULL dims) for exactly those rows instead of failing the task — rare poison must never kill a 100 TB ingest, and a reader that throws mid-decode is dropped from the per-batch cache so its state cannot leak into later rows; the oracle replays the poison predicate byte-for-byte, so the hash only matches if quarantine catches EXACTLY the corrupted rows and both codecs still round-trip the clean ones",
       (s, dir) => Multimodal.decodeImageQuarantine(
         Multimodal.corruptBlobs(
-          Multimodal.withMixedImageBlob(
-            Tables.load(s, dir, "documents").select(col("doc_id")),
-            "doc_id"),
+          FixtureBlobStore.shared(s, dir, "image_mixed"),
           "doc_id", modulo = 11),
         "doc_id"),
       Some("""SELECT doc_id,
@@ -3965,9 +3959,7 @@ object LlmQueries {
       "REAL audio codec through the batched multimodal shape under the PRODUCTION quarantine contract (the l85 discipline applied to the WAV tier): per doc a genuine RIFF/WAV file is written via javax.sound.sampled.AudioSystem (16-bit mono PCM square wave; id-derived sample rate / length / amplitude — the oracle contract), every doc_id%13=0 header is deterministically poisoned (RIFF magic zeroed), and the quarantine decode tier recovers sample_rate and n_samples from the real header and peak_amp by scanning the real PCM payload — emitting (format='corrupt', NULL meta) for exactly the poisoned rows. The oracle replays the synthesis formulas and the poison predicate, so the hash only matches if the codec round-trip is byte-exact AND quarantine catches exactly the corrupted rows",
       (s, dir) => Multimodal.decodeAudioQuarantine(
         Multimodal.corruptBlobs(
-          Multimodal.withWavBlob(
-            Tables.load(s, dir, "documents").select(col("doc_id")),
-            "doc_id"),
+          FixtureBlobStore.shared(s, dir, "wav"),
           "doc_id", modulo = 13),
         "doc_id"),
       Some("""SELECT doc_id,
@@ -3987,10 +3979,7 @@ object LlmQueries {
       "l117_audio_features",
       "REAL audio feature extraction — the feature-extract rung of the audio tier (decode / feature-extract / resize, the multimodal contract): per genuine WAV blob the frame count, peak amplitude AND zero-crossing count (ZCR — the standard integer audio descriptor, the pre-spectral speech/noise discriminator), all scanned from the decoded 16-bit PCM payload in the batched shape. For the square-wave fixture the crossings are EXACTLY floor((n_samples-1)/half_period), so the oracle replays the full formula chain — a strictly stronger payload check than l111's peak: the hash only matches if the SIGN of every decoded sample is byte-correct",
       (s, dir) => Multimodal.audioFeaturesBatched(
-        Multimodal.withWavBlob(
-          Tables.load(s, dir, "documents").select(col("doc_id")),
-          "doc_id"),
-        "doc_id"),
+        FixtureBlobStore.shared(s, dir, "wav"), "doc_id"),
       Some("""SELECT doc_id,
              |  CAST(40 + doc_id % 60 AS BIGINT) AS n_samples,
              |  CAST(1000 + (doc_id * 7) % 9000 AS BIGINT) AS peak_amp,
@@ -4003,9 +3992,7 @@ object LlmQueries {
       "REAL audio resample — the resize rung of the audio tier, and unlike the image tier's metadata-only resize this transforms the actual blob: every WAV is decoded, decimated by 2 (every other sample kept), RE-ENCODED as a genuine half-rate WAV through the same in-JDK codec, and the downstream decode pass reads the re-encoded bytes back — so the hash verifies the whole decode -> transform -> encode -> decode round-trip. The oracle replays the arithmetic: rate' = rate/2, n' = ceil(n/2), and the peak survives decimation exactly because sample 0 (always +amplitude by the fixture contract) is always kept",
       (s, dir) => Multimodal.decodeAudioBatched(
         Multimodal.resampleWav(
-          Multimodal.withWavBlob(
-            Tables.load(s, dir, "documents").select(col("doc_id")),
-            "doc_id"),
+          FixtureBlobStore.shared(s, dir, "wav"),
           "doc_id", stride = 2),
         "doc_id"),
       Some("""SELECT doc_id,
@@ -4021,9 +4008,7 @@ object LlmQueries {
       "REAL video codec tier — MJPEG-in-AVI (the container ships no video codec, but MJPEG needs none beyond the JPEG codec javax.imageio provides): per doc a spec-shaped RIFF/AVI file is written around 2+id%4 genuine JPEG frames (l66's dimension formulas), every doc_id%17=0 header is poisoned (RIFF magic zeroed), and the quarantine tier DEMUXES the container with a generic RIFF chunk walker (no writer-layout assumptions), decodes EVERY frame through the real JPEG codec, cross-checks the container's dwTotalFrames claim against the demuxed chunk count, and enforces uniform frame dims — a container whose metadata lies must quarantine, not pass. The oracle replays the synthesis formulas and poison predicate: the hash only matches if demux + frame decode + consistency checks are exact on every row",
       (s, dir) => Multimodal.decodeVideoQuarantine(
         Multimodal.corruptBlobs(
-          Multimodal.withAviBlob(
-            Tables.load(s, dir, "documents").select(col("doc_id")),
-            "doc_id"),
+          FixtureBlobStore.shared(s, dir, "avi"),
           "doc_id", modulo = 17),
         "doc_id"),
       Some("""SELECT doc_id,
@@ -4041,10 +4026,7 @@ object LlmQueries {
       "l120_video_frame_sample",
       "REAL frame sampling over the MJPEG tier — the l14 generator upgraded from arithmetic to actual demux+decode: every 2nd frame of each AVI is extracted from the container and decoded through the real JPEG codec (skipped frames are NEVER decoded — the point of sampling at 100 TB), one row per sampled frame with its genuinely decoded dimensions. The oracle enumerates the sampled indices from the synthesis formulas, so the hash only matches if the demuxer walks the chunk sequence in exact order",
       (s, dir) => Multimodal.sampleVideoFramesBatched(
-        Multimodal.withAviBlob(
-          Tables.load(s, dir, "documents").select(col("doc_id")),
-          "doc_id"),
-        "doc_id", stride = 2),
+        FixtureBlobStore.shared(s, dir, "avi"), "doc_id", stride = 2),
       Some("""SELECT doc_id,
              |  CAST(unnest(range(0, 2 + doc_id % 4, 2)) AS INT)
              |    AS frame_idx,
@@ -4057,9 +4039,7 @@ object LlmQueries {
       "REAL video resize — the resize rung of the video tier, transforming the actual blob (the l118 audio discipline applied to MJPEG): every AVI is demuxed, every frame decoded through the real JPEG codec, scaled to half dimensions through a real AWT raster draw, re-encoded as a genuine JPEG, and a NEW spec-shaped AVI is rebuilt with truthful metadata — then the downstream decode pass (demux + frame decode + dwTotalFrames cross-check + uniformity gate) reads the rebuilt container. The oracle's halved-dimension arithmetic only matches if the whole demux -> decode -> scale -> encode -> remux -> decode chain is exact on every frame of every row",
       (s, dir) => Multimodal.decodeVideoBatched(
         Multimodal.resizeVideo(
-          Multimodal.withAviBlob(
-            Tables.load(s, dir, "documents").select(col("doc_id")),
-            "doc_id"),
+          FixtureBlobStore.shared(s, dir, "avi"),
           "doc_id", num = 1, den = 2),
         "doc_id"),
       Some("""SELECT doc_id,
