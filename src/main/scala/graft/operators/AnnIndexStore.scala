@@ -77,6 +77,45 @@ object AnnIndexStore {
     })
   }
 
+  /** Durable layout of the index family: lists/codes/norms bucketed on
+    * their serve join keys (the l72 writer's spec), centroids/codebook
+    * unbucketed boot tables.
+    */
+  val DurableFamily = "ann_index"
+  val DurableParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("cent", None),
+    DurableStore.Part("lists", Some("cent_id")),
+    DurableStore.Part("codebook", None),
+    DurableStore.Part("codes", Some("c_id")),
+    DurableStore.Part("norms", Some("c_id")))
+
+  def corpusFp(s: SparkSession, dir: String): String =
+    DurableStore.corpusFingerprint(s, dir, "embeddings",
+      Seq("vec_id", "embedding"))
+
+  /** Load-or-build the DURABLE index: later applications (and the
+    * post-evict reload inside one) serve the five tables with zero
+    * training jobs — the standing ANN pipeline's actual daily shape.
+    */
+  def durableIndex(s: SparkSession, dir: String,
+      fp: String): Similarity.AnnIndex = {
+    val t = DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
+      val idx = sharedIndex(s, dir)
+      Map("cent" -> idx.centroids, "lists" -> idx.lists,
+        "codebook" -> idx.codebook, "codes" -> idx.codes,
+        "norms" -> idx.norms)
+    }
+    Similarity.AnnIndex(t("cent"), t("lists"), t("codebook"),
+      t("codes"), t("norms"))
+  }
+
+  /** Drop every in-memory artifact (the fresh-application simulation
+    * of the durable-reload gates).
+    */
+  def evictAll(): Unit = synchronized {
+    cache.clear(); serveCache.clear()
+  }
+
   /** The serve-tier view of the shared index (t22's boot artifacts):
     * the driver-collected meta (dense codebook + centroids) and the
     * per-vector dense-code arrays, cached alongside the index.

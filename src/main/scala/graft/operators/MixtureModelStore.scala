@@ -85,4 +85,54 @@ object MixtureModelStore {
           .localCheckpoint(eager = true)
       })
     }
+
+  /** Durable layout of the joint count tables (pc/ctx bucketed on
+    * prev, one-row vocab — the l109 writer's spec). The pair-
+    * occurrence scoring INPUT is per-corpus-row work every scorer
+    * re-derives at serve time and is deliberately not persisted.
+    */
+  val JointFamily = "mixture_joint"
+  val JointParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("pc", Some("prev")),
+    DurableStore.Part("ctx", Some("prev")),
+    DurableStore.Part("vocab", None))
+
+  /** Durable layout of DSIR's trained importance table (<= DsirBuckets
+    * rows — the l110 writer's spec).
+    */
+  val DsirFamily = "dsir_imp"
+  val DsirParts: Seq[DurableStore.Part] =
+    Seq(DurableStore.Part("imp", None))
+
+  def corpusFp(s: SparkSession, dir: String): String =
+    DurableStore.corpusFingerprint(s, dir, "documents",
+      Seq("doc_id", "text"))
+
+  /** Load-or-build the DURABLE joint count tables (pc, ctx, vocab):
+    * count training runs in the first application ever to see this
+    * corpus; later applications reload with zero jobs.
+    */
+  def durableJointCounts(s: SparkSession, dir: String,
+      fp: String): (DataFrame, DataFrame, DataFrame) = {
+    val t = DurableStore.loadOrBuild(s, JointFamily, fp, JointParts) {
+      val jl = sharedJoint(s, dir)
+      Map("pc" -> jl.pc, "ctx" -> jl.ctx, "vocab" -> jl.vocab)
+    }
+    (t("pc"), t("ctx"), t("vocab"))
+  }
+
+  /** Load-or-build the DURABLE DSIR importance table. */
+  def durableDsirImportance(s: SparkSession, dir: String,
+      fp: String): DataFrame =
+    DurableStore.loadOrBuild(s, DsirFamily, fp, DsirParts) {
+      Map("imp" -> Dsir.importanceTableFrom(sharedDsirBuckets(s, dir),
+        DsirBuckets))
+    }("imp")
+
+  /** Drop every in-memory artifact (the fresh-application simulation
+    * of the durable-reload gates).
+    */
+  def evictAll(): Unit = synchronized {
+    jointCache.clear(); dsirCache.clear()
+  }
 }

@@ -69,6 +69,40 @@ object NbModelStore {
     })
   }
 
+  /** Durable layout of the classifier family (feat bucketed on the
+    * serve join key; totals and the winnow label frame unbucketed).
+    */
+  val DurableFamily = "nb_model"
+  val DurableParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("feat", Some("feat")),
+    DurableStore.Part("totals", None),
+    DurableStore.Part("labels", None))
+
+  def corpusFp(s: SparkSession, dir: String): String =
+    DurableStore.corpusFingerprint(s, dir, "documents",
+      Seq("doc_id", "text"))
+
+  /** Load-or-build the DURABLE (labels, model): the winnow pass and
+    * the training aggregate run in the first application ever to see
+    * this corpus; every later application reloads with zero jobs.
+    */
+  def durableBoilerplateModel(s: SparkSession, dir: String,
+      fp: String): (DataFrame, NbClassifier.NbModel) = {
+    val t = DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
+      val (labeled, model) = sharedBoilerplateModel(s, dir)
+      Map("feat" -> model.featCounts, "totals" -> model.totals,
+        "labels" -> labeled)
+    }
+    (t("labels"), NbClassifier.NbModel(t("feat"), t("totals")))
+  }
+
+  /** Drop every in-memory artifact (the fresh-application simulation
+    * of the durable-reload gates).
+    */
+  def evictAll(): Unit = synchronized {
+    cache.clear(); serveCache.clear()
+  }
+
   /** The serve-tier view (t33's boot artifact), cached alongside. */
   def sharedServeModel(s: SparkSession, dir: String)
       : NbClassifier.NbServeModel = synchronized {

@@ -71,6 +71,42 @@ object NgramModelStore {
       })
     }
 
+  /** Durable layout of the bigram family (pairs/ctx bucketed on prev —
+    * the serve join key), shared by the l122 gate and any standing
+    * deployment of the LM scorer.
+    */
+  val DurableFamily = "lm_bigram"
+  val DurableParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("pairs", Some("prev")),
+    DurableStore.Part("ctx", Some("prev")),
+    DurableStore.Part("vocab", None))
+
+  def corpusFp(s: SparkSession, dir: String): String =
+    DurableStore.corpusFingerprint(s, dir, "documents",
+      Seq("doc_id", "text"))
+
+  /** Load-or-build the DURABLE bigram store: the first application
+    * ever to see this corpus trains and persists; every later
+    * application — and the post-evict reload inside one — serves from
+    * the on-disk tables with zero training jobs.
+    */
+  def durableBigram(s: SparkSession, dir: String,
+      fp: String): NgramLm.BigramModel = {
+    val t = DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
+      val m = sharedBigram(s, dir, 2)
+      Map("pairs" -> m.pairCounts, "ctx" -> m.ctxCounts,
+        "vocab" -> m.vocab)
+    }
+    NgramLm.BigramModel(t("pairs"), t("ctx"), t("vocab"))
+  }
+
+  /** Drop every in-memory artifact (the fresh-application simulation
+    * of the durable-reload gates).
+    */
+  def evictAll(): Unit = synchronized {
+    bigramCache.clear(); backoffCache.clear(); knCache.clear()
+  }
+
   /** The Kneser-Ney artifact on the shared bigram base (the three
     * continuation tables derive from the checkpointed pair table, so
     * building them is vocab-bounded work).

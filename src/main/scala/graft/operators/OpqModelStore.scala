@@ -47,4 +47,36 @@ object OpqModelStore {
             M, NCodes, Iters, pca.axes))
         })
     }
+
+  /** Durable layout of the trained rotation: one d-row (i, row) table
+    * — the driver-side d x d matrix as its persistable face.
+    */
+  val DurableFamily = "opq_rotation"
+  val DurableParts: Seq[DurableStore.Part] =
+    Seq(DurableStore.Part("rot", None))
+
+  def corpusFp(s: SparkSession, dir: String): String =
+    DurableStore.corpusFingerprint(s, dir, "embeddings",
+      Seq("vec_id", "embedding"))
+
+  /** Load-or-build the DURABLE rotation matrix: the alternating fit
+    * runs in the first application ever to see this corpus; later
+    * applications reload d rows (d <= 4096 by the fit's own guard).
+    */
+  def durableRotation(s: SparkSession, dir: String,
+      fp: String): Array[Array[Double]] = {
+    val t = DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
+      import s.implicits._
+      val rot = shared(s, dir)._2.rotation
+      Map("rot" -> rot.zipWithIndex
+        .map { case (r, i) => (i, r.toSeq) }.toSeq.toDF("i", "row"))
+    }
+    t("rot").orderBy("i").collect()
+      .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Drop every in-memory artifact (the fresh-application simulation
+    * of the durable-reload gates).
+    */
+  def evictAll(): Unit = synchronized { cache.clear() }
 }

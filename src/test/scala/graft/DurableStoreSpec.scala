@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DurableStore, MixtureModelStore, NbModelStore,
+  NgramModelStore, OpqModelStore, StoreBuildLedger}
+
+/** The durable-store contract (the l122/l123 gates, unit-faced): a
+  * family's artifacts live at a fixed path keyed by a corpus content
+  * fingerprint; the FIRST application builds, every later application
+  * (simulated here by evicting the in-memory stores and dropping the
+  * registered external tables) reloads with ZERO build seconds and
+  * identical artifacts; a changed corpus changes the fingerprint; a
+  * missing completion marker forces a rebuild (crash safety); and a
+  * re-registered bucketed part keeps its bucket spec, so serve-side
+  * aggregations/joins on the bucket key stay exchange-free.
+  */
+class DurableStoreSpec extends SparkSpec {
+
+  private lazy val storeRoot =
+    java.nio.file.Files.createTempDirectory("graft_dstore_").toString
+
+  /** Tiny fixture corpus: 4 texts x 3 copies (winnow-findable dups)
+    * + 12 unique docs; 16-dim embeddings (m=16-divisible for OPQ).
+    */
+  private def writeFixture(mutateDoc: Option[Long] = None): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsfix_")
+      .toString
+    import spark.implicits._
+    val docs = (0L until 24L).map { i =>
+      val base =
+        if (i < 12) s"alpha beta gamma delta tok${i % 4} epsilon zeta " +
+          s"eta theta iota kappa lambda"
+        else s"uniq${i} tok${i % 5} tok${(i * 3) % 7} tok${i % 3} " +
+          s"tok${(i * 5) % 11} mu nu xi omicron pi rho sigma"
+      val text = if (mutateDoc.contains(i)) base + " MUTATED" else base
+      (i, text, s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = (0L until 32L).map { i =>
+      (i, Array.tabulate(16)(j => ((i * 7 + j * 3) % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private lazy val fixtureDir = writeFixture()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.store.root", storeRoot)
+  }
+
+  override def afterAll(): Unit = {
+    try {
+      spark.conf.unset("spark.graft.store.root")
+      graft.pipeline.SinkFiles.deleteRecursive(storeRoot)
+    } finally super.afterAll()
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def delta(family: String)(body: => Unit): Double = {
+    val before = DurableStore.buildSeconds(family)
+    body
+    DurableStore.buildSeconds(family) - before
+  }
+
+  test("fingerprint is content-keyed: stable on identical bytes, " +
+      "changed by one mutated row") {
+    val fp1 = DurableStore.corpusFingerprint(spark, fixtureDir,
+      "documents", Seq("doc_id", "text"))
+    val fp2 = DurableStore.corpusFingerprint(spark, fixtureDir,
+      "documents", Seq("doc_id", "text"))
+    assert(fp1 === fp2)
+    val mutated = writeFixture(mutateDoc = Some(3L))
+    val fp3 = DurableStore.corpusFingerprint(spark, mutated,
+      "documents", Seq("doc_id", "text"))
+    assert(fp1 !== fp3, "a changed corpus must change the fingerprint")
+  }
+
+  test("loadOrBuild builds once; evict+drop then reload is zero-build " +
+      "with identical rows; a deleted marker forces rebuild") {
+    import spark.implicits._
+    var builds = 0
+    val parts = Seq(DurableStore.Part("t", Some("k")))
+    def lob() = DurableStore.loadOrBuild(spark, "spec_family", "fp0",
+      parts) {
+      builds += 1
+      Map("t" -> (0 until 64).map(i => (i % 8, i.toLong))
+        .toDF("k", "v"))
+    }
+    val first = sortedRows(lob()("t"))
+    assert(builds === 1)
+    // same application, marker present: no rebuild even without drops
+    lob()
+    assert(builds === 1)
+    // fresh-application simulation: drop the registered tables
+    DurableStore.dropRegistered(spark, "spec_family", "fp0", parts)
+    val d = delta("spec_family") {
+      assert(sortedRows(lob()("t")) === first)
+    }
+    assert(builds === 1, "reload must not run the build body")
+    assert(d === 0.0, s"reload accrued build seconds: $d")
+    // crash safety: no completion marker -> rebuild
+    val marker = new java.io.File(
+      s"$storeRoot/spec_family/fp0/_GRAFT_STORE_COMPLETE")
+    assert(marker.isFile)
+    assert(marker.delete())
+    DurableStore.dropRegistered(spark, "spec_family", "fp0", parts)
+    lob()
+    assert(builds === 2, "a missing marker must force a rebuild")
+  }
+
+  test("re-registered bucketed part keeps its bucket spec: groupBy on " +
+      "the bucket key plans without a shuffle exchange") {
+    import spark.implicits._
+    val parts = Seq(DurableStore.Part("t", Some("k")))
+    def lob() = DurableStore.loadOrBuild(spark, "spec_bucket", "fp0",
+      parts) {
+      Map("t" -> (0 until 64).map(i => (i % 8, i.toLong))
+        .toDF("k", "v"))
+    }
+    lob()
+    DurableStore.dropRegistered(spark, "spec_bucket", "fp0", parts)
+    val t = lob()("t")
+    val agg = t.groupBy(col("k")).agg(sum(col("v")).as("s"))
+    assert(agg.collect().length === 8)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed reload shuffled on its own bucket key:\n$plan")
+    // positive control: grouping on a NON-bucket column does exchange
+    val ctrl = t.groupBy(col("v")).count()
+    ctrl.collect()
+    assert(ctrl.queryExecution.executedPlan.toString.contains("Exchange"),
+      "positive control lost its exchange — the probe is vacuous")
+  }
+
+  test("NB family: durable reload is zero-build with identical " +
+      "artifacts") {
+    val fp = NbModelStore.corpusFp(spark, fixtureDir)
+    val (labels1, m1) =
+      NbModelStore.durableBoilerplateModel(spark, fixtureDir, fp)
+    val featRows = sortedRows(m1.featCounts)
+    val labelRows = sortedRows(labels1)
+    assert(labelRows.nonEmpty, "fixture produced no winnow dups")
+    NbModelStore.evictAll()
+    DurableStore.dropRegistered(spark, NbModelStore.DurableFamily, fp,
+      NbModelStore.DurableParts)
+    val d = delta(s"durable_${NbModelStore.DurableFamily}") {
+      val (labels2, m2) =
+        NbModelStore.durableBoilerplateModel(spark, fixtureDir, fp)
+      assert(sortedRows(m2.featCounts) === featRows)
+      assert(sortedRows(labels2) === labelRows)
+    }
+    assert(d === 0.0, s"NB reload accrued build seconds: $d")
+  }
+
+  test("mixture + DSIR families: durable reload is zero-build with " +
+      "identical artifacts") {
+    val fp = MixtureModelStore.corpusFp(spark, fixtureDir)
+    val (pc1, ctx1, v1) =
+      MixtureModelStore.durableJointCounts(spark, fixtureDir, fp)
+    val imp1 = MixtureModelStore
+      .durableDsirImportance(spark, fixtureDir, fp)
+    val (pcR, ctxR, vR, impR) =
+      (sortedRows(pc1), sortedRows(ctx1), sortedRows(v1),
+        sortedRows(imp1))
+    MixtureModelStore.evictAll()
+    DurableStore.dropRegistered(spark, MixtureModelStore.JointFamily,
+      fp, MixtureModelStore.JointParts)
+    DurableStore.dropRegistered(spark, MixtureModelStore.DsirFamily,
+      fp, MixtureModelStore.DsirParts)
+    val dj = delta(s"durable_${MixtureModelStore.JointFamily}") {
+      val (pc2, ctx2, v2) =
+        MixtureModelStore.durableJointCounts(spark, fixtureDir, fp)
+      assert(sortedRows(pc2) === pcR)
+      assert(sortedRows(ctx2) === ctxR)
+      assert(sortedRows(v2) === vR)
+    }
+    val dd = delta(s"durable_${MixtureModelStore.DsirFamily}") {
+      assert(sortedRows(MixtureModelStore
+        .durableDsirImportance(spark, fixtureDir, fp)) === impR)
+    }
+    assert(dj === 0.0, s"joint reload accrued build seconds: $dj")
+    assert(dd === 0.0, s"DSIR reload accrued build seconds: $dd")
+  }
+
+  test("OPQ family: durable reload is zero-build with the identical " +
+      "rotation matrix") {
+    val fp = OpqModelStore.corpusFp(spark, fixtureDir)
+    val r1 = OpqModelStore.durableRotation(spark, fixtureDir, fp)
+    OpqModelStore.evictAll()
+    DurableStore.dropRegistered(spark, OpqModelStore.DurableFamily, fp,
+      OpqModelStore.DurableParts)
+    val d = delta(s"durable_${OpqModelStore.DurableFamily}") {
+      val r2 = OpqModelStore.durableRotation(spark, fixtureDir, fp)
+      assert(r2.length === r1.length)
+      assert(r1.zip(r2).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) },
+        "reloaded rotation differs from the built one")
+    }
+    assert(d === 0.0, s"OPQ reload accrued build seconds: $d")
+  }
+
+  test("LM family: the l122 evict-reload shape serves identical count " +
+      "tables") {
+    val fp = NgramModelStore.corpusFp(spark, fixtureDir)
+    val m1 = NgramModelStore.durableBigram(spark, fixtureDir, fp)
+    val (p1, c1, v1) = (sortedRows(m1.pairCounts),
+      sortedRows(m1.ctxCounts), sortedRows(m1.vocab))
+    NgramModelStore.evictAll()
+    DurableStore.dropRegistered(spark, NgramModelStore.DurableFamily,
+      fp, NgramModelStore.DurableParts)
+    val d = delta(s"durable_${NgramModelStore.DurableFamily}") {
+      val m2 = NgramModelStore.durableBigram(spark, fixtureDir, fp)
+      assert(sortedRows(m2.pairCounts) === p1)
+      assert(sortedRows(m2.ctxCounts) === c1)
+      assert(sortedRows(m2.vocab) === v1)
+    }
+    assert(d === 0.0, s"LM reload accrued build seconds: $d")
+  }
+}
