@@ -967,6 +967,203 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Injective long ids for the distinct rows of `df` (rank table of
+    * one prefix-doubling round). monotonically_increasing_id is
+    * partition-layout-dependent, so the frame is PINNED (eager
+    * checkpoint) before any consumer sees it — every consumer then
+    * reads one consistent assignment, and the ids are only ever used
+    * as EQUALITY keys, so downstream answers are deterministic
+    * regardless of the layout. (An RDD zipWithIndex would also work
+    * but pays an extra partition-count job per ladder level.)
+    */
+  private def denseIds(df: DataFrame, outCol: String): DataFrame =
+    df.withColumn(outCol, monotonically_increasing_id())
+      .localCheckpoint(eager = true)
+
+  /** EXACT maximal duplicated spans with NO length cap — the
+    * suffix-ranking substring-dedup tier (the deduplicating-training-
+    * data line of work removes every substring of >= 50 tokens that
+    * repeats in the corpus; this computes, per token position, exactly
+    * how far the cross-document duplicate extends). `dupSpanCensus`
+    * answers the same question up to `maxLen` by brute extension; this
+    * path is exact at ANY length with log-many rounds, so a wall-to-
+    * wall duplicated document reports its full length, not the cap.
+    *
+    * Output: (doc_id, i, span) — one row per token position whose
+    * maximal hot span length is >= `minLen`, where a span is HOT iff
+    * its exact word sequence occurs in >= `minDocs` distinct documents
+    * (the `dupPassages` cross-document convention).
+    *
+    * Plan — prefix-doubling ladders + binary descent, both exact:
+    *   1. LADDER: D_0 = positions whose `minLen`-gram is hot (l77's
+    *      prune), each hot gram given an injective long rank. D_{j+1}
+    *      (span 2*L_j) from D_j alone: a hot 2L-gram's halves are both
+    *      hot (substring closure), so candidates are the (p, p+L_j)
+    *      self-join of D_j; the PAIR of half-ranks identifies the
+    *      2L-gram exactly (adjacent-concatenation identity), so
+    *      countDistinct(doc) over equal pairs is the gram's true
+    *      document frequency. log(max span) rounds, each shuffling
+    *      only the still-duplicated mass — never the corpus.
+    *   2. DESCENT: a position in D_j but not D_{j+1} has its maximal
+    *      span in [L_j, 2*L_j); resolve it with the OVERLAP identity —
+    *      a candidate length's gram is identified by its two (possibly
+    *      overlapping) L_j-sub-grams at offsets 0 and mid-L_j (they
+    *      cover it, since mid < 2*L_j) — and the same countDistinct
+    *      gives exact hotness: every occurrence of a hot mid-gram has
+    *      both sub-grams hot, so the counting pool is complete exactly
+    *      when the verdict is 'hot'. Narrow brackets enumerate every
+    *      candidate length at once (volume = duplicated-span mass);
+    *      wide ones binary-step first — log(span/cutoff) + 1 rounds,
+    *      all active positions advancing together (the distinct
+    *      (level, mid) set rides a broadcast join).
+    * At 100 TB: every shuffle key is a long (rank) or a pair of longs
+    * after round 0; stage volume is proportional to DUPLICATED mass,
+    * which is the quantity the operator exists to find; the full
+    * distributed suffix sort this replaces pays log(n) rounds over the
+    * whole token stream instead.
+    */
+  def maximalDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 2 && minDocs >= 2, "need minLen>=2, minDocs>=2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("t"))
+      .where(size(col("t")) >= minLen)
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
+      .localCheckpoint(eager = false)
+    val ps = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), (col("n") - minLen).cast("int")),
+          i => struct(i.cast("long").as("p"),
+            concat_ws(" ", slice(col("t"), i + 1, lit(minLen))).as("g"))))
+          .as("sh"))
+      .select(col("doc_id"), col("sh.p").as("p"), col("sh.g").as("g"))
+      .localCheckpoint(eager = false)
+    val hot0 = ps.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs).select(col("g"))
+    val d0 = ps.join(denseIds(hot0, "r"), "g")
+      .select(col("doc_id"), col("p"), col("r"))
+      .localCheckpoint(eager = true)
+    val empty = toks.select(col("doc_id"), lit(0L).as("i"),
+      lit(0L).as("span")).where(lit(false))
+    if (d0.isEmpty) return empty
+
+    // 1. ladder of hot-position rank tables at lengths minLen * 2^j
+    var ladder = List((0, minLen.toLong, d0))
+    var grown = true
+    while (grown) {
+      val (j, lj, dj) = ladder.head
+      val right = dj.select(col("doc_id"), (col("p") - lj).as("p"),
+        col("r").as("r2"))
+      val pairs = dj.select(col("doc_id"), col("p"), col("r").as("r1"))
+        .join(right, Seq("doc_id", "p"))
+        .localCheckpoint(eager = false) // feeds the df agg AND dn
+      val ids = denseIds(pairs.groupBy(col("r1"), col("r2"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= minDocs).select(col("r1"), col("r2")), "r")
+      if (ids.isEmpty) grown = false
+      else ladder ::= ((j + 1, lj * 2,
+        pairs.join(ids, Seq("r1", "r2"))
+          .select(col("doc_id"), col("p"), col("r"))
+          .localCheckpoint(eager = true)))
+    }
+    val dall = ladder.map { case (j, lj, d) =>
+        d.select(lit(j).as("lvl"), lit(lj).as("llen"), col("doc_id"),
+          col("p"), col("r")) }
+      .reduce(_ unionByName _)
+      .localCheckpoint(eager = false) // cached at first round, reused
+
+    // 2. per-position bracket [L_jmax, min(2*L_jmax, n-p+1)) and descent
+    var active = dall.groupBy(col("doc_id"), col("p"))
+      .agg(max(struct(col("lvl"), col("llen"))).as("m"))
+      .select(col("doc_id"), col("p"), col("m.lvl").as("lvl"),
+        col("m.llen").as("llen"))
+      .join(toks.select(col("doc_id"), col("n")), "doc_id")
+      .select(col("doc_id"), col("p"), col("lvl"), col("llen"),
+        col("llen").as("lo"),
+        least(col("llen") * 2, col("n") - col("p") + 1).as("hi"))
+      .localCheckpoint(eager = true)
+    // brackets of width <= cutoff resolve in ONE round by enumerating
+    // every candidate length (volume = duplicated-span mass, the
+    // quantity the operator reports anyway); wider brackets binary-
+    // step first — log(span / cutoff) + 1 rounds total, so round
+    // overhead never dominates short spans and volume never explodes
+    // on pathologically long ones.
+    val cutoff = 128
+    val width = col("hi") - col("lo")
+    var resolved = List.empty[DataFrame]
+    var rounds = 0
+    while (!active.isEmpty) {
+      rounds += 1
+      require(rounds <= 64, "descent failed to converge (bracket bug)")
+      // narrow actives test every length in (lo, hi); wide ones only
+      // the midpoint. explode_outer keeps width-1 rows (empty mid
+      // list) so they resolve to lo below.
+      val cands = active
+        .withColumn("wide", width > cutoff)
+        .select(col("doc_id"), col("p"), col("lvl"), col("llen"),
+          col("lo"), col("hi"), col("wide"),
+          explode_outer(when(col("wide"),
+              array(shiftright(col("lo") + col("hi"), 1)))
+            .otherwise(when(width > 1,
+                sequence(col("lo") + 1, col("hi") - 1))
+              .otherwise(array().cast("array<bigint>")))).as("mid"))
+      // hotness pool for every requested (lvl, mid): all corpus
+      // positions carrying the overlap-identity key — complete for hot
+      // grams (their occurrences' sub-grams are hot), and undercounting
+      // a not-hot gram cannot flip its verdict
+      val mids = broadcast(cands.where(col("mid").isNotNull)
+        .select(col("lvl"), col("llen"), col("mid")).distinct())
+      val hotK = dall.join(mids, Seq("lvl", "llen"))
+        .select(col("lvl"), col("mid"), col("doc_id"), col("r").as("r1"),
+          (col("p") + col("mid") - col("llen")).as("q"))
+        .join(dall.select(col("lvl"), col("doc_id"),
+          col("p").as("q"), col("r").as("r2")), Seq("lvl", "doc_id", "q"))
+        .groupBy(col("lvl"), col("mid"), col("r1"), col("r2"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= minDocs)
+        .select(col("lvl"), col("mid"), col("r1"), col("r2"),
+          lit(true).as("isHot"))
+      val judged = cands
+        .join(dall.select(col("lvl"), col("doc_id"), col("p"),
+          col("r").as("r1")), Seq("lvl", "doc_id", "p"))
+        .withColumn("q", col("p") + col("mid") - col("llen"))
+        .join(dall.select(col("lvl"), col("doc_id"), col("p").as("q"),
+          col("r").as("r2")), Seq("lvl", "doc_id", "q"), "left")
+        .join(hotK, Seq("lvl", "mid", "r1", "r2"), "left")
+        .withColumn("hot", coalesce(col("isHot"), lit(false)))
+        .localCheckpoint(eager = true)
+      // narrow: hotness is monotone in length, so the maximal hot
+      // candidate IS the span (lo when none is hot)
+      // no checkpoint: reads judged's (pinned) cache exactly once, in
+      // the caller's single consumption of the final union
+      resolved ::= judged.where(!col("wide"))
+        .groupBy(col("doc_id"), col("p"), col("lo"))
+        .agg(max(when(col("hot"), col("mid"))).as("mx"))
+        .select(col("doc_id"), col("p").as("i"),
+          coalesce(col("mx"), col("lo")).as("span"))
+      // wide: one midpoint row per position — halve the bracket
+      active = judged.where(col("wide"))
+        .select(col("doc_id"), col("p"), col("lvl"), col("llen"),
+          when(col("hot"), col("mid")).otherwise(col("lo")).as("lo"),
+          when(col("hot"), col("hi")).otherwise(col("mid")).as("hi"))
+        .localCheckpoint(eager = true)
+    }
+    resolved.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** l77's census face with the cap REMOVED: per document the number
+    * of duplicated starts and the true maximal hot span length — the
+    * memorization-risk audit a capped census understates on wall-to-
+    * wall duplicates.
+    */
+  def dupSpanCensusUnbounded(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 6, minDocs: Int = 2): DataFrame =
+    maximalDupSpans(docs, idCol, textCol, minLen, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        max(col("span")).cast("long").as("max_span"))
+      .orderBy(col("doc_id"))
+
   /** Winnowing fingerprint sets (the MOSS local-fingerprinting
     * algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every
     * k-token gram with the deterministic rolling hash, slide a window

@@ -4277,6 +4277,64 @@ object LlmQueries {
              |FROM documents""".stripMargin))
   )
 
+  /** The EXACT-SUBSTRING dedup tier beyond l77's 12-word cap — the
+    * suffix-ranking method of the deduplicating-training-data line of
+    * work, Spark-first: prefix-doubling rank ladders + binary descent
+    * (Dedup.maximalDupSpans), exact at ANY span length in log-many
+    * rounds over the duplicated mass only. The fixture documents are
+    * <= 100 tokens, so the ORACLE can brute-force every k — the whole
+    * unbounded path is hash-gated at every sf, no rows-only contract
+    * needed; DedupSimilaritySpec adds a plain-Scala suffix-LCP
+    * reference on arbitrary corpora and the clamp-to-12 equality with
+    * l77.
+    */
+  private val exactSubstrSpecs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "l124_exact_substr_spans",
+      "per-position EXACT maximal duplicated spans, uncapped (the substring-dedup removal input: every token position starting a >=6-word sequence that occurs in >=2 documents, with the TRUE maximal extent — a wall-to-wall duplicate reports its full length): prefix-doubling rank ladders bracket each span in [L, 2L), binary descent with the overlap-identity document-frequency test resolves it exactly; every shuffle after round 0 keys on long ranks, every stage is proportional to the duplicated mass. The oracle brute-forces every k (feasible only because fixture docs are short), so the hash gates the entire ladder+descent machine position-for-position",
+      (s, dir) => graft.operators.DupSpanStore.sharedSpans(s, dir),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents
+             |  WHERE len(string_split(trim(text), ' ')) >= 6),
+             |e AS (
+             |  SELECT doc_id, k, i, array_to_string(t[i:i+k-1], ' ') AS g
+             |  FROM toks, unnest(range(6, len(t) + 1)) AS uk(k),
+             |       unnest(range(1, len(t) - k + 2)) AS ui(i)),
+             |hot AS (
+             |  SELECT k, g FROM e GROUP BY k, g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |d AS (SELECT e.doc_id, e.i, e.k FROM e JOIN hot USING (k, g))
+             |SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+             |  CAST(max(k) AS BIGINT) AS span
+             |FROM d GROUP BY doc_id, i""".stripMargin)),
+
+    QuerySpec(
+      "l125_exact_substr_census",
+      "l77's duplicate-span census with the cap REMOVED — per document the duplicated-start count and the TRUE maximal cross-document span (the memorization-risk number a capped census understates on near-whole-document duplicates): the same ladder+descent machine aggregated per doc; n_dup_starts must equal l77's (same prune) while max_span is exact at any length. Oracle = the unbounded brute force",
+      (s, dir) => graft.operators.DupSpanStore.sharedSpans(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_starts"),
+          max(col("span")).cast("long").as("max_span"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents
+             |  WHERE len(string_split(trim(text), ' ')) >= 6),
+             |e AS (
+             |  SELECT doc_id, k, i, array_to_string(t[i:i+k-1], ' ') AS g
+             |  FROM toks, unnest(range(6, len(t) + 1)) AS uk(k),
+             |       unnest(range(1, len(t) - k + 2)) AS ui(i)),
+             |hot AS (
+             |  SELECT k, g FROM e GROUP BY k, g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |d AS (SELECT e.doc_id, e.i, e.k FROM e JOIN hot USING (k, g))
+             |SELECT doc_id, count(DISTINCT i) AS n_dup_starts,
+             |  CAST(max(k) AS BIGINT) AS max_span
+             |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+
   /** Wrap a registered twin's oracle with literal-TRUE gate columns
     * (the durable-reload contract: output is the twin's verbatim PLUS
     * in-query booleans the hash gate forces to TRUE).
@@ -4390,5 +4448,6 @@ object LlmQueries {
 
   val specs: Seq[QuerySpec] =
     baseSpecs ++ storeServeSpecs ++ audioSpecs ++ opqSpecs ++
-      ccUpdateSpecs ++ deflateSpecs ++ durableStoreSpecs
+      ccUpdateSpecs ++ deflateSpecs ++ exactSubstrSpecs ++
+      durableStoreSpecs
 }
