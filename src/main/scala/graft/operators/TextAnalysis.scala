@@ -916,6 +916,124 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** Train per-source zlib preset dictionaries from the corpus's hot
+    * passages — the second rung of the compressibility tier (the
+    * RefinedWeb/Gopher deflate heuristic measures self-redundancy;
+    * seeding the compressor with the SOURCE's shared template text
+    * measures family-redundancy: a doc that compresses much better
+    * against its source's dictionary shares boilerplate with the
+    * source even when its own deflate ratio is unremarkable — the
+    * cheap complement of the l90 classifier). Per source: distinct
+    * word k-grams contained in >= 2 docs (the dupPassages df
+    * convention), top `topPerSource` by (df desc, gram asc),
+    * concatenated LEAST-hot-first (zlib matches nearest-to-end
+    * cheapest, so the hottest strings go last) and clamped to the
+    * trailing `maxBytes` (zlib's 32 KiB window). The result is a
+    * BOOT ARTIFACT: at most a few entries per source, driver-
+    * collected under an explicit bound and broadcast — never a
+    * corpus-side join.
+    */
+  def trainDeflateDicts(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, k: Int = 6, topPerSource: Int = 64,
+      maxBytes: Int = 32768): Map[String, Array[Byte]] = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && topPerSource >= 1 && maxBytes >= 1,
+      "need k>=2, topPerSource>=1, maxBytes>=1")
+    val rows = docs
+      .select(col(srcCol).as("src"),
+        explode(graft.functions.TextFunctions.shingles(col(textCol), k))
+          .as("g"))
+      .groupBy(col("src"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("df").desc, col("g").asc)))
+      .where(col("rn") <= topPerSource)
+      .collect()
+    require(rows.length <= 65536,
+      "dictionary census exceeds the boot bound; raise df floor or " +
+        "lower topPerSource (a broadcast-join scorer would be the " +
+        "corpus-side fallback)")
+    rows.groupBy(_.getString(0)).map { case (src, rs) =>
+      val dict = rs.map(r => (r.getLong(2), r.getString(1)))
+        .sortBy { case (df, g) => (df, g) } // hottest LAST
+        .map(_._2).mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      src -> dict.takeRight(maxBytes)
+    }
+  }
+
+  /** `deflateRatio` with and without the source's preset dictionary:
+    * (doc_id, source, len_in, len_out, len_out_dict, ratio_bp,
+    * dict_gain_bp) where dict_gain_bp = ratio_bp - dict_ratio_bp (> 0
+    * means the dictionary helped — the template-family signal; a
+    * source absent from `dicts` scores len_out_dict = len_out, gain
+    * 0). Same batched one-Deflater shape as `deflateRatio`; reset()
+    * clears the dictionary between rows, so a no-dict row after a
+    * dict row cannot inherit state (DeflateSpec property-pins this
+    * against a fresh-Deflater reference). Deterministic but not
+    * SQL-replayable — consumers follow the l114 contract. Stateless
+    * narrow transform: streaming-safe with the same broadcast
+    * dictionary map.
+    */
+  def deflateDictRatio(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, dicts: Map[String, Array[Byte]], level: Int = 6,
+      batchSize: Int = 256): DataFrame = {
+    require(level >= 0 && level <= 9, s"deflate level $level not in 0..9")
+    require(dicts.values.forall(_.length <= 32768),
+      "preset dictionary exceeds zlib's 32 KiB window")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("len_in", LongType, nullable = false),
+      StructField("len_out", LongType, nullable = false),
+      StructField("len_out_dict", LongType, nullable = false),
+      StructField("ratio_bp", LongType, nullable = true),
+      StructField("dict_gain_bp", LongType, nullable = true)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val srcIdx = docs.schema.fieldIndex(srcCol)
+    val bc = docs.sparkSession.sparkContext.broadcast(dicts)
+    docs.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](8192)
+        def press(bytes: Array[Byte], dict: Option[Array[Byte]]): Long = {
+          defl.reset()
+          dict.foreach(defl.setDictionary)
+          defl.setInput(bytes)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          n
+        }
+        val out = try {
+          batch.map { r =>
+            val bytes =
+              if (r.isNullAt(textIdx)) Array.emptyByteArray
+              else r.getString(textIdx)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val src = if (r.isNullAt(srcIdx)) null else r.getString(srcIdx)
+            val dict = Option(src).flatMap(bc.value.get)
+              .filter(_.nonEmpty)
+            val plain = press(bytes, None)
+            val withDict =
+              if (dict.isEmpty) plain else press(bytes, dict)
+            val (ratio, gain) =
+              if (bytes.length == 0) (null, null)
+              else (java.lang.Long.valueOf(10000L * plain / bytes.length),
+                java.lang.Long.valueOf(10000L * plain / bytes.length -
+                  10000L * withDict / bytes.length))
+            Row(r.getLong(idIdx), src, bytes.length.toLong, plain,
+              withDict, ratio, gain)
+          }
+        } finally defl.end()
+        out.iterator
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Worst-case deflate output bound for `n` input bytes (zlib's
     * compressBound with the 6-byte zlib wrapper, plus slack) — the
     * l115 gate's upper envelope: deflate stored-blocks can EXPAND

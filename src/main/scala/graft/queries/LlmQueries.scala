@@ -4274,6 +4274,47 @@ object LlmQueries {
              |    AS bytes_in,
              |  TRUE AS bound_ok, TRUE AS positive_ok,
              |  TRUE AS some_compression_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "l126_dict_deflate_census",
+      "dictionary-trained compression near-dup — the deflate tier's second rung (l114 measures SELF-redundancy; seeding the Deflater with the source's hot-passage preset dictionary measures FAMILY-redundancy: a doc whose ratio improves sharply against its source's dictionary shares template text with the source even when its own deflate ratio is unremarkable — the cheap complement of the l90 classifier for boilerplate deflate-alone misses): per-source dictionaries trained ONCE (DeflateDictStore: top-64 df>=2 word 6-grams, hottest last, 32 KiB clamp — a driver-bounded boot artifact, broadcast), each doc compressed WITH and WITHOUT its dictionary by the same one-Deflater-per-batch codec, censused per dict-gain decile band (gain_bp = ratio_bp - dict_ratio_bp; NULL band = empty/NULL text). ROWS-ONLY by the l114 contract: deflate bytes are deterministic but not SQL-replayable; gated by l127's oracle-checked twin over the same frame plus DeflateSpec's fresh-Deflater dictionary properties (including that reset() clears the dictionary between rows) and t48's band-for-band stream==batch equality",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        TextAnalysis.deflateDictRatio(d, "doc_id", "text", "source",
+            graft.operators.DeflateDictStore.sharedDicts(s, dir))
+          .groupBy(coalesce(floor(col("dict_gain_bp") / 1000),
+            lit(-1000L)).as("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len_in")).as("bytes_in"),
+            sum(col("len_out_dict")).as("bytes_out_dict"))
+      },
+      None),
+
+    QuerySpec(
+      "l127_dict_deflate_gate",
+      "l126's oracle-checked gate twin (the l115 discipline): over the same per-doc dict-deflate frame the input-side masses are SQL-exact (doc count, UTF-8 byte mass) and the codec columns enter as gated booleans — every dictionary output fits the compressBound envelope (a preset dictionary cannot breach the stored-block bound), every non-empty input produced bytes on both arms, the gain definition is consistent (len_out_dict <= len_out exactly when gain >= 0 at the bp floor... gated as: gain > 0 implies len_out_dict < len_out), and the dictionary STRICTLY helped at least one document (the fixture's template families guarantee a hot-passage hit). The hash only matches if the dictionary codec behaved sanely on every row at this sf",
+      (s, dir) => {
+        val pd = TextAnalysis.deflateDictRatio(
+            Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+            graft.operators.DeflateDictStore.sharedDicts(s, dir))
+          .localCheckpoint(eager = true)
+        pd.agg(count(lit(1)).as("n_docs"),
+          sum(col("len_in")).as("bytes_in"),
+          every(col("len_out_dict") <=
+            TextAnalysis.deflateBound(col("len_in"))).as("dict_bound_ok"),
+          every((col("len_out_dict") > 0 && col("len_out") > 0) ||
+            col("len_in") === 0).as("dict_positive_ok"),
+          every(coalesce(col("dict_gain_bp") <= 0, lit(true)) ||
+            col("len_out_dict") < col("len_out")).as("gain_consistent_ok"),
+          (min(col("len_out_dict") - col("len_out")) < 0)
+            .as("dict_helps_somewhere_ok"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(coalesce(sum(strlen(text)), 0) AS BIGINT)
+             |    AS bytes_in,
+             |  TRUE AS dict_bound_ok, TRUE AS dict_positive_ok,
+             |  TRUE AS gain_consistent_ok, TRUE AS dict_helps_somewhere_ok
              |FROM documents""".stripMargin))
   )
 

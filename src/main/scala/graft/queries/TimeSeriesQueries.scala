@@ -1976,6 +1976,47 @@ object TimeSeriesQueries {
              |  CAST(sum(nf) AS BIGINT) AS frames_sum,
              |  CAST(sum(w) AS BIGINT) AS w_sum,
              |  CAST(sum(h) AS BIGINT) AS h_sum
-             |FROM m GROUP BY 1""".stripMargin))
+             |FROM m GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "t48_stream_dict_deflate",
+      "the streaming ingest face of l126's dictionary-deflate family signal — the template-spam alarm with the source's preset dictionary live at ingest (a crawl suddenly dominated by one source's boilerplate moves the high-gain bands before any token heuristic): the document stream runs through the same batched dictionary codec (the per-source dictionaries are the batch-trained BOOT artifact, broadcast; the transform is stateless and narrow, streaming-legal) and a complete-mode per-gain-band census accumulates. Deflate bytes are not SQL-replayable (the l114 contract), so the oracle-checkable gate is EXACT AGREEMENT with the batch census over the same corpus — band-for-band identical doc counts, input byte masses and dictionary output masses (the codec is a pure function of input bytes + dictionary, so stream and batch must agree bit-for-bit) — plus the SQL-exact total doc count",
+      (s, dir) => {
+        val TA = graft.operators.TextAnalysis
+        val dicts = graft.operators.DeflateDictStore.sharedDicts(s, dir)
+        // NULL band (empty/NULL text) coalesced to a sentinel below
+        // every real band (gain bands can be negative, so -1 would
+        // collide): both sides must match it, not drop it (t46's
+        // nullable-join-key lesson)
+        def census(pd: org.apache.spark.sql.DataFrame) = pd
+          .groupBy(coalesce(floor(col("dict_gain_bp") / 1000),
+            lit(-1000L)).as("band"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len_in")).as("b_in"),
+            sum(col("len_out_dict")).as("b_dict"))
+        val batch = census(TA.deflateDictRatio(
+            Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+            dicts))
+          .localCheckpoint(eager = true)
+        val streamed = runBounded(s,
+          census(TA.deflateDictRatio(
+            Tables.loadStream(s, dir, "documents"), "doc_id", "text",
+            "source", dicts)),
+          "t48_stream_dict_deflate_mem", "complete",
+          statePartitions = Some(4))
+        val st = streamed.select(col("band"), col("n_docs").as("__sn"),
+          col("b_in").as("__sb"), col("b_dict").as("__sd"))
+        val bt = batch.select(col("band"), col("n_docs").as("__bn"),
+          col("b_in").as("__bb"), col("b_dict").as("__bd"))
+        // coalesce(false): a band present on only ONE side must fail
+        // the gate, not vanish into every()'s null-skipping
+        st.join(bt, Seq("band"), "full_outer")
+          .agg(sum(col("__sn")).as("n_docs"),
+            every(coalesce(col("__sn") === col("__bn") &&
+                col("__sb") === col("__bb") &&
+                col("__sd") === col("__bd"), lit(false)))
+              .as("stream_eq_batch_ok"))
+      },
+      Some("""SELECT count(*) AS n_docs, TRUE AS stream_eq_batch_ok
+             |FROM documents""".stripMargin))
   )
 }
