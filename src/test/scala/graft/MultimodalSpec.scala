@@ -322,4 +322,124 @@ class MultimodalSpec extends SparkSpec {
         stride = 1).collect()
     assert(all.length === ids.map(id => (2 + id % 4).toInt).sum)
   }
+
+  test("property: ARBITRARY byte corruption never escapes quarantine " +
+      "on any tier — a flipped blob decodes to 'corrupt' or (for " +
+      "payload flips) to the clean structural metadata, never a " +
+      "silently wrong dimension") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+    def indexOf(b: Array[Byte], pat: Array[Byte]): Int =
+      b.indices.find(i => i + pat.length <= b.length &&
+        pat.indices.forall(j => b(i + j) == pat(i + j - i))).getOrElse(-1)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+
+    // first byte offset that is pure PAYLOAD (structural headers all
+    // strictly before it): flips there must leave the reported
+    // structure byte-identical to the clean decode, or quarantine
+    def payloadStart(kind: String, b: Array[Byte]): Int = kind match {
+      case "image" =>
+        if ((b(0) & 0xFF) == 0x89) 41 // PNG: sig 8 + IHDR chunk 25 + IDAT hdr 8
+        else { // JPEG: everything after the SOS marker's 0xFFDA
+          val i = b.indices.dropRight(1)
+            .find(i => (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xDA)
+          i.get + 2
+        }
+      case "wav" => indexOf(b, ascii("data")) + 8
+      case "avi" => indexOf(b, ascii("movi")) + 4
+    }
+
+    // structural metadata only: WAV peak_amp is payload-derived BY
+    // DESIGN (a payload flip legitimately moves it), so it is not part
+    // of the never-silently-wrong contract
+    def decode(kind: String,
+        blobs: Seq[(Long, Array[Byte])]): Map[Long, Seq[Any]] = {
+      val df = blobs.toDF("doc_id", "content")
+      val out = kind match {
+        case "image" => Multimodal.decodeImageQuarantine(df, "doc_id")
+          .select(col("doc_id"), col("width"), col("height"),
+            col("format"))
+        case "wav" => Multimodal.decodeAudioQuarantine(df, "doc_id")
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            col("format"))
+        case "avi" => Multimodal.decodeVideoQuarantine(df, "doc_id")
+          .select(col("doc_id"), col("n_frames"), col("width"),
+            col("height"), col("format"))
+      }
+      out.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    }
+
+    val legal = Map(
+      "image" -> Set("png", "jpeg", "corrupt"),
+      "wav" -> Set("wave", "corrupt"),
+      "avi" -> Set("mjpeg", "corrupt"))
+
+    val cleanBlobs: Map[String, Map[Long, Array[Byte]]] =
+      Map("image" -> Multimodal.withMixedImageBlob(
+          (0L until 8L).toDF("doc_id"), "doc_id"),
+        "wav" -> Multimodal.withWavBlob(
+          (0L until 8L).toDF("doc_id"), "doc_id"),
+        "avi" -> Multimodal.withAviBlob(
+          (0L until 8L).toDF("doc_id"), "doc_id"))
+        .map { case (k, df) => k -> df.collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap }
+    val cleanMeta = cleanBlobs.map { case (k, m) =>
+      k -> decode(k, m.toSeq) }
+
+    val flipGen = for {
+      id <- Gen.choose(0L, 7L)
+      frac <- Gen.choose(0.0, 1.0)
+      x <- Gen.choose(1, 255) // xor != 0: the byte really changes
+    } yield (id, frac, x)
+    val caseGen = for {
+      kind <- Gen.oneOf("image", "wav", "avi")
+      flips <- Gen.listOfN(24, flipGen)
+    } yield (kind, flips)
+
+    val prop = Prop.forAll(caseGen) { case (kind, flips) =>
+      // one decode job per iteration: all flipped variants in a batch,
+      // doc_id = variant index riding on top of the source id
+      val variants = flips.zipWithIndex.map { case ((id, frac, x), v) =>
+        val base = cleanBlobs(kind)(id)
+        val off = math.min((frac * base.length).toInt, base.length - 1)
+        val b = base.clone()
+        b(off) = (b(off) ^ x).toByte
+        (v.toLong, id, off, b)
+      }
+      val got = decode(kind, variants.map(t => (t._1, t._4)))
+      variants.forall { case (v, id, off, b) =>
+        val m = got(v)
+        val fmt = m.last.asInstanceOf[String]
+        val inPayload = off >= payloadStart(kind, cleanBlobs(kind)(id))
+        legal(kind).contains(fmt) &&
+          (fmt == "corrupt" || !inPayload || m == cleanMeta(kind)(id))
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+
+    // positive controls — both branches of the disjunction demonstrably
+    // fire (a wrong payloadStart would make the strong clause vacuous):
+    // magic-byte flips must QUARANTINE on every tier...
+    Seq("image", "wav", "avi").foreach { kind =>
+      val b = cleanBlobs(kind)(2L).clone()
+      b(0) = (b(0) ^ 0x55).toByte
+      val m = decode(kind, Seq((0L, b)))(0L)
+      assert(m.last === "corrupt", s"$kind magic flip not quarantined: $m")
+    }
+    // ...and a PCM/IDAT payload flip must decode CLEAN-EQUAL (the WAV
+    // payload carries no structure; the PNG tier reads header-only)
+    Seq("wav", "image").foreach { kind =>
+      val base = cleanBlobs(kind)(2L) // id 2: PNG on the image tier
+      val off = payloadStart(kind, base) + 2
+      assert(off < base.length, s"$kind payload offset out of range")
+      val b = base.clone()
+      b(off) = (b(off) ^ 0x55).toByte
+      val m = decode(kind, Seq((0L, b)))(0L)
+      assert(m === cleanMeta(kind)(2L),
+        s"$kind payload flip moved structural metadata: $m")
+    }
+  }
 }
