@@ -116,6 +116,17 @@ object AnnIndexStore {
     cache.clear(); serveCache.clear()
   }
 
+  /** Re-seed the shared cache with a (reloaded) index so sibling
+    * queries after an evict-reload gate serve the durable tables
+    * instead of silently re-paying the build (the serve-meta cache
+    * re-derives lazily from these frames).
+    */
+  def seedIndex(s: SparkSession, dir: String,
+      idx: Similarity.AnnIndex): Unit = synchronized {
+    cache.update(keyFor(s, dir, DefaultNCentroids, DefaultTrainIters,
+      DefaultM, DefaultNCodes, DefaultPqTrainIters), idx)
+  }
+
   /** The serve-tier view of the shared index (t22's boot artifacts):
     * the driver-collected meta (dense codebook + centroids) and the
     * per-vector dense-code arrays, cached alongside the index.

@@ -1151,6 +1151,16 @@ object Dedup {
     resolved.foldLeft(empty)(_ unionByName _)
   }
 
+  /** Per-doc census over an already-computed maximal-span frame — the
+    * single aggregation `dupSpanCensusUnbounded` and l125 both serve
+    * (l125 reads the shared DupSpanStore build).
+    */
+  def censusOfSpans(spans: DataFrame): DataFrame =
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        max(col("span")).cast("long").as("max_span"))
+      .orderBy(col("doc_id"))
+
   /** l77's census face with the cap REMOVED: per document the number
     * of duplicated starts and the true maximal hot span length — the
     * memorization-risk audit a capped census understates on wall-to-
@@ -1158,11 +1168,7 @@ object Dedup {
     */
   def dupSpanCensusUnbounded(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int = 6, minDocs: Int = 2): DataFrame =
-    maximalDupSpans(docs, idCol, textCol, minLen, minDocs)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_starts"),
-        max(col("span")).cast("long").as("max_span"))
-      .orderBy(col("doc_id"))
+    censusOfSpans(maximalDupSpans(docs, idCol, textCol, minLen, minDocs))
 
   /** Winnowing fingerprint sets (the MOSS local-fingerprinting
     * algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every

@@ -19,14 +19,17 @@ import graft.Tables
   *
   * Layout: `<root>/<family>/<fingerprint>/<part>` parquet dirs (buckets
   * preserved via re-registration DDL), with a `_GRAFT_STORE_COMPLETE`
-  * marker written LAST — a crash mid-build leaves no marker, so the
-  * next run rebuilds over the partial dirs (overwrite mode) instead of
-  * serving a half-written layout. Root defaults to
+  * marker inside. Builds STAGE into a private sibling dir (marker
+  * written last, inside the staging dir) and PUBLISH with one atomic
+  * rename — a crash mid-build leaves only an unreferenced staging dir
+  * (the next builder starts fresh), and two concurrent builders race
+  * on the rename alone: the loser's rename fails against the winner's
+  * published dir, it discards its staging and serves the winner's
+  * bytes — no interleaved part files, ever. Root defaults to
   * `spark-warehouse/graft_stores` under the launch dir and is
   * overridable with the `spark.graft.store.root` session conf (a
-  * cluster deployment points it at shared storage). Two concurrent
-  * builders race benignly: both write the same deterministic bytes,
-  * last marker wins.
+  * cluster deployment points it at shared storage; the rename must be
+  * atomic there, which HDFS-like stores provide).
   *
   * Bucketed parts are written with `bucketBy(Buckets, key)` and
   * re-registered in later applications with `CREATE TABLE ...
@@ -94,29 +97,53 @@ object DurableStore {
       parts: Seq[Part])(build: => Map[String, DataFrame])
       : Map[String, DataFrame] = synchronized {
     val base = new java.io.File(s"${root(s)}/$family/$fp")
-    if (isBuilt(s, family, fp)) {
-      parts.map { p =>
-        val t = tableName(family, fp, p.name)
-        if (!s.catalog.tableExists(t))
-          register(s, t, new java.io.File(base, p.name).toString, p.bucket)
-        p.name -> s.table(t)
-      }.toMap
-    } else StoreBuildLedger.timed(s"durable_$family") {
+    if (!isBuilt(s, family, fp)) StoreBuildLedger.timed(s"durable_$family") {
+      // stage into a private dir (bucketBy requires saveAsTable, so
+      // each part is written through a throwaway staging table whose
+      // metadata is dropped immediately — only the files matter),
+      // marker last, then publish with ONE atomic rename
+      val stage = new java.io.File(base.getParentFile,
+        s".stage_${fp}_${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.createDirectories(base.getParentFile.toPath)
+      // a marker-less base dir is an unpublished leftover (a crash
+      // between the old scheme's writes, or manual tampering): it was
+      // never served, so clear it for the atomic rename
+      if (base.exists())
+        graft.pipeline.SinkFiles.deleteRecursive(base.toString)
       val built = build
-      parts.foreach { p =>
-        val t = tableName(family, fp, p.name)
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val w = built(p.name).write.mode("overwrite")
-          .option("path", new java.io.File(base, p.name).toString)
-        p.bucket.fold(w)(k => w.bucketBy(Buckets, k)).saveAsTable(t)
+      try {
+        parts.foreach { p =>
+          val st = s"${tableName(family, fp, p.name)}_stage"
+          s.sql(s"DROP TABLE IF EXISTS $st")
+          val w = built(p.name).write.mode("overwrite")
+            .option("path", new java.io.File(stage, p.name).toString)
+          p.bucket.fold(w)(k => w.bucketBy(Buckets, k)).saveAsTable(st)
+          s.sql(s"DROP TABLE IF EXISTS $st")
+        }
+        java.nio.file.Files.write(
+          new java.io.File(stage, "_GRAFT_STORE_COMPLETE").toPath,
+          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(stage.toPath, base.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException
+              if isBuilt(s, family, fp) =>
+            // a concurrent builder published first — serve its bytes
+            graft.pipeline.SinkFiles.deleteRecursive(stage.toString)
+        }
+      } finally {
+        if (stage.exists() && !isBuilt(s, family, fp))
+          graft.pipeline.SinkFiles.deleteRecursive(stage.toString)
       }
-      val mk = markerFile(s, family, fp)
-      java.nio.file.Files.createDirectories(mk.toPath.getParent)
-      java.nio.file.Files.write(mk.toPath,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      parts.map(p => p.name -> s.table(tableName(family, fp, p.name)))
-        .toMap
+      require(isBuilt(s, family, fp),
+        s"durable publish failed for $family/$fp")
     }
+    parts.map { p =>
+      val t = tableName(family, fp, p.name)
+      if (!s.catalog.tableExists(t))
+        register(s, t, new java.io.File(base, p.name).toString, p.bucket)
+      p.name -> s.table(t)
+    }.toMap
   }
 
   /** Re-register an existing part dir as an external table, restoring

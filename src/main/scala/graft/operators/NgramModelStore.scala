@@ -107,6 +107,15 @@ object NgramModelStore {
     bigramCache.clear(); backoffCache.clear(); knCache.clear()
   }
 
+  /** Re-seed the shared cache with a (reloaded) model so sibling
+    * queries after an evict-reload gate serve the durable tables
+    * instead of silently re-paying the training job.
+    */
+  def seedBigram(s: SparkSession, dir: String,
+      m: NgramLm.BigramModel, order: Int = 2): Unit = synchronized {
+    bigramCache.update(keyFor(s, dir, s"bigram$order"), m)
+  }
+
   /** The Kneser-Ney artifact on the shared bigram base (the three
     * continuation tables derive from the checkpointed pair table, so
     * building them is vocab-bounded work).

@@ -306,13 +306,17 @@ object Opq {
   def rotateExpr(rotation: Array[Array[Double]], emb: Column): Column = {
     // zip_with pads the shorter side with nulls, so a dimension
     // mismatch would silently yield null-filled vectors — fail loudly
-    // instead (the decode tiers' container-lies discipline)
+    // instead (the decode tiers' container-lies discipline). A NULL
+    // embedding stays NULL (the pre-guard behavior): only a PRESENT
+    // vector of the wrong width is a hard error, and the message
+    // coalesces the width so raise_error never throws a null message.
     val rotated = transform(typedLit(rotation.map(_.toSeq).toSeq), row =>
       aggregate(zip_with(emb, row, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, t) => acc + t).cast("float"))
-    when(size(emb) === lit(rotation.length), rotated)
+    when(emb.isNull, lit(null).cast("array<float>"))
+      .when(size(emb) === lit(rotation.length), rotated)
       .otherwise(raise_error(concat(
         lit(s"rotateExpr: embedding dim != rotation dim ${rotation.length}: "),
-        size(emb).cast("string"))))
+        coalesce(size(emb).cast("string"), lit("NULL")))))
   }
 }

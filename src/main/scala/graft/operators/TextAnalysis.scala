@@ -940,11 +940,14 @@ object TextAnalysis {
     require(k >= 2 && topPerSource >= 1 && maxBytes >= 1,
       "need k>=2, topPerSource>=1, maxBytes>=1")
     val rows = docs
-      .select(col(srcCol).as("src"),
+      .select(col(srcCol).as("src"), col(idCol).as("__id"),
         explode(graft.functions.TextFunctions.shingles(col(textCol), k))
           .as("g"))
+      // countDistinct over the doc id, not count(*): a lone doc that
+      // repeats a gram internally is SELF-redundancy (l114's signal);
+      // the dictionary tier wants cross-document family support
       .groupBy(col("src"), col("g"))
-      .agg(count(lit(1)).as("df"))
+      .agg(countDistinct(col("__id")).as("df"))
       .where(col("df") >= 2)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src"))

@@ -4295,10 +4295,11 @@ object LlmQueries {
       "l127_dict_deflate_gate",
       "l126's oracle-checked gate twin (the l115 discipline): over the same per-doc dict-deflate frame the input-side masses are SQL-exact (doc count, UTF-8 byte mass) and the codec columns enter as gated booleans — every dictionary output fits the compressBound envelope (a preset dictionary cannot breach the stored-block bound), every non-empty input produced bytes on both arms, the gain definition is consistent (len_out_dict <= len_out exactly when gain >= 0 at the bp floor... gated as: gain > 0 implies len_out_dict < len_out), and the dictionary STRICTLY helped at least one document (the fixture's template families guarantee a hot-passage hit). The hash only matches if the dictionary codec behaved sanely on every row at this sf",
       (s, dir) => {
+        // consumed exactly once by the aggregate — no checkpoint: the
+        // mapPartitions output streams straight into the fold
         val pd = TextAnalysis.deflateDictRatio(
             Tables.load(s, dir, "documents"), "doc_id", "text", "source",
             graft.operators.DeflateDictStore.sharedDicts(s, dir))
-          .localCheckpoint(eager = true)
         pd.agg(count(lit(1)).as("n_docs"),
           sum(col("len_in")).as("bytes_in"),
           every(col("len_out_dict") <=
@@ -4354,11 +4355,8 @@ object LlmQueries {
     QuerySpec(
       "l125_exact_substr_census",
       "l77's duplicate-span census with the cap REMOVED — per document the duplicated-start count and the TRUE maximal cross-document span (the memorization-risk number a capped census understates on near-whole-document duplicates): the same ladder+descent machine aggregated per doc; n_dup_starts must equal l77's (same prune) while max_span is exact at any length. Oracle = the unbounded brute force",
-      (s, dir) => graft.operators.DupSpanStore.sharedSpans(s, dir)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_starts"),
-          max(col("span")).cast("long").as("max_span"))
-        .orderBy(col("doc_id")),
+      (s, dir) => Dedup.censusOfSpans(
+        graft.operators.DupSpanStore.sharedSpans(s, dir)),
       Some("""WITH toks AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS t
              |  FROM documents
@@ -4427,6 +4425,9 @@ object LlmQueries {
         val before = ds.buildSeconds(st.DurableFamily)
         val served = st.durableBigram(s, dir, fp)
         val buildFree = ds.buildSeconds(st.DurableFamily) == before
+        // re-seed the shared cache with the reloaded tables so sibling
+        // LM queries serve the durable store instead of retraining
+        st.seedBigram(s, dir, served)
         val scored = NgramLm.surprisalBits(
           Tables.load(s, dir, "documents"), "doc_id", "text", served, 2)
         val aggs = scored.queryExecution.optimizedPlan.collect {
@@ -4454,6 +4455,9 @@ object LlmQueries {
         val before = ds.buildSeconds(st.DurableFamily)
         val idx = st.durableIndex(s, dir, fp)
         val buildFree = ds.buildSeconds(st.DurableFamily) == before
+        // re-seed the shared cache with the reloaded tables so sibling
+        // ANN queries serve the durable store instead of rebuilding
+        st.seedIndex(s, dir, idx)
         val e = Tables.load(s, dir, "embeddings")
         val q = e.where(col("vec_id") % 25 === 0)
         val candDf = Similarity.indexCandidates(q, "vec_id", "embedding",
