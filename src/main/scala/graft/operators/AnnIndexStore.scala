@@ -123,8 +123,19 @@ object AnnIndexStore {
     */
   def seedIndex(s: SparkSession, dir: String,
       idx: Similarity.AnnIndex): Unit = synchronized {
+    // checkpoint the reloaded tables so siblings get the same
+    // in-memory frames a fresh build would have pinned (serving raw
+    // table reads measurably slows every later consumer)
     cache.update(keyFor(s, dir, DefaultNCentroids, DefaultTrainIters,
-      DefaultM, DefaultNCodes, DefaultPqTrainIters), idx)
+      DefaultM, DefaultNCodes, DefaultPqTrainIters),
+      StoreBuildLedger.timed("ann_index_seed") {
+        Similarity.AnnIndex(
+          idx.centroids.localCheckpoint(eager = true),
+          idx.lists.localCheckpoint(eager = true),
+          idx.codebook.localCheckpoint(eager = true),
+          idx.codes.localCheckpoint(eager = true),
+          idx.norms.localCheckpoint(eager = true))
+      })
   }
 
   /** The serve-tier view of the shared index (t22's boot artifacts):

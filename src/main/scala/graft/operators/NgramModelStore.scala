@@ -113,7 +113,15 @@ object NgramModelStore {
     */
   def seedBigram(s: SparkSession, dir: String,
       m: NgramLm.BigramModel, order: Int = 2): Unit = synchronized {
-    bigramCache.update(keyFor(s, dir, s"bigram$order"), m)
+    // checkpoint the reloaded tables so siblings get the same
+    // in-memory frames a fresh build would have pinned (serving raw
+    // table reads measurably slows every later consumer)
+    bigramCache.update(keyFor(s, dir, s"bigram$order"),
+      StoreBuildLedger.timed("lm_bigram_seed") {
+        NgramLm.BigramModel(m.pairCounts.localCheckpoint(eager = true),
+          m.ctxCounts.localCheckpoint(eager = true),
+          m.vocab.localCheckpoint(eager = true))
+      })
   }
 
   /** The Kneser-Ney artifact on the shared bigram base (the three
