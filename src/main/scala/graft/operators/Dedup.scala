@@ -845,6 +845,59 @@ object Dedup {
         (size(col("t")) - size(col("kept"))).as("n_removed"))
   }
 
+  /** Repeated-passage removal with KEEP-ONE semantics — the
+    * substring-dedup line's canonical form (remove every occurrence of
+    * a duplicated passage EXCEPT ONE, so the corpus keeps exactly one
+    * copy of each shared span; `scrubHotPassages` is the harsher
+    * all-occurrences variant). Deterministic canonical rule, chosen to
+    * be SQL-replayable: per hot k-gram the (doc_id, position)-minimal
+    * occurrence is canonical; a token is dropped iff some NON-canonical
+    * occurrence covers it. Overlap caveat, by design: a token inside a
+    * canonical occurrence of one gram AND a non-canonical occurrence
+    * of another still drops — coverage semantics, same as the
+    * all-occurrences scrub.
+    *
+    * Shape: one positional explode (lazily checkpointed — it feeds the
+    * df aggregate and the occurrence rank), the canonical pick is ONE
+    * row_number window partitioned by the gram (no second join back),
+    * covered positions collapse per doc, rebuild is a per-row indexed
+    * filter. The window's per-gram groups are occurrence lists —
+    * duplicated mass, the quantity being removed.
+    */
+  def scrubDupKeepOne(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "need k>=2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), " ").as("t"))
+    val ps = toks.where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - k),
+          i => struct(i.as("i"),
+            concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("g"))))
+          .as("sh"))
+      .select(col("doc_id"), col("sh.i").as("i"), col("sh.g").as("g"))
+      .localCheckpoint(eager = false)
+    val hot = ps.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("g"))
+    val rem = ps.join(hot, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("doc_id"), col("i"))))
+      .where(col("rn") > 1)
+    val cov = rem
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(col("t"), (_, idx) => !array_contains(
+          coalesce(col("cov"), typedLit(Array.empty[Int])), idx)))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("t")) - size(col("kept"))).as("n_removed"))
+  }
+
   /** 64-bit SimHash over distinct word k-shingles: per bit, sum +-1
     * votes of the shingle hashes; bit = 1 iff the vote is positive.
     * Shingles, not unigrams: on a small vocabulary every document's

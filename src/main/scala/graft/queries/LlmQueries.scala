@@ -4353,6 +4353,51 @@ object LlmQueries {
              |FROM d GROUP BY doc_id, i""".stripMargin)),
 
     QuerySpec(
+      "l128_dup_scrub_keep_one",
+      "repeated-passage removal with KEEP-ONE semantics — the substring-dedup line's canonical form, completing the scrub family (l59 removes EVERY occurrence of a shared passage; the published method keeps exactly one copy in the corpus, preserving the information while killing the repetition): per hot 6-gram the (doc_id, position)-minimal occurrence is canonical and survives, every other occurrence's cover drops; tokens inside overlapping canonical/non-canonical covers drop (coverage semantics, documented). One positional explode feeds the df aggregate and a single row_number window partitioned by the gram (the canonical pick costs no extra join); rebuild is the per-row indexed filter. The oracle replays the identical canonical rule with a window, so the hash gates cover selection, the keep-one exception AND the rebuilt text byte-for-byte",
+      (s, dir) => Dedup.scrubDupKeepOne(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |ps0 AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i
+             |  FROM toks WHERE len(t) >= 6),
+             |ps AS (
+             |  SELECT doc_id, i, array_to_string(t[i:i+5], ' ') AS g
+             |  FROM ps0),
+             |hot AS (
+             |  SELECT g FROM ps GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |h AS (
+             |  SELECT ps.doc_id, ps.i,
+             |    ROW_NUMBER() OVER (PARTITION BY ps.g
+             |      ORDER BY ps.doc_id, ps.i) AS rn
+             |  FROM ps JOIN hot USING (g)),
+             |cov AS (
+             |  SELECT DISTINCT doc_id, i + off AS p
+             |  FROM h, range(0, 6) o(off) WHERE rn > 1),
+             |pos0 AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+             |  FROM toks),
+             |pos AS (
+             |  SELECT doc_id, p, t[p] AS tok FROM pos0),
+             |kept AS (
+             |  SELECT pos.doc_id,
+             |    string_agg(tok, ' ' ORDER BY pos.p) AS clean_text,
+             |    count(*) AS n_kept
+             |  FROM pos LEFT JOIN cov
+             |    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+             |  WHERE cov.p IS NULL
+             |  GROUP BY pos.doc_id)
+             |SELECT toks.doc_id,
+             |  coalesce(kept.clean_text, '') AS clean_text,
+             |  CAST(len(toks.t) - coalesce(kept.n_kept, 0) AS INT)
+             |    AS n_removed
+             |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id"""
+        .stripMargin)),
+
+    QuerySpec(
       "l125_exact_substr_census",
       "l77's duplicate-span census with the cap REMOVED — per document the duplicated-start count and the TRUE maximal cross-document span (the memorization-risk number a capped census understates on near-whole-document duplicates): the same ladder+descent machine aggregated per doc; n_dup_starts must equal l77's (same prune) while max_span is exact at any length. Oracle = the unbounded brute force",
       (s, dir) => Dedup.censusOfSpans(

@@ -889,6 +889,68 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(all.where(!col("pruned")).count() === 0L)
   }
 
+  test("scrubDupKeepOne keeps exactly the canonical copy where " +
+      "scrubHotPassages removes every occurrence") {
+    import spark.implicits._
+    val shared = "one two three four five six"
+    val docs = Seq(
+      (1L, s"$shared tail1"),
+      (2L, s"head2 $shared"),
+      (3L, "totally unrelated words here seven eight"))
+      .toDF("doc_id", "text")
+    val keepOne = Dedup.scrubDupKeepOne(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getInt(2)))).toMap
+    // canonical = (doc 1, position 0): doc 1 keeps the passage
+    assert(keepOne(1L) === ((s"$shared tail1", 0)))
+    // doc 2's occurrence is non-canonical: its cover drops
+    assert(keepOne(2L) === (("head2", 6)))
+    assert(keepOne(3L)._2 === 0)
+    // the all-occurrences scrub removes BOTH copies — the tiers differ
+    val all = Dedup.scrubHotPassages(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) === "tail1" && all(2L) === "head2")
+  }
+
+  test("property: scrubDupKeepOne equals a plain-Scala canonical-" +
+      "cover reference on arbitrary corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 3
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 6).flatMap(Gen.listOfN(_, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.scrubDupKeepOne(docs, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          r.getInt(2)))).toMap
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.trim.split(" ").toSeq }
+      val occ = for {
+        (d, t) <- toks; i <- 0 to t.length - k
+      } yield (t.slice(i, i + k).mkString(" "), d, i)
+      val hot = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+        .keySet
+      val nonCanon = occ.filter(o => hot(o._1))
+        .groupBy(_._1).values.flatMap { os =>
+          os.sortBy(o => (o._2, o._3)).drop(1) }
+      val covered = nonCanon
+        .flatMap { case (_, d, i) => (i until i + k).map(d -> _) }.toSet
+      val want = toks.map { case (d, t) =>
+        val kept = t.zipWithIndex.collect {
+          case (tok, j) if !covered(d -> j) => tok }
+        d -> ((kept.mkString(" "), t.length - kept.length))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: maximalDupSpans equals a plain-Scala suffix-LCP " +
       "reference on arbitrary corpora") {
     import spark.implicits._
