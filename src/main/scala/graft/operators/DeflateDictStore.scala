@@ -22,14 +22,41 @@ object DeflateDictStore {
   private val cache =
     scala.collection.mutable.Map.empty[Key, Map[String, Array[Byte]]]
 
+  /** Durable layout: one (source, dict) table — sources-bounded. */
+  val DurableFamily = "deflate_dicts"
+  val DurableParts: Seq[DurableStore.Part] =
+    Seq(DurableStore.Part("dicts", None))
+
+  def corpusFp(s: SparkSession, dir: String): String =
+    DurableStore.corpusFingerprint(s, dir, "documents",
+      Seq("doc_id", "text"))
+
+  /** Miss path goes through the durable layout (the DupSpanStore
+    * note): the hot-passage census trains only if no application ever
+    * saw this corpus; later applications reload the sources-bounded
+    * table and collect it back into the boot map.
+    */
   def sharedDicts(s: SparkSession, dir: String): Map[String, Array[Byte]] =
     synchronized {
       val key = Key(s.sparkContext.applicationId,
         new java.io.File(dir).getCanonicalPath)
       cache.filterInPlace((k, _) => k.appId == key.appId)
       cache.getOrElseUpdate(key, StoreBuildLedger.timed("deflate_dicts") {
-        TextAnalysis.trainDeflateDicts(
-          Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+        val fp = corpusFp(s, dir)
+        val t = DurableStore.loadOrBuild(s, DurableFamily, fp,
+          DurableParts) {
+          import s.implicits._
+          Map("dicts" -> TextAnalysis.trainDeflateDicts(
+              Tables.load(s, dir, "documents"), "doc_id", "text",
+              "source")
+            .toSeq.toDF("source", "dict"))
+        }("dicts")
+        val rows = t.collect()
+        require(rows.length <= 65536,
+          "dictionary table exceeds the boot bound")
+        rows.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
       })
     }
+
+  def evictAll(): Unit = synchronized { cache.clear() }
 }

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DurableStore, MixtureModelStore, NbModelStore,
-  NgramModelStore, OpqModelStore, StoreBuildLedger}
+import graft.operators.{DeflateDictStore, DupSpanStore, DurableStore,
+  MixtureModelStore, NbModelStore, NgramModelStore, OpqModelStore,
+  StoreBuildLedger}
 
 /** The durable-store contract (the l122/l123 gates, unit-faced): a
   * family's artifacts live at a fixed path keyed by a corpus content
@@ -203,6 +204,33 @@ class DurableStoreSpec extends SparkSpec {
         "reloaded rotation differs from the built one")
     }
     assert(d === 0.0, s"OPQ reload accrued build seconds: $d")
+  }
+
+  test("span + dict families: the stores' miss paths reload durably " +
+      "with zero build seconds and identical artifacts") {
+    val spans1 = sortedRows(DupSpanStore.sharedSpans(spark, fixtureDir))
+    assert(spans1.nonEmpty, "fixture produced no dup spans")
+    val dicts1 = DeflateDictStore.sharedDicts(spark, fixtureDir)
+    assert(dicts1.nonEmpty, "fixture trained no dictionaries")
+    DupSpanStore.evictAll()
+    DeflateDictStore.evictAll()
+    DurableStore.dropRegistered(spark, DupSpanStore.DurableFamily,
+      DupSpanStore.corpusFp(spark, fixtureDir), DupSpanStore.DurableParts)
+    DurableStore.dropRegistered(spark, DeflateDictStore.DurableFamily,
+      DeflateDictStore.corpusFp(spark, fixtureDir),
+      DeflateDictStore.DurableParts)
+    val ds = delta(s"durable_${DupSpanStore.DurableFamily}") {
+      assert(sortedRows(DupSpanStore.sharedSpans(spark, fixtureDir))
+        === spans1)
+    }
+    val dd = delta(s"durable_${DeflateDictStore.DurableFamily}") {
+      val dicts2 = DeflateDictStore.sharedDicts(spark, fixtureDir)
+      assert(dicts2.keySet === dicts1.keySet)
+      assert(dicts1.forall { case (k, v) =>
+        java.util.Arrays.equals(v, dicts2(k)) })
+    }
+    assert(ds === 0.0, s"span reload accrued build seconds: $ds")
+    assert(dd === 0.0, s"dict reload accrued build seconds: $dd")
   }
 
   test("LM family: the l122 evict-reload shape serves identical count " +
