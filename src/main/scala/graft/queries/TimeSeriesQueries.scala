@@ -2017,6 +2017,48 @@ object TimeSeriesQueries {
               .as("stream_eq_batch_ok"))
       },
       Some("""SELECT count(*) AS n_docs, TRUE AS stream_eq_batch_ok
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "t49_stream_dup_span_admission",
+      "the streaming ingest face of the substring-dedup tier (l77/l124's standing side live at admission): the corpus's hot 6-gram table — every gram in >=2 documents, with its document frequency — is the STANDING batch artifact (one checkpointed prune, the l77 shape); the incoming document stream explodes its positional 6-grams (stateless narrow) and stream-static inner-joins the standing table, accumulating a complete-mode census per df-band (df clamped at 10; state = <=9 rows) of hit count and df mass — a crawl suddenly dominated by one boilerplate family moves the high-df bands immediately, before any whole-doc dedup pass runs. Exact and SQL-replayable: the oracle replays the prune, the join and the band arithmetic (no distinct aggregates on the stream — count and sum only, the streaming-legal pair)",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val grams = (df: org.apache.spark.sql.DataFrame) => df
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 6)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("t")) - 6),
+              i => concat_ws(" ", slice(col("t"), i + 1, lit(6)))))
+              .as("g"))
+        val hot = grams(d).groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2)
+          .localCheckpoint(eager = true)
+        val census = grams(Tables.loadStream(s, dir, "documents"))
+          .join(hot, "g")
+          .groupBy(least(col("nd"), lit(10L)).as("df_band"))
+          .agg(count(lit(1)).as("n_hits"),
+            sum(col("nd")).as("df_mass"))
+        runBounded(s, census, "t49_stream_dup_admission_mem", "complete",
+          statePartitions = Some(4))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |e AS (
+             |  SELECT doc_id, array_to_string(t[i:i+5], ' ') AS g
+             |  FROM toks, unnest(range(1, len(t) - 4)) AS ui(i)
+             |  WHERE len(t) >= 6),
+             |hot AS (
+             |  SELECT g, count(DISTINCT doc_id) AS nd FROM e GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT least(hot.nd, 10) AS df_band,
+             |  count(*) AS n_hits,
+             |  CAST(sum(hot.nd) AS BIGINT) AS df_mass
+             |FROM e JOIN hot USING (g)
+             |GROUP BY 1""".stripMargin))
   )
 }
