@@ -817,7 +817,20 @@ object Dedup {
     * rebuild is one per-row indexed `filter` — no window, no sort.
     */
   def scrubHotPassages(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 6, minDocs: Int = 2): DataFrame = {
+      k: Int = 6, minDocs: Int = 2): DataFrame =
+    scrubCovered(docs, idCol, textCol, k, minDocs)(identity)
+
+  /** The shared scrub machine: positional k-shingle explode (ONE
+    * lazily-checkpointed scan feeding the df aggregate and the
+    * coverage join), hot-gram prune at `minDocs` distinct docs, a
+    * caller-chosen selection over the hot OCCURRENCES (doc_id, i, g)
+    * — all of them for the C4-style scrub, the non-canonical ones for
+    * keep-one — whose covers collapse per doc and drop through one
+    * per-row indexed filter.
+    */
+  private def scrubCovered(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minDocs: Int)
+      (selectRemovals: DataFrame => DataFrame): DataFrame = {
     require(k >= 2 && minDocs >= 2, "need k>=2, minDocs>=2")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(trim(col(textCol)), " ").as("t"))
@@ -832,7 +845,7 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("g"))
-    val cov = ps.join(hot, "g")
+    val cov = selectRemovals(ps.join(hot, "g"))
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
@@ -865,37 +878,12 @@ object Dedup {
     * duplicated mass, the quantity being removed.
     */
   def scrubDupKeepOne(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 6): DataFrame = {
+      k: Int = 6, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 2, "need k>=2")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), " ").as("t"))
-    val ps = toks.where(size(col("t")) >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - k),
-          i => struct(i.as("i"),
-            concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("g"))))
-          .as("sh"))
-      .select(col("doc_id"), col("sh.i").as("i"), col("sh.g").as("g"))
-      .localCheckpoint(eager = false)
-    val hot = ps.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select(col("g"))
-    val rem = ps.join(hot, "g")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("g")).orderBy(col("doc_id"), col("i"))))
-      .where(col("rn") > 1)
-    val cov = rem
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
-      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
-    toks.join(cov, Seq("doc_id"), "left")
-      .withColumn("kept",
-        filter(col("t"), (_, idx) => !array_contains(
-          coalesce(col("cov"), typedLit(Array.empty[Int])), idx)))
-      .select(col("doc_id"),
-        concat_ws(" ", col("kept")).as("clean_text"),
-        (size(col("t")) - size(col("kept"))).as("n_removed"))
+    scrubCovered(docs, idCol, textCol, k, minDocs)(occ =>
+      occ.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("doc_id"), col("i"))))
+        .where(col("rn") > 1))
   }
 
   /** 64-bit SimHash over distinct word k-shingles: per bit, sum +-1

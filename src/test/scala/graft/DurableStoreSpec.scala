@@ -150,7 +150,7 @@ class DurableStoreSpec extends SparkSpec {
     NbModelStore.evictAll()
     DurableStore.dropRegistered(spark, NbModelStore.DurableFamily, fp,
       NbModelStore.DurableParts)
-    val d = delta(s"durable_${NbModelStore.DurableFamily}") {
+    val d = delta(NbModelStore.DurableFamily) {
       val (labels2, m2) =
         NbModelStore.durableBoilerplateModel(spark, fixtureDir, fp)
       assert(sortedRows(m2.featCounts) === featRows)
@@ -174,14 +174,14 @@ class DurableStoreSpec extends SparkSpec {
       fp, MixtureModelStore.JointParts)
     DurableStore.dropRegistered(spark, MixtureModelStore.DsirFamily,
       fp, MixtureModelStore.DsirParts)
-    val dj = delta(s"durable_${MixtureModelStore.JointFamily}") {
+    val dj = delta(MixtureModelStore.JointFamily) {
       val (pc2, ctx2, v2) =
         MixtureModelStore.durableJointCounts(spark, fixtureDir, fp)
       assert(sortedRows(pc2) === pcR)
       assert(sortedRows(ctx2) === ctxR)
       assert(sortedRows(v2) === vR)
     }
-    val dd = delta(s"durable_${MixtureModelStore.DsirFamily}") {
+    val dd = delta(MixtureModelStore.DsirFamily) {
       assert(sortedRows(MixtureModelStore
         .durableDsirImportance(spark, fixtureDir, fp)) === impR)
     }
@@ -196,7 +196,7 @@ class DurableStoreSpec extends SparkSpec {
     OpqModelStore.evictAll()
     DurableStore.dropRegistered(spark, OpqModelStore.DurableFamily, fp,
       OpqModelStore.DurableParts)
-    val d = delta(s"durable_${OpqModelStore.DurableFamily}") {
+    val d = delta(OpqModelStore.DurableFamily) {
       val r2 = OpqModelStore.durableRotation(spark, fixtureDir, fp)
       assert(r2.length === r1.length)
       assert(r1.zip(r2).forall { case (a, b) =>
@@ -219,11 +219,11 @@ class DurableStoreSpec extends SparkSpec {
     DurableStore.dropRegistered(spark, DeflateDictStore.DurableFamily,
       DeflateDictStore.corpusFp(spark, fixtureDir),
       DeflateDictStore.DurableParts)
-    val ds = delta(s"durable_${DupSpanStore.DurableFamily}") {
+    val ds = delta(DupSpanStore.DurableFamily) {
       assert(sortedRows(DupSpanStore.sharedSpans(spark, fixtureDir))
         === spans1)
     }
-    val dd = delta(s"durable_${DeflateDictStore.DurableFamily}") {
+    val dd = delta(DeflateDictStore.DurableFamily) {
       val dicts2 = DeflateDictStore.sharedDicts(spark, fixtureDir)
       assert(dicts2.keySet === dicts1.keySet)
       assert(dicts1.forall { case (k, v) =>
@@ -242,7 +242,7 @@ class DurableStoreSpec extends SparkSpec {
     NgramModelStore.evictAll()
     DurableStore.dropRegistered(spark, NgramModelStore.DurableFamily,
       fp, NgramModelStore.DurableParts)
-    val d = delta(s"durable_${NgramModelStore.DurableFamily}") {
+    val d = delta(NgramModelStore.DurableFamily) {
       val m2 = NgramModelStore.durableBigram(spark, fixtureDir, fp)
       assert(sortedRows(m2.pairCounts) === p1)
       assert(sortedRows(m2.ctxCounts) === c1)
