@@ -115,6 +115,34 @@ class DurableStoreSpec extends SparkSpec {
     assert(builds === 2, "a missing marker must force a rebuild")
   }
 
+  test("a marker-less leftover base dir (crash before publish) is " +
+      "cleared and rebuilt through the atomic rename") {
+    import spark.implicits._
+    var builds = 0
+    val parts = Seq(DurableStore.Part("t", None))
+    def lob() = DurableStore.loadOrBuild(spark, "spec_crash", "fp0",
+      parts) {
+      builds += 1
+      Map("t" -> (0 until 8).map(i => (i, i.toLong)).toDF("k", "v"))
+    }
+    // simulate a crash mid-publish under an older layout: a base dir
+    // with partial content and NO completion marker
+    val base = new java.io.File(s"$storeRoot/spec_crash/fp0")
+    java.nio.file.Files.createDirectories(
+      new java.io.File(base, "t").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(base, "t/garbage").toPath, Array[Byte](1, 2, 3))
+    val rows = sortedRows(lob()("t"))
+    assert(builds === 1, "marker-less leftovers must trigger a build")
+    assert(rows.length === 8)
+    assert(new java.io.File(base, "_GRAFT_STORE_COMPLETE").isFile)
+    assert(!new java.io.File(base, "t/garbage").exists(),
+      "the leftover partial content survived the atomic publish")
+    // and the published layout serves without rebuilding
+    DurableStore.dropRegistered(spark, "spec_crash", "fp0", parts)
+    assert(sortedRows(lob()("t")) === rows && builds === 1)
+  }
+
   test("re-registered bucketed part keeps its bucket spec: groupBy on " +
       "the bucket key plans without a shuffle exchange") {
     import spark.implicits._
