@@ -110,11 +110,21 @@ object AnnIndexStore {
   }
 
   /** Drop every in-memory artifact (the fresh-application simulation
-    * of the durable-reload gates).
+    * of the durable-reload gates, spec-side / cold-boot t50 where the
+    * query pays its own boot).
     */
   def evictAll(): Unit = synchronized {
     cache.clear(); serveCache.clear()
   }
+
+  /** Drop ONLY the index cache — the artifact whose durable reload
+    * l123 gates. The serve-meta cache survives: its collected
+    * codebook/centroids came from checkpointed frames that stay valid,
+    * and clearing it would make t22 after the gate silently re-pay the
+    * driver collect (ledger noise), while proving nothing — the
+    * durable layout holds the five index tables, not the serve meta.
+    */
+  def evictIndex(): Unit = synchronized { cache.clear() }
 
   /** Re-seed the shared cache with a (reloaded) index so sibling
     * queries after an evict-reload gate serve the durable tables

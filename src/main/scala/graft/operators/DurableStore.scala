@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,19 +18,44 @@ import graft.Tables
   * a byte-identical corpus reuses it), so the SECOND application pays
   * zero training jobs — the daily standing pipeline's actual contract.
   *
-  * Layout: `<root>/<family>/<fingerprint>/<part>` parquet dirs (buckets
+  * Layout: `<root>/<family>/<fingerprint>/...` parquet dirs (buckets
   * preserved via re-registration DDL), with a `_GRAFT_STORE_COMPLETE`
-  * marker inside. Builds STAGE into a private sibling dir (marker
-  * written last, inside the staging dir) and PUBLISH with one atomic
-  * rename — a crash mid-build leaves only an unreferenced staging dir
-  * (the next builder starts fresh), and two concurrent builders race
-  * on the rename alone: the loser's rename fails against the winner's
-  * published dir, it discards its staging and serves the winner's
-  * bytes — no interleaved part files, ever. Root defaults to
-  * `spark-warehouse/graft_stores` under the launch dir and is
-  * overridable with the `spark.graft.store.root` session conf (a
-  * cluster deployment points it at shared storage; the rename must be
-  * atomic there, which HDFS-like stores provide).
+  * marker whose first line names the part-prefix directory. All paths
+  * go through Hadoop `FileSystem`, so the root may be a local path, an
+  * HDFS URI, or an object-store URI; `spark.graft.store.root`
+  * overrides the default `spark-warehouse/graft_stores` under the
+  * launch dir.
+  *
+  * TWO commit protocols, selected by the root's scheme (overridable
+  * with `spark.graft.store.commit` = `rename` | `marker`):
+  *
+  *  - RENAME (default for local/HDFS-like stores with atomic directory
+  *    rename): builds STAGE into a private sibling dir (marker written
+  *    last, inside the staging dir) and PUBLISH with one atomic rename.
+  *    A crash mid-build leaves only an unreferenced staging dir; two
+  *    concurrent builders race on the rename alone — the loser's
+  *    rename fails against the winner's published dir, it discards its
+  *    staging and serves the winner's bytes. A marker-less leftover
+  *    base dir (crash under an older layout) is moved ASIDE atomically
+  *    and only then deleted — never deleted in place — and if the
+  *    moved dir turns out to carry a completion marker (a concurrent
+  *    JVM published between our check and the move), it is moved
+  *    straight back and served: a published layout is never destroyed.
+  *
+  *  - MARKER (default for s3/gs/abfs-style object stores, where
+  *    directory rename is copy+delete and not atomic): each builder
+  *    writes its parts under a UNIQUE `attempt_<...>` prefix inside the
+  *    final base dir (no two builders ever touch the same file), and
+  *    publishing is ONE create-if-absent of the marker file naming the
+  *    winning attempt. The loser's marker create fails, it deletes its
+  *    attempt and serves the winner's. Readers resolve part paths
+  *    through the marker, so a crash mid-build leaves only an
+  *    unreferenced attempt prefix (never a half-readable store). The
+  *    residual window is the conditional CREATE itself — atomic on
+  *    HDFS/local and on object stores with conditional PUT (S3
+  *    If-None-Match); the protocol never depends on directory-rename
+  *    atomicity. This is the InfluxTable staged-driver-commit
+  *    discipline applied to the store layout.
   *
   * Bucketed parts are written with `bucketBy(Buckets, key)` and
   * re-registered in later applications with `CREATE TABLE ...
@@ -46,25 +72,65 @@ object DurableStore {
   /** Bucket width shared by writer and re-registration DDL. */
   val Buckets = 8
 
+  /** Completion-marker file name; first line = part-prefix dir
+    * (`.` for rename-mode layouts, `attempt_<...>` for marker-mode).
+    */
+  val Marker = "_GRAFT_STORE_COMPLETE"
+
   def root(s: SparkSession): String =
     s.conf.getOption("spark.graft.store.root")
       .getOrElse(new java.io.File("spark-warehouse/graft_stores")
         .getAbsolutePath)
 
-  /** Content fingerprint of `dir`'s `table`: row count + order-
-    * independent bit_xor of per-row xxhash64 over `hashCols` — one
-    * narrow scan and a 16-byte aggregate, never a training job. Rows
-    * are keyed (doc_id/vec_id), so xor cancellation needs two fully
-    * identical rows, which the fixtures exclude.
+  /** Commit protocol for the session's store root: explicit conf wins;
+    * otherwise object-store schemes default to `marker`, everything
+    * else (local, HDFS, viewfs — atomic dir rename) to `rename`.
+    */
+  def commitMode(s: SparkSession): String =
+    s.conf.getOption("spark.graft.store.commit").getOrElse {
+      val scheme = Option(new Path(root(s)).toUri.getScheme)
+        .getOrElse("file").toLowerCase
+      if (Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift",
+          "wasb", "wasbs", "abfs", "abfss").contains(scheme)) "marker"
+      else "rename"
+    }
+
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def basePath(s: SparkSession, family: String, fp: String): Path =
+    new Path(new Path(root(s), family), fp)
+
+  /** Content fingerprint of `dir`'s `table` — one narrow scan and a
+    * 24-byte aggregate, never a training job. Three order-independent
+    * folds over the per-row xxhash64 of `hashCols`: row count, bit_xor,
+    * and the SUM (exact via decimal, reduced mod 2^64 on the driver).
+    * xor alone cancels on duplicate rows — two different corpora each
+    * containing a duplicated pair ({X,X,Y} vs {Z,Z,Y}) xor to the same
+    * value at equal counts — but their sums differ (2X+Y vs 2Z+Y), so
+    * a collision needs count AND xor AND sum to agree, with no
+    * key-uniqueness precondition on the fingerprinted table.
     */
   def corpusFingerprint(s: SparkSession, dir: String, table: String,
-      hashCols: Seq[String]): String = {
-    val r = Tables.load(s, dir, table)
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(hashCols.map(col): _*)).as("x"))
+      hashCols: Seq[String]): String =
+    frameFingerprint(Tables.load(s, dir, table), hashCols)
+
+  /** `corpusFingerprint` over an arbitrary frame — the incremental-
+    * maintenance face (l131) fingerprints corpus SLICES (base vs
+    * base+delta), which are frames, not stored tables.
+    */
+  def frameFingerprint(df: DataFrame, hashCols: Seq[String]): String = {
+    val h = xxhash64(hashCols.map(col): _*)
+    val r = df.agg(count(lit(1)).as("n"),
+        bit_xor(h).as("x"),
+        sum(h.cast("decimal(38,0)")).as("s"))
       .head()
     val x = if (r.isNullAt(1)) 0L else r.getLong(1)
-    s"n${r.getLong(0)}_x${java.lang.Long.toHexString(x)}"
+    val sm = if (r.isNullAt(2)) java.math.BigInteger.ZERO
+      else r.getDecimal(2).toBigInteger
+        .mod(java.math.BigInteger.ONE.shiftLeft(64))
+    s"n${r.getLong(0)}_x${java.lang.Long.toHexString(x)}" +
+      s"_s${sm.toString(16)}"
   }
 
   private def tableName(family: String, fp: String, part: String) =
@@ -77,15 +143,138 @@ object DurableStore {
   def registeredName(family: String, fp: String, part: String): String =
     tableName(family, fp, part)
 
-  private def markerFile(s: SparkSession, family: String,
-      fp: String): java.io.File =
-    new java.io.File(s"${root(s)}/$family/$fp/_GRAFT_STORE_COMPLETE")
+  private def markerPath(base: Path): Path = new Path(base, Marker)
 
   /** True iff the family's durable layout for `fp` is complete on disk
     * (i.e. `loadOrBuild` would reload instead of building).
     */
-  def isBuilt(s: SparkSession, family: String, fp: String): Boolean =
-    markerFile(s, family, fp).isFile
+  def isBuilt(s: SparkSession, family: String, fp: String): Boolean = {
+    val base = basePath(s, family, fp)
+    fsOf(s, base).exists(markerPath(base))
+  }
+
+  /** The part-prefix dir the marker names (`.` = the base dir itself). */
+  private def partPrefix(s: SparkSession, base: Path): String = {
+    val f = fsOf(s, base)
+    val in = f.open(markerPath(base))
+    try {
+      val buf = new Array[Byte](4096) // markers are a few dozen bytes
+      val n = math.max(in.read(buf), 0)
+      val line = new String(buf, 0, n,
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator
+        .toSeq.headOption.getOrElse(".")
+      if (line.startsWith("attempt_")) line else "."
+    } finally in.close()
+  }
+
+  /** Resolved location of a published part's parquet dir. */
+  def partLocation(s: SparkSession, family: String, fp: String,
+      part: String): String = {
+    val base = basePath(s, family, fp)
+    val pfx = partPrefix(s, base)
+    val dir = if (pfx == ".") base else new Path(base, pfx)
+    new Path(dir, part).toString
+  }
+
+  /** Write every part's files under `dir` (bucketBy requires
+    * saveAsTable, so each part goes through a throwaway staging table
+    * whose metadata is dropped immediately — only the files matter).
+    */
+  private def writeParts(s: SparkSession, family: String, fp: String,
+      parts: Seq[Part], built: Map[String, DataFrame],
+      dir: Path): Unit =
+    parts.foreach { p =>
+      val st = s"${tableName(family, fp, p.name)}_stage"
+      s.sql(s"DROP TABLE IF EXISTS $st")
+      val w = built(p.name).write.mode("overwrite")
+        .option("path", new Path(dir, p.name).toString)
+      p.bucket.fold(w)(k => w.bucketBy(Buckets, k)).saveAsTable(st)
+      s.sql(s"DROP TABLE IF EXISTS $st")
+    }
+
+  private def newSuffix(fp: String) =
+    s"${fp}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** RENAME protocol: stage dir (marker last, inside), one atomic
+    * directory rename to publish.
+    */
+  private def publishByRename(s: SparkSession, family: String,
+      fp: String, parts: Seq[Part])(build: => Map[String, DataFrame])
+      : Unit = {
+    val base = basePath(s, family, fp)
+    val f = fsOf(s, base)
+    f.mkdirs(base.getParent)
+    // a marker-less base dir is an unpublished leftover (a crash under
+    // an older layout, or manual tampering): move it ASIDE atomically
+    // and delete the moved dir — never delete in place. If the moved
+    // dir carries a marker after all (a concurrent JVM published
+    // between our check and the move), move it straight back: a
+    // published layout is never destroyed.
+    if (f.exists(base) && !f.exists(markerPath(base))) {
+      val aside = new Path(base.getParent, s".aside_${newSuffix(fp)}")
+      if (f.rename(base, aside)) {
+        if (f.exists(new Path(aside, Marker))) {
+          // ours was the displaced winner; if yet another builder
+          // published meanwhile, the displaced copy is a duplicate
+          if (!f.rename(aside, base)) f.delete(aside, true)
+        } else f.delete(aside, true)
+      }
+      // rename false: base vanished or a winner published under it —
+      // the re-check below serves whatever is there now
+    }
+    if (!f.exists(markerPath(base))) {
+      val stage = new Path(base.getParent, s".stage_${newSuffix(fp)}")
+      val built = build
+      try {
+        writeParts(s, family, fp, parts, built, stage)
+        val out = f.create(new Path(stage, Marker), true)
+        try out.write(
+          ".".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!f.rename(stage, base)) {
+          // a concurrent builder published first — serve its bytes
+          require(f.exists(markerPath(base)),
+            s"durable publish rename failed with no winner: $base")
+          f.delete(stage, true)
+        }
+      } finally {
+        if (f.exists(stage) && !f.exists(markerPath(base)))
+          f.delete(stage, true)
+      }
+    }
+  }
+
+  /** MARKER protocol: unique attempt prefix inside the final base dir,
+    * publish = one create-if-absent of the marker naming the attempt.
+    */
+  private def publishByMarker(s: SparkSession, family: String,
+      fp: String, parts: Seq[Part])(build: => Map[String, DataFrame])
+      : Unit = {
+    val base = basePath(s, family, fp)
+    val f = fsOf(s, base)
+    val attempt = s"attempt_${newSuffix(fp)}"
+    val built = build
+    val dir = new Path(base, attempt)
+    try {
+      writeParts(s, family, fp, parts, built, dir)
+      val won =
+        try {
+          // overwrite=false: atomic create-if-absent — the ENTIRE race
+          val out = f.create(markerPath(base), false)
+          try out.write(
+            attempt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: java.io.IOException if f.exists(markerPath(base)) =>
+            false // a concurrent builder published first
+        }
+      if (!won) f.delete(dir, true)
+    } finally {
+      if (f.exists(dir) && !f.exists(markerPath(base)))
+        f.delete(dir, true)
+    }
+  }
 
   /** Serve the family's tables from the durable layout, building it
     * first only if the completion marker is absent. The build body
@@ -96,52 +285,18 @@ object DurableStore {
   def loadOrBuild(s: SparkSession, family: String, fp: String,
       parts: Seq[Part])(build: => Map[String, DataFrame])
       : Map[String, DataFrame] = synchronized {
-    val base = new java.io.File(s"${root(s)}/$family/$fp")
     if (!isBuilt(s, family, fp)) StoreBuildLedger.timed(s"durable_$family") {
-      // stage into a private dir (bucketBy requires saveAsTable, so
-      // each part is written through a throwaway staging table whose
-      // metadata is dropped immediately — only the files matter),
-      // marker last, then publish with ONE atomic rename
-      val stage = new java.io.File(base.getParentFile,
-        s".stage_${fp}_${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.createDirectories(base.getParentFile.toPath)
-      // a marker-less base dir is an unpublished leftover (a crash
-      // between the old scheme's writes, or manual tampering): it was
-      // never served, so clear it for the atomic rename
-      if (base.exists())
-        graft.pipeline.SinkFiles.deleteRecursive(base.toString)
-      val built = build
-      try {
-        parts.foreach { p =>
-          val st = s"${tableName(family, fp, p.name)}_stage"
-          s.sql(s"DROP TABLE IF EXISTS $st")
-          val w = built(p.name).write.mode("overwrite")
-            .option("path", new java.io.File(stage, p.name).toString)
-          p.bucket.fold(w)(k => w.bucketBy(Buckets, k)).saveAsTable(st)
-          s.sql(s"DROP TABLE IF EXISTS $st")
-        }
-        java.nio.file.Files.write(
-          new java.io.File(stage, "_GRAFT_STORE_COMPLETE").toPath,
-          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        try java.nio.file.Files.move(stage.toPath, base.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException
-              if isBuilt(s, family, fp) =>
-            // a concurrent builder published first — serve its bytes
-            graft.pipeline.SinkFiles.deleteRecursive(stage.toString)
-        }
-      } finally {
-        if (stage.exists() && !isBuilt(s, family, fp))
-          graft.pipeline.SinkFiles.deleteRecursive(stage.toString)
-      }
+      if (commitMode(s) == "marker")
+        publishByMarker(s, family, fp, parts)(build)
+      else
+        publishByRename(s, family, fp, parts)(build)
       require(isBuilt(s, family, fp),
         s"durable publish failed for $family/$fp")
     }
     parts.map { p =>
       val t = tableName(family, fp, p.name)
       if (!s.catalog.tableExists(t))
-        register(s, t, new java.io.File(base, p.name).toString, p.bucket)
+        register(s, t, partLocation(s, family, fp, p.name), p.bucket)
       p.name -> s.table(t)
     }.toMap
   }

@@ -307,9 +307,14 @@ object Opq {
     // zip_with pads the shorter side with nulls, so a dimension
     // mismatch would silently yield null-filled vectors — fail loudly
     // instead (the decode tiers' container-lies discipline). A NULL
-    // embedding stays NULL (the pre-guard behavior): only a PRESENT
-    // vector of the wrong width is a hard error, and the message
-    // coalesces the width so raise_error never throws a null message.
+    // embedding maps to a NULL ARRAY — a deliberate semantics change
+    // from the unguarded expression, which produced an array of NULL
+    // floats (zip_with over a null side): no fixture or registered
+    // consumer feeds NULL embeddings, and NULL-in/NULL-out is the
+    // convention every other embedding expression here follows. Only a
+    // PRESENT vector of the wrong width is a hard error, and the
+    // message coalesces the width so raise_error never throws a null
+    // message.
     val rotated = transform(typedLit(rotation.map(_.toSeq).toSeq), row =>
       aggregate(zip_with(emb, row, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, t) => acc + t).cast("float"))

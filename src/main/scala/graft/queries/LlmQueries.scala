@@ -4463,8 +4463,12 @@ object LlmQueries {
         // (a) first touch builds the layout iff NO application ever saw
         // this corpus; otherwise this is already a durable reload
         st.durableBigram(s, dir, fp)
-        // (b) fresh-application simulation
-        st.evictAll()
+        // (b) fresh-application simulation — the BIGRAM cache only:
+        // that is the artifact the durable layout holds; the derived
+        // backoff/KN caches were built from still-valid checkpointed
+        // frames and clearing them would only make sibling queries
+        // re-pay derived builds (ledger noise), proving nothing
+        st.evictBigram()
         ds.dropRegistered(s, st.DurableFamily, fp, st.DurableParts)
         // (c) the reload must be build-free and training-free
         val before = ds.buildSeconds(st.DurableFamily)
@@ -4473,19 +4477,33 @@ object LlmQueries {
         // re-seed the shared cache with the reloaded tables so sibling
         // LM queries serve the durable store instead of retraining
         st.seedBigram(s, dir, served)
+        def trainAggs(df: org.apache.spark.sql.DataFrame): Set[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              a.aggregateExpressions.map(_.name)
+          }.flatten.toSet.intersect(Set("pair_c", "ctx_c", "v"))
         val scored = NgramLm.surprisalBits(
           Tables.load(s, dir, "documents"), "doc_id", "text", served, 2)
-        val aggs = scored.queryExecution.optimizedPlan.collect {
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-            a.aggregateExpressions.map(_.name)
-        }.flatten.toSet
-        val planClean = !aggs.exists(Set("pair_c", "ctx_c", "v"))
+        val planClean = trainAggs(scored).isEmpty
+        // POSITIVE CONTROL for the name-anchored probe: the same probe
+        // over a TRAIN-INLINE plan (lazy aggregates, never executed —
+        // optimizedPlan triggers analysis only, zero jobs) MUST trip,
+        // so a rename of the training columns cannot make the serve
+        // gate silently vacuous
+        val inline = NgramLm.trainBigram(
+          Tables.load(s, dir, "documents").where(col("doc_id") % 7 === 0),
+          "text", 2)
+        val probeArmed = trainAggs(NgramLm.surprisalBits(
+          Tables.load(s, dir, "documents"), "doc_id", "text", inline, 2))
+          .nonEmpty
         cardOf(scored)
           .withColumn("reload_build_free_ok", lit(buildFree))
           .withColumn("serve_plan_clean_ok", lit(planClean))
+          .withColumn("probe_armed_ok", lit(probeArmed))
       },
       gatedOracle("l83_lm_perplexity",
-        Seq("reload_build_free_ok", "serve_plan_clean_ok"))),
+        Seq("reload_build_free_ok", "serve_plan_clean_ok",
+          "probe_armed_ok"))),
 
     QuerySpec(
       "l123_ann_durable_serve",
@@ -4495,7 +4513,12 @@ object LlmQueries {
         val ds = graft.operators.DurableStore
         val fp = st.corpusFp(s, dir)
         st.durableIndex(s, dir, fp)
-        st.evictAll()
+        // evict the INDEX cache only — the durable layout's artifact;
+        // the serve-meta cache derives from still-valid checkpointed
+        // frames and clearing it would just make t22 re-collect (the
+        // full fresh-boot shape is t50's contract, which pays its own
+        // boot)
+        st.evictIndex()
         ds.dropRegistered(s, st.DurableFamily, fp, st.DurableParts)
         val before = ds.buildSeconds(st.DurableFamily)
         val idx = st.durableIndex(s, dir, fp)

@@ -143,6 +143,94 @@ class DurableStoreSpec extends SparkSpec {
     assert(sortedRows(lob()("t")) === rows && builds === 1)
   }
 
+  test("MARKER commit mode (object-store-safe): parts under a unique " +
+      "attempt prefix, publish = create-if-absent marker, reload is " +
+      "zero-build with identical rows") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.store.commit", "marker")
+    try {
+      var builds = 0
+      val parts = Seq(DurableStore.Part("t", Some("k")))
+      def lob() = DurableStore.loadOrBuild(spark, "spec_marker", "fp0",
+        parts) {
+        builds += 1
+        Map("t" -> (0 until 64).map(i => (i % 8, i.toLong))
+          .toDF("k", "v"))
+      }
+      val first = sortedRows(lob()("t"))
+      assert(builds === 1)
+      // marker names the winning attempt; part files live UNDER it
+      val base = new java.io.File(s"$storeRoot/spec_marker/fp0")
+      val marker = new java.io.File(base, "_GRAFT_STORE_COMPLETE")
+      assert(marker.isFile)
+      val attempt = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.next()
+      assert(attempt.startsWith("attempt_"), s"marker content: $attempt")
+      assert(new java.io.File(new java.io.File(base, attempt), "t")
+        .isDirectory, "parts must live under the marker's attempt dir")
+      // reload path: zero build seconds, identical rows, bucket spec
+      DurableStore.dropRegistered(spark, "spec_marker", "fp0", parts)
+      val d = delta("spec_marker") {
+        val t = lob()("t")
+        assert(sortedRows(t) === first)
+        val agg = t.groupBy(col("k")).agg(sum(col("v")).as("s"))
+        agg.collect()
+        assert(!agg.queryExecution.executedPlan.toString
+          .contains("Exchange"),
+          "marker-mode reload lost the bucket spec")
+      }
+      assert(builds === 1, "marker-mode reload must not rebuild")
+      assert(d === 0.0, s"marker-mode reload accrued build seconds: $d")
+    } finally spark.conf.unset("spark.graft.store.commit")
+  }
+
+  for (mode <- Seq("rename", "marker"))
+    test(s"$mode mode: a concurrent builder losing the publish race " +
+        "discards its bytes and serves the winner's") {
+      import spark.implicits._
+      spark.conf.set("spark.graft.store.commit", mode)
+      try {
+        val parts = Seq(DurableStore.Part("t", None))
+        val fam = s"spec_race_$mode"
+        // the build body simulates a concurrent JVM publishing FIRST:
+        // a nested loadOrBuild (same family/fp) runs the full publish
+        // protocol before the outer builder's own parts are written —
+        // the outer builder must then lose the race and serve the
+        // winner's bytes, not its own
+        val served = DurableStore.loadOrBuild(spark, fam, "fp0", parts) {
+          DurableStore.loadOrBuild(spark, fam, "fp0", parts) {
+            Map("t" -> Seq((1, "winner")).toDF("k", "who"))
+          }
+          Map("t" -> Seq((1, "loser")).toDF("k", "who"))
+        }
+        val rows = served("t").collect()
+        assert(rows.length === 1 && rows.head.getString(1) === "winner",
+          s"loser's bytes were served: ${rows.mkString}")
+        // and no stray attempt/staging dirs survive next to the layout
+        val leftovers = Option(new java.io.File(s"$storeRoot/$fam")
+            .listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith(".stage_") ||
+            f.getName.startsWith(".aside_"))
+        assert(leftovers.isEmpty,
+          s"unreclaimed staging dirs: ${leftovers.mkString(",")}")
+      } finally spark.conf.unset("spark.graft.store.commit")
+    }
+
+  test("fingerprint sum-fold: corpora that xor-cancel to the same " +
+      "value (duplicated-row pairs) still get distinct fingerprints") {
+    import spark.implicits._
+    // {X, X, Y} vs {Z, Z, Y}: equal counts, xor both reduce to H(Y)
+    val a = Seq("X", "X", "Y").toDF("text")
+    val b = Seq("Z", "Z", "Y").toDF("text")
+    val fa = DurableStore.frameFingerprint(a, Seq("text"))
+    val fb = DurableStore.frameFingerprint(b, Seq("text"))
+    assert(fa.split("_")(1) === fb.split("_")(1),
+      "fixture no longer xor-cancels — the test is vacuous")
+    assert(fa !== fb,
+      "sum fold failed to separate xor-cancelling corpora")
+  }
+
   test("re-registered bucketed part keeps its bucket spec: groupBy on " +
       "the bucket key plans without a shuffle exchange") {
     import spark.implicits._
