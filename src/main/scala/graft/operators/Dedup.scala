@@ -849,6 +849,17 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    rebuildWithoutCover(toks, cov)
+  }
+
+  /** The scrub family's shared rebuild: drop every token whose index
+    * is in the doc's covered-position set, re-join survivors in order
+    * — one per-row indexed filter, no window, no sort. `cov` is
+    * (doc_id, cov: array<int>); docs without a cov row keep all
+    * tokens.
+    */
+  private def rebuildWithoutCover(toks: DataFrame,
+      cov: DataFrame): DataFrame =
     toks.join(cov, Seq("doc_id"), "left")
       .withColumn("kept",
         filter(col("t"), (_, idx) => !array_contains(
@@ -856,7 +867,6 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", col("kept")).as("clean_text"),
         (size(col("t")) - size(col("kept"))).as("n_removed"))
-  }
 
   /** Repeated-passage removal with KEEP-ONE semantics — the
     * substring-dedup line's canonical form (remove every occurrence of
@@ -884,6 +894,56 @@ object Dedup {
       occ.withColumn("rn", row_number().over(
           Window.partitionBy(col("g")).orderBy(col("doc_id"), col("i"))))
         .where(col("rn") > 1))
+  }
+
+  /** SPAN-granularity keep-one removal — the published ExactSubstr
+    * REMOVAL semantics (the deduplicating-training-data line removes
+    * each duplicated substring of >= threshold length, keeping one
+    * copy): `scrubDupKeepOne` picks canonicals per fixed k-gram, this
+    * picks them per MAXIMAL duplicated span, so a 40-token shared
+    * passage is one keep-one decision, not 35 independent 6-gram
+    * decisions whose canonicals can scatter across documents. `spans`
+    * is a `maximalDupSpans` frame (doc_id, i, span — one row per
+    * duplicated START with its maximal hot extent); per distinct
+    * maximal-span TEXT the (doc_id, position)-minimal occurrence is
+    * canonical and survives, every other occurrence's cover [i, i+span)
+    * drops, survivors re-join in order. Overlap caveat, by design and
+    * shared with the whole scrub family: a token kept by one span's
+    * canonical occurrence but covered by ANOTHER span's non-canonical
+    * occurrence still drops (coverage semantics) — sub-spans of a
+    * duplicated run start their own rows, so inside the minimal
+    * (doc_id, i) document the whole run survives (all its sub-spans
+    * rank first), while later documents lose their full cover.
+    *
+    * Shape: the spans frame is the durable DupSpanStore artifact, so
+    * the removal pass is a JOIN against a standing table, never a
+    * ladder rebuild; the canonical pick is ONE row_number window
+    * partitioned by the span text (per-group rows = that span's
+    * occurrence list — duplicated mass, the quantity being removed);
+    * covers collapse per doc; the rebuild is the shared per-row
+    * indexed filter. Span text rides the window shuffle only for
+    * duplicated-start rows — volume proportional to duplicated mass,
+    * not the corpus; at production scale the text key can be swapped
+    * for the ladder's (rank, span) pair, which identifies the gram
+    * exactly (the l124 adjacent-concatenation identity).
+    */
+  def scrubSpansKeepOne(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), " ").as("t"))
+    val occ = spans.join(toks, "doc_id")
+      .select(col("doc_id"), col("i"), col("span"),
+        concat_ws(" ", slice(col("t"), (col("i") + 1).cast("int"),
+          col("span").cast("int"))).as("g"))
+    val cov = occ.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("doc_id"), col("i"))))
+      .where(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("i").cast("int"),
+          (col("i") + col("span") - 1).cast("int"))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    rebuildWithoutCover(toks, cov)
   }
 
   /** 64-bit SimHash over distinct word k-shingles: per bit, sum +-1

@@ -951,6 +951,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("scrubSpansKeepOne: clamping the spans to k reproduces " +
+      "scrubDupKeepOne exactly (the gram-granularity degenerate case)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val spans = Dedup.maximalDupSpans(docs, "doc_id", "text",
+      minLen = 6, minDocs = 2)
+    // maximal spans clamped to exactly k: every duplicated start with
+    // its first k-gram — the occurrence set scrubDupKeepOne ranks
+    val clamped = spans.select(col("doc_id"), col("i"),
+      lit(6L).as("span"))
+    val bySpans = Dedup.scrubSpansKeepOne(docs, "doc_id", "text", clamped)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    val byGrams = Dedup.scrubDupKeepOne(docs, "doc_id", "text", 6, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(bySpans === byGrams,
+      "clamped span scrub diverged from the gram scrub")
+  }
+
+  test("scrubSpansKeepOne: one long shared passage is ONE keep-one " +
+      "decision — the canonical document keeps the whole run, the " +
+      "others lose their full cover") {
+    import spark.implicits._
+    // a 10-token run shared by three docs; at gram granularity this is
+    // five 6-gram decisions, at span granularity exactly one
+    val run = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, s"$run tail1 one"),
+      (2L, s"head2 $run"),
+      (3L, s"pre post $run"),
+      (4L, "unrelated filler words entirely distinct here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.maximalDupSpans(docs, "doc_id", "text",
+      minLen = 6, minDocs = 2)
+    val got = Dedup.scrubSpansKeepOne(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getInt(2)))).toMap
+    // doc 1 holds the (doc_id, i)-minimal occurrence of every sub-span
+    // of the run: it keeps everything
+    assert(got(1L) === ((s"$run tail1 one", 0)))
+    // docs 2 and 3 lose the full 10-token cover, keeping their heads
+    assert(got(2L) === (("head2", 10)))
+    assert(got(3L) === (("pre post", 10)))
+    assert(got(4L)._2 === 0)
+  }
+
   test("property: maximalDupSpans equals a plain-Scala suffix-LCP " +
       "reference on arbitrary corpora") {
     import spark.implicits._
