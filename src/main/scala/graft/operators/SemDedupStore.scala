@@ -4,30 +4,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 
-/** Application-scoped cache of the embedding-dedup family's shared
-  * builds — the AnnIndexStore/NbModelStore/MixtureModelStore
-  * standing-artifact discipline applied to the SemDeDup stack: the
-  * exact cosine pair set at the canonical 0.4 threshold (l05's output,
-  * and the gate baseline of l30/l61/l62/l99) and the semantic pair set
-  * + its connected-component labels (l61/l62/l99) are each computed
-  * ONCE per application instead of five queries rebuilding identical
-  * frames. In a production pipeline these ARE standing tables — the
-  * dedup ledger written by the corpus build and read by every
-  * downstream curation job.
+/** Standing store of the embedding-dedup family's shared builds — the
+  * AnnIndexStore/NgramModelStore discipline applied to the SemDeDup
+  * stack, now DURABLE: the semantic pair set and its connected-
+  * component labels (l41/l61/l62/l99's inputs) live in the
+  * DurableStore layout keyed by the embeddings content fingerprint,
+  * so they are computed ONCE PER CORPUS LIFETIME — every later
+  * application (and every later round of the harness) reloads the
+  * persisted tables and pays only the per-application checkpoint. In
+  * a production pipeline these ARE standing tables: the dedup ledger
+  * written by the corpus build and read by every downstream curation
+  * job.
+  *
+  * The exact all-pairs cosine set at the canonical threshold stays
+  * IN-MEMORY by design: it is the O(n^2) GATE TWIN the approximate
+  * side is measured against (l05's output, the recall baselines of
+  * l30/l61/l62/l99), never a production artifact — persisting the
+  * baseline a gate re-derives would let a stale ledger mask a broken
+  * scale path.
+  *
+  * Durability also pins the clustering draw: semanticDedupPairs'
+  * centroid means are shuffled doubles, so two applications could
+  * compute two (both recall-valid) pair sets — the persisted build is
+  * one fixed draw every consumer shares, which is strictly MORE
+  * deterministic than the per-application rebuild it replaces.
   *
   * Canonical registry parameterization (hardcoded so consumers cannot
   * silently desync): the `embeddings` table's vec_id/embedding columns,
   * cosine threshold 0.4, 8 clusters x 1 Lloyd round x 3 probes.
-  *
-  * The exact pair computation is per-row deterministic (sequential-fold
-  * cosine, no shuffled aggregation), so l05's hash-checked output is
-  * unchanged by the reuse; the semantic side is recall-gated by
-  * contract (centroid training means are shuffled doubles).
   */
 object SemDedupStore {
 
   /** Canonical cosine threshold of the dedup family. */
   val Threshold = 0.4
+
+  /** Durable layout: pairs bucketed on a_id, labels on doc_id (the
+    * consumers' join keys).
+    */
+  val DurableFamily = "semdedup"
+  val DurableParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("pairs", Some("a_id")),
+    DurableStore.Part("labels", Some("doc_id")))
+
+  def corpusFp(s: SparkSession, dir: String): String =
+    DurableStore.corpusFingerprint(s, dir, "embeddings",
+      Seq("vec_id", "embedding"))
 
   private final case class Key(appId: String, dir: String)
 
@@ -47,7 +68,9 @@ object SemDedupStore {
     key
   }
 
-  /** The exact all-pairs cosine set at the canonical threshold. */
+  /** The exact all-pairs cosine set at the canonical threshold —
+    * gate-only twin, app-scoped in-memory by design (see object doc).
+    */
   def sharedExactPairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
       exactCache.getOrElseUpdate(keyFor(s, dir), StoreBuildLedger.timed("semdedup_exact") {
@@ -57,30 +80,65 @@ object SemDedupStore {
       })
     }
 
+  /** Load-or-build the durable semantic tables (both parts build
+    * together — labels derive from the pair frame). Returns the RAW
+    * registered tables so serve-plan probes (l130) can see the catalog
+    * leaves before any checkpoint hides them. A genuine build accrues
+    * only under loadOrBuild's `durable_semdedup` ledger key.
+    */
+  def durableSem(s: SparkSession, dir: String,
+      fp: String): Map[String, DataFrame] =
+    DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
+      val e = Tables.load(s, dir, "embeddings")
+      // checkpoint the pair frame so the labels' component rounds and
+      // the pairs part-write share ONE evaluation of the cluster join
+      val p = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
+          Threshold, nClusters = 8, trainIters = 1, probes = 3)
+        .localCheckpoint(eager = true)
+      Map("pairs" -> p, "labels" -> Dedup.components(p))
+    }
+
   /** The cluster-bounded semantic pair set (SemDeDup candidates,
-    * exact-verified).
+    * exact-verified). Miss path = durable reload; the `semdedup_pairs`
+    * ledger key times the per-application checkpoint alone.
     */
   def sharedSemPairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      semPairsCache.getOrElseUpdate(keyFor(s, dir), StoreBuildLedger.timed("semdedup_pairs") {
-        val e = Tables.load(s, dir, "embeddings")
-        Similarity.semanticDedupPairs(e, "vec_id", "embedding", Threshold,
-            nClusters = 8, trainIters = 1, probes = 3)
-          .localCheckpoint(eager = true)
+      val key = keyFor(s, dir)
+      semPairsCache.getOrElseUpdate(key, {
+        val t = durableSem(s, dir, corpusFp(s, dir))("pairs")
+        StoreBuildLedger.timed("semdedup_pairs") {
+          t.localCheckpoint(eager = true)
+        }
       })
     }
 
   /** Connected-component labels over the shared semantic pairs —
-    * (doc_id, cluster_id), the keeper/dropped ledger.
+    * (doc_id, cluster_id), the keeper/dropped ledger. Same durable
+    * miss path as the pairs.
     */
   def sharedSemLabels(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      // resolve the pair store outside the timed body (its build
-      // seconds belong to semdedup_pairs' ledger key)
-      val pairs = sharedSemPairs(s, dir)
-      semLblCache.getOrElseUpdate(keyFor(s, dir),
+      val key = keyFor(s, dir)
+      semLblCache.getOrElseUpdate(key, {
+        val t = durableSem(s, dir, corpusFp(s, dir))("labels")
         StoreBuildLedger.timed("semdedup_labels") {
-          Dedup.components(pairs).localCheckpoint(eager = true)
-        })
+          t.localCheckpoint(eager = true)
+        }
+      })
     }
+
+  /** Drop the SEMANTIC caches (the artifacts the durable layout
+    * holds) — the fresh-application simulation of the l130 gate. The
+    * exact-pair twin survives: it is gate-only machinery, not part of
+    * the durable contract being proven.
+    */
+  def evictSem(): Unit = synchronized {
+    semPairsCache.clear(); semLblCache.clear()
+  }
+
+  /** Drop every in-memory artifact (spec-side full reset). */
+  def evictAll(): Unit = synchronized {
+    exactCache.clear(); semPairsCache.clear(); semLblCache.clear()
+  }
 }

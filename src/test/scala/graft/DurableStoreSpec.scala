@@ -349,6 +349,32 @@ class DurableStoreSpec extends SparkSpec {
     assert(dd === 0.0, s"dict reload accrued build seconds: $dd")
   }
 
+  test("semdedup family: durable reload is zero-build with identical " +
+      "pair and label tables; the exact twin stays in-memory") {
+    import graft.operators.SemDedupStore
+    val fp = SemDedupStore.corpusFp(spark, fixtureDir)
+    val t1 = SemDedupStore.durableSem(spark, fixtureDir, fp)
+    val (p1, l1) = (sortedRows(t1("pairs")), sortedRows(t1("labels")))
+    assert(l1.nonEmpty, "fixture produced no semantic components")
+    SemDedupStore.evictSem()
+    DurableStore.dropRegistered(spark, SemDedupStore.DurableFamily, fp,
+      SemDedupStore.DurableParts)
+    val d = delta(SemDedupStore.DurableFamily) {
+      val t2 = SemDedupStore.durableSem(spark, fixtureDir, fp)
+      assert(sortedRows(t2("pairs")) === p1)
+      assert(sortedRows(t2("labels")) === l1)
+      // the shared-store miss path serves the same durable rows
+      assert(sortedRows(
+        SemDedupStore.sharedSemPairs(spark, fixtureDir)) === p1)
+      assert(sortedRows(
+        SemDedupStore.sharedSemLabels(spark, fixtureDir)) === l1)
+    }
+    assert(d === 0.0, s"semdedup reload accrued build seconds: $d")
+    // no durable family ever registers the exact twin (gate-only)
+    assert(!spark.catalog.tableExists(DurableStore.registeredName(
+      SemDedupStore.DurableFamily, fp, "exact")))
+  }
+
   test("LM family: the l122 evict-reload shape serves identical count " +
       "tables") {
     val fp = NgramModelStore.corpusFp(spark, fixtureDir)

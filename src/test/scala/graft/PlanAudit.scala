@@ -92,7 +92,11 @@ object PlanAudit {
     // the two rotation arms' ONE-ROW agreement-hit frames crossJoined
     // into the gate row (pure scalar attach; the per-arm machinery is
     // l106's candidate/ivf/pq shape)
-    "l112_opq_refine")
+    "l112_opq_refine",
+    // composes l61's + l62's cards over the durable reload: the exact
+    // all-pairs gate twin (their base side) plus the two ONE-ROW cards
+    // crossJoined into the gate row (the l112 scalar-attach shape)
+    "l130_semdedup_durable_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
