@@ -109,6 +109,63 @@ object AnnIndexStore {
       t("codes"), t("norms"))
   }
 
+  /** The INCREMENTAL durable lineage — a separate family from
+    * `ann_index` because the two hold DIFFERENT artifacts for the same
+    * corpus fingerprint: `ann_index/<fp>` is the retrain lineage
+    * (centroids/codebook trained on exactly that corpus, l72/l123's
+    * contract), `ann_index_inc/<fp>` is the frozen-model lineage (the
+    * base build's centroids/codebook carried forward, lists/codes/
+    * norms extended per append — the daily-ingest economics where only
+    * the DELTA is encoded; centroid drift is a periodic retrain, which
+    * is exactly a jump back to the other lineage).
+    */
+  val IncFamily = "ann_index_inc"
+
+  private def asParts(idx: Similarity.AnnIndex)
+      : Map[String, org.apache.spark.sql.DataFrame] =
+    Map("cent" -> idx.centroids, "lists" -> idx.lists,
+      "codebook" -> idx.codebook, "codes" -> idx.codes,
+      "norms" -> idx.norms)
+
+  private def asIndex(t: Map[String, org.apache.spark.sql.DataFrame])
+      : Similarity.AnnIndex =
+    Similarity.AnnIndex(t("cent"), t("lists"), t("codebook"),
+      t("codes"), t("norms"))
+
+  /** Load-or-build the incremental lineage's BASE layout: a one-time
+    * training build over the base corpus (fingerprint = the base
+    * FRAME's content hash, so any base change invalidates).
+    */
+  def durableIncBase(s: SparkSession,
+      base: org.apache.spark.sql.DataFrame, baseFp: String,
+      idCol: String, embCol: String): Similarity.AnnIndex =
+    asIndex(DurableStore.loadOrBuild(s, IncFamily, baseFp,
+      DurableParts) {
+      val idx = Similarity.buildAnnIndex(base, idCol, embCol,
+        DefaultNCentroids, DefaultTrainIters, DefaultM, DefaultNCodes,
+        DefaultPqTrainIters)
+      asParts(idx)
+    })
+
+  /** Extend a published incremental layout to an appended corpus and
+    * republish under the new fingerprint — the l82 maintenance
+    * discipline lifted to the durable tier: the delta is assigned +
+    * PQ-encoded against the FROZEN centroids/codebook (per-row
+    * functions, zero Lloyd machinery) and appended to the persisted
+    * lists/codes/norms; only the DELTA pays encode work, the standing
+    * rows are re-published from the already-persisted tables. If the
+    * new fingerprint is already built this is a pure reload (a re-run
+    * day costs zero jobs — gated in l131).
+    */
+  def durableUpdateTo(s: SparkSession, baseIdx: Similarity.AnnIndex,
+      newFp: String, delta: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String): Similarity.AnnIndex =
+    asIndex(DurableStore.loadOrBuild(s, IncFamily, newFp,
+      DurableParts) {
+      asParts(Similarity.updateAnnIndex(baseIdx, delta, idCol, embCol,
+        m = DefaultM))
+    })
+
   /** Drop every in-memory artifact (the fresh-application simulation
     * of the durable-reload gates, spec-side / cold-boot t50 where the
     * query pays its own boot).

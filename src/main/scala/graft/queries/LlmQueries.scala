@@ -4680,7 +4680,73 @@ object LlmQueries {
                |$b
                |) b""".stripMargin)
           case _ => None
-        })
+        }),
+
+    QuerySpec(
+      "l131_ann_durable_update",
+      "INCREMENTAL durable-store maintenance — the daily-append economics the fingerprint-keyed layout alone cannot give (any corpus append changes the fingerprint, and a full re-pay of the build would make the durable tier useless for growing corpora): the ann_index_inc lineage holds the FROZEN-model line — a one-time training build over the base corpus (fingerprint = the base frame's content hash), then each append is assigned + PQ-encoded against the frozen centroids/codebook (per-row functions, zero Lloyd machinery — l82's update face) and REPUBLISHED under the new fingerprint, so only the delta pays encode work and the result is itself a first-class durable layout (a separate family from ann_index because the same corpus fingerprint holds different artifacts per lineage: frozen-model here, retrained there — centroid drift is a periodic jump back to the retrain lineage). Gates, in-query and hash-enforced: (1) the RELOADED updated tables are multiset-equal (all columns + per-row count, l82's discipline — duplicate-multiplicity differences fail) to a frozen-artifact rebuild over the union corpus, across lists, codes AND norms, with every old and new vector indexed; (2) dropping the registered tables and re-serving the new fingerprint accrues ZERO build seconds — the published update is durable, a re-run day costs zero jobs. Oracle = deterministic counts + literal true",
+      (s, dir) => {
+        val S = Similarity
+        val st = graft.operators.AnnIndexStore
+        val ds = graft.operators.DurableStore
+        val e = Tables.load(s, dir, "embeddings")
+        val base = e.where(col("vec_id") % 5 =!= 0)
+        val delta = e.where(col("vec_id") % 5 === 0)
+        val baseFp = ds.frameFingerprint(base, Seq("vec_id", "embedding"))
+        val newFp = ds.frameFingerprint(e, Seq("vec_id", "embedding"))
+        // the standing base layout: one-time training build per
+        // base-corpus lifetime
+        val baseIdx = st.durableIncBase(s, base, baseFp,
+          "vec_id", "embedding")
+        // the daily append: delta-only encode against the frozen
+        // artifacts, republished under the new fingerprint
+        st.durableUpdateTo(s, baseIdx, newFp, delta,
+          "vec_id", "embedding")
+        // gate 2 first (it re-registers the tables gate 1 compares):
+        // the published update is itself durable — drop + re-serve
+        // pays zero build seconds
+        ds.dropRegistered(s, st.IncFamily, newFp, st.DurableParts)
+        val before = ds.buildSeconds(st.IncFamily)
+        val reloaded = st.durableUpdateTo(s, baseIdx, newFp, delta,
+          "vec_id", "embedding")
+        val buildFree = ds.buildSeconds(st.IncFamily) == before
+        // gate 1: the RELOADED tables multiset-equal a frozen-artifact
+        // rebuild over the union (per-row determinism, l82's compare:
+        // groupBy-all + count per side, full-outer on columns AND
+        // count so multiplicity differences fail too)
+        val (lR, cR, nR) = S.assignEncode(baseIdx.centroids,
+          baseIdx.codebook, e, "vec_id", "embedding", m = 16)
+        def mismatches(u: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame, name: String) = {
+          val ks = u.columns.toSeq
+          def counted(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
+          counted(u).withColumn("__u", lit(1))
+            .join(counted(r).withColumn("__r", lit(1)),
+              ks :+ "__n", "full_outer")
+            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
+              .as(name))
+        }
+        e.agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_base"),
+            count(when(col("vec_id") % 5 === 0, 1)).as("n_added"))
+          .crossJoin(broadcast(
+            reloaded.lists.agg(count(lit(1)).as("n_indexed"))))
+          .crossJoin(broadcast(mismatches(reloaded.lists, lR, "__ml")))
+          .crossJoin(broadcast(mismatches(reloaded.codes, cR, "__mc")))
+          .crossJoin(broadcast(mismatches(reloaded.norms, nR, "__mn")))
+          .select(col("n_base"), col("n_added"), col("n_indexed"),
+            (col("__ml") === 0 && col("__mc") === 0 && col("__mn") === 0 &&
+              col("n_indexed") === col("n_base") + col("n_added"))
+              .as("update_ok"),
+            lit(buildFree).as("reload_build_free_ok"))
+      },
+      Some("""SELECT
+             |  count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_base,
+             |  count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_added,
+             |  count(*) AS n_indexed,
+             |  TRUE AS update_ok,
+             |  TRUE AS reload_build_free_ok
+             |FROM embeddings""".stripMargin))
   )
 
   val specs: Seq[QuerySpec] =

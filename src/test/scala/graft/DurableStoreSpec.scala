@@ -375,6 +375,44 @@ class DurableStoreSpec extends SparkSpec {
       SemDedupStore.DurableFamily, fp, "exact")))
   }
 
+  test("incremental ANN lineage: durableUpdateTo extends the base " +
+      "layout from the delta, equals a frozen-artifact rebuild, and " +
+      "the published update reloads zero-build") {
+    import graft.operators.{AnnIndexStore, Similarity}
+    val e = graft.Tables.load(spark, fixtureDir, "embeddings")
+    val base = e.where(col("vec_id") % 4 =!= 0)
+    val delta = e.where(col("vec_id") % 4 === 0)
+    val baseFp = DurableStore.frameFingerprint(base,
+      Seq("vec_id", "embedding"))
+    val newFp = DurableStore.frameFingerprint(e,
+      Seq("vec_id", "embedding"))
+    assert(baseFp !== newFp)
+    val baseIdx = AnnIndexStore.durableIncBase(spark, base, baseFp,
+      "vec_id", "embedding")
+    val updated = AnnIndexStore.durableUpdateTo(spark, baseIdx, newFp,
+      delta, "vec_id", "embedding")
+    // update == frozen-artifact rebuild over the union, multiset
+    val (lR, cR, nR) = Similarity.assignEncode(baseIdx.centroids,
+      baseIdx.codebook, e, "vec_id", "embedding", m = 16)
+    assert(sortedRows(updated.lists) === sortedRows(lR))
+    assert(sortedRows(updated.codes) === sortedRows(cR))
+    assert(sortedRows(updated.norms) === sortedRows(nR))
+    // the published update is durable: drop + re-serve is zero-build
+    val rows = sortedRows(updated.lists)
+    DurableStore.dropRegistered(spark, AnnIndexStore.IncFamily, newFp,
+      AnnIndexStore.DurableParts)
+    val d = delta2(AnnIndexStore.IncFamily) {
+      val again = AnnIndexStore.durableUpdateTo(spark, baseIdx, newFp,
+        delta, "vec_id", "embedding")
+      assert(sortedRows(again.lists) === rows)
+    }
+    assert(d === 0.0, s"update reload accrued build seconds: $d")
+  }
+
+  /** `delta` shadows a DataFrame name above — alias the ledger delta. */
+  private def delta2(family: String)(body: => Unit): Double =
+    delta(family)(body)
+
   test("LM family: the l122 evict-reload shape serves identical count " +
       "tables") {
     val fp = NgramModelStore.corpusFp(spark, fixtureDir)

@@ -96,7 +96,10 @@ object PlanAudit {
     // composes l61's + l62's cards over the durable reload: the exact
     // all-pairs gate twin (their base side) plus the two ONE-ROW cards
     // crossJoined into the gate row (the l112 scalar-attach shape)
-    "l130_semdedup_durable_serve")
+    "l130_semdedup_durable_serve",
+    // l82's one-row count/mismatch scalar attaches over the durable
+    // incremental lineage (same centroid-probe + gate-attach shapes)
+    "l131_ann_durable_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
