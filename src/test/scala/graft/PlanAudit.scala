@@ -43,6 +43,9 @@ object PlanAudit {
     // the batch-side agreement gate probes the 8-row centroid table per
     // query (the l16/l51 IVF probe shape: tiny-side broadcast replicate)
     "t22_stream_ann_serve",
+    // t22's agreement shape over the durable reload (same tiny-side
+    // centroid probe + one-row gate attaches)
+    "t50_stream_cold_boot_serve",
     // one-row count/mismatch/agreement scalar attaches + the same
     // centroid-probe shape, twice (updated and rebuilt serve)
     "l82_ann_index_update",
