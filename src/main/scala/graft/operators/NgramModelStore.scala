@@ -100,6 +100,67 @@ object NgramModelStore {
     NgramLm.BigramModel(t("pairs"), t("ctx"), t("vocab"))
   }
 
+  /** The INCREMENTAL durable lineage of the LM family — count tables
+    * are ADDITIVE over disjoint document sets (pairs never cross
+    * document boundaries), so unlike the ANN lineage's frozen-model
+    * approximation this update is EXACT: merged counts equal a
+    * full-corpus retrain integer-for-integer, and l132 gates that with
+    * the whole l83 card hash. Parts: the pair counts plus the DISTINCT
+    * TOKEN table — the vocab COUNT's mergeable form (counts don't
+    * merge across appends, sets do); context counts and the vocab
+    * scalar re-derive from these (vocab-bounded work).
+    */
+  val IncFamily = "lm_bigram_inc"
+  val IncParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("pairs", Some("prev")),
+    DurableStore.Part("toks", None))
+
+  private def tokTable(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct()
+
+  /** One-time training build of the incremental lineage's base layout
+    * (clean-slice counts of the BASE corpus; fingerprint = the base
+    * frame's content hash).
+    */
+  def durableIncBase(s: SparkSession, base: DataFrame,
+      baseFp: String): Map[String, DataFrame] =
+    DurableStore.loadOrBuild(s, IncFamily, baseFp, IncParts) {
+      val clean = base.where(col("doc_id") % 7 === 0)
+      val m = NgramLm.trainBigram(clean, "text", 2)
+      Map("pairs" -> m.pairCounts, "toks" -> tokTable(clean, "text"))
+    }
+
+  /** Extend a published incremental layout by an appended document
+    * batch and republish under the new fingerprint: ONLY the delta is
+    * tokenized and counted; the standing counts merge by one
+    * vocab-bounded groupBy-sum and the token sets by a distinct union.
+    * Exact by additivity — l132's card hash proves merged == retrained.
+    */
+  def durableIncUpdateTo(s: SparkSession,
+      baseT: Map[String, DataFrame], newFp: String,
+      delta: DataFrame): Map[String, DataFrame] =
+    DurableStore.loadOrBuild(s, IncFamily, newFp, IncParts) {
+      val clean = delta.where(col("doc_id") % 7 === 0)
+      val dm = NgramLm.trainBigram(clean, "text", 2)
+      Map(
+        "pairs" -> baseT("pairs").unionByName(dm.pairCounts)
+          .groupBy(col("prev"), col("cur"))
+          .agg(sum(col("pair_c")).as("pair_c")),
+        "toks" -> baseT("toks").unionByName(tokTable(clean, "text"))
+          .distinct())
+    }
+
+  /** Assemble the servable model from an incremental layout: context
+    * counts and the vocab scalar re-derive from the persisted parts
+    * (vocab-bounded aggregates, exactly trainBigram's own derivations).
+    */
+  def incModelOf(t: Map[String, DataFrame]): NgramLm.BigramModel =
+    NgramLm.BigramModel(t("pairs"),
+      t("pairs").groupBy(col("prev")).agg(sum(col("pair_c")).as("ctx_c")),
+      t("toks").agg(count(lit(1)).as("v")))
+
   /** Drop every in-memory artifact (the fresh-application simulation
     * of the durable-reload gates, spec-side where no siblings follow).
     */

@@ -4746,7 +4746,36 @@ object LlmQueries {
              |  count(*) AS n_indexed,
              |  TRUE AS update_ok,
              |  TRUE AS reload_build_free_ok
-             |FROM embeddings""".stripMargin))
+             |FROM embeddings""".stripMargin)),
+
+    QuerySpec(
+      "l132_lm_durable_update",
+      "incremental durable maintenance of the LM family — the EXACT counterpart of l131's frozen-model approximation: count tables are additive over disjoint document sets (bigram pairs never cross document boundaries), so extending the persisted base-corpus counts by a delta batch — only the DELTA is tokenized; the standing counts merge by one vocab-bounded groupBy-sum, the distinct-token sets (the vocab count's mergeable form) by a distinct union — equals a full-corpus retrain INTEGER-FOR-INTEGER, and the gate is the strongest available: the merged model serves l83's entire perplexity card (per-doc surprisal over the whole corpus, band census, top/bottom-10) against l83's own oracle, which trains on the full corpus — the hash matches only if every merged count and the merged vocab scalar are exactly the retrained ones. Plus the durability gate: dropping the registered tables and re-serving the new fingerprint accrues zero build seconds. Oracle = l83's plus the literal gate column",
+      (s, dir) => {
+        val st = graft.operators.NgramModelStore
+        val ds = graft.operators.DurableStore
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(col("doc_id") % 5 =!= 0)
+        val delta = docs.where(col("doc_id") % 5 === 0)
+        val baseFp = ds.frameFingerprint(base, Seq("doc_id", "text"))
+        val newFp = ds.frameFingerprint(docs, Seq("doc_id", "text"))
+        // one-time base training build, then the delta-only append
+        val baseT = st.durableIncBase(s, base, baseFp)
+        st.durableIncUpdateTo(s, baseT, newFp, delta)
+        // durability gate: the published update re-serves build-free
+        ds.dropRegistered(s, st.IncFamily, newFp, st.IncParts)
+        val before = ds.buildSeconds(st.IncFamily)
+        val t = st.durableIncUpdateTo(s, baseT, newFp, delta)
+        val buildFree = ds.buildSeconds(st.IncFamily) == before
+        // serve the FULL l83 card from the merged model — the hash
+        // against l83's full-corpus-trained oracle IS the
+        // update == retrain equality gate, integer-exact
+        val scored = NgramLm.surprisalBits(docs, "doc_id", "text",
+          st.incModelOf(t), 2)
+        cardOf(scored)
+          .withColumn("reload_build_free_ok", lit(buildFree))
+      },
+      gatedOracle("l83_lm_perplexity", Seq("reload_build_free_ok")))
   )
 
   val specs: Seq[QuerySpec] =

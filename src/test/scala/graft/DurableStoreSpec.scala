@@ -413,6 +413,38 @@ class DurableStoreSpec extends SparkSpec {
   private def delta2(family: String)(body: => Unit): Double =
     delta(family)(body)
 
+  test("incremental LM lineage: merged counts equal a full-corpus " +
+      "retrain integer-for-integer; the published update reloads " +
+      "zero-build") {
+    import graft.operators.{NgramLm, NgramModelStore}
+    val docs = graft.Tables.load(spark, fixtureDir, "documents")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val dl = docs.where(col("doc_id") % 4 === 0)
+    val baseFp = DurableStore.frameFingerprint(base,
+      Seq("doc_id", "text"))
+    val newFp = DurableStore.frameFingerprint(docs,
+      Seq("doc_id", "text"))
+    val baseT = NgramModelStore.durableIncBase(spark, base, baseFp)
+    val t = NgramModelStore.durableIncUpdateTo(spark, baseT, newFp, dl)
+    // exact additivity: merged == retrained on the union clean slice
+    val full = NgramLm.trainBigram(
+      docs.where(col("doc_id") % 7 === 0), "text", 2)
+    val m = NgramModelStore.incModelOf(t)
+    assert(sortedRows(m.pairCounts) === sortedRows(full.pairCounts))
+    assert(sortedRows(m.ctxCounts) === sortedRows(full.ctxCounts))
+    assert(sortedRows(m.vocab) === sortedRows(full.vocab))
+    // durability: drop + re-serve is zero-build
+    val pairRows = sortedRows(t("pairs"))
+    DurableStore.dropRegistered(spark, NgramModelStore.IncFamily, newFp,
+      NgramModelStore.IncParts)
+    val d = delta2(NgramModelStore.IncFamily) {
+      val again = NgramModelStore.durableIncUpdateTo(spark, baseT,
+        newFp, dl)
+      assert(sortedRows(again("pairs")) === pairRows)
+    }
+    assert(d === 0.0, s"LM update reload accrued build seconds: $d")
+  }
+
   test("LM family: the l122 evict-reload shape serves identical count " +
       "tables") {
     val fp = NgramModelStore.corpusFp(spark, fixtureDir)
