@@ -56,6 +56,14 @@ object AnnIndexStore {
     key
   }
 
+  /** The canonical-parameterization miss path goes through the
+    * DURABLE layout (the DupSpanStore discipline): index training
+    * runs only if NO application ever saw this corpus — a warm
+    * machine reloads the five persisted tables and the `ann_index`
+    * ledger key times the checkpoints alone (a genuine build accrues
+    * under `durable_ann_index`). Non-default parameterizations (no
+    * durable layout — no standing consumer) build in-memory.
+    */
   def sharedIndex(s: SparkSession, dir: String,
       nCentroids: Int = DefaultNCentroids,
       trainIters: Int = DefaultTrainIters, m: Int = DefaultM,
@@ -64,16 +72,22 @@ object AnnIndexStore {
     synchronized {
     val key = keyFor(s, dir, nCentroids, trainIters, m, nCodes,
       pqTrainIters)
-    cache.getOrElseUpdate(key, StoreBuildLedger.timed("ann_index") {
-      val e = Tables.load(s, dir, "embeddings")
-      val idx = Similarity.buildAnnIndex(e, "vec_id", "embedding",
-        nCentroids, trainIters, m, nCodes, pqTrainIters)
-      Similarity.AnnIndex(
-        idx.centroids.localCheckpoint(eager = true),
-        idx.lists.localCheckpoint(eager = true),
-        idx.codebook.localCheckpoint(eager = true),
-        idx.codes.localCheckpoint(eager = true),
-        idx.norms.localCheckpoint(eager = true))
+    val canonical = key == keyFor(s, dir, DefaultNCentroids,
+      DefaultTrainIters, DefaultM, DefaultNCodes, DefaultPqTrainIters)
+    cache.getOrElseUpdate(key, {
+      val idx =
+        if (canonical) durableIndex(s, dir, corpusFp(s, dir))
+        else Similarity.buildAnnIndex(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids, trainIters, m, nCodes, pqTrainIters)
+      StoreBuildLedger.timed("ann_index") {
+        Similarity.AnnIndex(
+          idx.centroids.localCheckpoint(eager = true),
+          idx.lists.localCheckpoint(eager = true),
+          idx.codebook.localCheckpoint(eager = true),
+          idx.codes.localCheckpoint(eager = true),
+          idx.norms.localCheckpoint(eager = true))
+      }
     })
   }
 
@@ -96,17 +110,20 @@ object AnnIndexStore {
   /** Load-or-build the DURABLE index: later applications (and the
     * post-evict reload inside one) serve the five tables with zero
     * training jobs — the standing ANN pipeline's actual daily shape.
+    * The raw training job lives HERE (the shared cache's miss path
+    * calls down into this layout, never the other way, so build
+    * seconds land un-nested under `durable_ann_index`).
     */
   def durableIndex(s: SparkSession, dir: String,
       fp: String): Similarity.AnnIndex = {
     val t = DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
-      val idx = sharedIndex(s, dir)
-      Map("cent" -> idx.centroids, "lists" -> idx.lists,
-        "codebook" -> idx.codebook, "codes" -> idx.codes,
-        "norms" -> idx.norms)
+      val idx = Similarity.buildAnnIndex(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        DefaultNCentroids, DefaultTrainIters, DefaultM, DefaultNCodes,
+        DefaultPqTrainIters)
+      asParts(idx)
     }
-    Similarity.AnnIndex(t("cent"), t("lists"), t("codebook"),
-      t("codes"), t("norms"))
+    asIndex(t)
   }
 
   /** The INCREMENTAL durable lineage — a separate family from
@@ -155,7 +172,15 @@ object AnnIndexStore {
     * lists/codes/norms; only the DELTA pays encode work, the standing
     * rows are re-published from the already-persisted tables. If the
     * new fingerprint is already built this is a pure reload (a re-run
-    * day costs zero jobs — gated in l131).
+    * day costs zero jobs — gated in l131). Write cost note: encode is
+    * O(delta) but the publish re-WRITES the full layout under the new
+    * fingerprint (a parquet copy, no shuffle — the bucketed writer
+    * reads and writes co-partitioned). At 100 TB the same protocol
+    * holds with the parts stored as DATED DELTA PARTITIONS under one
+    * fingerprint-named manifest (publish = write the manifest naming
+    * the partition list, the marker-mode discipline), so a day's
+    * publish writes only the delta partition; the full-rewrite form
+    * here keeps the read path identical to the retrain lineage's.
     */
   def durableUpdateTo(s: SparkSession, baseIdx: Similarity.AnnIndex,
       newFp: String, delta: org.apache.spark.sql.DataFrame,

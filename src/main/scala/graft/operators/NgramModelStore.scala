@@ -42,16 +42,25 @@ object NgramModelStore {
     Tables.load(s, dir, "documents").where(col("doc_id") % 7 === 0)
 
   /** The standing add-one order-n count tables over `dir`'s clean
-    * slice (pair/context/vocab frames checkpointed).
+    * slice (pair/context/vocab frames checkpointed). The canonical
+    * order-2 miss path goes through the DURABLE layout (the
+    * DupSpanStore discipline): training runs only if NO application
+    * ever saw this corpus — a warm machine reloads the persisted
+    * tables and the `lm_bigram` ledger key times the checkpoint alone
+    * (a genuine build accrues under `durable_lm_bigram`). Other orders
+    * (no durable layout — no standing consumer) train in-memory.
     */
   def sharedBigram(s: SparkSession, dir: String,
       order: Int = 2): NgramLm.BigramModel = synchronized {
-    bigramCache.getOrElseUpdate(keyFor(s, dir, s"bigram$order"),
-        StoreBuildLedger.timed("lm_bigram") {
-      val m = NgramLm.trainBigram(cleanSlice(s, dir), "text", order)
-      NgramLm.BigramModel(m.pairCounts.localCheckpoint(eager = true),
-        m.ctxCounts.localCheckpoint(eager = true),
-        m.vocab.localCheckpoint(eager = true))
+    bigramCache.getOrElseUpdate(keyFor(s, dir, s"bigram$order"), {
+      val m =
+        if (order == 2) durableBigram(s, dir, corpusFp(s, dir))
+        else NgramLm.trainBigram(cleanSlice(s, dir), "text", order)
+      StoreBuildLedger.timed("lm_bigram") {
+        NgramLm.BigramModel(m.pairCounts.localCheckpoint(eager = true),
+          m.ctxCounts.localCheckpoint(eager = true),
+          m.vocab.localCheckpoint(eager = true))
+      }
     })
   }
 
@@ -86,14 +95,17 @@ object NgramModelStore {
       Seq("doc_id", "text"))
 
   /** Load-or-build the DURABLE bigram store: the first application
-    * ever to see this corpus trains and persists; every later
+    * ever to see this corpus trains and persists (the raw training
+    * job lives HERE, not in sharedBigram — the shared cache's miss
+    * path calls down into this layout, never the other way, so build
+    * seconds land un-nested under `durable_lm_bigram`); every later
     * application — and the post-evict reload inside one — serves from
     * the on-disk tables with zero training jobs.
     */
   def durableBigram(s: SparkSession, dir: String,
       fp: String): NgramLm.BigramModel = {
     val t = DurableStore.loadOrBuild(s, DurableFamily, fp, DurableParts) {
-      val m = sharedBigram(s, dir, 2)
+      val m = NgramLm.trainBigram(cleanSlice(s, dir), "text", 2)
       Map("pairs" -> m.pairCounts, "ctx" -> m.ctxCounts,
         "vocab" -> m.vocab)
     }

@@ -381,7 +381,7 @@ class DurableStoreSpec extends SparkSpec {
     import graft.operators.{AnnIndexStore, Similarity}
     val e = graft.Tables.load(spark, fixtureDir, "embeddings")
     val base = e.where(col("vec_id") % 4 =!= 0)
-    val delta = e.where(col("vec_id") % 4 === 0)
+    val dl = e.where(col("vec_id") % 4 === 0)
     val baseFp = DurableStore.frameFingerprint(base,
       Seq("vec_id", "embedding"))
     val newFp = DurableStore.frameFingerprint(e,
@@ -390,7 +390,7 @@ class DurableStoreSpec extends SparkSpec {
     val baseIdx = AnnIndexStore.durableIncBase(spark, base, baseFp,
       "vec_id", "embedding")
     val updated = AnnIndexStore.durableUpdateTo(spark, baseIdx, newFp,
-      delta, "vec_id", "embedding")
+      dl, "vec_id", "embedding")
     // update == frozen-artifact rebuild over the union, multiset
     val (lR, cR, nR) = Similarity.assignEncode(baseIdx.centroids,
       baseIdx.codebook, e, "vec_id", "embedding", m = 16)
@@ -401,17 +401,13 @@ class DurableStoreSpec extends SparkSpec {
     val rows = sortedRows(updated.lists)
     DurableStore.dropRegistered(spark, AnnIndexStore.IncFamily, newFp,
       AnnIndexStore.DurableParts)
-    val d = delta2(AnnIndexStore.IncFamily) {
+    val d = delta(AnnIndexStore.IncFamily) {
       val again = AnnIndexStore.durableUpdateTo(spark, baseIdx, newFp,
-        delta, "vec_id", "embedding")
+        dl, "vec_id", "embedding")
       assert(sortedRows(again.lists) === rows)
     }
     assert(d === 0.0, s"update reload accrued build seconds: $d")
   }
-
-  /** `delta` shadows a DataFrame name above — alias the ledger delta. */
-  private def delta2(family: String)(body: => Unit): Double =
-    delta(family)(body)
 
   test("incremental LM lineage: merged counts equal a full-corpus " +
       "retrain integer-for-integer; the published update reloads " +
@@ -437,7 +433,7 @@ class DurableStoreSpec extends SparkSpec {
     val pairRows = sortedRows(t("pairs"))
     DurableStore.dropRegistered(spark, NgramModelStore.IncFamily, newFp,
       NgramModelStore.IncParts)
-    val d = delta2(NgramModelStore.IncFamily) {
+    val d = delta(NgramModelStore.IncFamily) {
       val again = NgramModelStore.durableIncUpdateTo(spark, baseT,
         newFp, dl)
       assert(sortedRows(again("pairs")) === pairRows)
