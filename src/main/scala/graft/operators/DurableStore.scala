@@ -333,4 +333,79 @@ object DurableStore {
     */
   def buildSeconds(family: String): Double =
     StoreBuildLedger.snapshot.getOrElse(s"durable_$family", 0.0)
+
+  /** What `vacuum` removed: unreferenced publish debris and (when
+    * requested) complete-but-unkept fingerprints.
+    */
+  final case class VacuumReport(debris: Seq[String], stale: Seq[String])
+
+  /** The RETENTION face of the store lifecycle: a standing deployment
+    * accumulates one layout per corpus fingerprint FOREVER (every
+    * append/mutation mints a new fingerprint and orphans the old
+    * layout), plus publish debris that no reader will ever resolve —
+    * crashed `.stage_`/`.aside_` siblings in rename mode, and
+    * marker-mode `attempt_` prefixes a marker does not name (a crashed
+    * or losing builder whose cleanup never ran).
+    *
+    * Removes, for `family`: (a) all unreferenced debris; (b) when
+    * `keep` is non-empty, every COMPLETE layout whose fingerprint is
+    * not in `keep` — the caller names the fingerprints still servable
+    * (typically the current corpus generation and N prior ones, the
+    * Maintenance retention discipline). Marker-less fingerprint dirs
+    * count as debris (never published, or mid-publish of a builder
+    * that will re-check and rebuild).
+    *
+    * Run from a maintenance window: deleting a layout a concurrent
+    * application is actively READING yields failed scans on its side
+    * (external tables re-register against missing files) — the same
+    * contract as dropping any shared table. Registered catalog entries
+    * in THIS session for removed fingerprints are dropped.
+    */
+  def vacuum(s: SparkSession, family: String,
+      keep: Set[String] = Set.empty): VacuumReport = synchronized {
+    val famDir = new Path(root(s), family)
+    val f = fsOf(s, famDir)
+    if (!f.exists(famDir)) return VacuumReport(Nil, Nil)
+    var debris = List.empty[String]
+    var stale = List.empty[String]
+    f.listStatus(famDir).foreach { st =>
+      val name = st.getPath.getName
+      val isFpDir = st.isDirectory && !name.startsWith(".")
+      if (!isFpDir) {
+        // .stage_/.aside_ siblings (and any stray file) — debris once
+        // no builder references them, which is true under the module
+        // lock within this JVM and after a crash across JVMs
+        debris ::= name
+        f.delete(st.getPath, true)
+      } else {
+        val marker = new Path(st.getPath, Marker)
+        if (!f.exists(marker)) {
+          debris ::= name
+          f.delete(st.getPath, true)
+        } else {
+          // marker-mode: attempts the marker does not name are debris
+          val pfx = partPrefix(s, st.getPath)
+          f.listStatus(st.getPath).foreach { sub =>
+            val sn = sub.getPath.getName
+            if (sub.isDirectory && sn.startsWith("attempt_") && sn != pfx) {
+              debris ::= s"$name/$sn"
+              f.delete(sub.getPath, true)
+            }
+          }
+          if (keep.nonEmpty && !keep.contains(name)) {
+            stale ::= name
+            f.delete(st.getPath, true)
+            // drop this session's registrations against the dead files
+            // (the catalog lowercases identifiers — compare folded)
+            val pfxLc = s"graft_store_${family}_${name}_".toLowerCase
+            s.catalog.listTables().collect()
+              .map(_.name)
+              .filter(_.toLowerCase.startsWith(pfxLc))
+              .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          }
+        }
+      }
+    }
+    VacuumReport(debris.reverse, stale.reverse)
+  }
 }

@@ -217,6 +217,44 @@ class DurableStoreSpec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.store.commit")
     }
 
+  test("vacuum removes publish debris and unkept fingerprints while " +
+      "the kept layout still serves") {
+    import spark.implicits._
+    val parts = Seq(DurableStore.Part("t", None))
+    def lob(fp: String, v: String) =
+      DurableStore.loadOrBuild(spark, "spec_vac", fp, parts) {
+        Map("t" -> Seq((1, v)).toDF("k", "who"))
+      }
+    lob("fpA", "keepme")
+    lob("fpB", "staleme")
+    // plant debris: a crashed staging sibling, a marker-less fp dir,
+    // and an orphan attempt inside the kept layout
+    val fam = new java.io.File(s"$storeRoot/spec_vac")
+    java.nio.file.Files.createDirectories(
+      new java.io.File(fam, ".stage_fpA_dead/t").toPath)
+    java.nio.file.Files.createDirectories(
+      new java.io.File(fam, "fpC/t").toPath)
+    java.nio.file.Files.createDirectories(
+      new java.io.File(fam, "fpA/attempt_orphan/t").toPath)
+    val rep = DurableStore.vacuum(spark, "spec_vac", keep = Set("fpA"))
+    assert(rep.debris.toSet ===
+      Set(".stage_fpA_dead", "fpC", "fpA/attempt_orphan"),
+      s"debris: ${rep.debris}")
+    assert(rep.stale === Seq("fpB"))
+    assert(!new java.io.File(fam, "fpB").exists())
+    assert(!new java.io.File(fam, "fpA/attempt_orphan").exists())
+    // the kept layout still serves (fresh registration, zero build)
+    DurableStore.dropRegistered(spark, "spec_vac", "fpA", parts)
+    val d = delta("spec_vac") {
+      val rows = lob("fpA", "UNUSED")("t").collect()
+      assert(rows.length === 1 && rows.head.getString(1) === "keepme")
+    }
+    assert(d === 0.0, s"kept layout rebuilt after vacuum: $d")
+    // and the stale fingerprint's catalog registration is gone
+    assert(!spark.catalog.tableExists(
+      DurableStore.registeredName("spec_vac", "fpB", "t")))
+  }
+
   test("fingerprint sum-fold: corpora that xor-cancel to the same " +
       "value (duplicated-row pairs) still get distinct fingerprints") {
     import spark.implicits._
