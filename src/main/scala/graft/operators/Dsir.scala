@@ -72,9 +72,24 @@ object Dsir {
     * count table (never a second corpus pass) and attached as a one-row
     * broadcast (the l78 scalar-attach shape).
     */
-  private def importanceOf(bucketed: DataFrame, buckets: Int): DataFrame = {
-    val tc = bucketed.groupBy(col("bkt"))
+  private def importanceOf(bucketed: DataFrame, buckets: Int): DataFrame =
+    importanceFromCounts(bucketCountsOf(bucketed), buckets)
+
+  /** The per-bucket class-count table (bkt, ct, cr) — DSIR's trained
+    * state in its MERGEABLE form: counts over disjoint document sets
+    * are additive, so an appended batch's counts groupBy-sum onto a
+    * persisted base table and the importance values recompute exactly
+    * (the l133 incremental face; the l132 LM discipline).
+    */
+  private[graft] def bucketCountsOf(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy(col("bkt"))
       .agg(sum(col("is_t")).as("ct"), count(lit(1)).as("cr"))
+
+  /** The importance projection from an already-aggregated count table
+    * — totals DERIVED from the counts (never a second corpus pass),
+    * attached as a one-row broadcast.
+    */
+  def importanceFromCounts(tc: DataFrame, buckets: Int): DataFrame = {
     val tot = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"),
       coalesce(sum(col("cr")), lit(0L)).as("nr"))
     val b = lit(buckets.toLong)

@@ -12,6 +12,20 @@ import graft.Tables
   * corpus), checkpoint the spans (duplicated-start-bounded), ledger
   * the build under `dup_spans`.
   *
+  * Why this family has NO incremental `updateTo` face (unlike the
+  * additive LM counts of l132 or the frozen-model ANN append of
+  * l131): appending documents is not monotone for spans — a new doc
+  * can flip an old COLD gram hot (df crosses minDocs), creating and
+  * EXTENDING spans at old positions the standing frame never
+  * recorded, and the positions of cold grams are exactly what the
+  * prune discards. An exact delta pass therefore needs either the
+  * full positional gram table as a second standing artifact
+  * (O(corpus tokens) — doubling the store for a daily diff) or a
+  * rebuild; the published suffix-array implementations rebuild on
+  * append for the same reason. The durable layout keeps the rebuild
+  * honest: once per corpus GENERATION, never per application, with
+  * `DurableStore.vacuum` retiring superseded generations.
+  *
   * Canonical registry parameterization: the documents table's
   * doc_id/text, minLen 6, minDocs 2 (l77's thresholds, uncapped).
   */

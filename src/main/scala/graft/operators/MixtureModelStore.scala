@@ -142,6 +142,42 @@ object MixtureModelStore {
         DsirBuckets))
     }("imp")
 
+  /** The INCREMENTAL durable lineage of the DSIR family — EXACT like
+    * the LM one (l132): the trained state's mergeable form is the
+    * per-bucket class-count table (bkt, ct, cr — <= DsirBuckets rows),
+    * additive over disjoint document sets; the importance projection
+    * recomputes from merged counts integer-for-integer equal to a
+    * full-corpus retrain (l133's card hash proves it end-to-end).
+    */
+  val DsirIncFamily = "dsir_counts_inc"
+  val DsirIncParts: Seq[DurableStore.Part] =
+    Seq(DurableStore.Part("counts", None))
+
+  private def bucketCounts(docs: DataFrame): DataFrame =
+    Dsir.bucketCountsOf(Dsir.bucketFrame(docs, "doc_id", "text",
+      cleanSlicePred, DsirBuckets))
+
+  /** One-time count build of the incremental lineage's base layout. */
+  def durableDsirIncBase(s: SparkSession, base: DataFrame,
+      baseFp: String): Map[String, DataFrame] =
+    DurableStore.loadOrBuild(s, DsirIncFamily, baseFp, DsirIncParts) {
+      Map("counts" -> bucketCounts(base))
+    }
+
+  /** Extend a published count layout by an appended document batch
+    * and republish under the new fingerprint: only the DELTA is
+    * hashed and counted; the merge is one <= DsirBuckets-row
+    * groupBy-sum.
+    */
+  def durableDsirIncUpdateTo(s: SparkSession,
+      baseT: Map[String, DataFrame], newFp: String,
+      delta: DataFrame): Map[String, DataFrame] =
+    DurableStore.loadOrBuild(s, DsirIncFamily, newFp, DsirIncParts) {
+      Map("counts" -> baseT("counts").unionByName(bucketCounts(delta))
+        .groupBy(col("bkt"))
+        .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr")))
+    }
+
   /** Drop every in-memory artifact (the fresh-application simulation
     * of the durable-reload gates).
     */

@@ -4775,7 +4775,36 @@ object LlmQueries {
         cardOf(scored)
           .withColumn("reload_build_free_ok", lit(buildFree))
       },
-      gatedOracle("l83_lm_perplexity", Seq("reload_build_free_ok")))
+      gatedOracle("l83_lm_perplexity", Seq("reload_build_free_ok"))),
+
+    QuerySpec(
+      "l133_dsir_durable_update",
+      "incremental durable maintenance of the DSIR family — the third additive lineage (l132's LM discipline applied to importance resampling): DSIR's trained state in mergeable form is the per-bucket class-count table (bkt, ct, cr — <= 4096 rows), additive over disjoint document sets, so extending the persisted base counts by a delta batch — only the DELTA is hashed and counted; the merge is one bucket-bounded groupBy-sum — and re-deriving the importance projection (totals from the counts, add-one smoothed quantized log-ratio) equals a full-corpus retrain INTEGER-FOR-INTEGER. Gate: the merged importance table serves l94's entire resampling ledger (per-source acceptance, thresholds, selection census) against l94's own full-corpus-trained oracle — hash-exact — plus the zero-build re-serve gate. The <= 4096-row importance artifact is checkpointed before serving (the l110 boot discipline)",
+      (s, dir) => {
+        val st = graft.operators.MixtureModelStore
+        val ds = graft.operators.DurableStore
+        val D = graft.operators.Dsir
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(col("doc_id") % 5 =!= 0)
+        val delta = docs.where(col("doc_id") % 5 === 0)
+        val baseFp = ds.frameFingerprint(base, Seq("doc_id", "text"))
+        val newFp = ds.frameFingerprint(docs, Seq("doc_id", "text"))
+        val baseT = st.durableDsirIncBase(s, base, baseFp)
+        st.durableDsirIncUpdateTo(s, baseT, newFp, delta)
+        ds.dropRegistered(s, st.DsirIncFamily, newFp, st.DsirIncParts)
+        val before = ds.buildSeconds(st.DsirIncFamily)
+        val t = st.durableDsirIncUpdateTo(s, baseT, newFp, delta)
+        val buildFree = ds.buildSeconds(st.DsirIncFamily) == before
+        val imp = D.importanceFromCounts(t("counts"), st.DsirBuckets)
+          .localCheckpoint(eager = true)
+        // the per-doc bucket frame is the serve INPUT (per-application
+        // by the l110 contract), shared with l94/t35/l98
+        val bucketed = st.sharedDsirBuckets(s, dir)
+        D.dsirResampleFromTable(docs, "doc_id", "text", "source",
+            bucketed, imp)
+          .withColumn("reload_build_free_ok", lit(buildFree))
+      },
+      gatedOracle("l94_dsir_select", Seq("reload_build_free_ok")))
   )
 
   val specs: Seq[QuerySpec] =

@@ -479,6 +479,40 @@ class DurableStoreSpec extends SparkSpec {
     assert(d === 0.0, s"LM update reload accrued build seconds: $d")
   }
 
+  test("incremental DSIR lineage: merged bucket counts and the " +
+      "re-derived importance table equal a full-corpus retrain; the " +
+      "published update reloads zero-build") {
+    import graft.operators.{Dsir, MixtureModelStore}
+    val docs = graft.Tables.load(spark, fixtureDir, "documents")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val dl = docs.where(col("doc_id") % 4 === 0)
+    val baseFp = DurableStore.frameFingerprint(base,
+      Seq("doc_id", "text"))
+    val newFp = DurableStore.frameFingerprint(docs,
+      Seq("doc_id", "text"))
+    val baseT = MixtureModelStore.durableDsirIncBase(spark, base, baseFp)
+    val t = MixtureModelStore.durableDsirIncUpdateTo(spark, baseT,
+      newFp, dl)
+    val full = Dsir.bucketFrame(docs, "doc_id", "text",
+      MixtureModelStore.cleanSlicePred, MixtureModelStore.DsirBuckets)
+    assert(sortedRows(t("counts"))
+      === sortedRows(Dsir.bucketCountsOf(full)))
+    assert(sortedRows(
+        Dsir.importanceFromCounts(t("counts"),
+          MixtureModelStore.DsirBuckets))
+      === sortedRows(Dsir.importanceTableFrom(full,
+        MixtureModelStore.DsirBuckets)))
+    val rows = sortedRows(t("counts"))
+    DurableStore.dropRegistered(spark, MixtureModelStore.DsirIncFamily,
+      newFp, MixtureModelStore.DsirIncParts)
+    val d = delta(MixtureModelStore.DsirIncFamily) {
+      val again = MixtureModelStore.durableDsirIncUpdateTo(spark,
+        baseT, newFp, dl)
+      assert(sortedRows(again("counts")) === rows)
+    }
+    assert(d === 0.0, s"DSIR update reload accrued build seconds: $d")
+  }
+
   test("LM family: the l122 evict-reload shape serves identical count " +
       "tables") {
     val fp = NgramModelStore.corpusFp(spark, fixtureDir)

@@ -102,7 +102,12 @@ object PlanAudit {
     "l130_semdedup_durable_serve",
     // l82's one-row count/mismatch scalar attaches over the durable
     // incremental lineage (same centroid-probe + gate-attach shapes)
-    "l131_ann_durable_update")
+    "l131_ann_durable_update",
+    // l94's serve shape over the merged importance table: the same
+    // two one-row scalar attaches (totals + mean-importance
+    // threshold); l110 only escapes the audit by checkpointing its
+    // result frame before returning (it must drop its temp tables)
+    "l133_dsir_durable_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
