@@ -997,6 +997,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(4L)._2 === 0)
   }
 
+  test("property: scrubSpansKeepOne equals a plain-Scala reference " +
+      "(suffix-LCP maximal spans -> per-text canonical -> cover -> " +
+      "rebuild) on arbitrary corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val minLen = 2
+    def lcp(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(2, 14).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 6).flatMap(Gen.listOfN(_, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val spans = Dedup.maximalDupSpans(docs, "doc_id", "text",
+        minLen = minLen)
+      val got = Dedup.scrubSpansKeepOne(docs, "doc_id", "text", spans)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          r.getInt(2)))).toMap
+      // reference: maximal spans by suffix-LCP against OTHER docs,
+      // group occurrences by span TEXT, (doc, pos)-minimal survives,
+      // non-canonical covers drop, survivors re-join in order
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.trim.split(" ").toSeq }
+      val sufs = for { (d, t) <- toks; p <- t.indices }
+        yield (d, p, t.drop(p))
+      val occ = for {
+        (d, p, s) <- sufs
+        best = sufs.iterator.filter(_._1 != d)
+          .map { case (_, _, s2) => lcp(s, s2) }
+          .foldLeft(0)(math.max)
+        if best >= minLen
+      } yield (d, p, s.take(best).mkString(" "))
+      val covered = occ.groupBy(_._3).values.flatMap { os =>
+        os.sortBy(o => (o._1, o._2)).drop(1) }
+        .flatMap { case (d, p, g) =>
+          (p until p + g.split(" ").length).map(d -> _) }.toSet
+      val want = toks.map { case (d, t) =>
+        val kept = t.zipWithIndex.collect {
+          case (tok, j) if !covered(d -> j) => tok }
+        d -> ((kept.mkString(" "), t.length - kept.length))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: maximalDupSpans equals a plain-Scala suffix-LCP " +
       "reference on arbitrary corpora") {
     import spark.implicits._
