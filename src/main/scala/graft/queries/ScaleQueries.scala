@@ -413,6 +413,53 @@ object ScaleQueries {
              |  CAST(sum(event_id) AS BIGINT) AS sum_id,
              |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "s14_store_vacuum",
+      "durable-store retention end-to-end (the s06 maintenance discipline applied to the model-store warehouse): two corpus GENERATIONS publish under a scratch family in a private root, debris is planted (a crashed staging sibling and a marker-less fingerprint dir — exactly what a killed builder leaves), vacuum keeps only generation 2 — and the kept layout must then SERVE a reload whose build body is a poisoned tombstone (it would emit zero rows), so n_kept_rows only matches the oracle if the reload came from the persisted files, the stale generation is gone and both debris classes were swept. Census = kept-generation row count + deterministic debris/stale counts + the gone-assert",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val parts = Seq(ds.Part("t", None))
+        try {
+          def gen(fp: String, m: Long) =
+            ds.loadOrBuild(s, "vac_demo", fp, parts) {
+              Map("t" -> Tables.load(s, dir, "documents")
+                .where(col("doc_id") % 10 === m)
+                .select(col("doc_id")))
+            }
+          gen("gen1", 1L)
+          gen("gen2", 2L)
+          new java.io.File(s"$root/vac_demo/.stage_dead/t").mkdirs()
+          new java.io.File(s"$root/vac_demo/genX/t").mkdirs()
+          val rep = ds.vacuum(s, "vac_demo", keep = Set("gen2"))
+          // reload with a TOMBSTONE body: if vacuum broke the kept
+          // layout and this rebuilt, the row count would be 0 and the
+          // hash would fail
+          val served = ds.loadOrBuild(s, "vac_demo", "gen2", parts) {
+            Map("t" -> Tables.load(s, dir, "documents")
+              .where(lit(false)).select(col("doc_id")))
+          }("t")
+          served.agg(count(lit(1)).as("n_kept_rows"))
+            .select(col("n_kept_rows"),
+              lit(rep.debris.size).as("n_debris"),
+              lit(rep.stale.size).as("n_stale"),
+              lit(!ds.isBuilt(s, "vac_demo", "gen1")).as("stale_gone_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          Seq("gen1", "gen2").foreach(fp =>
+            ds.dropRegistered(s, "vac_demo", fp, parts))
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT count(CASE WHEN doc_id % 10 = 2 THEN 1 END)
+             |    AS n_kept_rows,
+             |  2 AS n_debris, 1 AS n_stale, TRUE AS stale_gone_ok
+             |FROM documents""".stripMargin))
   )
 }
