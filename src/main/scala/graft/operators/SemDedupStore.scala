@@ -128,6 +128,64 @@ object SemDedupStore {
       })
     }
 
+  /** The INCREMENTAL durable lineage of the semantic family — frozen-
+    * model like the ANN one (l131): the base build trains ONE centroid
+    * draw and persists it with its assignment, pair and label tables;
+    * each append assigns ONLY the delta against the frozen centroids,
+    * generates candidates delta-vs-cohabitants (old-new and new-new;
+    * old-old pairs are the standing table's rows, unchanged under a
+    * frozen assignment), exact-verifies them, and republishes —
+    * per-row determinism makes standing ∪ delta EXACTLY equal to
+    * assigning and pairing the whole union, which l134 multiset-gates.
+    * Component labels recompute over the merged PAIR graph (pair-
+    * bounded, never corpus-bounded). Centroid drift under sustained
+    * ingest is a periodic retrain — a jump back to the `semdedup`
+    * family's fresh build.
+    */
+  val IncFamily = "semdedup_inc"
+  val IncParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("cents", None),
+    DurableStore.Part("assign", Some("cent_id")),
+    DurableStore.Part("pairs", Some("a_id")),
+    DurableStore.Part("labels", Some("doc_id")))
+
+  /** One-time training build of the incremental lineage's base layout
+    * (fingerprint = the base frame's content hash).
+    */
+  def durableSemIncBase(s: SparkSession, base: DataFrame,
+      baseFp: String): Map[String, DataFrame] =
+    DurableStore.loadOrBuild(s, IncFamily, baseFp, IncParts) {
+      val cents = Similarity.semanticCentroids(base, "vec_id",
+        "embedding", nClusters = 8, trainIters = 1)
+        .localCheckpoint(eager = true)
+      val assign = Similarity.semanticAssign(base, "vec_id",
+        "embedding", cents, probes = 3).localCheckpoint(eager = true)
+      val pairs = Similarity.semanticPairsFromAssign(assign, base,
+        "vec_id", "embedding", Threshold).localCheckpoint(eager = true)
+      Map("cents" -> cents, "assign" -> assign, "pairs" -> pairs,
+        "labels" -> Dedup.components(pairs))
+    }
+
+  /** Extend a published incremental layout by an appended vector
+    * batch and republish under the new fingerprint: only the DELTA is
+    * assigned and only delta-touching candidates are verified.
+    */
+  def durableSemIncUpdateTo(s: SparkSession,
+      baseT: Map[String, DataFrame], newFp: String, delta: DataFrame,
+      corpus: DataFrame): Map[String, DataFrame] =
+    DurableStore.loadOrBuild(s, IncFamily, newFp, IncParts) {
+      val cents = baseT("cents")
+      val dAssign = Similarity.semanticAssign(delta, "vec_id",
+        "embedding", cents, probes = 3).localCheckpoint(eager = true)
+      val assignU = baseT("assign").unionByName(dAssign)
+      val pairsU = baseT("pairs").unionByName(
+          Similarity.semanticPairsDelta(dAssign, assignU, corpus,
+            "vec_id", "embedding", Threshold))
+        .localCheckpoint(eager = true) // feeds the part write AND CC
+      Map("cents" -> cents, "assign" -> assignU, "pairs" -> pairsU,
+        "labels" -> Dedup.components(pairsU))
+    }
+
   /** Drop the SEMANTIC caches (the artifacts the durable layout
     * holds) — the fresh-application simulation of the l130 gate. The
     * exact-pair twin survives: it is gate-only machinery, not part of

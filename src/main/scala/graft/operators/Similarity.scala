@@ -305,16 +305,70 @@ object Similarity {
     */
   def semanticDedupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, nClusters: Int = 16, trainIters: Int = 0,
-      probes: Int = 1): DataFrame = {
-    val cents = lloydRounds(df, idCol, embCol,
+      probes: Int = 1): DataFrame =
+    semanticPairsFromAssign(
+      semanticAssign(df, idCol, embCol,
+        semanticCentroids(df, idCol, embCol, nClusters, trainIters),
+        probes),
+      df, idCol, embCol, threshold)
+
+  /** The trained coarse-quantizer centroids alone — public so the
+    * incremental lineage (l134) can persist ONE draw and freeze it.
+    */
+  def semanticCentroids(df: DataFrame, idCol: String, embCol: String,
+      nClusters: Int, trainIters: Int): DataFrame =
+    lloydRounds(df, idCol, embCol,
       seedCentroids(df, idCol, embCol, nClusters), trainIters)
-    val assigned = topPAssign(df, idCol, embCol, cents, probes)
+
+  /** Soft cluster assignment (c_id, cent_id — `probes` rows per
+    * vector) against FROZEN centroids: a per-row function, so the
+    * assignment of an appended batch unioned with a standing
+    * assignment equals assigning the union (the l82 frozen-artifact
+    * identity the semdedup incremental face relies on).
+    */
+  def semanticAssign(df: DataFrame, idCol: String, embCol: String,
+      cents: DataFrame, probes: Int): DataFrame =
+    topPAssign(df, idCol, embCol, cents, probes)
+
+  /** Cluster-cohabitant candidates from an assignment frame, exact-
+    * verified — the semanticDedupPairs tail, shared by the full and
+    * delta paths.
+    */
+  def semanticPairsFromAssign(assigned: DataFrame, df: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame = {
     val aSide = assigned.select(col("cent_id"), col("c_id").as("a_id"))
     val bSide = assigned.select(col("cent_id").as("cent2"),
       col("c_id").as("b_id"))
     val candidates = aSide.join(bSide,
         col("cent_id") === col("cent2") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+    verifyCosPairs(candidates, df, idCol, embCol, threshold)
+  }
+
+  /** Pairs TOUCHING a delta batch only: delta-side assignment joined
+    * against the union assignment's cohabitants (old-new and new-new;
+    * old-old pairs are the standing pair table's rows, unchanged under
+    * a frozen assignment), normalized to a_id < b_id, exact-verified.
+    * standing ∪ THIS = assigning and pairing the whole union — per-row
+    * determinism of assignment and verification makes the identity
+    * exact, which l134 multiset-gates.
+    */
+  def semanticPairsDelta(deltaAssign: DataFrame, allAssign: DataFrame,
+      corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val candidates = deltaAssign
+      .select(col("cent_id"), col("c_id").as("d_id"))
+      .join(allAssign.select(col("cent_id").as("cent2"),
+          col("c_id").as("o_id")),
+        col("cent_id") === col("cent2") && col("d_id") =!= col("o_id"))
+      .select(least(col("d_id"), col("o_id")).as("a_id"),
+        greatest(col("d_id"), col("o_id")).as("b_id"))
+      .distinct()
+    verifyCosPairs(candidates, corpus, idCol, embCol, threshold)
+  }
+
+  private def verifyCosPairs(candidates: DataFrame, df: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame = {
     val ea = df.select(col(idCol).as("a_id"), col(embCol).as("__ea"))
     val eb = df.select(col(idCol).as("b_id"), col(embCol).as("__eb"))
     candidates.join(ea, "a_id").join(eb, "b_id")

@@ -4804,7 +4804,56 @@ object LlmQueries {
             bucketed, imp)
           .withColumn("reload_build_free_ok", lit(buildFree))
       },
-      gatedOracle("l94_dsir_select", Seq("reload_build_free_ok")))
+      gatedOracle("l94_dsir_select", Seq("reload_build_free_ok"))),
+
+    QuerySpec(
+      "l134_semdedup_durable_update",
+      "incremental durable maintenance of the SEMANTIC family — the fourth lineage, frozen-model like l131's ANN one: the base build trains ONE centroid draw and persists it with its assignment, pair and component tables; each append assigns ONLY the delta against the frozen centroids, verifies only delta-touching candidates (delta-vs-cohabitants, old-new and new-new; old-old pairs are the standing table's rows — unchanged under a frozen assignment), and republishes under the new fingerprint, with component labels recomputed over the merged PAIR graph (pair-bounded, never corpus-bounded). Gates, in-query and hash-enforced: the RELOADED assignment AND pair tables are multiset-equal (all columns + per-row multiplicity; cosines compare bitwise — per-row fold arithmetic on both paths) to a frozen-centroid rebuild over the union, and a drop + re-serve of the new fingerprint accrues zero build seconds. Centroid drift is a periodic retrain — the semdedup family's fresh build, one conf away. Oracle = deterministic counts + literal true",
+      (s, dir) => {
+        val st = SemDedupStore
+        val ds = graft.operators.DurableStore
+        val S = Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        val base = e.where(col("vec_id") % 5 =!= 0)
+        val delta = e.where(col("vec_id") % 5 === 0)
+        val baseFp = ds.frameFingerprint(base, Seq("vec_id", "embedding"))
+        val newFp = ds.frameFingerprint(e, Seq("vec_id", "embedding"))
+        val baseT = st.durableSemIncBase(s, base, baseFp)
+        st.durableSemIncUpdateTo(s, baseT, newFp, delta, e)
+        ds.dropRegistered(s, st.IncFamily, newFp, st.IncParts)
+        val before = ds.buildSeconds(st.IncFamily)
+        val t = st.durableSemIncUpdateTo(s, baseT, newFp, delta, e)
+        val buildFree = ds.buildSeconds(st.IncFamily) == before
+        // frozen-centroid rebuild over the union — the equivalence base
+        val assignR = S.semanticAssign(e, "vec_id", "embedding",
+          baseT("cents"), probes = 3).localCheckpoint(eager = true)
+        val pairsR = S.semanticPairsFromAssign(assignR, e, "vec_id",
+          "embedding", st.Threshold)
+        def mismatches(u: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame, name: String) = {
+          val ks = u.columns.toSeq
+          def counted(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
+          counted(u).withColumn("__u", lit(1))
+            .join(counted(r).withColumn("__r", lit(1)),
+              ks :+ "__n", "full_outer")
+            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
+              .as(name))
+        }
+        e.agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_base"),
+            count(when(col("vec_id") % 5 === 0, 1)).as("n_added"))
+          .crossJoin(broadcast(mismatches(t("assign"), assignR, "__ma")))
+          .crossJoin(broadcast(mismatches(t("pairs"), pairsR, "__mp")))
+          .select(col("n_base"), col("n_added"),
+            (col("__ma") === 0 && col("__mp") === 0).as("update_ok"),
+            lit(buildFree).as("reload_build_free_ok"))
+      },
+      Some("""SELECT
+             |  count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_base,
+             |  count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_added,
+             |  TRUE AS update_ok,
+             |  TRUE AS reload_build_free_ok
+             |FROM embeddings""".stripMargin))
   )
 
   val specs: Seq[QuerySpec] =

@@ -479,6 +479,38 @@ class DurableStoreSpec extends SparkSpec {
     assert(d === 0.0, s"LM update reload accrued build seconds: $d")
   }
 
+  test("incremental semantic lineage: delta-assigned pairs union the " +
+      "standing table into exactly a frozen-centroid union rebuild; " +
+      "the published update reloads zero-build") {
+    import graft.operators.{SemDedupStore, Similarity}
+    val e = graft.Tables.load(spark, fixtureDir, "embeddings")
+    val base = e.where(col("vec_id") % 4 =!= 0)
+    val dl = e.where(col("vec_id") % 4 === 0)
+    val baseFp = DurableStore.frameFingerprint(base,
+      Seq("vec_id", "embedding"))
+    val newFp = DurableStore.frameFingerprint(e,
+      Seq("vec_id", "embedding"))
+    val baseT = SemDedupStore.durableSemIncBase(spark, base, baseFp)
+    val t = SemDedupStore.durableSemIncUpdateTo(spark, baseT, newFp,
+      dl, e)
+    val assignR = Similarity.semanticAssign(e, "vec_id", "embedding",
+      baseT("cents"), probes = 3).localCheckpoint(eager = true)
+    assert(sortedRows(t("assign")) === sortedRows(assignR))
+    assert(sortedRows(t("pairs")) === sortedRows(
+      Similarity.semanticPairsFromAssign(assignR, e, "vec_id",
+        "embedding", SemDedupStore.Threshold)))
+    val rows = sortedRows(t("pairs"))
+    assert(rows.nonEmpty, "fixture produced no semantic pairs")
+    DurableStore.dropRegistered(spark, SemDedupStore.IncFamily, newFp,
+      SemDedupStore.IncParts)
+    val d = delta(SemDedupStore.IncFamily) {
+      val again = SemDedupStore.durableSemIncUpdateTo(spark, baseT,
+        newFp, dl, e)
+      assert(sortedRows(again("pairs")) === rows)
+    }
+    assert(d === 0.0, s"semantic update reload accrued build sec: $d")
+  }
+
   test("incremental DSIR lineage: merged bucket counts and the " +
       "re-derived importance table equal a full-corpus retrain; the " +
       "published update reloads zero-build") {

@@ -107,7 +107,10 @@ object PlanAudit {
     // two one-row scalar attaches (totals + mean-importance
     // threshold); l110 only escapes the audit by checkpointing its
     // result frame before returning (it must drop its temp tables)
-    "l133_dsir_durable_update")
+    "l133_dsir_durable_update",
+    // l82/l131's one-row count/mismatch scalar attaches over the
+    // semantic incremental lineage
+    "l134_semdedup_durable_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
