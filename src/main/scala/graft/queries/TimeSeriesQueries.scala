@@ -2119,6 +2119,65 @@ object TimeSeriesQueries {
       Some("""SELECT 10 * count(*) AS n_topk, TRUE AS stream_ok,
              |  TRUE AS cold_boot_build_free_ok,
              |  TRUE AS cold_boot_train_free_ok
-             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    QuerySpec(
+      "t51_stream_index_ingest",
+      "the streaming INGEST loop of the standing vector index — the production face l82/l131 batch-append and t22/t50 serve leave open: vectors ARRIVE as a stream and are indexed continuously (readStream -> foreachBatch -> assignEncode each micro-batch against the FROZEN centroids/codebook -> append the three artifact slices to parquet state tables, the t13 CDC deployment shape with append instead of upsert — assignment and encoding are per-row functions, so batch boundaries cannot change the result). Zero training jobs anywhere in the loop: the frozen artifacts are the shared AnnIndexStore build (durable-reloaded on warm machines). Gate, hash-enforced: the drained state tables are multiset-equal (all columns + per-row multiplicity, floats bitwise — the l82 compare) to a single batch assignEncode over the whole corpus, across lists, codes AND norms, and every streamed vector is indexed. Oracle = deterministic count + literal true",
+      (s, dir) => {
+        val S = graft.operators.Similarity
+        val idx = graft.operators.AnnIndexStore.sharedIndex(s, dir)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ingest_").toString
+        val ingestBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (batch, _) => {
+            val (l, c, n) = S.assignEncode(idx.centroids, idx.codebook,
+              batch, "vec_id", "embedding", m = 16)
+            l.write.mode("append").parquet(s"$out/lists")
+            c.write.mode("append").parquet(s"$out/codes")
+            n.write.mode("append").parquet(s"$out/norms")
+          }
+        val q = Tables.loadStream(s, dir, "embeddings")
+          .writeStream
+          .foreachBatch(ingestBatch)
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        val e = Tables.load(s, dir, "embeddings")
+        val (lR, cR, nR) = S.assignEncode(idx.centroids, idx.codebook,
+          e, "vec_id", "embedding", m = 16)
+        def mismatches(u: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame, name: String) = {
+          val ks = u.columns.toSeq
+          def counted(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
+          counted(u).withColumn("__u", lit(1))
+            .join(counted(r).withColumn("__r", lit(1)),
+              ks :+ "__n", "full_outer")
+            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
+              .as(name))
+        }
+        val res = e.agg(count(lit(1)).as("n_streamed"))
+          .crossJoin(broadcast(s.read.parquet(s"$out/lists")
+            .agg(count(lit(1)).as("n_indexed"))))
+          .crossJoin(broadcast(mismatches(
+            s.read.parquet(s"$out/lists"), lR, "__ml")))
+          .crossJoin(broadcast(mismatches(
+            s.read.parquet(s"$out/codes"), cR, "__mc")))
+          .crossJoin(broadcast(mismatches(
+            s.read.parquet(s"$out/norms"), nR, "__mn")))
+          .select(col("n_streamed"), col("n_indexed"),
+            (col("__ml") === 0 && col("__mc") === 0 &&
+              col("__mn") === 0 &&
+              col("n_indexed") === col("n_streamed")).as("ingest_ok"))
+          .localCheckpoint(eager = true) // state dir is deleted below
+        graft.pipeline.SinkFiles.deleteRecursive(out)
+        res
+      },
+      Some("""SELECT count(*) AS n_streamed, count(*) AS n_indexed,
+             |  TRUE AS ingest_ok
+             |FROM embeddings""".stripMargin))
   )
 }

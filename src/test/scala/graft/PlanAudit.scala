@@ -46,6 +46,9 @@ object PlanAudit {
     // t22's agreement shape over the durable reload (same tiny-side
     // centroid probe + one-row gate attaches)
     "t50_stream_cold_boot_serve",
+    // l82's one-row count/mismatch scalar attaches over the drained
+    // ingest state (plus the same centroid-probe encode shape)
+    "t51_stream_index_ingest",
     // one-row count/mismatch/agreement scalar attaches + the same
     // centroid-probe shape, twice (updated and rebuilt serve)
     "l82_ann_index_update",
