@@ -72,10 +72,25 @@ object DurableStore {
   /** Bucket width shared by writer and re-registration DDL. */
   val Buckets = 8
 
-  /** Completion-marker file name; first line = part-prefix dir
-    * (`.` for rename-mode layouts, `attempt_<...>` for marker-mode).
+  /** Completion-marker file name. First line routes the reader:
+    * `.` (rename-mode parts at the base dir), `attempt_<...>`
+    * (marker-mode parts under the named attempt dir), or `manifest`
+    * (segment-lineage layout — the following `seg_` lines name the
+    * ordered delta partitions, resolved by `manifestTables`). A
+    * trailing `ts=<millis>.<seq>` line stamps the publish for
+    * generation-ordered retention (`vacuumKeepLatest`); markers from
+    * older layouts without the stamp sort as oldest.
     */
   val Marker = "_GRAFT_STORE_COMPLETE"
+
+  /** Per-JVM tiebreak for publish stamps minted on the same
+    * millisecond; cross-JVM same-millis ties fall back to the
+    * fingerprint name (any total order works for retention).
+    */
+  private val stampSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def stampLine(): String =
+    s"ts=${System.currentTimeMillis()}.${stampSeq.incrementAndGet()}"
 
   def root(s: SparkSession): String =
     s.conf.getOption("spark.graft.store.root")
@@ -153,19 +168,65 @@ object DurableStore {
     fsOf(s, base).exists(markerPath(base))
   }
 
-  /** The part-prefix dir the marker names (`.` = the base dir itself). */
-  private def partPrefix(s: SparkSession, base: Path): String = {
-    val f = fsOf(s, base)
-    val in = f.open(markerPath(base))
+  /** Full marker content (short-read-safe: loops to EOF — a single
+    * read() may return a prefix on any FileSystem).
+    */
+  private def readFully(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
     try {
-      val buf = new Array[Byte](4096) // markers are a few dozen bytes
-      val n = math.max(in.read(buf), 0)
-      val line = new String(buf, 0, n,
-        java.nio.charset.StandardCharsets.UTF_8).linesIterator
-        .toSeq.headOption.getOrElse(".")
-      if (line.startsWith("attempt_")) line else "."
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
+
+  /** Marker lines of a published layout. On stores where a created
+    * file's CONTENT lags its existence (HDFS create/write/close
+    * visibility), a reader can observe the marker empty mid-publish:
+    * an empty marker is treated as not-yet-published — brief retry,
+    * then a loud failure — never silently resolved to the base dir.
+    */
+  private def markerLines(s: SparkSession, base: Path): Seq[String] = {
+    val f = fsOf(s, base)
+    var tries = 0
+    var lines = readFully(f, markerPath(base)).linesIterator.toSeq
+    while (lines.headOption.forall(_.isEmpty) && tries < 20) {
+      Thread.sleep(50)
+      tries += 1
+      lines = readFully(f, markerPath(base)).linesIterator.toSeq
+    }
+    require(lines.headOption.exists(_.nonEmpty),
+      s"durable marker at $base is empty — publish in flight or torn; " +
+        "retry or rebuild-check before reading this layout")
+    lines
+  }
+
+  /** The part-prefix dir the marker names (`.` = the base dir itself). */
+  private def partPrefix(s: SparkSession, base: Path): String =
+    markerLines(s, base).head match {
+      case a if a.startsWith("attempt_") => a
+      case "manifest" => sys.error(
+        s"layout at $base is a segment manifest — resolve its parts " +
+          "through manifestTables, not partLocation")
+      case _ => "."
+    }
+
+  /** Publish stamp of a complete layout, for generation ordering:
+    * (millis, per-JVM seq). Markers predating the stamp line sort as
+    * the oldest generation.
+    */
+  def publishStampOf(s: SparkSession, family: String,
+      fp: String): (Long, Long) =
+    markerLines(s, basePath(s, family, fp))
+      .find(_.startsWith("ts="))
+      .map { l =>
+        val Array(a, b) = l.stripPrefix("ts=").split("\\.", 2)
+        (a.toLong, b.toLong)
+      }
+      .getOrElse((0L, 0L))
 
   /** Resolved location of a published part's parquet dir. */
   def partLocation(s: SparkSession, family: String, fp: String,
@@ -229,13 +290,26 @@ object DurableStore {
         writeParts(s, family, fp, parts, built, stage)
         val out = f.create(new Path(stage, Marker), true)
         try out.write(
-          ".".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          s".\n${stampLine()}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        if (!f.rename(stage, base)) {
+        // pre-check RIGHT before the rename: the Hadoop FileSystem
+        // contract moves src UNDER an existing destination dir (and
+        // returns true), so renaming against an already-published base
+        // would nest our staging dir INSIDE the winner's layout
+        var won = !f.exists(markerPath(base)) && f.rename(stage, base)
+        if (won) {
+          // belt-and-braces for the pre-check's residual window: if a
+          // winner published between the check and the rename, our
+          // "successful" rename was the nesting move — reclaim it
+          val nested = new Path(base, stage.getName)
+          if (f.exists(nested)) { f.delete(nested, true); won = false }
+        }
+        if (!won) {
           // a concurrent builder published first — serve its bytes
           require(f.exists(markerPath(base)),
             s"durable publish rename failed with no winner: $base")
-          f.delete(stage, true)
+          if (f.exists(stage)) f.delete(stage, true)
         }
       } finally {
         if (f.exists(stage) && !f.exists(markerPath(base)))
@@ -262,7 +336,8 @@ object DurableStore {
           // overwrite=false: atomic create-if-absent — the ENTIRE race
           val out = f.create(markerPath(base), false)
           try out.write(
-            attempt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            s"$attempt\n${stampLine()}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           true
         } catch {
@@ -334,6 +409,191 @@ object DurableStore {
   def buildSeconds(family: String): Double =
     StoreBuildLedger.snapshot.getOrElse(s"durable_$family", 0.0)
 
+  // ------------------------------------------------------------------
+  // Segment-manifest lineages: the O(delta)-WRITE publish shape.
+  //
+  // The plain `loadOrBuild` layout re-writes every part under each new
+  // fingerprint — right for retrain lineages (the artifacts genuinely
+  // change), but write-amplifying for INCREMENTAL ones: at 100 TB a
+  // daily append would copy the corpus-sized index to add a day's
+  // rows. Manifest lineages store parts as append-only DELTA
+  // PARTITIONS instead:
+  //
+  //   <root>/<family>/seg_<uuid>/<part>/   immutable segment dirs,
+  //       written once by `writeSegment` (its own completion marker is
+  //       created last, so a crashed writer leaves only a marker-less
+  //       segment — debris, never a half-readable store);
+  //   <root>/<family>/<fp>/_GRAFT_STORE_COMPLETE   the fingerprint's
+  //       MANIFEST: ONE create-if-absent (the marker-mode commit
+  //       discipline — atomic on HDFS/local and on object stores with
+  //       conditional PUT, never a directory rename) whose `seg_`
+  //       lines name the ordered segments composing the layout.
+  //
+  // Readers resolve each part as the UNION of the listed segments'
+  // part dirs (a segment may carry a subset of the family's parts —
+  // frozen model artifacts live only in the base segment). An append
+  // therefore WRITES only its delta segment plus one manifest file;
+  // the standing segments are never copied or touched (l131's
+  // write-amplification gate pins exactly that). Merge semantics are
+  // the lineage's own: append-only artifacts (ANN lists/codes/norms)
+  // union as-is; additive count tables (LM pairs, DSIR buckets, NB
+  // features) merge by a vocab-bounded groupBy-sum ON READ — the
+  // LSM-tree trade. A lineage that accumulates many segments compacts
+  // by jumping to its retrain family's single-layout build (the
+  // periodic re-train that also refreshes frozen models), which is a
+  // bucketed parquet re-write, not new machinery.
+  //
+  // Trade-off vs `loadOrBuild`: the union read is a multi-dir parquet
+  // scan, so the single-table bucket registration (exchange-free
+  // serve joins) does not apply; each segment's files are still
+  // written bucketed, so compaction recovers co-location for free.
+  // ------------------------------------------------------------------
+
+  private def famDir(s: SparkSession, family: String): Path =
+    new Path(root(s), family)
+
+  /** Write ONE immutable segment of `family` holding `built`'s parts
+    * (a subset of the family's part list) and return its name. The
+    * segment's completion marker is created last: a crash mid-write
+    * leaves a marker-less `seg_` dir that no manifest will ever name
+    * (vacuum debris), and the unique name means two writers never
+    * touch the same files — no rename anywhere, object-store-safe.
+    */
+  def writeSegment(s: SparkSession, family: String, parts: Seq[Part],
+      built: Map[String, DataFrame]): String = {
+    val fam = famDir(s, family)
+    val f = fsOf(s, fam)
+    f.mkdirs(fam)
+    // identifier-safe (no dashes): the staging-table name embeds it
+    val seg = "seg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dir = new Path(fam, seg)
+    writeParts(s, family, seg, parts.filter(p => built.contains(p.name)),
+      built, dir)
+    val out = f.create(new Path(dir, Marker), false)
+    try out.write(
+      s".\n${stampLine()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    seg
+  }
+
+  /** True iff `seg` finished writing (its completion marker exists). */
+  def segmentComplete(s: SparkSession, family: String,
+      seg: String): Boolean = {
+    val dir = new Path(famDir(s, family), seg)
+    fsOf(s, dir).exists(new Path(dir, Marker))
+  }
+
+  /** The ordered segment list a published manifest names. */
+  def manifestSegments(s: SparkSession, family: String,
+      fp: String): Seq[String] = {
+    val lines = markerLines(s, basePath(s, family, fp))
+    require(lines.head == "manifest",
+      s"$family/$fp is not a manifest layout (marker: ${lines.head})")
+    lines.filter(_.startsWith("seg_"))
+  }
+
+  /** (path, length, modificationTime) of every file under a segment —
+    * the write-amplification gates' evidence that an append left the
+    * standing segments byte-untouched.
+    */
+  def segmentFileStats(s: SparkSession, family: String,
+      seg: String): Set[(String, Long, Long)] = {
+    val dir = new Path(famDir(s, family), seg)
+    val f = fsOf(s, dir)
+    def walk(p: Path): Seq[(String, Long, Long)] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else Seq((st.getPath.toString, st.getLen,
+          st.getModificationTime))
+      }
+    walk(dir).toSet
+  }
+
+  /** Segments referenced by ANY complete manifest of the family —
+    * the loser-cleanup / vacuum reachability set.
+    */
+  private def referencedSegments(s: SparkSession,
+      family: String): Set[String] = {
+    val fam = famDir(s, family)
+    val f = fsOf(s, fam)
+    if (!f.exists(fam)) return Set.empty
+    f.listStatus(fam).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
+        && !st.getPath.getName.startsWith("seg_")
+        && f.exists(new Path(st.getPath, Marker)))
+      .flatMap { st =>
+        val lines = markerLines(s, st.getPath)
+        if (lines.head == "manifest") lines.filter(_.startsWith("seg_"))
+        else Nil
+      }.toSet
+  }
+
+  /** Resolve a published manifest layout's parts: each is the UNION of
+    * the listed segments' part dirs (segments lacking the part are
+    * skipped — frozen artifacts live only in the base segment). A
+    * footer-driven read, zero jobs over the data.
+    */
+  def manifestTables(s: SparkSession, family: String, fp: String,
+      parts: Seq[Part]): Map[String, DataFrame] = {
+    val fam = famDir(s, family)
+    val f = fsOf(s, fam)
+    val segs = manifestSegments(s, family, fp)
+    parts.map { p =>
+      val dirs = segs.map(seg => new Path(fam, new Path(seg, p.name)))
+        .filter(f.exists)
+      require(dirs.nonEmpty,
+        s"manifest $family/$fp lists no segment carrying part ${p.name}")
+      p.name -> s.read.parquet(dirs.map(_.toString): _*)
+    }.toMap
+  }
+
+  /** Serve a manifest lineage's fingerprint, building only if the
+    * manifest is absent: the build body writes its delta segment(s)
+    * via `writeSegment` and returns the FULL ordered segment list to
+    * publish (typically the base manifest's segments plus one new
+    * delta). Publish = one create-if-absent of the manifest marker; a
+    * loser deletes its own segments that no published manifest
+    * references and serves the winner's layout. Build seconds accrue
+    * under `durable_<family>`; a reload reads the marker and parquet
+    * footers only.
+    */
+  def loadOrBuildManifest(s: SparkSession, family: String, fp: String,
+      parts: Seq[Part])(build: => Seq[String])
+      : Map[String, DataFrame] = synchronized {
+    val base = basePath(s, family, fp)
+    val f = fsOf(s, base)
+    if (!isBuilt(s, family, fp)) StoreBuildLedger.timed(s"durable_$family") {
+      val segs = build
+      require(segs.nonEmpty && segs.forall(_.startsWith("seg_")),
+        s"manifest build for $family/$fp returned no segment list")
+      f.mkdirs(base)
+      val won =
+        try {
+          val out = f.create(markerPath(base), false)
+          try out.write(
+            (s"manifest\n${segs.mkString("\n")}\n${stampLine()}")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: java.io.IOException if f.exists(markerPath(base)) =>
+            false // a concurrent builder published first
+        }
+      if (!won) {
+        // loser: reclaim own segments nobody references (shared base
+        // segments stay — other manifests name them)
+        val ref = referencedSegments(s, family)
+        segs.filterNot(ref).foreach(seg =>
+          f.delete(new Path(famDir(s, family), seg), true))
+      }
+      require(isBuilt(s, family, fp),
+        s"durable manifest publish failed for $family/$fp")
+    }
+    manifestTables(s, family, fp, parts)
+  }
+
   /** What `vacuum` removed: unreferenced publish debris and (when
     * requested) complete-but-unkept fingerprints.
     */
@@ -363,33 +623,47 @@ object DurableStore {
     */
   def vacuum(s: SparkSession, family: String,
       keep: Set[String] = Set.empty): VacuumReport = synchronized {
-    val famDir = new Path(root(s), family)
-    val f = fsOf(s, famDir)
-    if (!f.exists(famDir)) return VacuumReport(Nil, Nil)
+    val fam = famDir(s, family)
+    val f = fsOf(s, fam)
+    if (!f.exists(fam)) return VacuumReport(Nil, Nil)
     var debris = List.empty[String]
     var stale = List.empty[String]
-    f.listStatus(famDir).foreach { st =>
+    val children = f.listStatus(fam).toSeq
+    // pass 1: fingerprint dirs and loose debris — segments are judged
+    // AFTER the keep set is applied, against the SURVIVING manifests
+    children.foreach { st =>
       val name = st.getPath.getName
-      val isFpDir = st.isDirectory && !name.startsWith(".")
-      if (!isFpDir) {
+      val isSeg = st.isDirectory && name.startsWith("seg_")
+      val isFpDir = st.isDirectory && !name.startsWith(".") && !isSeg
+      if (!isFpDir && !isSeg) {
         // .stage_/.aside_ siblings (and any stray file) — debris once
         // no builder references them, which is true under the module
         // lock within this JVM and after a crash across JVMs
         debris ::= name
         f.delete(st.getPath, true)
-      } else {
+      } else if (isFpDir) {
         val marker = new Path(st.getPath, Marker)
         if (!f.exists(marker)) {
           debris ::= name
           f.delete(st.getPath, true)
         } else {
-          // marker-mode: attempts the marker does not name are debris
-          val pfx = partPrefix(s, st.getPath)
-          f.listStatus(st.getPath).foreach { sub =>
-            val sn = sub.getPath.getName
-            if (sub.isDirectory && sn.startsWith("attempt_") && sn != pfx) {
-              debris ::= s"$name/$sn"
-              f.delete(sub.getPath, true)
+          val head = markerLines(s, st.getPath).head
+          // children of a PUBLISHED layout the marker does not name
+          // are debris: losing/crashed attempts (marker mode) and
+          // staging dirs a loser's rename nested under the winner
+          // (the Hadoop rename-into-existing-dir contract)
+          if (head != "manifest") {
+            val pfx = partPrefix(s, st.getPath)
+            f.listStatus(st.getPath).foreach { sub =>
+              val sn = sub.getPath.getName
+              val orphanAttempt =
+                sub.isDirectory && sn.startsWith("attempt_") && sn != pfx
+              val nestedStage = sub.isDirectory &&
+                (sn.startsWith(".stage_") || sn.startsWith(".aside_"))
+              if (orphanAttempt || nestedStage) {
+                debris ::= s"$name/$sn"
+                f.delete(sub.getPath, true)
+              }
             }
           }
           if (keep.nonEmpty && !keep.contains(name)) {
@@ -406,6 +680,50 @@ object DurableStore {
         }
       }
     }
+    // pass 2: segments. Reachability is THROUGH the surviving
+    // manifests (a kept child manifest pins the base segments it
+    // lists even after the base fingerprint dir itself was retired) —
+    // marker-less or never-referenced segments are debris, segments
+    // referenced only by generations removed above are stale data
+    val ref = referencedSegments(s, family)
+    children.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("seg_") && !ref.contains(name)
+          && f.exists(st.getPath)) {
+        if (f.exists(new Path(st.getPath, Marker))) stale ::= name
+        else debris ::= name
+        f.delete(st.getPath, true)
+      }
+    }
     VacuumReport(debris.reverse, stale.reverse)
+  }
+
+  /** Generation-aware retention: keep the NEWEST `n` complete
+    * layouts of `family` by publish stamp (marker `ts=` line; same-
+    * millis ties break by per-JVM sequence then fingerprint name;
+    * stamp-less markers from older layouts sort oldest) and vacuum
+    * everything else — a caller names a COUNT instead of enumerating
+    * fingerprints. Manifest lineages keep their reachable segments:
+    * a kept child manifest pins the base segments it lists even when
+    * the base generation itself is retired. Same maintenance-window
+    * contract as `vacuum`.
+    */
+  def vacuumKeepLatest(s: SparkSession, family: String,
+      n: Int): VacuumReport = synchronized {
+    require(n >= 1, s"vacuumKeepLatest: n must be >= 1, got $n")
+    val fam = famDir(s, family)
+    val f = fsOf(s, fam)
+    if (!f.exists(fam)) return VacuumReport(Nil, Nil)
+    val complete = f.listStatus(fam).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
+        && !st.getPath.getName.startsWith("seg_")
+        && f.exists(new Path(st.getPath, Marker)))
+      .map(_.getPath.getName)
+    if (complete.isEmpty) return vacuum(s, family)
+    val kept = complete
+      .map(fp => (publishStampOf(s, family, fp), fp))
+      .sortBy { case ((ms, seq), fp) => (-ms, -seq, fp) }
+      .take(n).map(_._2).toSet
+    vacuum(s, family, keep = kept)
   }
 }

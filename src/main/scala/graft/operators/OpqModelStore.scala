@@ -59,6 +59,21 @@ object OpqModelStore {
 
   /** Durable layout of the full model: every matrix as an (i, row)
     * table, the codebook as (m, c, row), the trace as (i, v).
+    *
+    * MIGRATION NOTE (round 12): this family was renamed from
+    * `opq_rotation` (which held only the rotation matrix) when the
+    * layout grew to the full six-table model, and the fingerprint
+    * format gained the `_s` sum fold in round 13. Vacuum is per-family
+    * and keep-sets are built from CURRENT-format fingerprints, so a
+    * store root that predates either change can carry unreachable
+    * `opq_rotation/` layouts and old-format fingerprint dirs under
+    * `opq_model/`. A long-lived deployment reclaims them with a
+    * one-time sweep: `DurableStore.vacuum(s, "opq_rotation",
+    * keep = Set("-"))` (a keep set naming no real fingerprint removes
+    * every complete layout of the retired family) plus a
+    * `vacuumKeepLatest(s, "opq_model", n)` for the live one — the
+    * harness's own roots were rebuilt at the rename, so no sweep is
+    * wired in here.
     */
   val DurableFamily = "opq_model"
   val DurableParts: Seq[DurableStore.Part] = Seq(

@@ -228,7 +228,9 @@ class DurableStoreSpec extends SparkSpec {
     lob("fpA", "keepme")
     lob("fpB", "staleme")
     // plant debris: a crashed staging sibling, a marker-less fp dir,
-    // and an orphan attempt inside the kept layout
+    // an orphan attempt inside the kept layout, and a staging dir a
+    // losing rename nested INSIDE the published layout (the Hadoop
+    // rename-under-existing-dest contract)
     val fam = new java.io.File(s"$storeRoot/spec_vac")
     java.nio.file.Files.createDirectories(
       new java.io.File(fam, ".stage_fpA_dead/t").toPath)
@@ -236,10 +238,14 @@ class DurableStoreSpec extends SparkSpec {
       new java.io.File(fam, "fpC/t").toPath)
     java.nio.file.Files.createDirectories(
       new java.io.File(fam, "fpA/attempt_orphan/t").toPath)
+    java.nio.file.Files.createDirectories(
+      new java.io.File(fam, "fpA/.stage_nested/t").toPath)
     val rep = DurableStore.vacuum(spark, "spec_vac", keep = Set("fpA"))
     assert(rep.debris.toSet ===
-      Set(".stage_fpA_dead", "fpC", "fpA/attempt_orphan"),
+      Set(".stage_fpA_dead", "fpC", "fpA/attempt_orphan",
+        "fpA/.stage_nested"),
       s"debris: ${rep.debris}")
+    assert(!new java.io.File(fam, "fpA/.stage_nested").exists())
     assert(rep.stale === Seq("fpB"))
     assert(!new java.io.File(fam, "fpB").exists())
     assert(!new java.io.File(fam, "fpA/attempt_orphan").exists())
@@ -543,6 +549,132 @@ class DurableStoreSpec extends SparkSpec {
       assert(sortedRows(again("counts")) === rows)
     }
     assert(d === 0.0, s"DSIR update reload accrued build seconds: $d")
+  }
+
+  test("segment-manifest lineage: an append writes ONLY its delta " +
+      "segment (standing bytes untouched), the union serves all rows, " +
+      "and the published manifest reloads zero-build") {
+    import spark.implicits._
+    val fam = "spec_manifest"
+    val parts = Seq(DurableStore.Part("t", Some("k")))
+    // base generation: one segment, one manifest
+    val baseSeg = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> (0 until 16).map(i => (i % 4, s"base$i")).toDF("k", "v")))
+    val baseT = DurableStore.loadOrBuildManifest(spark, fam, "fpBase",
+      parts)(Seq(baseSeg))
+    assert(baseT("t").count() === 16)
+    assert(DurableStore.manifestSegments(spark, fam, "fpBase")
+      === Seq(baseSeg))
+    // the append: snapshot standing bytes, publish the child manifest
+    val statsBefore = DurableStore.segmentFileStats(spark, fam, baseSeg)
+    var deltaSeg = ""
+    val childT = DurableStore.loadOrBuildManifest(spark, fam, "fpChild",
+      parts) {
+      deltaSeg = DurableStore.writeSegment(spark, fam, parts,
+        Map("t" -> (16 until 20).map(i => (i % 4, s"delta$i"))
+          .toDF("k", "v")))
+      Seq(baseSeg, deltaSeg)
+    }
+    // O(delta) write: child = base segments + exactly the one delta,
+    // and the standing segment's files are byte-for-byte untouched
+    assert(DurableStore.manifestSegments(spark, fam, "fpChild")
+      === Seq(baseSeg, deltaSeg))
+    assert(DurableStore.segmentFileStats(spark, fam, baseSeg)
+      === statsBefore, "the append touched standing segment bytes")
+    assert(sortedRows(childT("t")).length === 20)
+    assert(sortedRows(childT("t")).count(_.contains("delta")) === 4)
+    // the published manifest reloads zero-build (build body tombstoned)
+    val d = delta(fam) {
+      val again = DurableStore.loadOrBuildManifest(spark, fam,
+        "fpChild", parts)(sys.error("manifest reload ran the build"))
+      assert(sortedRows(again("t")) === sortedRows(childT("t")))
+    }
+    assert(d === 0.0, s"manifest reload accrued build seconds: $d")
+    // a segment may carry a SUBSET of parts (frozen artifacts live in
+    // the base segment only): a part absent from the delta resolves
+    // to the base's rows alone
+    val twoParts = Seq(DurableStore.Part("t", None),
+      DurableStore.Part("frozen", None))
+    val s1 = DurableStore.writeSegment(spark, "spec_manifest2", twoParts,
+      Map("t" -> Seq((1, "a")).toDF("k", "v"),
+        "frozen" -> Seq((9, "model")).toDF("k", "v")))
+    val s2 = DurableStore.writeSegment(spark, "spec_manifest2", twoParts,
+      Map("t" -> Seq((2, "b")).toDF("k", "v")))
+    val t2 = DurableStore.loadOrBuildManifest(spark, "spec_manifest2",
+      "fp0", twoParts)(Seq(s1, s2))
+    assert(t2("t").count() === 2)
+    assert(sortedRows(t2("frozen")) === Seq("[9,model]"))
+  }
+
+  test("manifest publish race: the loser's unreferenced delta segment " +
+      "is reclaimed, shared base segments survive, winner served") {
+    import spark.implicits._
+    val fam = "spec_manifest_race"
+    val parts = Seq(DurableStore.Part("t", None))
+    val baseSeg = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> Seq((0, "base")).toDF("k", "who")))
+    DurableStore.loadOrBuildManifest(spark, fam, "fpBase", parts)(
+      Seq(baseSeg))
+    var loserSeg = ""
+    // the build body simulates a concurrent JVM publishing the same
+    // child fingerprint FIRST (the nested call), so the outer builder
+    // must lose, reclaim its own delta segment, and serve the winner's
+    val served = DurableStore.loadOrBuildManifest(spark, fam, "fpChild",
+      parts) {
+      DurableStore.loadOrBuildManifest(spark, fam, "fpChild", parts) {
+        val w = DurableStore.writeSegment(spark, fam, parts,
+          Map("t" -> Seq((1, "winner")).toDF("k", "who")))
+        Seq(baseSeg, w)
+      }
+      loserSeg = DurableStore.writeSegment(spark, fam, parts,
+        Map("t" -> Seq((1, "loser")).toDF("k", "who")))
+      Seq(baseSeg, loserSeg)
+    }
+    val whos = served("t").collect().map(_.getString(1)).sorted.toSeq
+    assert(whos === Seq("base", "winner"),
+      s"loser's bytes were served: $whos")
+    assert(!DurableStore.segmentComplete(spark, fam, loserSeg) &&
+      !new java.io.File(s"$storeRoot/$fam/$loserSeg").exists(),
+      "the losing delta segment was not reclaimed")
+    assert(DurableStore.segmentComplete(spark, fam, baseSeg),
+      "a shared base segment was reclaimed by the loser")
+  }
+
+  test("vacuumKeepLatest keeps the newest generations by publish " +
+      "stamp; a kept child manifest pins its base segments after the " +
+      "base generation is retired; unreferenced segments are swept") {
+    import spark.implicits._
+    val fam = "spec_keep_latest"
+    val parts = Seq(DurableStore.Part("t", None))
+    val segA = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> Seq((0, "genA")).toDF("k", "who")))
+    DurableStore.loadOrBuildManifest(spark, fam, "fpA", parts)(Seq(segA))
+    val segB = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> Seq((1, "genB")).toDF("k", "who")))
+    DurableStore.loadOrBuildManifest(spark, fam, "fpB", parts)(
+      Seq(segA, segB))
+    // stamps are monotone within the JVM (millis + seq tiebreak)
+    assert(DurableStore.publishStampOf(spark, fam, "fpA") !==
+      DurableStore.publishStampOf(spark, fam, "fpB"))
+    // plant an unreferenced complete segment and a marker-less one
+    val orphan = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> Seq((2, "orphan")).toDF("k", "who")))
+    java.nio.file.Files.createDirectories(
+      new java.io.File(s"$storeRoot/$fam/seg_halfwritten/t").toPath)
+    val rep = DurableStore.vacuumKeepLatest(spark, fam, 1)
+    // newest generation (fpB, the child) survives; fpA is retired but
+    // segA — listed by fpB's manifest — must be pinned
+    assert(rep.stale.toSet === Set("fpA", orphan), s"stale: ${rep.stale}")
+    assert(rep.debris === Seq("seg_halfwritten"), s"debris: ${rep.debris}")
+    assert(!DurableStore.isBuilt(spark, fam, "fpA"))
+    assert(DurableStore.segmentComplete(spark, fam, segA),
+      "a base segment referenced by the kept child manifest was swept")
+    val d = delta(fam) {
+      val t = DurableStore.loadOrBuildManifest(spark, fam, "fpB", parts)(
+        sys.error("kept manifest rebuilt after vacuumKeepLatest"))
+      assert(t("t").count() === 2)
+    }
+    assert(d === 0.0, s"kept manifest accrued build seconds: $d")
   }
 
   test("LM family: the l122 evict-reload shape serves identical count " +
