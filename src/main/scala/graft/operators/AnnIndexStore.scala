@@ -135,6 +135,18 @@ object AnnIndexStore {
     * norms extended per append — the daily-ingest economics where only
     * the DELTA is encoded; centroid drift is a periodic retrain, which
     * is exactly a jump back to the other lineage).
+    *
+    * Since round 14 this is a MANIFEST family (the O(delta)-WRITE
+    * shape): the base build is one segment holding all five parts;
+    * each append writes ONE delta segment (lists/codes/norms of the
+    * delta only — the frozen cent/codebook live in the base segment
+    * and are never copied) and publishes the new fingerprint as a
+    * manifest naming base segments + the delta. A day's publish
+    * therefore writes O(delta) bytes, not a corpus-sized parquet copy
+    * (l131 pins this with the segment-file-stats gate). Readers union
+    * the listed segments; compaction — when the segment list grows
+    * long or co-located serve joins are wanted — is the periodic jump
+    * to the retrain lineage's single bucketed layout.
     */
   val IncFamily = "ann_index_inc"
 
@@ -151,44 +163,48 @@ object AnnIndexStore {
 
   /** Load-or-build the incremental lineage's BASE layout: a one-time
     * training build over the base corpus (fingerprint = the base
-    * FRAME's content hash, so any base change invalidates).
+    * FRAME's content hash, so any base change invalidates), published
+    * as a single-segment manifest.
     */
   def durableIncBase(s: SparkSession,
       base: org.apache.spark.sql.DataFrame, baseFp: String,
       idCol: String, embCol: String): Similarity.AnnIndex =
-    asIndex(DurableStore.loadOrBuild(s, IncFamily, baseFp,
+    asIndex(DurableStore.loadOrBuildManifest(s, IncFamily, baseFp,
       DurableParts) {
       val idx = Similarity.buildAnnIndex(base, idCol, embCol,
         DefaultNCentroids, DefaultTrainIters, DefaultM, DefaultNCodes,
         DefaultPqTrainIters)
-      asParts(idx)
+      Seq(DurableStore.writeSegment(s, IncFamily, DurableParts,
+        asParts(idx)))
     })
 
   /** Extend a published incremental layout to an appended corpus and
     * republish under the new fingerprint — the l82 maintenance
-    * discipline lifted to the durable tier: the delta is assigned +
-    * PQ-encoded against the FROZEN centroids/codebook (per-row
-    * functions, zero Lloyd machinery) and appended to the persisted
-    * lists/codes/norms; only the DELTA pays encode work, the standing
-    * rows are re-published from the already-persisted tables. If the
-    * new fingerprint is already built this is a pure reload (a re-run
-    * day costs zero jobs — gated in l131). Write cost note: encode is
-    * O(delta) but the publish re-WRITES the full layout under the new
-    * fingerprint (a parquet copy, no shuffle — the bucketed writer
-    * reads and writes co-partitioned). At 100 TB the same protocol
-    * holds with the parts stored as DATED DELTA PARTITIONS under one
-    * fingerprint-named manifest (publish = write the manifest naming
-    * the partition list, the marker-mode discipline), so a day's
-    * publish writes only the delta partition; the full-rewrite form
-    * here keeps the read path identical to the retrain lineage's.
+    * discipline lifted to the durable tier, at O(delta) WRITE cost:
+    * the delta is assigned + PQ-encoded against the base manifest's
+    * FROZEN centroids/codebook (per-row functions, zero Lloyd
+    * machinery — l82's update face) and written as ONE new segment
+    * holding only the delta's lists/codes/norms; the publish is one
+    * create-if-absent manifest marker naming base segments + the
+    * delta. The standing segments are never copied or touched by the
+    * append (l131's file-stats gate pins that), and the frozen model
+    * is never duplicated — it resolves from the base segment through
+    * every descendant manifest. If the new fingerprint is already
+    * built this is a pure reload (a re-run day costs zero jobs —
+    * gated in l131).
     */
-  def durableUpdateTo(s: SparkSession, baseIdx: Similarity.AnnIndex,
+  def durableUpdateTo(s: SparkSession, baseFp: String,
       newFp: String, delta: org.apache.spark.sql.DataFrame,
       idCol: String, embCol: String): Similarity.AnnIndex =
-    asIndex(DurableStore.loadOrBuild(s, IncFamily, newFp,
+    asIndex(DurableStore.loadOrBuildManifest(s, IncFamily, newFp,
       DurableParts) {
-      asParts(Similarity.updateAnnIndex(baseIdx, delta, idCol, embCol,
-        m = DefaultM))
+      val baseT = DurableStore.manifestTables(s, IncFamily, baseFp,
+        DurableParts)
+      val (l, c, n) = Similarity.assignEncode(baseT("cent"),
+        baseT("codebook"), delta, idCol, embCol, m = DefaultM)
+      val seg = DurableStore.writeSegment(s, IncFamily, DurableParts,
+        Map("lists" -> l, "codes" -> c, "norms" -> n))
+      DurableStore.manifestSegments(s, IncFamily, baseFp) :+ seg
     })
 
   /** Drop every in-memory artifact (the fresh-application simulation

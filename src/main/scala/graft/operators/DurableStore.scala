@@ -485,12 +485,21 @@ object DurableStore {
     fsOf(s, dir).exists(new Path(dir, Marker))
   }
 
-  /** The ordered segment list a published manifest names. */
+  /** The ordered segment list a published manifest names. A complete
+    * layout in the RENAME/MARKER format under a manifest family is a
+    * retired-format leftover (the lineage predates its round-14
+    * manifest migration): refuse loudly — auto-migrating would destroy
+    * a layout an old-version reader may still be serving — and name
+    * the documented one-time sweep.
+    */
   def manifestSegments(s: SparkSession, family: String,
       fp: String): Seq[String] = {
     val lines = markerLines(s, basePath(s, family, fp))
     require(lines.head == "manifest",
-      s"$family/$fp is not a manifest layout (marker: ${lines.head})")
+      s"$family/$fp is not a manifest layout (marker head: " +
+        s"'${lines.head}') — a retired-format leftover; sweep it once " +
+        s"with DurableStore.vacuum(s, \"$family\", keep = Set(\"-\")) " +
+        "(or delete the fingerprint dir) and rebuild")
     lines.filter(_.startsWith("seg_"))
   }
 

@@ -148,6 +148,11 @@ object MixtureModelStore {
     * additive over disjoint document sets; the importance projection
     * recomputes from merged counts integer-for-integer equal to a
     * full-corpus retrain (l133's card hash proves it end-to-end).
+    * Since round 14 a MANIFEST family: each append writes only the
+    * delta batch's own <= DsirBuckets-row count segment; the merge
+    * moved to read time (`dsirIncCountsOf`, one bucket-bounded
+    * groupBy-sum over the segment union — l133's file-stats gate pins
+    * the O(delta) write).
     */
   val DsirIncFamily = "dsir_counts_inc"
   val DsirIncParts: Seq[DurableStore.Part] =
@@ -157,26 +162,37 @@ object MixtureModelStore {
     Dsir.bucketCountsOf(Dsir.bucketFrame(docs, "doc_id", "text",
       cleanSlicePred, DsirBuckets))
 
-  /** One-time count build of the incremental lineage's base layout. */
+  /** One-time count build of the incremental lineage's base layout,
+    * published as a single-segment manifest.
+    */
   def durableDsirIncBase(s: SparkSession, base: DataFrame,
       baseFp: String): Map[String, DataFrame] =
-    DurableStore.loadOrBuild(s, DsirIncFamily, baseFp, DsirIncParts) {
-      Map("counts" -> bucketCounts(base))
+    DurableStore.loadOrBuildManifest(s, DsirIncFamily, baseFp,
+      DsirIncParts) {
+      Seq(DurableStore.writeSegment(s, DsirIncFamily, DsirIncParts,
+        Map("counts" -> bucketCounts(base))))
     }
 
   /** Extend a published count layout by an appended document batch
     * and republish under the new fingerprint: only the DELTA is
-    * hashed and counted; the merge is one <= DsirBuckets-row
-    * groupBy-sum.
+    * hashed, counted and WRITTEN (one new segment; the publish is one
+    * manifest marker naming base segments + the delta).
     */
-  def durableDsirIncUpdateTo(s: SparkSession,
-      baseT: Map[String, DataFrame], newFp: String,
-      delta: DataFrame): Map[String, DataFrame] =
-    DurableStore.loadOrBuild(s, DsirIncFamily, newFp, DsirIncParts) {
-      Map("counts" -> baseT("counts").unionByName(bucketCounts(delta))
-        .groupBy(col("bkt"))
-        .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr")))
+  def durableDsirIncUpdateTo(s: SparkSession, baseFp: String,
+      newFp: String, delta: DataFrame): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, DsirIncFamily, newFp,
+      DsirIncParts) {
+      val seg = DurableStore.writeSegment(s, DsirIncFamily,
+        DsirIncParts, Map("counts" -> bucketCounts(delta)))
+      DurableStore.manifestSegments(s, DsirIncFamily, baseFp) :+ seg
     }
+
+  /** Merge-on-read of an incremental layout's count segments: one
+    * <= DsirBuckets-row groupBy-sum (additivity makes it exact).
+    */
+  def dsirIncCountsOf(t: Map[String, DataFrame]): DataFrame =
+    t("counts").groupBy(col("bkt"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
 
   /** Drop every in-memory artifact (the fresh-application simulation
     * of the durable-reload gates).

@@ -121,6 +121,16 @@ object NgramModelStore {
     * TOKEN table — the vocab COUNT's mergeable form (counts don't
     * merge across appends, sets do); context counts and the vocab
     * scalar re-derive from these (vocab-bounded work).
+    *
+    * Since round 14 a MANIFEST family (the O(delta)-WRITE shape): each
+    * append writes ONE segment holding the DELTA batch's own counts
+    * and token set; the merge moved from publish time to READ time —
+    * `incModelOf` folds the segment union with one vocab-bounded
+    * groupBy-sum / distinct, the LSM merge-on-read trade. A day's
+    * publish therefore writes O(delta-vocab) bytes instead of
+    * re-copying the corpus vocabulary (l132's file-stats gate);
+    * compaction, when the segment list grows long, is the jump to the
+    * retrain family's single bucketed layout.
     */
   val IncFamily = "lm_bigram_inc"
   val IncParts: Seq[DurableStore.Part] = Seq(
@@ -134,44 +144,47 @@ object NgramModelStore {
 
   /** One-time training build of the incremental lineage's base layout
     * (clean-slice counts of the BASE corpus; fingerprint = the base
-    * frame's content hash).
+    * frame's content hash), published as a single-segment manifest.
     */
   def durableIncBase(s: SparkSession, base: DataFrame,
       baseFp: String): Map[String, DataFrame] =
-    DurableStore.loadOrBuild(s, IncFamily, baseFp, IncParts) {
+    DurableStore.loadOrBuildManifest(s, IncFamily, baseFp, IncParts) {
       val clean = base.where(col("doc_id") % 7 === 0)
       val m = NgramLm.trainBigram(clean, "text", 2)
-      Map("pairs" -> m.pairCounts, "toks" -> tokTable(clean, "text"))
+      Seq(DurableStore.writeSegment(s, IncFamily, IncParts,
+        Map("pairs" -> m.pairCounts, "toks" -> tokTable(clean, "text"))))
     }
 
   /** Extend a published incremental layout by an appended document
     * batch and republish under the new fingerprint: ONLY the delta is
-    * tokenized and counted; the standing counts merge by one
-    * vocab-bounded groupBy-sum and the token sets by a distinct union.
+    * tokenized and counted, ONLY the delta's counts are written (one
+    * new segment; the publish is one manifest marker naming base
+    * segments + the delta — the standing segments are never copied).
     * Exact by additivity — l132's card hash proves merged == retrained.
     */
-  def durableIncUpdateTo(s: SparkSession,
-      baseT: Map[String, DataFrame], newFp: String,
-      delta: DataFrame): Map[String, DataFrame] =
-    DurableStore.loadOrBuild(s, IncFamily, newFp, IncParts) {
+  def durableIncUpdateTo(s: SparkSession, baseFp: String,
+      newFp: String, delta: DataFrame): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, IncFamily, newFp, IncParts) {
       val clean = delta.where(col("doc_id") % 7 === 0)
       val dm = NgramLm.trainBigram(clean, "text", 2)
-      Map(
-        "pairs" -> baseT("pairs").unionByName(dm.pairCounts)
-          .groupBy(col("prev"), col("cur"))
-          .agg(sum(col("pair_c")).as("pair_c")),
-        "toks" -> baseT("toks").unionByName(tokTable(clean, "text"))
-          .distinct())
+      val seg = DurableStore.writeSegment(s, IncFamily, IncParts,
+        Map("pairs" -> dm.pairCounts, "toks" -> tokTable(clean, "text")))
+      DurableStore.manifestSegments(s, IncFamily, baseFp) :+ seg
     }
 
-  /** Assemble the servable model from an incremental layout: context
-    * counts and the vocab scalar re-derive from the persisted parts
-    * (vocab-bounded aggregates, exactly trainBigram's own derivations).
+  /** Assemble the servable model from an incremental layout: the
+    * segment union merges by one vocab-bounded groupBy-sum (additive
+    * counts) / distinct (token sets), then context counts and the
+    * vocab scalar re-derive exactly as trainBigram's own derivations —
+    * the manifest lineage's merge-on-read.
     */
-  def incModelOf(t: Map[String, DataFrame]): NgramLm.BigramModel =
-    NgramLm.BigramModel(t("pairs"),
-      t("pairs").groupBy(col("prev")).agg(sum(col("pair_c")).as("ctx_c")),
-      t("toks").agg(count(lit(1)).as("v")))
+  def incModelOf(t: Map[String, DataFrame]): NgramLm.BigramModel = {
+    val pairs = t("pairs").groupBy(col("prev"), col("cur"))
+      .agg(sum(col("pair_c")).as("pair_c"))
+    NgramLm.BigramModel(pairs,
+      pairs.groupBy(col("prev")).agg(sum(col("pair_c")).as("ctx_c")),
+      t("toks").distinct().agg(count(lit(1)).as("v")))
+  }
 
   /** Drop every in-memory artifact (the fresh-application simulation
     * of the durable-reload gates, spec-side where no siblings follow).

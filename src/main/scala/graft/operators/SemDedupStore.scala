@@ -146,45 +146,68 @@ object SemDedupStore {
   val IncParts: Seq[DurableStore.Part] = Seq(
     DurableStore.Part("cents", None),
     DurableStore.Part("assign", Some("cent_id")),
-    DurableStore.Part("pairs", Some("a_id")),
-    DurableStore.Part("labels", Some("doc_id")))
+    DurableStore.Part("pairs", Some("a_id")))
+
+  /** Since round 14 a MANIFEST family (O(delta) WRITE): the base
+    * segment holds the frozen centroids + base assignment/pairs; each
+    * append writes ONE segment with the DELTA's assignment and the
+    * delta-touching verified pairs, published as base segments + the
+    * delta (l134's file-stats gate pins that the standing segments are
+    * untouched). Component LABELS left the persisted parts: they are
+    * not additive (one new pair can merge two standing components), so
+    * the manifest lineage derives them at read time from the merged
+    * pair graph — `incLabelsOf`, pair-bounded work, never
+    * corpus-bounded (the full-rewrite `semdedup` family still
+    * materializes labels for standing consumers).
+    */
 
   /** One-time training build of the incremental lineage's base layout
-    * (fingerprint = the base frame's content hash).
+    * (fingerprint = the base frame's content hash), published as a
+    * single-segment manifest.
     */
   def durableSemIncBase(s: SparkSession, base: DataFrame,
       baseFp: String): Map[String, DataFrame] =
-    DurableStore.loadOrBuild(s, IncFamily, baseFp, IncParts) {
+    DurableStore.loadOrBuildManifest(s, IncFamily, baseFp, IncParts) {
       val cents = Similarity.semanticCentroids(base, "vec_id",
         "embedding", nClusters = 8, trainIters = 1)
         .localCheckpoint(eager = true)
       val assign = Similarity.semanticAssign(base, "vec_id",
         "embedding", cents, probes = 3).localCheckpoint(eager = true)
       val pairs = Similarity.semanticPairsFromAssign(assign, base,
-        "vec_id", "embedding", Threshold).localCheckpoint(eager = true)
-      Map("cents" -> cents, "assign" -> assign, "pairs" -> pairs,
-        "labels" -> Dedup.components(pairs))
+        "vec_id", "embedding", Threshold)
+      Seq(DurableStore.writeSegment(s, IncFamily, IncParts,
+        Map("cents" -> cents, "assign" -> assign, "pairs" -> pairs)))
     }
 
   /** Extend a published incremental layout by an appended vector
     * batch and republish under the new fingerprint: only the DELTA is
-    * assigned and only delta-touching candidates are verified.
+    * assigned (against the base manifest's frozen centroids), only
+    * delta-touching candidates are verified, and only the delta's
+    * rows are WRITTEN (one new segment + one manifest marker).
     */
-  def durableSemIncUpdateTo(s: SparkSession,
-      baseT: Map[String, DataFrame], newFp: String, delta: DataFrame,
+  def durableSemIncUpdateTo(s: SparkSession, baseFp: String,
+      newFp: String, delta: DataFrame,
       corpus: DataFrame): Map[String, DataFrame] =
-    DurableStore.loadOrBuild(s, IncFamily, newFp, IncParts) {
-      val cents = baseT("cents")
+    DurableStore.loadOrBuildManifest(s, IncFamily, newFp, IncParts) {
+      val baseT = DurableStore.manifestTables(s, IncFamily, baseFp,
+        IncParts)
       val dAssign = Similarity.semanticAssign(delta, "vec_id",
-        "embedding", cents, probes = 3).localCheckpoint(eager = true)
-      val assignU = baseT("assign").unionByName(dAssign)
-      val pairsU = baseT("pairs").unionByName(
-          Similarity.semanticPairsDelta(dAssign, assignU, corpus,
-            "vec_id", "embedding", Threshold))
-        .localCheckpoint(eager = true) // feeds the part write AND CC
-      Map("cents" -> cents, "assign" -> assignU, "pairs" -> pairsU,
-        "labels" -> Dedup.components(pairsU))
+        "embedding", baseT("cents"), probes = 3)
+        .localCheckpoint(eager = true) // feeds candidates AND the write
+      val dPairs = Similarity.semanticPairsDelta(dAssign,
+        baseT("assign").unionByName(dAssign), corpus,
+        "vec_id", "embedding", Threshold)
+      val seg = DurableStore.writeSegment(s, IncFamily, IncParts,
+        Map("assign" -> dAssign, "pairs" -> dPairs))
+      DurableStore.manifestSegments(s, IncFamily, baseFp) :+ seg
     }
+
+  /** Component labels of an incremental layout, derived at read time
+    * from the merged pair graph (pair-bounded — the duplicated mass,
+    * never the corpus).
+    */
+  def incLabelsOf(t: Map[String, DataFrame]): DataFrame =
+    Dedup.components(t("pairs"))
 
   /** Drop the SEMANTIC caches (the artifacts the durable layout
     * holds) — the fresh-application simulation of the l130 gate. The

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Bpe, Curation, Dedup, NbClassifier, NgramLm, Pca, SemDedupStore, Similarity, Subword, TextAnalysis}
 import graft.multimodal.{FixtureBlobStore, Multimodal}
+import graft.queries.Gates.mismatches
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.2 M5) registered as
   * driver-graded queries over the `documents` / `embeddings` fixtures:
@@ -1931,7 +1932,8 @@ object LlmQueries {
               candidatesOpt = Some(cand))
             .select(col("q_id"), col("c_id"), lit(1).as("__i"))
           val pq = Similarity.pqTopKFromIndex(q, e, "vec_id", "embedding",
-              10, m = 16, codebook = s.table(s"${pfx}_codebook"),
+              10, m = graft.operators.AnnIndexStore.DefaultM,
+              codebook = s.table(s"${pfx}_codebook"),
               codes = s.table(s"${pfx}_codes"),
               norms = s.table(s"${pfx}_norms"),
               candidates = cand, rerank = 8)
@@ -2296,26 +2298,15 @@ object LlmQueries {
           shared.codes.where(basePred),
           shared.norms.where(basePred))
         val updated = S.updateAnnIndex(frozen, batch,
-          "vec_id", "embedding", m = 16)
+          "vec_id", "embedding",
+          m = graft.operators.AnnIndexStore.DefaultM)
         // frozen-artifact rebuild over the union — the equivalence base
         val (lR, cR, nR) = S.assignEncode(frozen.centroids, frozen.codebook,
-          e, "vec_id", "embedding", m = 16)
-        // exact MULTISET-compare on ALL columns: groupBy-all + count per
-        // side, full-outer on the columns AND the count — so duplicate-
-        // row multiplicity differences fail too, which a pure
-        // set-equality join would pass silently (floats compare bitwise
-        // — per-row IEEE arithmetic is deterministic on both paths)
-        def mismatches(u: org.apache.spark.sql.DataFrame,
-            r: org.apache.spark.sql.DataFrame, name: String) = {
-          val ks = u.columns.toSeq
-          def counted(df: org.apache.spark.sql.DataFrame) =
-            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
-          counted(u).withColumn("__u", lit(1))
-            .join(counted(r).withColumn("__r", lit(1)),
-              ks :+ "__n", "full_outer")
-            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
-              .as(name))
-        }
+          e, "vec_id", "embedding",
+          m = graft.operators.AnnIndexStore.DefaultM)
+        // exact MULTISET-compare on ALL columns (Gates.mismatches —
+        // duplicate-row multiplicity differences fail too; floats
+        // compare bitwise)
         e.agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_base"),
             count(when(col("vec_id") % 5 === 0, 1)).as("n_added"))
           .crossJoin(broadcast(
@@ -4591,8 +4582,9 @@ object LlmQueries {
             candidatesOpt = Some(cand))
           .select(col("q_id"), col("c_id"), lit(1).as("__i"))
         val pq = Similarity.pqTopKFromIndex(q, e, "vec_id", "embedding",
-          10, m = 16, codebook = idx.codebook, codes = idx.codes,
-          norms = idx.norms, candidates = cand, rerank = 8)
+          10, m = st.DefaultM, codebook = idx.codebook,
+          codes = idx.codes, norms = idx.norms, candidates = cand,
+          rerank = 8)
         val pqTables = catalogLeaves(pq)
         val fromStore = Seq(
             "cent" -> candTables, "lists" -> candTables,
@@ -4684,7 +4676,7 @@ object LlmQueries {
 
     QuerySpec(
       "l131_ann_durable_update",
-      "INCREMENTAL durable-store maintenance — the daily-append economics the fingerprint-keyed layout alone cannot give (any corpus append changes the fingerprint, and a full re-pay of the build would make the durable tier useless for growing corpora): the ann_index_inc lineage holds the FROZEN-model line — a one-time training build over the base corpus (fingerprint = the base frame's content hash), then each append is assigned + PQ-encoded against the frozen centroids/codebook (per-row functions, zero Lloyd machinery — l82's update face) and REPUBLISHED under the new fingerprint, so only the delta pays encode work and the result is itself a first-class durable layout (a separate family from ann_index because the same corpus fingerprint holds different artifacts per lineage: frozen-model here, retrained there — centroid drift is a periodic jump back to the retrain lineage). Gates, in-query and hash-enforced: (1) the RELOADED updated tables are multiset-equal (all columns + per-row count, l82's discipline — duplicate-multiplicity differences fail) to a frozen-artifact rebuild over the union corpus, across lists, codes AND norms, with every old and new vector indexed; (2) dropping the registered tables and re-serving the new fingerprint accrues ZERO build seconds — the published update is durable, a re-run day costs zero jobs. Oracle = deterministic counts + literal true",
+      "INCREMENTAL durable-store maintenance at O(delta) WRITE cost — the daily-append economics the fingerprint-keyed layout alone cannot give: the ann_index_inc lineage is a MANIFEST family — the one-time base training build is a single segment (all five parts); each append is assigned + PQ-encoded against the frozen centroids/codebook (per-row functions, zero Lloyd machinery — l82's update face) and written as ONE delta segment holding only the delta's lists/codes/norms, and the publish is ONE create-if-absent manifest marker naming base segments + delta (the marker-commit discipline — no renames, object-store-safe). Readers union the listed segments, so the frozen model resolves from the base segment through every descendant manifest and is never duplicated; centroid drift is a periodic jump back to the retrain (ann_index) lineage, which is also the compaction story when the segment list grows long. Gates, in-query and hash-enforced: (1) the RELOADED updated tables are multiset-equal (all columns + per-row count, l82's discipline) to a frozen-artifact rebuild over the union corpus, across lists, codes AND norms, with every old and new vector indexed; (2) re-serving the new fingerprint accrues ZERO build seconds — the published update is durable, a re-run day costs zero jobs; (3) the WRITE-AMPLIFICATION gate: the child manifest is exactly base segments + ONE delta segment and every standing segment's files are byte-for-byte untouched (path+length+mtime) — the append wrote O(delta), not a corpus copy (the l122 zero-build discipline applied to writes). Oracle = deterministic counts + literal true",
       (s, dir) => {
         val S = Similarity
         val st = graft.operators.AnnIndexStore
@@ -4695,38 +4687,32 @@ object LlmQueries {
         val baseFp = ds.frameFingerprint(base, Seq("vec_id", "embedding"))
         val newFp = ds.frameFingerprint(e, Seq("vec_id", "embedding"))
         // the standing base layout: one-time training build per
-        // base-corpus lifetime
+        // base-corpus lifetime (a single-segment manifest)
         val baseIdx = st.durableIncBase(s, base, baseFp,
           "vec_id", "embedding")
+        // write-amp snapshot BEFORE the append touches the family
+        val statsBefore = Gates.manifestStats(s, st.IncFamily, baseFp)
         // the daily append: delta-only encode against the frozen
-        // artifacts, republished under the new fingerprint
-        st.durableUpdateTo(s, baseIdx, newFp, delta,
+        // artifacts, one delta segment + one manifest marker
+        st.durableUpdateTo(s, baseFp, newFp, delta,
           "vec_id", "embedding")
-        // gate 2 first (it re-registers the tables gate 1 compares):
-        // the published update is itself durable — drop + re-serve
-        // pays zero build seconds
-        ds.dropRegistered(s, st.IncFamily, newFp, st.DurableParts)
+        // gate 2: the published update is itself durable — a re-serve
+        // pays zero build seconds (no session-scoped state to clear:
+        // every manifest read resolves marker + footers from disk)
         val before = ds.buildSeconds(st.IncFamily)
-        val reloaded = st.durableUpdateTo(s, baseIdx, newFp, delta,
+        val reloaded = st.durableUpdateTo(s, baseFp, newFp, delta,
           "vec_id", "embedding")
         val buildFree = ds.buildSeconds(st.IncFamily) == before
+        // gate 3: O(delta) write — child manifest = base + 1 segment,
+        // standing segment files untouched
+        val odeltaOk = Gates.writeODeltaOk(s, st.IncFamily, baseFp,
+          newFp, statsBefore)
         // gate 1: the RELOADED tables multiset-equal a frozen-artifact
         // rebuild over the union (per-row determinism, l82's compare:
-        // groupBy-all + count per side, full-outer on columns AND
-        // count so multiplicity differences fail too)
+        // Gates.mismatches — multiplicity differences fail too)
         val (lR, cR, nR) = S.assignEncode(baseIdx.centroids,
-          baseIdx.codebook, e, "vec_id", "embedding", m = 16)
-        def mismatches(u: org.apache.spark.sql.DataFrame,
-            r: org.apache.spark.sql.DataFrame, name: String) = {
-          val ks = u.columns.toSeq
-          def counted(df: org.apache.spark.sql.DataFrame) =
-            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
-          counted(u).withColumn("__u", lit(1))
-            .join(counted(r).withColumn("__r", lit(1)),
-              ks :+ "__n", "full_outer")
-            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
-              .as(name))
-        }
+          baseIdx.codebook, e, "vec_id", "embedding",
+          m = st.DefaultM)
         e.agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_base"),
             count(when(col("vec_id") % 5 === 0, 1)).as("n_added"))
           .crossJoin(broadcast(
@@ -4738,19 +4724,21 @@ object LlmQueries {
             (col("__ml") === 0 && col("__mc") === 0 && col("__mn") === 0 &&
               col("n_indexed") === col("n_base") + col("n_added"))
               .as("update_ok"),
-            lit(buildFree).as("reload_build_free_ok"))
+            lit(buildFree).as("reload_build_free_ok"),
+            lit(odeltaOk).as("write_odelta_ok"))
       },
       Some("""SELECT
              |  count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_base,
              |  count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_added,
              |  count(*) AS n_indexed,
              |  TRUE AS update_ok,
-             |  TRUE AS reload_build_free_ok
+             |  TRUE AS reload_build_free_ok,
+             |  TRUE AS write_odelta_ok
              |FROM embeddings""".stripMargin)),
 
     QuerySpec(
       "l132_lm_durable_update",
-      "incremental durable maintenance of the LM family — the EXACT counterpart of l131's frozen-model approximation: count tables are additive over disjoint document sets (bigram pairs never cross document boundaries), so extending the persisted base-corpus counts by a delta batch — only the DELTA is tokenized; the standing counts merge by one vocab-bounded groupBy-sum, the distinct-token sets (the vocab count's mergeable form) by a distinct union — equals a full-corpus retrain INTEGER-FOR-INTEGER, and the gate is the strongest available: the merged model serves l83's entire perplexity card (per-doc surprisal over the whole corpus, band census, top/bottom-10) against l83's own oracle, which trains on the full corpus — the hash matches only if every merged count and the merged vocab scalar are exactly the retrained ones. Plus the durability gate: dropping the registered tables and re-serving the new fingerprint accrues zero build seconds. Oracle = l83's plus the literal gate column",
+      "incremental durable maintenance of the LM family at O(delta) WRITE cost — the EXACT counterpart of l131's frozen-model approximation: count tables are additive over disjoint document sets (bigram pairs never cross document boundaries), so the lineage is a MANIFEST family whose append writes ONE segment holding only the DELTA batch's own counts and token set (the standing segments are never copied — the write-amp gate pins path+length+mtime); the merge moved to READ time — incModelOf folds the segment union with one vocab-bounded groupBy-sum and a distinct (the LSM merge-on-read trade; compaction = the retrain family's single layout) — and equals a full-corpus retrain INTEGER-FOR-INTEGER. The gate is the strongest available: the merged model serves l83's entire perplexity card (per-doc surprisal over the whole corpus, band census, top/bottom-10) against l83's own oracle, which trains on the full corpus — the hash matches only if every merged count and the merged vocab scalar are exactly the retrained ones. Plus the durability gate (re-serving the new fingerprint accrues zero build seconds) and the O(delta)-write gate. Oracle = l83's plus the literal gate columns",
       (s, dir) => {
         val st = graft.operators.NgramModelStore
         val ds = graft.operators.DurableStore
@@ -4760,13 +4748,15 @@ object LlmQueries {
         val baseFp = ds.frameFingerprint(base, Seq("doc_id", "text"))
         val newFp = ds.frameFingerprint(docs, Seq("doc_id", "text"))
         // one-time base training build, then the delta-only append
-        val baseT = st.durableIncBase(s, base, baseFp)
-        st.durableIncUpdateTo(s, baseT, newFp, delta)
+        st.durableIncBase(s, base, baseFp)
+        val statsBefore = Gates.manifestStats(s, st.IncFamily, baseFp)
+        st.durableIncUpdateTo(s, baseFp, newFp, delta)
         // durability gate: the published update re-serves build-free
-        ds.dropRegistered(s, st.IncFamily, newFp, st.IncParts)
         val before = ds.buildSeconds(st.IncFamily)
-        val t = st.durableIncUpdateTo(s, baseT, newFp, delta)
+        val t = st.durableIncUpdateTo(s, baseFp, newFp, delta)
         val buildFree = ds.buildSeconds(st.IncFamily) == before
+        val odeltaOk = Gates.writeODeltaOk(s, st.IncFamily, baseFp,
+          newFp, statsBefore)
         // serve the FULL l83 card from the merged model — the hash
         // against l83's full-corpus-trained oracle IS the
         // update == retrain equality gate, integer-exact
@@ -4774,12 +4764,14 @@ object LlmQueries {
           st.incModelOf(t), 2)
         cardOf(scored)
           .withColumn("reload_build_free_ok", lit(buildFree))
+          .withColumn("write_odelta_ok", lit(odeltaOk))
       },
-      gatedOracle("l83_lm_perplexity", Seq("reload_build_free_ok"))),
+      gatedOracle("l83_lm_perplexity",
+        Seq("reload_build_free_ok", "write_odelta_ok"))),
 
     QuerySpec(
       "l133_dsir_durable_update",
-      "incremental durable maintenance of the DSIR family — the third additive lineage (l132's LM discipline applied to importance resampling): DSIR's trained state in mergeable form is the per-bucket class-count table (bkt, ct, cr — <= 4096 rows), additive over disjoint document sets, so extending the persisted base counts by a delta batch — only the DELTA is hashed and counted; the merge is one bucket-bounded groupBy-sum — and re-deriving the importance projection (totals from the counts, add-one smoothed quantized log-ratio) equals a full-corpus retrain INTEGER-FOR-INTEGER. Gate: the merged importance table serves l94's entire resampling ledger (per-source acceptance, thresholds, selection census) against l94's own full-corpus-trained oracle — hash-exact — plus the zero-build re-serve gate. The <= 4096-row importance artifact is checkpointed before serving (the l110 boot discipline)",
+      "incremental durable maintenance of the DSIR family at O(delta) WRITE cost — the third additive lineage (l132's LM discipline applied to importance resampling): DSIR's trained state in mergeable form is the per-bucket class-count table (bkt, ct, cr — <= 4096 rows), additive over disjoint document sets, so the MANIFEST append hashes, counts and WRITES only the DELTA batch (one <= 4096-row segment; the standing segments untouched, write-amp-gated); the merge moved to read time (dsirIncCountsOf, one bucket-bounded groupBy-sum over the segment union) and re-deriving the importance projection (totals from the counts, add-one smoothed quantized log-ratio) equals a full-corpus retrain INTEGER-FOR-INTEGER. Gate: the merged importance table serves l94's entire resampling ledger (per-source acceptance, thresholds, selection census) against l94's own full-corpus-trained oracle — hash-exact — plus the zero-build re-serve and O(delta)-write gates. The <= 4096-row importance artifact is checkpointed before serving (the l110 boot discipline)",
       (s, dir) => {
         val st = graft.operators.MixtureModelStore
         val ds = graft.operators.DurableStore
@@ -4789,13 +4781,16 @@ object LlmQueries {
         val delta = docs.where(col("doc_id") % 5 === 0)
         val baseFp = ds.frameFingerprint(base, Seq("doc_id", "text"))
         val newFp = ds.frameFingerprint(docs, Seq("doc_id", "text"))
-        val baseT = st.durableDsirIncBase(s, base, baseFp)
-        st.durableDsirIncUpdateTo(s, baseT, newFp, delta)
-        ds.dropRegistered(s, st.DsirIncFamily, newFp, st.DsirIncParts)
+        st.durableDsirIncBase(s, base, baseFp)
+        val statsBefore = Gates.manifestStats(s, st.DsirIncFamily, baseFp)
+        st.durableDsirIncUpdateTo(s, baseFp, newFp, delta)
         val before = ds.buildSeconds(st.DsirIncFamily)
-        val t = st.durableDsirIncUpdateTo(s, baseT, newFp, delta)
+        val t = st.durableDsirIncUpdateTo(s, baseFp, newFp, delta)
         val buildFree = ds.buildSeconds(st.DsirIncFamily) == before
-        val imp = D.importanceFromCounts(t("counts"), st.DsirBuckets)
+        val odeltaOk = Gates.writeODeltaOk(s, st.DsirIncFamily, baseFp,
+          newFp, statsBefore)
+        val imp = D.importanceFromCounts(st.dsirIncCountsOf(t),
+            st.DsirBuckets)
           .localCheckpoint(eager = true)
         // the per-doc bucket frame is the serve INPUT (per-application
         // by the l110 contract), shared with l94/t35/l98
@@ -4803,12 +4798,14 @@ object LlmQueries {
         D.dsirResampleFromTable(docs, "doc_id", "text", "source",
             bucketed, imp)
           .withColumn("reload_build_free_ok", lit(buildFree))
+          .withColumn("write_odelta_ok", lit(odeltaOk))
       },
-      gatedOracle("l94_dsir_select", Seq("reload_build_free_ok"))),
+      gatedOracle("l94_dsir_select",
+        Seq("reload_build_free_ok", "write_odelta_ok"))),
 
     QuerySpec(
       "l134_semdedup_durable_update",
-      "incremental durable maintenance of the SEMANTIC family — the fourth lineage, frozen-model like l131's ANN one: the base build trains ONE centroid draw and persists it with its assignment, pair and component tables; each append assigns ONLY the delta against the frozen centroids, verifies only delta-touching candidates (delta-vs-cohabitants, old-new and new-new; old-old pairs are the standing table's rows — unchanged under a frozen assignment), and republishes under the new fingerprint, with component labels recomputed over the merged PAIR graph (pair-bounded, never corpus-bounded). Gates, in-query and hash-enforced: the RELOADED assignment AND pair tables are multiset-equal (all columns + per-row multiplicity; cosines compare bitwise — per-row fold arithmetic on both paths) to a frozen-centroid rebuild over the union, and a drop + re-serve of the new fingerprint accrues zero build seconds. Centroid drift is a periodic retrain — the semdedup family's fresh build, one conf away. Oracle = deterministic counts + literal true",
+      "incremental durable maintenance of the SEMANTIC family at O(delta) WRITE cost — the fourth lineage, frozen-model like l131's ANN one: the base MANIFEST segment holds one trained centroid draw with its assignment and pair tables; each append assigns ONLY the delta against the frozen centroids, verifies only delta-touching candidates (delta-vs-cohabitants, old-new and new-new; old-old pairs are the standing segments' rows — unchanged under a frozen assignment), and WRITES only the delta's assignment + verified pairs as one new segment (publish = one manifest marker naming base + delta; the standing segments byte-untouched, write-amp-gated). Component labels left the persisted parts — not additive (one new pair can merge two standing components) — and derive at read time from the merged pair graph (incLabelsOf, pair-bounded, never corpus-bounded). Gates, in-query and hash-enforced: the RELOADED assignment AND pair unions are multiset-equal (all columns + per-row multiplicity; cosines compare bitwise — per-row fold arithmetic on both paths) to a frozen-centroid rebuild over the union, a re-serve of the new fingerprint accrues zero build seconds, and the append wrote O(delta). Centroid drift is a periodic retrain — the semdedup family's fresh build, one conf away. Oracle = deterministic counts + literal true",
       (s, dir) => {
         val st = SemDedupStore
         val ds = graft.operators.DurableStore
@@ -4819,40 +4816,33 @@ object LlmQueries {
         val baseFp = ds.frameFingerprint(base, Seq("vec_id", "embedding"))
         val newFp = ds.frameFingerprint(e, Seq("vec_id", "embedding"))
         val baseT = st.durableSemIncBase(s, base, baseFp)
-        st.durableSemIncUpdateTo(s, baseT, newFp, delta, e)
-        ds.dropRegistered(s, st.IncFamily, newFp, st.IncParts)
+        val statsBefore = Gates.manifestStats(s, st.IncFamily, baseFp)
+        st.durableSemIncUpdateTo(s, baseFp, newFp, delta, e)
         val before = ds.buildSeconds(st.IncFamily)
-        val t = st.durableSemIncUpdateTo(s, baseT, newFp, delta, e)
+        val t = st.durableSemIncUpdateTo(s, baseFp, newFp, delta, e)
         val buildFree = ds.buildSeconds(st.IncFamily) == before
+        val odeltaOk = Gates.writeODeltaOk(s, st.IncFamily, baseFp,
+          newFp, statsBefore)
         // frozen-centroid rebuild over the union — the equivalence base
         val assignR = S.semanticAssign(e, "vec_id", "embedding",
           baseT("cents"), probes = 3).localCheckpoint(eager = true)
         val pairsR = S.semanticPairsFromAssign(assignR, e, "vec_id",
           "embedding", st.Threshold)
-        def mismatches(u: org.apache.spark.sql.DataFrame,
-            r: org.apache.spark.sql.DataFrame, name: String) = {
-          val ks = u.columns.toSeq
-          def counted(df: org.apache.spark.sql.DataFrame) =
-            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
-          counted(u).withColumn("__u", lit(1))
-            .join(counted(r).withColumn("__r", lit(1)),
-              ks :+ "__n", "full_outer")
-            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
-              .as(name))
-        }
         e.agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_base"),
             count(when(col("vec_id") % 5 === 0, 1)).as("n_added"))
           .crossJoin(broadcast(mismatches(t("assign"), assignR, "__ma")))
           .crossJoin(broadcast(mismatches(t("pairs"), pairsR, "__mp")))
           .select(col("n_base"), col("n_added"),
             (col("__ma") === 0 && col("__mp") === 0).as("update_ok"),
-            lit(buildFree).as("reload_build_free_ok"))
+            lit(buildFree).as("reload_build_free_ok"),
+            lit(odeltaOk).as("write_odelta_ok"))
       },
       Some("""SELECT
              |  count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_base,
              |  count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_added,
              |  TRUE AS update_ok,
-             |  TRUE AS reload_build_free_ok
+             |  TRUE AS reload_build_free_ok,
+             |  TRUE AS write_odelta_ok
              |FROM embeddings""".stripMargin))
   )
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.queries.Gates.mismatches
 import graft.queries.QuerySpec.decSum
 
 /** Time-series operators over `events` (SURVEY.md §7.2 M4) — the batch
@@ -691,7 +692,8 @@ object TimeSeriesQueries {
           .select(col("q_id"), col("p._2").as("c_id"), lit(1).as("__s"))
         val qB = e.where(col("vec_id") % 25 === 0)
         val batchTop = S.pqTopKFromIndex(qB, e, "vec_id", "embedding",
-            k = 10, m = 16, codebook = idx.codebook, codes = idx.codes,
+            k = 10, m = graft.operators.AnnIndexStore.DefaultM,
+            codebook = idx.codebook, codes = idx.codes,
             norms = norms,
             candidates = S.indexCandidates(qB, "vec_id", "embedding",
               cents, lists, nProbe = 6),
@@ -2101,7 +2103,8 @@ object TimeSeriesQueries {
           .select(col("q_id"), col("p._2").as("c_id"), lit(1).as("__s"))
         val qB = e.where(col("vec_id") % 25 === 0)
         val batchTop = S.pqTopKFromIndex(qB, e, "vec_id", "embedding",
-            k = 10, m = 16, codebook = idx.codebook, codes = idx.codes,
+            k = 10, m = graft.operators.AnnIndexStore.DefaultM,
+            codebook = idx.codebook, codes = idx.codes,
             norms = idx.norms,
             candidates = S.indexCandidates(qB, "vec_id", "embedding",
               idx.centroids, idx.lists, nProbe = 6),
@@ -2132,7 +2135,8 @@ object TimeSeriesQueries {
         val ingestBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
           (batch, _) => {
             val (l, c, n) = S.assignEncode(idx.centroids, idx.codebook,
-              batch, "vec_id", "embedding", m = 16)
+              batch, "vec_id", "embedding",
+              m = graft.operators.AnnIndexStore.DefaultM)
             l.write.mode("append").parquet(s"$out/lists")
             c.write.mode("append").parquet(s"$out/codes")
             n.write.mode("append").parquet(s"$out/norms")
@@ -2147,18 +2151,8 @@ object TimeSeriesQueries {
         q.stop()
         val e = Tables.load(s, dir, "embeddings")
         val (lR, cR, nR) = S.assignEncode(idx.centroids, idx.codebook,
-          e, "vec_id", "embedding", m = 16)
-        def mismatches(u: org.apache.spark.sql.DataFrame,
-            r: org.apache.spark.sql.DataFrame, name: String) = {
-          val ks = u.columns.toSeq
-          def counted(df: org.apache.spark.sql.DataFrame) =
-            df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__n"))
-          counted(u).withColumn("__u", lit(1))
-            .join(counted(r).withColumn("__r", lit(1)),
-              ks :+ "__n", "full_outer")
-            .agg(count(when(col("__u").isNull || col("__r").isNull, 1))
-              .as(name))
-        }
+          e, "vec_id", "embedding",
+          m = graft.operators.AnnIndexStore.DefaultM)
         val res = e.agg(count(lit(1)).as("n_streamed"))
           .crossJoin(broadcast(s.read.parquet(s"$out/lists")
             .agg(count(lit(1)).as("n_indexed"))))

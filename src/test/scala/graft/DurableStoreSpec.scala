@@ -433,20 +433,27 @@ class DurableStoreSpec extends SparkSpec {
     assert(baseFp !== newFp)
     val baseIdx = AnnIndexStore.durableIncBase(spark, base, baseFp,
       "vec_id", "embedding")
-    val updated = AnnIndexStore.durableUpdateTo(spark, baseIdx, newFp,
+    val updated = AnnIndexStore.durableUpdateTo(spark, baseFp, newFp,
       dl, "vec_id", "embedding")
     // update == frozen-artifact rebuild over the union, multiset
     val (lR, cR, nR) = Similarity.assignEncode(baseIdx.centroids,
-      baseIdx.codebook, e, "vec_id", "embedding", m = 16)
+      baseIdx.codebook, e, "vec_id", "embedding",
+      m = AnnIndexStore.DefaultM)
     assert(sortedRows(updated.lists) === sortedRows(lR))
     assert(sortedRows(updated.codes) === sortedRows(cR))
     assert(sortedRows(updated.norms) === sortedRows(nR))
-    // the published update is durable: drop + re-serve is zero-build
+    // O(delta) write: the child manifest is the base's segments plus
+    // exactly one delta segment
+    val segsB = DurableStore.manifestSegments(spark,
+      AnnIndexStore.IncFamily, baseFp)
+    val segsN = DurableStore.manifestSegments(spark,
+      AnnIndexStore.IncFamily, newFp)
+    assert(segsN.take(segsB.size) === segsB &&
+      segsN.size === segsB.size + 1, s"base $segsB vs child $segsN")
+    // the published update is durable: a re-serve is zero-build
     val rows = sortedRows(updated.lists)
-    DurableStore.dropRegistered(spark, AnnIndexStore.IncFamily, newFp,
-      AnnIndexStore.DurableParts)
     val d = delta(AnnIndexStore.IncFamily) {
-      val again = AnnIndexStore.durableUpdateTo(spark, baseIdx, newFp,
+      val again = AnnIndexStore.durableUpdateTo(spark, baseFp, newFp,
         dl, "vec_id", "embedding")
       assert(sortedRows(again.lists) === rows)
     }
@@ -464,21 +471,20 @@ class DurableStoreSpec extends SparkSpec {
       Seq("doc_id", "text"))
     val newFp = DurableStore.frameFingerprint(docs,
       Seq("doc_id", "text"))
-    val baseT = NgramModelStore.durableIncBase(spark, base, baseFp)
-    val t = NgramModelStore.durableIncUpdateTo(spark, baseT, newFp, dl)
-    // exact additivity: merged == retrained on the union clean slice
+    NgramModelStore.durableIncBase(spark, base, baseFp)
+    val t = NgramModelStore.durableIncUpdateTo(spark, baseFp, newFp, dl)
+    // exact additivity: merged-on-read == retrained on the union
+    // clean slice
     val full = NgramLm.trainBigram(
       docs.where(col("doc_id") % 7 === 0), "text", 2)
     val m = NgramModelStore.incModelOf(t)
     assert(sortedRows(m.pairCounts) === sortedRows(full.pairCounts))
     assert(sortedRows(m.ctxCounts) === sortedRows(full.ctxCounts))
     assert(sortedRows(m.vocab) === sortedRows(full.vocab))
-    // durability: drop + re-serve is zero-build
+    // durability: a re-serve is zero-build over the same segments
     val pairRows = sortedRows(t("pairs"))
-    DurableStore.dropRegistered(spark, NgramModelStore.IncFamily, newFp,
-      NgramModelStore.IncParts)
     val d = delta(NgramModelStore.IncFamily) {
-      val again = NgramModelStore.durableIncUpdateTo(spark, baseT,
+      val again = NgramModelStore.durableIncUpdateTo(spark, baseFp,
         newFp, dl)
       assert(sortedRows(again("pairs")) === pairRows)
     }
@@ -497,7 +503,7 @@ class DurableStoreSpec extends SparkSpec {
     val newFp = DurableStore.frameFingerprint(e,
       Seq("vec_id", "embedding"))
     val baseT = SemDedupStore.durableSemIncBase(spark, base, baseFp)
-    val t = SemDedupStore.durableSemIncUpdateTo(spark, baseT, newFp,
+    val t = SemDedupStore.durableSemIncUpdateTo(spark, baseFp, newFp,
       dl, e)
     val assignR = Similarity.semanticAssign(e, "vec_id", "embedding",
       baseT("cents"), probes = 3).localCheckpoint(eager = true)
@@ -505,12 +511,13 @@ class DurableStoreSpec extends SparkSpec {
     assert(sortedRows(t("pairs")) === sortedRows(
       Similarity.semanticPairsFromAssign(assignR, e, "vec_id",
         "embedding", SemDedupStore.Threshold)))
+    // read-time labels over the merged pair graph match a rebuild's
+    assert(sortedRows(SemDedupStore.incLabelsOf(t)) === sortedRows(
+      graft.operators.Dedup.components(t("pairs"))))
     val rows = sortedRows(t("pairs"))
     assert(rows.nonEmpty, "fixture produced no semantic pairs")
-    DurableStore.dropRegistered(spark, SemDedupStore.IncFamily, newFp,
-      SemDedupStore.IncParts)
     val d = delta(SemDedupStore.IncFamily) {
-      val again = SemDedupStore.durableSemIncUpdateTo(spark, baseT,
+      val again = SemDedupStore.durableSemIncUpdateTo(spark, baseFp,
         newFp, dl, e)
       assert(sortedRows(again("pairs")) === rows)
     }
@@ -528,24 +535,23 @@ class DurableStoreSpec extends SparkSpec {
       Seq("doc_id", "text"))
     val newFp = DurableStore.frameFingerprint(docs,
       Seq("doc_id", "text"))
-    val baseT = MixtureModelStore.durableDsirIncBase(spark, base, baseFp)
-    val t = MixtureModelStore.durableDsirIncUpdateTo(spark, baseT,
+    MixtureModelStore.durableDsirIncBase(spark, base, baseFp)
+    val t = MixtureModelStore.durableDsirIncUpdateTo(spark, baseFp,
       newFp, dl)
     val full = Dsir.bucketFrame(docs, "doc_id", "text",
       MixtureModelStore.cleanSlicePred, MixtureModelStore.DsirBuckets)
-    assert(sortedRows(t("counts"))
+    // merged-on-read counts == full-corpus retrain counts
+    assert(sortedRows(MixtureModelStore.dsirIncCountsOf(t))
       === sortedRows(Dsir.bucketCountsOf(full)))
     assert(sortedRows(
-        Dsir.importanceFromCounts(t("counts"),
+        Dsir.importanceFromCounts(MixtureModelStore.dsirIncCountsOf(t),
           MixtureModelStore.DsirBuckets))
       === sortedRows(Dsir.importanceTableFrom(full,
         MixtureModelStore.DsirBuckets)))
     val rows = sortedRows(t("counts"))
-    DurableStore.dropRegistered(spark, MixtureModelStore.DsirIncFamily,
-      newFp, MixtureModelStore.DsirIncParts)
     val d = delta(MixtureModelStore.DsirIncFamily) {
       val again = MixtureModelStore.durableDsirIncUpdateTo(spark,
-        baseT, newFp, dl)
+        baseFp, newFp, dl)
       assert(sortedRows(again("counts")) === rows)
     }
     assert(d === 0.0, s"DSIR update reload accrued build seconds: $d")
