@@ -558,6 +558,36 @@ object DurableStore {
     }.toMap
   }
 
+  /** Publish an explicit ordered segment list as `fp`'s manifest: ONE
+    * create-if-absent of the manifest marker. Returns false when a
+    * concurrent publisher won (the caller decides what to do with its
+    * own now-unreferenced segments — `loadOrBuildManifest` reclaims
+    * them; an ingest loop that publishes per window typically retries
+    * under the next fingerprint). This is the ingest-loop face of the
+    * manifest protocol: the caller wrote its segments itself (e.g. one
+    * per micro-batch, t52) and the publish is not a build, so nothing
+    * here touches the build ledger.
+    */
+  def publishManifest(s: SparkSession, family: String, fp: String,
+      segs: Seq[String]): Boolean = {
+    require(segs.nonEmpty && segs.forall(_.startsWith("seg_")),
+      s"manifest publish for $family/$fp got no segment list")
+    val base = basePath(s, family, fp)
+    val f = fsOf(s, base)
+    f.mkdirs(base)
+    try {
+      val out = f.create(markerPath(base), false)
+      try out.write(
+        (s"manifest\n${segs.mkString("\n")}\n${stampLine()}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException if f.exists(markerPath(base)) =>
+        false // a concurrent publisher won
+    }
+  }
+
   /** Serve a manifest lineage's fingerprint, building only if the
     * manifest is absent: the build body writes its delta segment(s)
     * via `writeSegment` and returns the FULL ordered segment list to
@@ -571,28 +601,12 @@ object DurableStore {
   def loadOrBuildManifest(s: SparkSession, family: String, fp: String,
       parts: Seq[Part])(build: => Seq[String])
       : Map[String, DataFrame] = synchronized {
-    val base = basePath(s, family, fp)
-    val f = fsOf(s, base)
     if (!isBuilt(s, family, fp)) StoreBuildLedger.timed(s"durable_$family") {
       val segs = build
-      require(segs.nonEmpty && segs.forall(_.startsWith("seg_")),
-        s"manifest build for $family/$fp returned no segment list")
-      f.mkdirs(base)
-      val won =
-        try {
-          val out = f.create(markerPath(base), false)
-          try out.write(
-            (s"manifest\n${segs.mkString("\n")}\n${stampLine()}")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          true
-        } catch {
-          case _: java.io.IOException if f.exists(markerPath(base)) =>
-            false // a concurrent builder published first
-        }
-      if (!won) {
+      if (!publishManifest(s, family, fp, segs)) {
         // loser: reclaim own segments nobody references (shared base
         // segments stay — other manifests name them)
+        val f = fsOf(s, basePath(s, family, fp))
         val ref = referencedSegments(s, family)
         segs.filterNot(ref).foreach(seg =>
           f.delete(new Path(famDir(s, family), seg), true))

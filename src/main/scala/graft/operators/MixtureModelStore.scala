@@ -194,6 +194,85 @@ object MixtureModelStore {
     t("counts").groupBy(col("bkt"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
 
+  /** The INCREMENTAL durable lineage of the JOINT proxy+reference
+    * model (DoReMi/RHO's trained state) — the sixth lineage, EXACT
+    * like the LM/DSIR/NB ones: the joint pair-count table (prev, cur,
+    * pair_f, pair_r) is additive over disjoint document sets (pairs
+    * never cross documents; is_r is a per-row function of doc_id), and
+    * the vocab scalars' mergeable form is the distinct (tok, is_r)
+    * pair set (counts don't merge, sets do — the l132 toks
+    * discipline). MANIFEST family: each append writes one segment with
+    * the delta batch's own counts and token set; `jointIncModelOf`
+    * merges on read (vocab-bounded groupBy-sum + distinct) and
+    * re-derives ctx and the vocab row exactly as trainJoint's own
+    * derivations, so the assembled model serves l95's entire weight
+    * ledger integer-for-integer equal to a full-corpus retrain
+    * (l136's hash against l95's oracle).
+    */
+  val JointIncFamily = "mixture_joint_inc"
+  val JointIncParts: Seq[DurableStore.Part] = Seq(
+    DurableStore.Part("pc", Some("prev")),
+    DurableStore.Part("toks", None))
+
+  /** One batch's slice of the joint trained state: its own pair
+    * counts and its own distinct (tok, is_r) set.
+    */
+  private def jointSlice(docs: DataFrame): Map[String, DataFrame] = {
+    val pairs = Doremi.pairsFrame(docs, "doc_id", "text", "source",
+      cleanSlicePred)
+    Map(
+      "pc" -> pairs.groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("pair_f"), sum(col("is_r")).as("pair_r")),
+      "toks" -> docs.select(
+          when(cleanSlicePred, 1L).otherwise(0L).as("is_r"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+        .select(col("tok"), col("is_r")).distinct())
+  }
+
+  /** One-time count build of the joint lineage's base layout. */
+  def durableJointIncBase(s: SparkSession, base: DataFrame,
+      baseFp: String): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, JointIncFamily, baseFp,
+      JointIncParts) {
+      Seq(DurableStore.writeSegment(s, JointIncFamily, JointIncParts,
+        jointSlice(base)))
+    }
+
+  /** Extend a published joint layout by an appended document batch:
+    * only the DELTA is exploded, counted and WRITTEN.
+    */
+  def durableJointIncUpdateTo(s: SparkSession, baseFp: String,
+      newFp: String, delta: DataFrame): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, JointIncFamily, newFp,
+      JointIncParts) {
+      val seg = DurableStore.writeSegment(s, JointIncFamily,
+        JointIncParts, jointSlice(delta))
+      DurableStore.manifestSegments(s, JointIncFamily, baseFp) :+ seg
+    }
+
+  /** Assemble the servable joint model from an incremental layout:
+    * pair counts merge by one vocab-bounded groupBy-sum, ctx derives
+    * from the merged table, the vocab row from the merged distinct
+    * token sets — exactly trainJoint's derivations. `pairs` is the
+    * caller's pair-occurrence scoring input (per-corpus-row serve
+    * work, the l109 contract — never persisted).
+    */
+  def jointIncModelOf(t: Map[String, DataFrame],
+      pairs: DataFrame): Doremi.JointLm = {
+    val pc = t("pc").groupBy(col("prev"), col("cur"))
+      .agg(sum(col("pair_f")).as("pair_f"),
+        sum(col("pair_r")).as("pair_r"))
+    Doremi.JointLm(pairs, pc,
+      pc.groupBy(col("prev"))
+        .agg(sum(col("pair_f")).as("ctx_f"),
+          sum(col("pair_r")).as("ctx_r")),
+      t("toks").distinct()
+        .agg(count_distinct(col("tok")).as("v_f"),
+          count_distinct(when(col("is_r") === 1L, col("tok")))
+            .as("v_r")))
+  }
+
   /** Drop every in-memory artifact (the fresh-application simulation
     * of the durable-reload gates).
     */

@@ -106,6 +106,88 @@ object NbModelStore {
     (t("labels"), NbClassifier.NbModel(t("feat"), t("totals")))
   }
 
+  /** The INCREMENTAL durable lineage of the classifier family — EXACT
+    * like the LM one (l132), with the contract boundary stated
+    * plainly: NB TRAINING is one feature-count aggregate, additive
+    * over disjoint LABELED document batches — the additivity claim is
+    * about the COUNT aggregate GIVEN per-batch labels. The LABELING
+    * itself is upstream state, not part of this lineage: in production
+    * the standing dedup machinery labels each arriving batch (the
+    * l124/l125 persisted band index makes new-vs-old pair discovery
+    * O(delta); t18's incremental-dedup face), and a label that flips
+    * an already-counted document re-enters as a correction batch —
+    * the same contract as any label-propagation pipeline. Batches
+    * are therefore (doc_id, text, is_dup) frames, and the lineage
+    * fingerprint hashes all three columns so a changed label
+    * assignment invalidates the layout.
+    *
+    * MANIFEST family (O(delta) WRITE): each append writes one segment
+    * with the delta batch's own (feat, pos_c, neg_c) counts; merge
+    * moved to read time (`nbIncModelOf`, one vocab-bounded
+    * groupBy-sum) — totals and the smoothing vocabulary V re-derive
+    * from the merged table exactly as trainNb's own derivations, so
+    * merged == full-corpus retrain integer-for-integer (l135's card
+    * hash against l90's oracle proves it end-to-end).
+    */
+  val IncFamily = "nb_model_inc"
+  val IncParts: Seq[DurableStore.Part] =
+    Seq(DurableStore.Part("feat", Some("feat")))
+
+  /** Labeled-batch fingerprint: doc_id + text + is_dup, so the same
+    * documents under a different label assignment are a different
+    * lineage generation.
+    */
+  def labeledFp(labeledBatch: DataFrame): String =
+    DurableStore.frameFingerprint(labeledBatch,
+      Seq("doc_id", "text", "is_dup"))
+
+  /** One batch's feature-count slice: trainNb over the batch's own
+    * keep/reject split (trainNb's totals are discarded — they are NOT
+    * additive as published rows; the merged table re-derives them).
+    */
+  private def featSlice(labeledBatch: DataFrame): DataFrame =
+    NbClassifier.trainNb(
+      labeledBatch.where(col("is_dup") === 0L),
+      labeledBatch.where(col("is_dup") === 1L),
+      "text", NbClassifier.bigramFeats).featCounts
+
+  /** One-time count build of the incremental lineage's base layout,
+    * published as a single-segment manifest.
+    */
+  def durableNbIncBase(s: SparkSession, labeledBase: DataFrame,
+      baseFp: String): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, IncFamily, baseFp, IncParts) {
+      Seq(DurableStore.writeSegment(s, IncFamily, IncParts,
+        Map("feat" -> featSlice(labeledBase))))
+    }
+
+  /** Extend a published layout by a labeled delta batch: only the
+    * DELTA is featurized, counted and WRITTEN (one new segment + one
+    * manifest marker naming base segments + the delta).
+    */
+  def durableNbIncUpdateTo(s: SparkSession, baseFp: String,
+      newFp: String, labeledDelta: DataFrame): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, IncFamily, newFp, IncParts) {
+      val seg = DurableStore.writeSegment(s, IncFamily, IncParts,
+        Map("feat" -> featSlice(labeledDelta)))
+      DurableStore.manifestSegments(s, IncFamily, baseFp) :+ seg
+    }
+
+  /** Merge-on-read of an incremental layout: one vocab-bounded
+    * groupBy-sum over the segment union, totals (n_pos, n_neg, V)
+    * re-derived from the merged table — exactly trainNb's own
+    * derivation order, so the assembled model is integer-for-integer
+    * a full retrain's.
+    */
+  def nbIncModelOf(t: Map[String, DataFrame]): NbClassifier.NbModel = {
+    val tc = t("feat").groupBy(col("feat"))
+      .agg(sum(col("pos_c")).as("pos_c"), sum(col("neg_c")).as("neg_c"))
+    NbClassifier.NbModel(tc,
+      tc.agg(coalesce(sum(col("pos_c")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg_c")), lit(0L)).as("n_neg"),
+        count(lit(1)).as("v")))
+  }
+
   /** Drop every in-memory artifact (the fresh-application simulation
     * of the durable-reload gates).
     */

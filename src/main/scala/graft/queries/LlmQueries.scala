@@ -4843,7 +4843,79 @@ object LlmQueries {
              |  TRUE AS update_ok,
              |  TRUE AS reload_build_free_ok,
              |  TRUE AS write_odelta_ok
-             |FROM embeddings""".stripMargin))
+             |FROM embeddings""".stripMargin)),
+
+    QuerySpec(
+      "l135_nb_durable_update",
+      "incremental durable maintenance of the CLASSIFIER family at O(delta) WRITE cost — the fifth lineage, EXACT like the LM one because NB training is ONE feature-count aggregate, additive over disjoint LABELED batches: each append featurizes, counts and writes only the delta batch's own (feat, pos_c, neg_c) rows as one manifest segment; nbIncModelOf merges on read (one vocab-bounded groupBy-sum) and re-derives the totals row and smoothing vocabulary V from the merged table exactly as trainNb does, so merged == full-corpus retrain integer-for-integer. The contract boundary is stated, not hidden: additivity is about the COUNT aggregate GIVEN per-batch labels — the labeling itself is the upstream standing-dedup artifact (the l124/l125 persisted band index discovers new-vs-old pairs O(delta); a flipped label re-enters as a correction batch), here the durable nb_model family's winnow label frame, and the lineage fingerprint hashes doc_id+text+is_dup so a changed label assignment invalidates the layout. Gate, the strongest available: the merged model serves l90's ENTIRE margin card (bands, extremes, keep census, confusion census vs the dedup labels) against l90's own full-corpus-trained oracle — hash-exact — plus the zero-build re-serve and O(delta)-write gates. Oracle = l90's plus the literal gate columns",
+      (s, dir) => {
+        val st = graft.operators.NbModelStore
+        val ds = graft.operators.DurableStore
+        val d = Tables.load(s, dir, "documents")
+        // the upstream label assignment: the standing dedup pass's
+        // boilerplate frame (durable nb_model family — a reload on
+        // warm machines, never retrained here)
+        val (labeled, _) = st.sharedBoilerplateModel(s, dir)
+        val lab = d.join(broadcast(labeled), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+        val base = lab.where(col("doc_id") % 5 =!= 0)
+        val delta = lab.where(col("doc_id") % 5 === 0)
+        val baseFp = st.labeledFp(base)
+        val newFp = st.labeledFp(lab)
+        st.durableNbIncBase(s, base, baseFp)
+        val statsBefore = Gates.manifestStats(s, st.IncFamily, baseFp)
+        st.durableNbIncUpdateTo(s, baseFp, newFp, delta)
+        val before = ds.buildSeconds(st.IncFamily)
+        val t = st.durableNbIncUpdateTo(s, baseFp, newFp, delta)
+        val buildFree = ds.buildSeconds(st.IncFamily) == before
+        val odeltaOk = Gates.writeODeltaOk(s, st.IncFamily, baseFp,
+          newFp, statsBefore)
+        // serve l90's FULL card from the merged counts — the hash
+        // against l90's full-corpus-trained oracle IS update == retrain
+        nbCardOf(NbClassifier
+          .marginBits(d, "doc_id", "text", st.nbIncModelOf(t),
+            NbClassifier.bigramFeats)
+          .join(broadcast(labeled), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_scored"), col("total_bits"),
+            col("bpt"), coalesce(col("is_dup"), lit(0L)).as("is_dup")))
+          .withColumn("reload_build_free_ok", lit(buildFree))
+          .withColumn("write_odelta_ok", lit(odeltaOk))
+      },
+      gatedOracle("l90_nb_quality_filter",
+        Seq("reload_build_free_ok", "write_odelta_ok"))),
+
+    QuerySpec(
+      "l136_doremi_durable_update",
+      "incremental durable maintenance of the JOINT proxy+reference model (DoReMi/RHO's trained state) at O(delta) WRITE cost — the sixth lineage, EXACT: the joint pair-count table (prev, cur, pair_f, pair_r) is additive over disjoint document sets (pairs never cross documents; is_r is a per-row function of doc_id%7), and the vocab scalars' mergeable form is the distinct (tok, is_r) set (counts don't merge across appends, sets do — the l132 toks discipline). Each append explodes, counts and writes only the DELTA batch (one segment: its pair counts + its token set); jointIncModelOf merges on read (vocab-bounded groupBy-sum + distinct) and re-derives ctx and the vocab row exactly as trainJoint does. Gate, the strongest available: the merged model serves l95's ENTIRE DoReMi weight ledger (per-source n_docs/n_pairs/ref_bits/self_bits/excess/weight_bp — the mean-anchored clipped excess and the piecewise-linear base-2 exponential all downstream of the merged counts) against l95's own full-corpus-trained oracle — hash-exact, BIGINT end to end — plus the zero-build re-serve and O(delta)-write gates. Scale: the scoring input (pair occurrences) is per-corpus-row serve work re-derived per batch (the l109 contract); the merged count tables broadcast. Oracle = l95's plus the literal gate columns",
+      (s, dir) => {
+        val st = graft.operators.MixtureModelStore
+        val ds = graft.operators.DurableStore
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(col("doc_id") % 5 =!= 0)
+        val delta = docs.where(col("doc_id") % 5 === 0)
+        val baseFp = ds.frameFingerprint(base, Seq("doc_id", "text"))
+        val newFp = ds.frameFingerprint(docs, Seq("doc_id", "text"))
+        st.durableJointIncBase(s, base, baseFp)
+        val statsBefore = Gates.manifestStats(s, st.JointIncFamily,
+          baseFp)
+        st.durableJointIncUpdateTo(s, baseFp, newFp, delta)
+        val before = ds.buildSeconds(st.JointIncFamily)
+        val t = st.durableJointIncUpdateTo(s, baseFp, newFp, delta)
+        val buildFree = ds.buildSeconds(st.JointIncFamily) == before
+        val odeltaOk = Gates.writeODeltaOk(s, st.JointIncFamily,
+          baseFp, newFp, statsBefore)
+        // serve l95's FULL ledger from the merged counts; the scoring
+        // input re-derives from the documents (per-row serve work)
+        val jl = st.jointIncModelOf(t,
+          graft.operators.Doremi.pairsFrame(docs, "doc_id", "text",
+            "source", st.cleanSlicePred))
+        graft.operators.Doremi.domainWeightsFrom(jl, docs, "source")
+          .withColumn("reload_build_free_ok", lit(buildFree))
+          .withColumn("write_odelta_ok", lit(odeltaOk))
+      },
+      gatedOracle("l95_doremi_weights",
+        Seq("reload_build_free_ok", "write_odelta_ok")))
   )
 
   val specs: Seq[QuerySpec] =

@@ -2172,6 +2172,153 @@ object TimeSeriesQueries {
       },
       Some("""SELECT count(*) AS n_streamed, count(*) AS n_indexed,
              |  TRUE AS ingest_ok
+             |FROM embeddings""".stripMargin)),
+
+    QuerySpec(
+      "t52_stream_ingest_republish",
+      "the ingest loop COMPOSED with the durable tier — the production cycle t51 (scratch state tables that die with the query) and t50 (cold boot of a batch-published layout) each prove half of: vectors ARRIVE as a stream, each micro-batch is assigned + PQ-encoded against the FROZEN base artifacts and lands as ONE immutable manifest SEGMENT (the O(delta)-write shape — writeSegment per batch, no training, no rename), and on drain the accumulated state is REPUBLISHED as a first-class durable fingerprint: one create-if-absent manifest naming base segments + the streamed segments. A cold boot then serves the UNION corpus exclusively from the published layout (marker + parquet-footer reads, serve-meta collect ledgered under ann_ingest_serve) answering the query-vector stream with >= 90% agreement against a frozen-model batch rebuild. The query opens with vacuum(keep = base) — prior runs' union generation and its streamed segments are swept while the standing base survives, exercising manifest-aware retention on a live family. Gates, in-query and hash-enforced: (1) the published union lists/codes/norms are multiset-equal to a frozen-artifact batch rebuild over the whole corpus and every base or streamed vector is indexed; (2) ZERO training seconds across ingest + publish + boot + serve (durable_ann_ingest and ann_index ledger keys frozen after the base build); (3) O(delta) write — the published manifest is exactly base segments ++ the streamed segments and the base segment's files are byte-untouched; (4) the publish itself succeeded (create-if-absent won). Oracle = deterministic counts + literal true",
+      (s, dir) => {
+        val S = graft.operators.Similarity
+        val ds = graft.operators.DurableStore
+        val st = graft.operators.AnnIndexStore
+        val fam = "ann_ingest"
+        val parts = st.DurableParts
+        val e = Tables.load(s, dir, "embeddings")
+        val base = e.where(col("vec_id") % 5 =!= 0)
+        val baseFp = ds.frameFingerprint(base, Seq("vec_id", "embedding"))
+        val newFp = ds.frameFingerprint(e, Seq("vec_id", "embedding"))
+        // retention first: sweep prior runs' union generation (and its
+        // now-unreferenced streamed segments) — the standing base
+        // layout survives, so only the first run ever trains
+        ds.vacuum(s, fam, keep = Set(baseFp))
+        // the standing base: one-time training build per base-corpus
+        // lifetime, a single-segment manifest (ledgered durable_<fam>)
+        val baseT = ds.loadOrBuildManifest(s, fam, baseFp, parts) {
+          val idx = S.buildAnnIndex(base, "vec_id", "embedding",
+            st.DefaultNCentroids, st.DefaultTrainIters, st.DefaultM,
+            st.DefaultNCodes, st.DefaultPqTrainIters)
+          Seq(ds.writeSegment(s, fam, parts, Map(
+            "cent" -> idx.centroids, "lists" -> idx.lists,
+            "codebook" -> idx.codebook, "codes" -> idx.codes,
+            "norms" -> idx.norms)))
+        }
+        val cent = baseT("cent").localCheckpoint(eager = true)
+        val cb = baseT("codebook").localCheckpoint(eager = true)
+        val segsBase = ds.manifestSegments(s, fam, baseFp)
+        val statsBefore = Gates.manifestStats(s, fam, baseFp)
+        // zero-training watermark AFTER the base build: nothing past
+        // this line may train (writeSegment/publishManifest/
+        // manifestTables never touch the build ledger)
+        def trainSecs(): Double = ds.buildSeconds(fam) +
+          graft.operators.StoreBuildLedger.snapshot
+            .getOrElse("ann_index", 0.0)
+        val trainBefore = trainSecs()
+        // INGEST: the delta arrives as a stream; each micro-batch is
+        // per-row encoded against the frozen artifacts and lands as
+        // one immutable segment (the t13 CDC shape, durable form)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ingest2_").toString
+        val segBuf = scala.collection.mutable.ListBuffer.empty[String]
+        val ingestBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (batch, _) => {
+            val (l, c, n) = S.assignEncode(cent, cb, batch,
+              "vec_id", "embedding", m = st.DefaultM)
+            segBuf.synchronized {
+              segBuf += ds.writeSegment(s, fam, parts,
+                Map("lists" -> l, "codes" -> c, "norms" -> n))
+            }
+          }
+        val q = Tables.loadStream(s, dir, "embeddings")
+          .where(col("vec_id") % 5 === 0)
+          .writeStream
+          .foreachBatch(ingestBatch)
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        // REPUBLISH: the drained state becomes a first-class durable
+        // generation — one marker, zero data movement
+        val published = ds.publishManifest(s, fam, newFp,
+          segsBase ++ segBuf.toList)
+        // O(delta)-write gate: exactly base ++ streamed segments, base
+        // bytes untouched
+        val segsNew = ds.manifestSegments(s, fam, newFp)
+        val odeltaOk = published && segBuf.nonEmpty &&
+          segsNew == segsBase ++ segBuf.toList &&
+          segsBase.forall(g =>
+            ds.segmentFileStats(s, fam, g) == statsBefore(g))
+        // COLD BOOT: resolve the published layout fresh (marker +
+        // footer reads) and collect the tiny serve meta — the one
+        // cost a restart legitimately pays, ledgered
+        val t = ds.manifestTables(s, fam, newFp, parts)
+        val (meta, codesArr) =
+          graft.operators.StoreBuildLedger.timed("ann_ingest_serve") {
+            val m = S.collectServeMeta(t("cent"), t("codebook"))
+            (m, S.codesAsDenseArray(s, t("codes"), m)
+              .localCheckpoint(eager = true))
+          }
+        // SERVE the query-vector stream against the published union
+        val served = graft.streaming.StreamingOps.annTopKState(
+          S.annServeScore(
+            Tables.loadStream(s, dir, "embeddings")
+              .where(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", meta, t("lists"), codesArr,
+            t("norms"), nProbe = 6),
+          k = 10)
+        val emitted = runBounded(s, served, "t52_ingest_republish_mem",
+          "update", statePartitions = Some(8))
+        val trainFree = trainSecs() == trainBefore
+        val streamTop = emitted.groupBy(col("q_id"))
+          .agg(max_by(col("topk"), col("n_seen")).as("topk"))
+          .select(col("q_id"), explode(col("topk")).as("p"))
+          .select(col("q_id"), col("p._2").as("c_id"), lit(1).as("__s"))
+        // the equivalence base: a frozen-model batch rebuild over the
+        // union — an independent path from the published segments
+        val (lR, cR, nR) = S.assignEncode(cent, cb, e,
+          "vec_id", "embedding", m = st.DefaultM)
+        val qB = e.where(col("vec_id") % 25 === 0)
+        val batchTop = S.pqTopKFromIndex(qB, e, "vec_id", "embedding",
+            k = 10, m = st.DefaultM, codebook = cb, codes = cR,
+            norms = nR,
+            candidates = S.indexCandidates(qB, "vec_id", "embedding",
+              cent, lR, nProbe = 6),
+            rerank = 0)
+          .select(col("q_id"), col("c_id"), lit(1).as("__b"))
+        val res = streamTop
+          .join(batchTop, Seq("q_id", "c_id"), "full_outer")
+          .agg(count(col("__b")).as("n_topk"),
+            count(when(col("__b").isNotNull && col("__s").isNotNull, 1))
+              .as("__hit"))
+          .crossJoin(broadcast(
+            e.agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_base"),
+              count(when(col("vec_id") % 5 === 0, 1)).as("n_streamed"))))
+          .crossJoin(broadcast(
+            t("lists").agg(count(lit(1)).as("n_indexed"))))
+          .crossJoin(broadcast(mismatches(t("lists"), lR, "__ml")))
+          .crossJoin(broadcast(mismatches(t("codes"), cR, "__mc")))
+          .crossJoin(broadcast(mismatches(t("norms"), nR, "__mn")))
+          .select(col("n_base"), col("n_streamed"), col("n_indexed"),
+            col("n_topk"),
+            (col("__hit") * 100 >= col("n_topk") * 90).as("stream_ok"),
+            (col("__ml") === 0 && col("__mc") === 0 &&
+              col("__mn") === 0 &&
+              col("n_indexed") === col("n_base") + col("n_streamed"))
+              .as("ingest_exact_ok"),
+            lit(trainFree).as("ingest_train_free_ok"),
+            lit(odeltaOk).as("write_odelta_ok"))
+          .localCheckpoint(eager = true) // ckpt dir is deleted below
+        graft.pipeline.SinkFiles.deleteRecursive(out)
+        res
+      },
+      Some("""SELECT
+             |  count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_base,
+             |  count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_streamed,
+             |  count(*) AS n_indexed,
+             |  10 * count(CASE WHEN vec_id % 25 = 0 THEN 1 END)
+             |    AS n_topk,
+             |  TRUE AS stream_ok, TRUE AS ingest_exact_ok,
+             |  TRUE AS ingest_train_free_ok, TRUE AS write_odelta_ok
              |FROM embeddings""".stripMargin))
   )
 }

@@ -557,6 +557,76 @@ class DurableStoreSpec extends SparkSpec {
     assert(d === 0.0, s"DSIR update reload accrued build seconds: $d")
   }
 
+  test("incremental NB lineage: merged-on-read feature counts and " +
+      "re-derived totals equal a full retrain on the same labels; the " +
+      "published update reloads zero-build") {
+    import graft.operators.{NbClassifier, NbModelStore}
+    import org.apache.spark.sql.functions.coalesce
+    val docs = graft.Tables.load(spark, fixtureDir, "documents")
+    val (labeled, fullModel) =
+      NbModelStore.durableBoilerplateModel(spark, fixtureDir,
+        NbModelStore.corpusFp(spark, fixtureDir))
+    val lab = docs.join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    val base = lab.where(col("doc_id") % 4 =!= 0)
+    val dl = lab.where(col("doc_id") % 4 === 0)
+    val (baseFp, newFp) =
+      (NbModelStore.labeledFp(base), NbModelStore.labeledFp(lab))
+    assert(baseFp !== newFp)
+    NbModelStore.durableNbIncBase(spark, base, baseFp)
+    val t = NbModelStore.durableNbIncUpdateTo(spark, baseFp, newFp, dl)
+    val m = NbModelStore.nbIncModelOf(t)
+    assert(sortedRows(m.featCounts) === sortedRows(fullModel.featCounts))
+    assert(sortedRows(m.totals) === sortedRows(fullModel.totals))
+    // a changed LABEL assignment alone changes the fingerprint
+    val flipped = lab.withColumn("is_dup", lit(1L) - col("is_dup"))
+    assert(NbModelStore.labeledFp(flipped) !== newFp)
+    val rows = sortedRows(t("feat"))
+    val d = delta(NbModelStore.IncFamily) {
+      assert(sortedRows(NbModelStore.durableNbIncUpdateTo(spark,
+        baseFp, newFp, dl)("feat")) === rows)
+    }
+    assert(d === 0.0, s"NB update reload accrued build seconds: $d")
+    // keep decisions off the merged model match the full model's
+    val full = NbClassifier.marginBits(docs, "doc_id", "text",
+      fullModel, NbClassifier.bigramFeats)
+    val inc = NbClassifier.marginBits(docs, "doc_id", "text", m,
+      NbClassifier.bigramFeats)
+    assert(sortedRows(inc) === sortedRows(full))
+  }
+
+  test("incremental joint (DoReMi) lineage: merged-on-read pair " +
+      "counts + token sets re-derive the exact full-retrain model; " +
+      "the published update reloads zero-build") {
+    import graft.operators.{Doremi, MixtureModelStore}
+    val docs = graft.Tables.load(spark, fixtureDir, "documents")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val dl = docs.where(col("doc_id") % 4 === 0)
+    val baseFp = DurableStore.frameFingerprint(base,
+      Seq("doc_id", "text"))
+    val newFp = DurableStore.frameFingerprint(docs,
+      Seq("doc_id", "text"))
+    MixtureModelStore.durableJointIncBase(spark, base, baseFp)
+    val t = MixtureModelStore.durableJointIncUpdateTo(spark, baseFp,
+      newFp, dl)
+    val full = Doremi.trainJoint(docs, "doc_id", "text", "source",
+      MixtureModelStore.cleanSlicePred)
+    val m = MixtureModelStore.jointIncModelOf(t, full.pairs)
+    assert(sortedRows(m.pc) === sortedRows(full.pc))
+    assert(sortedRows(m.ctx) === sortedRows(full.ctx))
+    assert(sortedRows(m.vocab) === sortedRows(full.vocab))
+    // the full weight ledger is identical off either model
+    assert(sortedRows(Doremi.domainWeightsFrom(m, docs, "source"))
+      === sortedRows(Doremi.domainWeightsFrom(full, docs, "source")))
+    val rows = sortedRows(t("pc"))
+    val d = delta(MixtureModelStore.JointIncFamily) {
+      assert(sortedRows(MixtureModelStore.durableJointIncUpdateTo(
+        spark, baseFp, newFp, dl)("pc")) === rows)
+    }
+    assert(d === 0.0, s"joint update reload accrued build seconds: $d")
+  }
+
   test("segment-manifest lineage: an append writes ONLY its delta " +
       "segment (standing bytes untouched), the union serves all rows, " +
       "and the published manifest reloads zero-build") {
