@@ -460,6 +460,83 @@ object ScaleQueries {
       Some("""SELECT count(CASE WHEN doc_id % 10 = 2 THEN 1 END)
              |    AS n_kept_rows,
              |  2 AS n_debris, 1 AS n_stale, TRUE AS stale_gone_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "s15_store_vacuum_generations",
+      "GENERATION-AWARE retention (s14 proved mechanics with caller-enumerated fingerprints; production wants 'keep the newest N'): markers carry a publish stamp (ts=millis.seq, same-millis ties broken by per-JVM sequence), and vacuumKeepLatest(family, n) keeps the n newest COMPLETE layouts by stamp without the caller naming any fingerprint. Two scratch families in a private root prove the two hard cases end-to-end: (a) a plain family publishes three generations in order — keep-latest-2 must retire exactly the oldest, and the kept newest must then SERVE a reload whose build body is a poisoned tombstone (rows match the oracle only if the files survived); (b) a MANIFEST lineage publishes base and child generations — keep-latest-1 retires the base GENERATION but must PIN the base SEGMENT the kept child manifest still lists (reachability is through surviving manifests, the l131 O(delta) layout's retention contract), while sweeping a planted unreferenced complete segment (stale data) and a marker-less half-written one (debris); the kept child must serve the FULL union from disk with a tombstoned build body. Census = kept-generation row counts + deterministic stale/ordering/pinning gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val parts = Seq(ds.Part("t", None))
+        try {
+          // (a) plain family: three stamped generations
+          def gen(fp: String, m: Long) =
+            ds.loadOrBuild(s, "vacgen_plain", fp, parts) {
+              Map("t" -> Tables.load(s, dir, "documents")
+                .where(col("doc_id") % 10 === m).select(col("doc_id")))
+            }
+          gen("gen1", 1L); gen("gen2", 2L); gen("gen3", 3L)
+          val repA = ds.vacuumKeepLatest(s, "vacgen_plain", 2)
+          val orderingOk = repA.stale == Seq("gen1") &&
+            ds.isBuilt(s, "vacgen_plain", "gen2") &&
+            ds.isBuilt(s, "vacgen_plain", "gen3")
+          // the kept newest serves from disk (tombstone build body)
+          val servedA = ds.loadOrBuild(s, "vacgen_plain", "gen3", parts) {
+            Map("t" -> Tables.load(s, dir, "documents")
+              .where(lit(false)).select(col("doc_id")))
+          }("t")
+          // (b) manifest lineage: base + child generations
+          val fam = "vacgen_manifest"
+          def slice(m: Long) = Tables.load(s, dir, "documents")
+            .where(col("doc_id") % 10 === m).select(col("doc_id"))
+          val segBase = ds.writeSegment(s, fam, parts,
+            Map("t" -> slice(4L)))
+          ds.loadOrBuildManifest(s, fam, "fpBase", parts)(Seq(segBase))
+          val segDelta = ds.writeSegment(s, fam, parts,
+            Map("t" -> slice(5L)))
+          ds.loadOrBuildManifest(s, fam, "fpChild", parts)(
+            Seq(segBase, segDelta))
+          // plant: an unreferenced COMPLETE segment (a crashed or
+          // losing publisher's data — stale) and a marker-less
+          // half-written one (debris)
+          val orphan = ds.writeSegment(s, fam, parts,
+            Map("t" -> slice(6L)))
+          new java.io.File(s"$root/$fam/seg_halfwritten/t").mkdirs()
+          val repB = ds.vacuumKeepLatest(s, fam, 1)
+          val pinningOk = repB.stale.toSet == Set("fpBase", orphan) &&
+            repB.debris == Seq("seg_halfwritten") &&
+            !ds.isBuilt(s, fam, "fpBase") &&
+            ds.segmentComplete(s, fam, segBase)
+          // the kept child serves the FULL union from disk
+          val servedB = ds.loadOrBuildManifest(s, fam, "fpChild",
+            parts)(sys.error(
+              "kept manifest rebuilt after vacuumKeepLatest"))("t")
+          servedA.agg(count(lit(1)).as("n_kept_rows"))
+            .crossJoin(broadcast(
+              servedB.agg(count(lit(1)).as("n_union_rows"))))
+            .select(col("n_kept_rows"), col("n_union_rows"),
+              lit(repA.stale.size).as("n_stale_plain"),
+              lit(orderingOk).as("ordering_ok"),
+              lit(pinningOk).as("segment_pinning_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          Seq("gen1", "gen2", "gen3").foreach(fp =>
+            ds.dropRegistered(s, "vacgen_plain", fp, parts))
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT
+             |  count(CASE WHEN doc_id % 10 = 3 THEN 1 END)
+             |    AS n_kept_rows,
+             |  count(CASE WHEN doc_id % 10 IN (4, 5) THEN 1 END)
+             |    AS n_union_rows,
+             |  1 AS n_stale_plain, TRUE AS ordering_ok,
+             |  TRUE AS segment_pinning_ok
              |FROM documents""".stripMargin))
   )
 }

@@ -113,7 +113,12 @@ object PlanAudit {
     "l133_dsir_durable_update",
     // l82/l131's one-row count/mismatch scalar attaches over the
     // semantic incremental lineage
-    "l134_semdedup_durable_update")
+    "l134_semdedup_durable_update",
+    // l95's serve shape over the merged-on-read joint counts: the same
+    // three one-row scalar attaches (vocab sizes, excess anchor,
+    // weight total); l132/l135 escape the audit only because their
+    // card helpers checkpoint the per-doc frame before the sections
+    "l136_doremi_durable_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
