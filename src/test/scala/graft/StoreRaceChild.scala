@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.DurableStore
+
+/** File barrier for the cross-JVM publish race: each side announces
+  * readiness (its build body is done building, about to publish) and
+  * waits for the other, so BOTH builders hold complete artifacts
+  * before either attempts the commit — the maximal race window the
+  * protocols must survive.
+  */
+object RaceBarrier {
+  def sync(dir: String, fam: String, me: String): Unit = {
+    val mine = new java.io.File(dir, s"${fam}_ready_$me")
+    mine.getParentFile.mkdirs()
+    mine.createNewFile()
+    val other = new java.io.File(dir,
+      s"${fam}_ready_${if (me == "child") "parent" else "child"}")
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!other.exists()) {
+      if (System.nanoTime() > deadline)
+        sys.error(s"race barrier timed out waiting for $other")
+      Thread.sleep(50)
+    }
+  }
+}
+
+/** Second-JVM half of the cross-JVM publish race (StoreRaceSpec): for
+  * each commit mode, race the parent spec's JVM on the SAME
+  * family/fingerprint — a REAL second process against a shared store
+  * root, which the in-process race simulations (nested loadOrBuild in
+  * DurableStoreSpec) cannot model because `loadOrBuild`'s
+  * `synchronized` only guards one JVM. Prints one
+  * `RACE_SERVED <family> <tag>` line per mode with the content tag it
+  * ended up serving; exits nonzero on any failure.
+  *
+  * Usage: StoreRaceChild <storeRoot> <barrierDir> <fp>
+  */
+object StoreRaceChild {
+  def main(args: Array[String]): Unit = {
+    val Array(root, barrier, fp) = args
+    val spark = Engine.local(2)
+    spark.conf.set("spark.graft.store.root", root)
+    import spark.implicits._
+    for (mode <- Seq("rename", "marker")) {
+      spark.conf.set("spark.graft.store.commit", mode)
+      val fam = s"xjvm_$mode"
+      val served = DurableStore.loadOrBuild(spark, fam, fp,
+        Seq(DurableStore.Part("t", None))) {
+        RaceBarrier.sync(barrier, fam, "child")
+        Map("t" -> Seq((1, "child")).toDF("k", "who"))
+      }
+      val who = served("t").collect().map(_.getString(1)).toSeq
+      require(who.length == 1, s"$fam served ${who.length} rows")
+      println(s"RACE_SERVED $fam ${who.head}")
+    }
+    spark.stop()
+  }
+}

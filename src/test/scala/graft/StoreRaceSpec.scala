@@ -1,0 +1,111 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+
+import graft.operators.DurableStore
+
+/** The cross-JVM publish race, both commit modes: a REAL second JVM
+  * (StoreRaceChild via ProcessBuilder — the same discipline as the
+  * InfluxTable live-server test) builds the same family/fingerprint
+  * against a shared store root, with a file barrier guaranteeing both
+  * builders hold COMPLETE artifacts before either commits. Asserts,
+  * per mode: exactly one winner published; BOTH JVMs end up serving
+  * the winner's bytes (the loser discarded its own); and no debris
+  * survives — a vacuum sweep finds nothing to reclaim and the layout
+  * still serves. This is the cross-process face the in-process race
+  * simulations (DurableStoreSpec's nested loadOrBuild) cannot model:
+  * `loadOrBuild`'s `synchronized` protects only one JVM, so here the
+  * filesystem protocol alone carries the race.
+  */
+class StoreRaceSpec extends SparkSpec {
+
+  /** build.sbt's JDK-17 module-opens set for a forked Spark JVM
+    * (duplicated here because the child is launched raw, not via sbt).
+    */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("cross-JVM publish race, both commit modes: one winner, the " +
+      "loser serves the winner's bytes, no debris") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_xjvm_root_").toString
+    val barrier = java.nio.file.Files
+      .createTempDirectory("graft_xjvm_bar_").toString
+    val fp = "fp0"
+    val outFile = new java.io.File(barrier, "child.out")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.StoreRaceChild", root, barrier, fp))
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(outFile)
+      .start()
+    val savedRoot = spark.conf.getOption("spark.graft.store.root")
+    try {
+      spark.conf.set("spark.graft.store.root", root)
+      val servedTags = for (mode <- Seq("rename", "marker")) yield {
+        spark.conf.set("spark.graft.store.commit", mode)
+        val fam = s"xjvm_$mode"
+        val served = DurableStore.loadOrBuild(spark, fam, fp,
+          Seq(DurableStore.Part("t", None))) {
+          RaceBarrier.sync(barrier, fam, "parent")
+          Map("t" -> Seq((1, "parent")).toDF("k", "who"))
+        }
+        val rows = served("t").collect()
+        assert(rows.length === 1, s"$fam served ${rows.length} rows")
+        fam -> rows.head.getString(1)
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS),
+        "child JVM did not finish in time")
+      val childOut = new String(
+        java.nio.file.Files.readAllBytes(outFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(proc.exitValue() === 0,
+        s"child JVM failed:\n${childOut.takeRight(3000)}")
+      val childServed = childOut.linesIterator
+        .filter(_.startsWith("RACE_SERVED "))
+        .map { l =>
+          val Array(_, fam, tag) = l.trim.split(" ")
+          fam -> tag
+        }.toMap
+      servedTags.foreach { case (fam, tag) =>
+        // a real winner, and both JVMs converged on the same bytes
+        assert(Set("parent", "child").contains(tag), s"$fam: $tag")
+        assert(childServed.get(fam) === Some(tag),
+          s"$fam: parent served '$tag', child served " +
+            s"'${childServed.get(fam)}' — the loser kept its own bytes")
+        // no debris: the loser reclaimed its staging/attempt, nothing
+        // for vacuum to sweep, and the layout still serves
+        val rep = DurableStore.vacuum(spark, fam)
+        assert(rep.debris.isEmpty && rep.stale.isEmpty,
+          s"$fam left publish debris: $rep")
+        assert(DurableStore.isBuilt(spark, fam, fp))
+        val again = DurableStore.loadOrBuild(spark, fam, fp,
+          Seq(DurableStore.Part("t", None)))(
+          sys.error("published race layout rebuilt"))
+        assert(again("t").collect().head.getString(1) === tag)
+      }
+    } finally {
+      proc.destroyForcibly()
+      spark.conf.unset("spark.graft.store.commit")
+      savedRoot.fold(spark.conf.unset("spark.graft.store.root"))(v =>
+        spark.conf.set("spark.graft.store.root", v))
+      Seq("xjvm_rename", "xjvm_marker").foreach(fam =>
+        DurableStore.dropRegistered(spark, fam, fp,
+          Seq(DurableStore.Part("t", None))))
+      graft.pipeline.SinkFiles.deleteRecursive(root)
+      graft.pipeline.SinkFiles.deleteRecursive(barrier)
+    }
+  }
+}
