@@ -617,6 +617,49 @@ object DurableStore {
     manifestTables(s, family, fp, parts)
   }
 
+  /** Maintenance-window COMPACTION of a manifest layout — the LSM
+    * merge the segment lineages defer: read the fingerprint's current
+    * segment union, apply the lineage's merge `transform` (identity
+    * for append-only artifacts like ANN lists; the vocab-bounded
+    * groupBy-sum/distinct for count lineages — pass the SAME merge
+    * the lineage's `*Of` reader applies, so read semantics are
+    * preserved by construction), write ONE merged segment, and swap
+    * the manifest to name just that segment. Content is unchanged —
+    * the fingerprint stays the fingerprint — only the file layout
+    * contracts, so the now-unreferenced old segments become vacuum
+    * stale data (segments other manifests still list — e.g. the base
+    * generation's — remain referenced and survive the sweep).
+    *
+    * The swap (delete marker + one create-if-absent) is NOT
+    * crash-atomic: a crash in the window leaves the fingerprint
+    * unbuilt — readers rebuild-check (the layout's normal miss path)
+    * and the orphaned compacted segment is vacuum debris; nothing is
+    * ever half-readable. Like `vacuum`, run from a maintenance window
+    * (a concurrent reader that resolved part paths through the OLD
+    * marker keeps working — old segments stay on disk until a vacuum
+    * — but one reading the marker mid-swap sees the layout unbuilt).
+    * Seconds accrue under `compact_<family>`: compaction is bounded
+    * maintenance I/O, never a training job — the l137 gate pins that
+    * the durable build key stays frozen across it.
+    */
+  def compactManifest(s: SparkSession, family: String, fp: String,
+      parts: Seq[Part])(
+      transform: Map[String, DataFrame] => Map[String, DataFrame])
+      : Unit = synchronized {
+    StoreBuildLedger.timed(s"compact_$family") {
+      val merged = transform(manifestTables(s, family, fp, parts))
+      // the merged frames read the OLD segments lazily; writeSegment
+      // materializes them into the new segment while the old dirs are
+      // still on disk, BEFORE the manifest swap
+      val seg = writeSegment(s, family, parts, merged)
+      val base = basePath(s, family, fp)
+      fsOf(s, base).delete(markerPath(base), false)
+      require(publishManifest(s, family, fp, Seq(seg)),
+        s"compaction republish lost a race for $family/$fp — " +
+          "compact from a maintenance window")
+    }
+  }
+
   /** What `vacuum` removed: unreferenced publish debris and (when
     * requested) complete-but-unkept fingerprints.
     */

@@ -147,11 +147,12 @@ object NgramModelStore {
     * frame's content hash), published as a single-segment manifest.
     */
   def durableIncBase(s: SparkSession, base: DataFrame,
-      baseFp: String): Map[String, DataFrame] =
-    DurableStore.loadOrBuildManifest(s, IncFamily, baseFp, IncParts) {
+      baseFp: String,
+      family: String = IncFamily): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, family, baseFp, IncParts) {
       val clean = base.where(col("doc_id") % 7 === 0)
       val m = NgramLm.trainBigram(clean, "text", 2)
-      Seq(DurableStore.writeSegment(s, IncFamily, IncParts,
+      Seq(DurableStore.writeSegment(s, family, IncParts,
         Map("pairs" -> m.pairCounts, "toks" -> tokTable(clean, "text"))))
     }
 
@@ -163,13 +164,32 @@ object NgramModelStore {
     * Exact by additivity — l132's card hash proves merged == retrained.
     */
   def durableIncUpdateTo(s: SparkSession, baseFp: String,
-      newFp: String, delta: DataFrame): Map[String, DataFrame] =
-    DurableStore.loadOrBuildManifest(s, IncFamily, newFp, IncParts) {
+      newFp: String, delta: DataFrame,
+      family: String = IncFamily): Map[String, DataFrame] =
+    DurableStore.loadOrBuildManifest(s, family, newFp, IncParts) {
       val clean = delta.where(col("doc_id") % 7 === 0)
       val dm = NgramLm.trainBigram(clean, "text", 2)
-      val seg = DurableStore.writeSegment(s, IncFamily, IncParts,
+      val seg = DurableStore.writeSegment(s, family, IncParts,
         Map("pairs" -> dm.pairCounts, "toks" -> tokTable(clean, "text")))
-      DurableStore.manifestSegments(s, IncFamily, baseFp) :+ seg
+      DurableStore.manifestSegments(s, family, baseFp) :+ seg
+    }
+
+  /** Compact an incremental layout's segment chain into ONE merged
+    * segment (the LSM maintenance face): applies exactly the
+    * merge-on-read `incModelOf` performs — pair counts groupBy-summed,
+    * token sets distinct'ed — so serving semantics are preserved by
+    * construction; after the swap the chain's old segments are vacuum
+    * stale data (the base generation's manifest keeps ITS segment
+    * alive). Bounded I/O over vocab-sized tables, never a training
+    * job; l137 gates the whole contract against l83's oracle.
+    */
+  def compactInc(s: SparkSession, fp: String,
+      family: String = IncFamily): Unit =
+    DurableStore.compactManifest(s, family, fp, IncParts) { t =>
+      Map(
+        "pairs" -> t("pairs").groupBy(col("prev"), col("cur"))
+          .agg(sum(col("pair_c")).as("pair_c")),
+        "toks" -> t("toks").distinct())
     }
 
   /** Assemble the servable model from an incremental layout: the

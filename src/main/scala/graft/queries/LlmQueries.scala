@@ -4915,7 +4915,56 @@ object LlmQueries {
           .withColumn("write_odelta_ok", lit(odeltaOk))
       },
       gatedOracle("l95_doremi_weights",
-        Seq("reload_build_free_ok", "write_odelta_ok")))
+        Seq("reload_build_free_ok", "write_odelta_ok"))),
+
+    QuerySpec(
+      "l137_lm_durable_compact",
+      "COMPACTION of a manifest lineage — the maintenance face the O(delta)-write layout defers (every append adds a segment; merge-on-read pays one groupBy-sum per serve over the growing chain — the LSM trade): compactInc reads the fingerprint's segment union, applies EXACTLY the merge incModelOf performs at read time (pair counts groupBy-summed, token sets distinct'ed — serving semantics preserved by construction), writes ONE merged segment and swaps the manifest to name just it; content is unchanged, so the fingerprint stays the fingerprint and the superseded chain segments become vacuum stale data while the BASE generation's segment survives through its own manifest. Runs its OWN chain of the lineage under a sibling family (lm_bigram_inc_c): fingerprints are content-keyed and split-agnostic, so any chain whose union is the full corpus converges on the SAME fingerprint as l132's — and l132's write-amplification gate needs its chain UNCOMPACTED; the sibling family is exactly what a second independent deployment rooted at the same warehouse would be. Gates, in-query and hash-enforced: (1) after compaction the manifest names exactly ONE fresh segment; (2) compaction accrued ZERO durable-build seconds — it is bounded maintenance I/O over vocab-sized tables (ledgered under compact_lm_bigram_inc), never a training job; (3) a family vacuum sweeps exactly the superseded chain segments as stale with zero debris, and every base-manifest segment survives; (4) the lineage's OWN loader then serves l83's ENTIRE perplexity card from the compacted layout hash-identical to a full-corpus retrain (l83's oracle — the strongest read-semantics-preserved proof available). Deterministic on re-runs: a warm run re-compacts the single compacted segment and sweeps its predecessor. Oracle = l83's plus the literal gate columns",
+      (s, dir) => {
+        val st = graft.operators.NgramModelStore
+        val ds = graft.operators.DurableStore
+        // the compaction chain's OWN family: content fingerprints are
+        // split-agnostic, so this chain's full-corpus fingerprint
+        // equals l132's — compacting l132's manifest would break its
+        // (deliberately uncompacted) write-amplification gate
+        val fam = "lm_bigram_inc_c"
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(col("doc_id") % 3 =!= 0)
+        val delta = docs.where(col("doc_id") % 3 === 0)
+        val baseFp = ds.frameFingerprint(base, Seq("doc_id", "text"))
+        val newFp = ds.frameFingerprint(docs, Seq("doc_id", "text"))
+        st.durableIncBase(s, base, baseFp, fam)
+        st.durableIncUpdateTo(s, baseFp, newFp, delta, fam)
+        val segsBefore = ds.manifestSegments(s, fam, newFp)
+        // compaction must never train: the durable build key stays
+        // frozen (its own cost ledgers under compact_lm_bigram_inc_c)
+        val buildBefore = ds.buildSeconds(fam)
+        st.compactInc(s, newFp, fam)
+        val segsAfter = ds.manifestSegments(s, fam, newFp)
+        val compactOk = segsAfter.size == 1 &&
+          !segsBefore.contains(segsAfter.head)
+        val trainFree = ds.buildSeconds(fam) == buildBefore
+        // exactly the superseded chain segments sweep as stale; the
+        // base generation's segment survives through ITS manifest
+        val baseSegs = ds.manifestSegments(s, fam, baseFp).toSet
+        val rep = ds.vacuum(s, fam)
+        val sweptOk = rep.debris.isEmpty &&
+          rep.stale.toSet == segsBefore.toSet -- baseSegs &&
+          baseSegs.forall(g => ds.segmentComplete(s, fam, g))
+        // serve l83's FULL card through the lineage's own loader over
+        // the compacted layout (a pure reload) — the hash against
+        // l83's full-corpus-trained oracle proves read semantics
+        // survived the layout contraction integer-for-integer
+        val t = st.durableIncUpdateTo(s, baseFp, newFp, delta, fam)
+        cardOf(NgramLm.surprisalBits(docs, "doc_id", "text",
+            st.incModelOf(t), 2))
+          .withColumn("compact_single_segment_ok", lit(compactOk))
+          .withColumn("compact_train_free_ok", lit(trainFree))
+          .withColumn("superseded_swept_ok", lit(sweptOk))
+      },
+      gatedOracle("l83_lm_perplexity",
+        Seq("compact_single_segment_ok", "compact_train_free_ok",
+          "superseded_swept_ok")))
   )
 
   val specs: Seq[QuerySpec] =

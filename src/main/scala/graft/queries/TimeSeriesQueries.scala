@@ -2176,17 +2176,23 @@ object TimeSeriesQueries {
 
     QuerySpec(
       "t52_stream_ingest_republish",
-      "the ingest loop COMPOSED with the durable tier — the production cycle t51 (scratch state tables that die with the query) and t50 (cold boot of a batch-published layout) each prove half of: vectors ARRIVE as a stream, each micro-batch is assigned + PQ-encoded against the FROZEN base artifacts and lands as ONE immutable manifest SEGMENT (the O(delta)-write shape — writeSegment per batch, no training, no rename), and on drain the accumulated state is REPUBLISHED as a first-class durable fingerprint: one create-if-absent manifest naming base segments + the streamed segments. A cold boot then serves the UNION corpus exclusively from the published layout (marker + parquet-footer reads, serve-meta collect ledgered under ann_ingest_serve) answering the query-vector stream with >= 90% agreement against a frozen-model batch rebuild. The query opens with vacuum(keep = base) — prior runs' union generation and its streamed segments are swept while the standing base survives, exercising manifest-aware retention on a live family. Gates, in-query and hash-enforced: (1) the published union lists/codes/norms are multiset-equal to a frozen-artifact batch rebuild over the whole corpus and every base or streamed vector is indexed; (2) ZERO training seconds across ingest + publish + boot + serve (durable_ann_ingest and ann_index ledger keys frozen after the base build); (3) O(delta) write — the published manifest is exactly base segments ++ the streamed segments and the base segment's files are byte-untouched; (4) the publish itself succeeded (create-if-absent won). Oracle = deterministic counts + literal true",
+      "the ingest loop COMPOSED with the durable tier — the production cycle t51 (scratch state tables that die with the query) and t50 (cold boot of a batch-published layout) each prove half of: vectors ARRIVE as a stream, each micro-batch is assigned + PQ-encoded against the FROZEN base artifacts and lands as ONE immutable manifest SEGMENT (the O(delta)-write shape — writeSegment per batch, no training, no rename), and on drain the accumulated state is REPUBLISHED as a first-class durable fingerprint: one create-if-absent manifest naming base segments + the streamed segments. A cold boot then serves the UNION corpus exclusively from the published layout (marker + parquet-footer reads, serve-meta collect ledgered under ann_ingest_serve) answering the query-vector stream with >= 90% agreement against a frozen-model batch rebuild. The query opens with vacuum(keep = base) — prior runs' union generation and its streamed segments are swept while the standing base survives, exercising manifest-aware retention on a live family. Gates, in-query and hash-enforced: (1) the published union lists/codes/norms are multiset-equal to a frozen-artifact batch rebuild over the whole corpus and every base or streamed vector is indexed; (2) ZERO training seconds across ingest + publish + boot + serve (the deployment's durable build key and ann_index frozen after the base build); (3) O(delta) write — the published manifest is exactly base segments ++ the streamed segments and the base segment's files are byte-untouched; (4) the publish itself succeeded (create-if-absent won). Oracle = deterministic counts + literal true",
       (s, dir) => {
         val S = graft.operators.Similarity
         val ds = graft.operators.DurableStore
         val st = graft.operators.AnnIndexStore
-        val fam = "ann_ingest"
         val parts = st.DurableParts
         val e = Tables.load(s, dir, "embeddings")
         val base = e.where(col("vec_id") % 5 =!= 0)
         val baseFp = ds.frameFingerprint(base, Seq("vec_id", "embedding"))
         val newFp = ds.frameFingerprint(e, Seq("vec_id", "embedding"))
+        // the ingest deployment's family is scoped to its BASE corpus
+        // generation (a production loop is scoped to its dataset): the
+        // keep-set below names only THIS corpus's base, so an
+        // unscoped shared family would thrash other corpora's standing
+        // bases (verify at sf0.01 and bench at sf0.1 alternate over
+        // one store root — each would sweep and re-train the other's)
+        val fam = s"ann_ingest_$baseFp"
         // retention first: sweep prior runs' union generation (and its
         // now-unreferenced streamed segments) — the standing base
         // layout survives, so only the first run ever trains

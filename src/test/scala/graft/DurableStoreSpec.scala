@@ -716,6 +716,45 @@ class DurableStoreSpec extends SparkSpec {
       "a shared base segment was reclaimed by the loser")
   }
 
+  test("compactManifest collapses a segment chain into one merged " +
+      "segment with read semantics preserved; superseded segments " +
+      "sweep as stale while the base generation's survive") {
+    import spark.implicits._
+    val fam = "spec_compact"
+    val parts = Seq(DurableStore.Part("t", Some("k")))
+    def seg(lo: Int, hi: Int) = DurableStore.writeSegment(spark, fam,
+      parts, Map("t" -> (lo until hi).map(i => (i % 4, i.toLong))
+        .toDF("k", "v")))
+    val s1 = seg(0, 8)
+    DurableStore.loadOrBuildManifest(spark, fam, "fpBase", parts)(
+      Seq(s1))
+    val s2 = seg(8, 12)
+    val s3 = seg(12, 14)
+    val before = DurableStore.loadOrBuildManifest(spark, fam,
+      "fpChild", parts)(Seq(s1, s2, s3))
+    val rows = sortedRows(before("t"))
+    assert(rows.length === 14)
+    // identity transform: concatenation-compaction, valid for any
+    // lineage because it preserves the union multiset exactly
+    DurableStore.compactManifest(spark, fam, "fpChild", parts)(
+      identity)
+    val segsAfter = DurableStore.manifestSegments(spark, fam, "fpChild")
+    assert(segsAfter.size === 1 && !Seq(s1, s2, s3).contains(
+      segsAfter.head))
+    val after = DurableStore.loadOrBuildManifest(spark, fam, "fpChild",
+      parts)(sys.error("compacted manifest rebuilt"))
+    assert(sortedRows(after("t")) === rows,
+      "compaction changed the served multiset")
+    // s2/s3 are now unreferenced (stale); s1 survives through fpBase
+    val rep = DurableStore.vacuum(spark, fam)
+    assert(rep.stale.toSet === Set(s2, s3) && rep.debris.isEmpty,
+      s"sweep: $rep")
+    assert(DurableStore.segmentComplete(spark, fam, s1),
+      "the base generation's segment was swept")
+    assert(sortedRows(DurableStore.loadOrBuildManifest(spark, fam,
+      "fpBase", parts)(sys.error("base rebuilt"))("t")).length === 8)
+  }
+
   test("vacuumKeepLatest keeps the newest generations by publish " +
       "stamp; a kept child manifest pins its base segments after the " +
       "base generation is retired; unreferenced segments are swept") {
