@@ -80,8 +80,34 @@ object DurableStore {
     * trailing `ts=<millis>.<seq>` line stamps the publish for
     * generation-ordered retention (`vacuumKeepLatest`); markers from
     * older layouts without the stamp sort as oldest.
+    *
+    * A layout may carry VERSIONED markers `_GRAFT_STORE_COMPLETE.g<k>`
+    * (k >= 1; the bare name is generation 0): `compactManifest` swaps
+    * the manifest by CREATING the next generation's marker (one
+    * create-if-absent — atomic) and only then deleting the superseded
+    * ones, so a crash anywhere in the swap leaves the layout serving
+    * either the old or the new chain, never unbuilt. Readers resolve
+    * the highest-numbered marker whose content is complete (a torn
+    * higher generation falls back to the one below it).
     */
   val Marker = "_GRAFT_STORE_COMPLETE"
+
+  /** Marker generation encoded in a marker FILE name (0 for the bare
+    * name, k for `.g<k>`; -1 = not a marker of ours).
+    */
+  private def markerGen(name: String): Long =
+    if (name == Marker) 0L
+    else if (name.startsWith(Marker + ".g"))
+      name.stripPrefix(Marker + ".g").toLongOption.getOrElse(-1L)
+    else -1L
+
+  /** Test-only fault injection for the protocol specs (the
+    * kill-at-every-interleaving compaction-swap spec): called with a
+    * step name at each crash-window boundary; a spec swaps in a
+    * throwing hook to simulate a crash exactly there. A no-op in
+    * production — never set outside src/test.
+    */
+  private[graft] var faultHook: String => Unit = _ => ()
 
   /** Per-JVM tiebreak for publish stamps minted on the same
     * millisecond; cross-JVM same-millis ties fall back to the
@@ -160,12 +186,26 @@ object DurableStore {
 
   private def markerPath(base: Path): Path = new Path(base, Marker)
 
+  private def markerPathGen(base: Path, gen: Long): Path =
+    if (gen == 0L) markerPath(base) else new Path(base, s"$Marker.g$gen")
+
+  /** The layout's marker files, highest generation first. Publishes
+    * write generation 0; only `compactManifest` mints higher ones.
+    */
+  private def markerCandidates(f: FileSystem, base: Path)
+      : Seq[(Long, Path)] =
+    if (!f.exists(base)) Nil
+    else f.listStatus(base).toSeq.map(_.getPath)
+      .map(p => (markerGen(p.getName), p))
+      .filter(_._1 >= 0)
+      .sortBy(-_._1)
+
   /** True iff the family's durable layout for `fp` is complete on disk
     * (i.e. `loadOrBuild` would reload instead of building).
     */
   def isBuilt(s: SparkSession, family: String, fp: String): Boolean = {
     val base = basePath(s, family, fp)
-    fsOf(s, base).exists(markerPath(base))
+    markerCandidates(fsOf(s, base), base).nonEmpty
   }
 
   /** Full marker content (short-read-safe: loops to EOF — a single
@@ -183,25 +223,45 @@ object DurableStore {
     } finally in.close()
   }
 
-  /** Marker lines of a published layout. On stores where a created
-    * file's CONTENT lags its existence (HDFS create/write/close
-    * visibility), a reader can observe the marker empty mid-publish:
-    * an empty marker is treated as not-yet-published — brief retry,
-    * then a loud failure — never silently resolved to the base dir.
+  /** Marker lines of the layout's EFFECTIVE marker: the highest
+    * generation whose content is complete. A torn candidate (created
+    * but its content not yet visible — the HDFS create/write/close
+    * window, or a crashed compaction swap) falls back to the next
+    * generation down, so a mid-swap reader serves the previous chain
+    * instead of failing. Only when NO candidate is readable (a fresh
+    * publish whose content lags) does the read retry briefly and then
+    * fail loudly — never silently resolve to the base dir.
     */
-  private def markerLines(s: SparkSession, base: Path): Seq[String] = {
+  private def tryMarkerLines(s: SparkSession, base: Path,
+      retries: Int): Option[Seq[String]] = {
     val f = fsOf(s, base)
+    def resolve(): Option[Seq[String]] =
+      markerCandidates(f, base).iterator
+        .flatMap { case (_, p) =>
+          // a candidate may vanish between list and read (a concurrent
+          // compaction deleting the superseded generation): skip it
+          try Some(readFully(f, p).linesIterator.toSeq)
+          catch { case _: java.io.FileNotFoundException => None }
+        }
+        .find(_.headOption.exists(_.nonEmpty))
     var tries = 0
-    var lines = readFully(f, markerPath(base)).linesIterator.toSeq
-    while (lines.headOption.forall(_.isEmpty) && tries < 20) {
+    var r = resolve()
+    while (r.isEmpty && tries < retries &&
+        markerCandidates(f, base).nonEmpty) {
       Thread.sleep(50)
       tries += 1
-      lines = readFully(f, markerPath(base)).linesIterator.toSeq
+      r = resolve()
     }
-    require(lines.headOption.exists(_.nonEmpty),
-      s"durable marker at $base is empty — publish in flight or torn; " +
-        "retry or rebuild-check before reading this layout")
-    lines
+    r
+  }
+
+  private def markerLines(s: SparkSession, base: Path): Seq[String] = {
+    val lines = tryMarkerLines(s, base, retries = 20)
+    require(lines.nonEmpty,
+      s"durable marker at $base is absent, empty or torn — publish in " +
+        "flight or crashed; retry or rebuild-check before reading this " +
+        "layout")
+    lines.get
   }
 
   /** The part-prefix dir the marker names (`.` = the base dir itself). */
@@ -530,12 +590,16 @@ object DurableStore {
     if (!f.exists(fam)) return Set.empty
     f.listStatus(fam).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
-        && !st.getPath.getName.startsWith("seg_")
-        && f.exists(new Path(st.getPath, Marker)))
+        && !st.getPath.getName.startsWith("seg_"))
       .flatMap { st =>
-        val lines = markerLines(s, st.getPath)
-        if (lines.head == "manifest") lines.filter(_.startsWith("seg_"))
-        else Nil
+        // a torn/unreadable marker contributes nothing: its layout is
+        // unserveable debris (vacuum classifies it; an abort here would
+        // take the whole sweep down with it — the r14 ADVICE fix)
+        tryMarkerLines(s, st.getPath, retries = 3) match {
+          case Some(lines) if lines.head == "manifest" =>
+            lines.filter(_.startsWith("seg_"))
+          case _ => Nil
+        }
       }.toSet
   }
 
@@ -543,6 +607,16 @@ object DurableStore {
     * the listed segments' part dirs (segments lacking the part are
     * skipped — frozen artifacts live only in the base segment). A
     * footer-driven read, zero jobs over the data.
+    *
+    * BUCKET RECOVERY: a part carried by exactly ONE segment (a base
+    * generation's frozen artifact, or any part after `compactManifest`
+    * collapsed the chain) IS a bucketed single-dir layout — its files
+    * were written with `bucketBy` and keep Spark's bucket-id naming —
+    * so it re-registers `CLUSTERED BY` exactly like `register()` does
+    * for retrain lineages, and serve-side joins/aggregations on the
+    * bucket key plan exchange-free (l137's post-compaction plan probe).
+    * Multi-segment unions stay plain multi-dir scans — the LSM
+    * merge-on-read trade compaction exists to bound.
     */
   def manifestTables(s: SparkSession, family: String, fp: String,
       parts: Seq[Part]): Map[String, DataFrame] = {
@@ -550,11 +624,20 @@ object DurableStore {
     val f = fsOf(s, fam)
     val segs = manifestSegments(s, family, fp)
     parts.map { p =>
-      val dirs = segs.map(seg => new Path(fam, new Path(seg, p.name)))
-        .filter(f.exists)
-      require(dirs.nonEmpty,
+      val carrying = segs
+        .filter(seg => f.exists(new Path(fam, new Path(seg, p.name))))
+      require(carrying.nonEmpty,
         s"manifest $family/$fp lists no segment carrying part ${p.name}")
-      p.name -> s.read.parquet(dirs.map(_.toString): _*)
+      val dirs = carrying
+        .map(seg => new Path(fam, new Path(seg, p.name)).toString)
+      val df =
+        if (carrying.size == 1 && p.bucket.isDefined) {
+          val t = tableName(family, fp, s"${carrying.head}_${p.name}")
+          if (!s.catalog.tableExists(t))
+            register(s, t, dirs.head, p.bucket)
+          s.table(t)
+        } else s.read.parquet(dirs: _*)
+      p.name -> df
     }.toMap
   }
 
@@ -575,17 +658,36 @@ object DurableStore {
     val base = basePath(s, family, fp)
     val f = fsOf(s, base)
     f.mkdirs(base)
-    try {
-      val out = f.create(markerPath(base), false)
-      try out.write(
-        (s"manifest\n${segs.mkString("\n")}\n${stampLine()}")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: java.io.IOException if f.exists(markerPath(base)) =>
-        false // a concurrent publisher won
+    val won =
+      try {
+        val out = f.create(markerPath(base), false)
+        try out.write(
+          (s"manifest\n${segs.mkString("\n")}\n${stampLine()}")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException if f.exists(markerPath(base)) =>
+          false // a concurrent publisher won
+      }
+    if (won) {
+      // post-win verification: a vacuum that ran between our
+      // writeSegment calls and this publish may have swept a listed
+      // segment as unreferenced (it WAS unreferenced until the marker
+      // existed). Publishing a manifest naming deleted segments would
+      // poison the layout permanently — isBuilt true, every read
+      // failing, no self-heal — so re-check now and retract the marker
+      // rather than leave broken published state. (A graced vacuum
+      // never sweeps fresh segments; this guards the grace-less one.)
+      val missing = segs.filterNot(g => segmentComplete(s, family, g))
+      if (missing.nonEmpty) {
+        f.delete(markerPath(base), false)
+        sys.error(s"manifest publish for $family/$fp raced a vacuum: " +
+          s"listed segments $missing are gone — marker retracted, " +
+          "rebuild required")
+      }
     }
+    won
   }
 
   /** Serve a manifest lineage's fingerprint, building only if the
@@ -630,14 +732,24 @@ object DurableStore {
     * stale data (segments other manifests still list — e.g. the base
     * generation's — remain referenced and survive the sweep).
     *
-    * The swap (delete marker + one create-if-absent) is NOT
-    * crash-atomic: a crash in the window leaves the fingerprint
-    * unbuilt — readers rebuild-check (the layout's normal miss path)
-    * and the orphaned compacted segment is vacuum debris; nothing is
-    * ever half-readable. Like `vacuum`, run from a maintenance window
-    * (a concurrent reader that resolved part paths through the OLD
-    * marker keeps working — old segments stay on disk until a vacuum
-    * — but one reading the marker mid-swap sees the layout unbuilt).
+    * The swap is CRASH-ATOMIC (round 15; previously a delete+create
+    * window could leave the fingerprint unbuilt and void the
+    * never-a-retrain economics): the new chain publishes as the NEXT
+    * marker GENERATION (`_GRAFT_STORE_COMPLETE.g<k+1>`, one
+    * create-if-absent — the same atomic primitive as every publish
+    * here), and only after that create succeeds are the superseded
+    * generations' markers deleted as cleanup. Readers resolve the
+    * highest COMPLETE marker, so a crash at any interleaving point
+    * serves either the old chain (crash before the create, or a torn
+    * new marker — skipped by resolution) or the new one (crash after)
+    * — never unbuilt; orphaned artifacts (the merged segment, a torn
+    * or superseded marker file) are vacuum debris. The swap is also
+    * STAMP-NEUTRAL: the new marker carries the ORIGINAL `ts=` publish
+    * stamp verbatim, so compacting an older generation cannot promote
+    * it past genuinely newer ones under `vacuumKeepLatest` (the r14
+    * ADVICE finding). A concurrent reader that resolved part paths
+    * through the old marker keeps working until a vacuum sweeps the
+    * superseded segments (grace-able — `vacuum(graceMillis)`).
     * Seconds accrue under `compact_<family>`: compaction is bounded
     * maintenance I/O, never a training job — the l137 gate pins that
     * the durable build key stays frozen across it.
@@ -647,17 +759,61 @@ object DurableStore {
       transform: Map[String, DataFrame] => Map[String, DataFrame])
       : Unit = synchronized {
     StoreBuildLedger.timed(s"compact_$family") {
+      val base = basePath(s, family, fp)
+      val f = fsOf(s, base)
+      val lines = markerLines(s, base)
+      require(lines.head == "manifest",
+        s"compactManifest: $family/$fp is not a manifest layout")
+      // highest EXISTING generation (readable or torn — a torn higher
+      // marker still claims its number, so we mint past it)
+      val curGen = markerCandidates(f, base).head._1
+      val stamp = lines.find(_.startsWith("ts=")).getOrElse(stampLine())
       val merged = transform(manifestTables(s, family, fp, parts))
       // the merged frames read the OLD segments lazily; writeSegment
       // materializes them into the new segment while the old dirs are
       // still on disk, BEFORE the manifest swap
       val seg = writeSegment(s, family, parts, merged)
-      val base = basePath(s, family, fp)
-      fsOf(s, base).delete(markerPath(base), false)
-      require(publishManifest(s, family, fp, Seq(seg)),
-        s"compaction republish lost a race for $family/$fp — " +
-          "compact from a maintenance window")
+      faultHook("compact_segment_written")
+      val next = markerPathGen(base, curGen + 1)
+      val won =
+        try {
+          val out = f.create(next, false)
+          try out.write(s"manifest\n$seg\n$stamp"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: java.io.IOException if f.exists(next) => false
+        }
+      if (!won) {
+        // a concurrent compactor swapped first: its chain serves the
+        // same content; our merged segment is unreferenced — reclaim
+        if (!referencedSegments(s, family).contains(seg))
+          f.delete(new Path(famDir(s, family), seg), true)
+      } else {
+        faultHook("compact_marker_created")
+        // cleanup, not correctness: readers already resolve g(cur+1)
+        markerCandidates(f, base).filter(_._1 <= curGen)
+          .foreach(c => f.delete(c._2, false))
+        // drop this session's seg-keyed registrations against the
+        // superseded chain (their files become vacuum stale data)
+        dropFpRegistrations(s, family, fp, keepSeg = Some(seg))
+      }
     }
+  }
+
+  /** Drop this session's registered tables for `family`/`fp` except
+    * those keyed to `keepSeg` (the catalog lowercases identifiers —
+    * compare folded).
+    */
+  private def dropFpRegistrations(s: SparkSession, family: String,
+      fp: String, keepSeg: Option[String]): Unit = {
+    val pfx = s"graft_store_${family}_${fp}_".toLowerCase
+    val keep = keepSeg.map(g => s"$pfx${g}_".toLowerCase)
+    s.catalog.listTables().collect().map(_.name)
+      .filter(n => n.toLowerCase.startsWith(pfx) &&
+        !keep.exists(k => n.toLowerCase.startsWith(k)))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   /** What `vacuum` removed: unreferenced publish debris and (when
@@ -681,17 +837,48 @@ object DurableStore {
     * count as debris (never published, or mid-publish of a builder
     * that will re-check and rebuild).
     *
-    * Run from a maintenance window: deleting a layout a concurrent
+    * WINDOW-FREE RETENTION (round 15): `graceMillis > 0` makes the
+    * sweep age-gated — the Delta-style tombstone-retention discipline —
+    * so it can run next to live traffic: stale layouts sweep only when
+    * their PUBLISH STAMP is older than the grace (a concurrent reader
+    * that resolved paths through a superseding generation's publish
+    * has had `graceMillis` to finish its scans), and debris / stale
+    * segments sweep only when older than the grace by mtime — which
+    * also protects an in-flight builder's complete-but-not-yet-
+    * published segments (the window between `writeSegment` and
+    * `publishManifest`, the r14 ADVICE race). With the default
+    * `graceMillis = 0` everything eligible sweeps immediately — the
+    * maintenance-window contract: deleting a layout a concurrent
     * application is actively READING yields failed scans on its side
-    * (external tables re-register against missing files) — the same
-    * contract as dropping any shared table. Registered catalog entries
-    * in THIS session for removed fingerprints are dropped.
+    * (external tables re-register against missing files), same as
+    * dropping any shared table. Registered catalog entries in THIS
+    * session for removed fingerprints/segments are dropped. A layout
+    * whose every marker is torn (a crashed publish) is classified as
+    * debris instead of aborting the sweep.
     */
   def vacuum(s: SparkSession, family: String,
-      keep: Set[String] = Set.empty): VacuumReport = synchronized {
+      keep: Set[String] = Set.empty,
+      graceMillis: Long = 0L): VacuumReport = synchronized {
     val fam = famDir(s, family)
     val f = fsOf(s, fam)
     if (!f.exists(fam)) return VacuumReport(Nil, Nil)
+    // <=, not <: with the default grace 0 the cutoff is "now", and a
+    // just-planted file's mtime can equal it on a millisecond clock —
+    // grace 0 must sweep everything eligible, exactly as before
+    val cutoff = System.currentTimeMillis() - graceMillis
+    def aged(p: Path): Boolean =
+      try f.getFileStatus(p).getModificationTime <= cutoff
+      catch { case _: java.io.FileNotFoundException => false }
+    // highest readable marker of a layout dir: (gen, lines), no retry —
+    // a mid-write publish is protected by the grace, not by waiting
+    def effective(base: Path): Option[(Long, Seq[String])] =
+      markerCandidates(f, base).iterator.flatMap { case (g, p) =>
+        try {
+          val lines = readFully(f, p).linesIterator.toSeq
+          if (lines.headOption.exists(_.nonEmpty)) Some((g, lines))
+          else None
+        } catch { case _: java.io.FileNotFoundException => None }
+      }.nextOption()
     var debris = List.empty[String]
     var stale = List.empty[String]
     val children = f.listStatus(fam).toSeq
@@ -703,46 +890,62 @@ object DurableStore {
       val isFpDir = st.isDirectory && !name.startsWith(".") && !isSeg
       if (!isFpDir && !isSeg) {
         // .stage_/.aside_ siblings (and any stray file) — debris once
-        // no builder references them, which is true under the module
-        // lock within this JVM and after a crash across JVMs
-        debris ::= name
-        f.delete(st.getPath, true)
-      } else if (isFpDir) {
-        val marker = new Path(st.getPath, Marker)
-        if (!f.exists(marker)) {
+        // no builder references them: true under the module lock
+        // within this JVM, and past the grace across JVMs
+        if (aged(st.getPath)) {
           debris ::= name
           f.delete(st.getPath, true)
-        } else {
-          val head = markerLines(s, st.getPath).head
-          // children of a PUBLISHED layout the marker does not name
-          // are debris: losing/crashed attempts (marker mode) and
-          // staging dirs a loser's rename nested under the winner
-          // (the Hadoop rename-into-existing-dir contract)
-          if (head != "manifest") {
-            val pfx = partPrefix(s, st.getPath)
-            f.listStatus(st.getPath).foreach { sub =>
-              val sn = sub.getPath.getName
-              val orphanAttempt =
-                sub.isDirectory && sn.startsWith("attempt_") && sn != pfx
-              val nestedStage = sub.isDirectory &&
-                (sn.startsWith(".stage_") || sn.startsWith(".aside_"))
-              if (orphanAttempt || nestedStage) {
-                debris ::= s"$name/$sn"
-                f.delete(sub.getPath, true)
+        }
+      } else if (isFpDir) {
+        effective(st.getPath) match {
+          case None =>
+            // no marker at all, or every marker torn (a crashed
+            // publish): unserveable — debris, not an abort
+            if (aged(st.getPath)) {
+              debris ::= name
+              f.delete(st.getPath, true)
+            }
+          case Some((gen, lines)) =>
+            // superseded or torn marker FILES below/next to the
+            // effective one (compaction leftovers) are debris
+            markerCandidates(f, st.getPath)
+              .filter { case (g, p) => g != gen && aged(p) }
+              .foreach { case (_, p) =>
+                debris ::= s"$name/${p.getName}"
+                f.delete(p, false)
+              }
+            // children of a PUBLISHED layout the marker does not name
+            // are debris: losing/crashed attempts (marker mode) and
+            // staging dirs a loser's rename nested under the winner
+            // (the Hadoop rename-into-existing-dir contract)
+            if (lines.head != "manifest") {
+              val pfx =
+                if (lines.head.startsWith("attempt_")) lines.head else "."
+              f.listStatus(st.getPath).foreach { sub =>
+                val sn = sub.getPath.getName
+                val orphanAttempt =
+                  sub.isDirectory && sn.startsWith("attempt_") && sn != pfx
+                val nestedStage = sub.isDirectory &&
+                  (sn.startsWith(".stage_") || sn.startsWith(".aside_"))
+                if ((orphanAttempt || nestedStage) && aged(sub.getPath)) {
+                  debris ::= s"$name/$sn"
+                  f.delete(sub.getPath, true)
+                }
               }
             }
-          }
-          if (keep.nonEmpty && !keep.contains(name)) {
-            stale ::= name
-            f.delete(st.getPath, true)
-            // drop this session's registrations against the dead files
-            // (the catalog lowercases identifiers — compare folded)
-            val pfxLc = s"graft_store_${family}_${name}_".toLowerCase
-            s.catalog.listTables().collect()
-              .map(_.name)
-              .filter(_.toLowerCase.startsWith(pfxLc))
-              .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-          }
+            if (keep.nonEmpty && !keep.contains(name)) {
+              // stale layouts age by their PUBLISH STAMP: a fresh
+              // (superseded-but-within-grace) generation survives so
+              // concurrent readers drain off it first
+              val stampMs = lines.find(_.startsWith("ts="))
+                .map(_.stripPrefix("ts=").split("\\.", 2)(0).toLong)
+                .getOrElse(0L)
+              if (stampMs <= cutoff) {
+                stale ::= name
+                f.delete(st.getPath, true)
+                dropFpRegistrations(s, family, name, keepSeg = None)
+              }
+            }
         }
       }
     }
@@ -756,12 +959,35 @@ object DurableStore {
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("seg_") && !ref.contains(name)
           && f.exists(st.getPath)) {
-        if (f.exists(new Path(st.getPath, Marker))) stale ::= name
-        else debris ::= name
-        f.delete(st.getPath, true)
+        val marker = new Path(st.getPath, Marker)
+        // complete segments age by their marker mtime (the moment the
+        // writer finished), half-written ones by the dir mtime
+        if (f.exists(marker)) {
+          if (aged(marker)) {
+            stale ::= name
+            f.delete(st.getPath, true)
+            dropSegRegistrations(s, family, name)
+          }
+        } else if (aged(st.getPath)) {
+          debris ::= name
+          f.delete(st.getPath, true)
+        }
       }
     }
     VacuumReport(debris.reverse, stale.reverse)
+  }
+
+  /** Drop this session's registered tables keyed to a swept segment
+    * (any fingerprint — a segment may be listed by several manifests).
+    */
+  private def dropSegRegistrations(s: SparkSession, family: String,
+      seg: String): Unit = {
+    val famPfx = s"graft_store_${family}_".toLowerCase
+    val segKey = s"_${seg}_".toLowerCase
+    s.catalog.listTables().collect().map(_.name)
+      .filter(n => n.toLowerCase.startsWith(famPfx) &&
+        n.toLowerCase.contains(segKey))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   /** Generation-aware retention: keep the NEWEST `n` complete
@@ -771,25 +997,38 @@ object DurableStore {
     * everything else — a caller names a COUNT instead of enumerating
     * fingerprints. Manifest lineages keep their reachable segments:
     * a kept child manifest pins the base segments it lists even when
-    * the base generation itself is retired. Same maintenance-window
-    * contract as `vacuum`.
+    * the base generation itself is retired. With `graceMillis > 0`
+    * the retired generations (and swept debris/segments) must also be
+    * OLDER than the grace — the window-free form (see `vacuum`); the
+    * default 0 keeps the maintenance-window contract.
     */
   def vacuumKeepLatest(s: SparkSession, family: String,
-      n: Int): VacuumReport = synchronized {
+      n: Int, graceMillis: Long = 0L): VacuumReport = synchronized {
     require(n >= 1, s"vacuumKeepLatest: n must be >= 1, got $n")
     val fam = famDir(s, family)
     val f = fsOf(s, fam)
     if (!f.exists(fam)) return VacuumReport(Nil, Nil)
     val complete = f.listStatus(fam).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
-        && !st.getPath.getName.startsWith("seg_")
-        && f.exists(new Path(st.getPath, Marker)))
+        && !st.getPath.getName.startsWith("seg_"))
       .map(_.getPath.getName)
-    if (complete.isEmpty) return vacuum(s, family)
+      // a torn-marker layout has no stamp to order by — it is debris,
+      // classified by the vacuum pass, never "kept"
+      .flatMap(fp => tryMarkerLines(s, new Path(fam, fp), retries = 0)
+        .map { lines =>
+          val stamp = lines.find(_.startsWith("ts="))
+            .map { l =>
+              val Array(a, b) = l.stripPrefix("ts=").split("\\.", 2)
+              (a.toLong, b.toLong)
+            }
+            .getOrElse((0L, 0L))
+          (stamp, fp)
+        })
+    if (complete.isEmpty) return vacuum(s, family,
+      graceMillis = graceMillis)
     val kept = complete
-      .map(fp => (publishStampOf(s, family, fp), fp))
       .sortBy { case ((ms, seq), fp) => (-ms, -seq, fp) }
       .take(n).map(_._2).toSet
-    vacuum(s, family, keep = kept)
+    vacuum(s, family, keep = kept, graceMillis = graceMillis)
   }
 }

@@ -755,6 +755,184 @@ class DurableStoreSpec extends SparkSpec {
       "fpBase", parts)(sys.error("base rebuilt"))("t")).length === 8)
   }
 
+  test("compaction swap is crash-atomic: a kill at EVERY interleaving " +
+      "point leaves the layout serving either the old or the new " +
+      "chain — never unbuilt — and vacuum reclaims the orphans") {
+    import spark.implicits._
+    val fam = "spec_compact_crash"
+    val parts = Seq(DurableStore.Part("t", None))
+    def seg(lo: Int, hi: Int) = DurableStore.writeSegment(spark, fam,
+      parts, Map("t" -> (lo until hi).map(i => (i, i.toLong))
+        .toDF("k", "v")))
+    val s1 = seg(0, 8)
+    val s2 = seg(8, 12)
+    val before = DurableStore.loadOrBuildManifest(spark, fam, "fp0",
+      parts)(Seq(s1, s2))
+    val rows = sortedRows(before("t"))
+    def servedRows() = sortedRows(DurableStore.loadOrBuildManifest(
+      spark, fam, "fp0", parts)(sys.error("layout went unbuilt"))("t"))
+    def compact() = DurableStore.compactManifest(spark, fam, "fp0",
+      parts)(identity)
+    // interleaving 1: crash AFTER the merged segment is written,
+    // BEFORE the next-generation marker create — must serve the OLD
+    // chain; the orphan merged segment is unreferenced (stale)
+    DurableStore.faultHook =
+      step => if (step == "compact_segment_written") sys.error("kill-1")
+    try intercept[RuntimeException](compact())
+    finally DurableStore.faultHook = _ => ()
+    assert(DurableStore.isBuilt(spark, fam, "fp0"),
+      "crash-1 left the fingerprint unbuilt")
+    assert(DurableStore.manifestSegments(spark, fam, "fp0")
+      === Seq(s1, s2), "crash-1 changed the served chain")
+    assert(servedRows() === rows)
+    val rep1 = DurableStore.vacuum(spark, fam)
+    assert(rep1.stale.size === 1 && rep1.debris.isEmpty,
+      s"crash-1 orphan not reclaimed as stale: $rep1")
+    // interleaving 2: a TORN next-generation marker (created, content
+    // lost — the create/write/close window): resolution must fall back
+    // to the previous generation, and vacuum sweeps the torn file
+    val baseDir = new java.io.File(s"$storeRoot/$fam/fp0")
+    val torn = new java.io.File(baseDir, "_GRAFT_STORE_COMPLETE.g1")
+    assert(torn.createNewFile())
+    assert(DurableStore.manifestSegments(spark, fam, "fp0")
+      === Seq(s1, s2), "a torn higher marker broke resolution")
+    assert(servedRows() === rows)
+    val rep2 = DurableStore.vacuum(spark, fam)
+    assert(rep2.debris === Seq("fp0/_GRAFT_STORE_COMPLETE.g1"),
+      s"torn marker not swept: $rep2")
+    assert(!torn.exists())
+    // interleaving 3: crash AFTER the new marker create, BEFORE the
+    // superseded markers are deleted — must serve the NEW chain; the
+    // old chain's segments (not referenced elsewhere) and the
+    // superseded gen-0 marker are vacuum work
+    DurableStore.faultHook =
+      step => if (step == "compact_marker_created") sys.error("kill-3")
+    try intercept[RuntimeException](compact())
+    finally DurableStore.faultHook = _ => ()
+    assert(DurableStore.isBuilt(spark, fam, "fp0"),
+      "crash-3 left the fingerprint unbuilt")
+    val segsNow = DurableStore.manifestSegments(spark, fam, "fp0")
+    assert(segsNow.size === 1 && !Seq(s1, s2).contains(segsNow.head),
+      s"crash-3 did not serve the new chain: $segsNow")
+    assert(servedRows() === rows,
+      "crash-3 changed the served multiset")
+    val rep3 = DurableStore.vacuum(spark, fam)
+    assert(rep3.stale.toSet === Set(s1, s2),
+      s"crash-3 old chain not reclaimed: $rep3")
+    assert(rep3.debris === Seq("fp0/_GRAFT_STORE_COMPLETE"),
+      s"crash-3 superseded marker not swept: $rep3")
+    // and the swap is STAMP-NEUTRAL: the compacted layout still
+    // carries the original publish stamp
+    val stamp0 = DurableStore.publishStampOf(spark, fam, "fp0")
+    DurableStore.compactManifest(spark, fam, "fp0", parts)(identity)
+    assert(DurableStore.publishStampOf(spark, fam, "fp0") === stamp0,
+      "compaction minted a fresh publish stamp — retention ordering " +
+        "would promote the compacted generation past newer ones")
+    assert(servedRows() === rows)
+  }
+
+  test("publishManifest retracts its marker when a raced vacuum swept " +
+      "a listed segment: the layout must never publish broken state") {
+    import spark.implicits._
+    val fam = "spec_pub_verify"
+    val parts = Seq(DurableStore.Part("t", None))
+    val seg = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> Seq((1, "x")).toDF("k", "v")))
+    // the race: the segment is complete but unpublished, and a
+    // grace-less vacuum sweeps it as stale BEFORE the marker lands
+    val rep = DurableStore.vacuum(spark, fam)
+    assert(rep.stale === Seq(seg))
+    val ex = intercept[RuntimeException](
+      DurableStore.publishManifest(spark, fam, "fp0", Seq(seg)))
+    assert(ex.getMessage.contains("raced a vacuum"), ex.getMessage)
+    assert(!DurableStore.isBuilt(spark, fam, "fp0"),
+      "a manifest naming deleted segments stayed published")
+    // the window-free alternative: a GRACED vacuum leaves the fresh
+    // in-flight segment alone and the publish then succeeds
+    val seg2 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> Seq((2, "y")).toDF("k", "v")))
+    val repG = DurableStore.vacuum(spark, fam,
+      graceMillis = 3600L * 1000)
+    assert(repG.stale.isEmpty && repG.debris.isEmpty,
+      s"graced vacuum swept fresh in-flight state: $repG")
+    assert(DurableStore.publishManifest(spark, fam, "fp0", Seq(seg2)))
+    assert(DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(
+      sys.error("published manifest rebuilt"))("t").count() === 1)
+  }
+
+  test("graced vacuum is age-gated: fresh superseded generations and " +
+      "fresh debris survive, aged ones sweep") {
+    import spark.implicits._
+    val fam = "spec_vac_grace"
+    val parts = Seq(DurableStore.Part("t", None))
+    def gen(fp: String) = DurableStore.loadOrBuild(spark, fam, fp,
+      parts)(Map("t" -> Seq((1, fp)).toDF("k", "who")))
+    gen("genOld")
+    Thread.sleep(120) // a measurable stamp gap (stamps are millis)
+    gen("genNew")
+    // plant fresh debris: a half-written segment dir
+    java.nio.file.Files.createDirectories(
+      new java.io.File(s"$storeRoot/$fam/seg_fresh/t").toPath)
+    // grace strictly between the two generations' ages: genOld is
+    // aged OUT, genNew's publish is within grace — and so is the
+    // debris (planted just now)
+    val oldMs = DurableStore.publishStampOf(spark, fam, "genOld")._1
+    val newMs = DurableStore.publishStampOf(spark, fam, "genNew")._1
+    assert(newMs > oldMs, "stamp gap fixture is vacuous")
+    val grace = System.currentTimeMillis() - (oldMs + newMs) / 2
+    val rep = DurableStore.vacuum(spark, fam, keep = Set("genNew"),
+      graceMillis = grace)
+    assert(rep.stale === Seq("genOld"), s"aged generation kept: $rep")
+    assert(rep.debris.isEmpty, s"fresh debris swept under grace: $rep")
+    assert(new java.io.File(s"$storeRoot/$fam/seg_fresh").exists())
+    // grace elapsed (simulated by grace 0): the leftovers sweep
+    val rep2 = DurableStore.vacuum(spark, fam, keep = Set("genNew"))
+    assert(rep2.debris === Seq("seg_fresh"), s"aged debris kept: $rep2")
+    DurableStore.dropRegistered(spark, fam, "genOld", parts)
+    DurableStore.dropRegistered(spark, fam, "genNew", parts)
+  }
+
+  test("manifest bucket recovery: a single-carrier bucketed part " +
+      "re-registers CLUSTERED BY, and the merge-on-read aggregate " +
+      "plans exchange-free after compaction") {
+    import spark.implicits._
+    val fam = "spec_manifest_bucket"
+    val parts = Seq(DurableStore.Part("t", Some("k")))
+    def seg(lo: Int, hi: Int) = DurableStore.writeSegment(spark, fam,
+      parts, Map("t" -> (lo until hi).map(i => (i % 8, i.toLong))
+        .toDF("k", "v")))
+    val s1 = seg(0, 32)
+    val s2 = seg(32, 48)
+    DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(
+      Seq(s1, s2))
+    // multi-segment union: a plain multi-dir scan — the groupBy on the
+    // bucket key must exchange (the LSM trade, the positive control)
+    val multi = DurableStore.manifestTables(spark, fam, "fp0", parts)("t")
+      .groupBy(col("k"), col("v")).agg(sum(col("v")).as("s"))
+    multi.collect()
+    assert(multi.queryExecution.executedPlan.toString.contains("Exchange"),
+      "positive control lost its exchange — the probe is vacuous")
+    val expect = sortedRows(
+      DurableStore.manifestTables(spark, fam, "fp0", parts)("t"))
+    // compaction collapses to ONE segment: the part re-registers
+    // bucketed and the same aggregate plans with ZERO Exchange —
+    // grouping keys (k, v) contain the bucket key k, so the bucket
+    // hash-partitioning satisfies the aggregate's distribution
+    DurableStore.compactManifest(spark, fam, "fp0", parts)(identity)
+    val t = DurableStore.manifestTables(spark, fam, "fp0", parts)("t")
+    assert(sortedRows(t) === expect,
+      "compaction changed the served multiset")
+    val segNow = DurableStore.manifestSegments(spark, fam, "fp0").head
+    assert(spark.catalog.tableExists(DurableStore.registeredName(
+      fam, "fp0", s"${segNow}_t")),
+      "single-segment bucketed part was not re-registered")
+    val agg = t.groupBy(col("k"), col("v")).agg(sum(col("v")).as("s"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"post-compaction merge-on-read aggregate shuffled:\n$plan")
+  }
+
   test("vacuumKeepLatest keeps the newest generations by publish " +
       "stamp; a kept child manifest pins its base segments after the " +
       "base generation is retired; unreferenced segments are swept") {
