@@ -10,14 +10,6 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Gates {
 
-  /** Exact MULTISET compare of two frames on ALL columns: each side is
-    * grouped on every column with a count and full-outer-joined on the
-    * columns AND the count, so duplicate-row multiplicity differences
-    * fail too (a pure set-equality join would pass them silently).
-    * Floats compare bitwise — per-row IEEE arithmetic is deterministic
-    * on both paths. Returns a one-row frame whose `name` column is the
-    * mismatch count (0 = multiset-equal).
-    */
   /** Per-segment file stats of a manifest layout — the BEFORE
     * snapshot of the write-amplification gate.
     */
@@ -50,6 +42,14 @@ private[graft] object Gates {
         ds.segmentFileStats(s, family, g) == statsBefore(g))
   }
 
+  /** Exact MULTISET compare of two frames on ALL columns: each side is
+    * grouped on every column with a count and full-outer-joined on the
+    * columns AND the count, so duplicate-row multiplicity differences
+    * fail too (a pure set-equality join would pass them silently).
+    * Floats compare bitwise — per-row IEEE arithmetic is deterministic
+    * on both paths. Returns a one-row frame whose `name` column is the
+    * mismatch count (0 = multiset-equal).
+    */
   def mismatches(u: DataFrame, r: DataFrame, name: String): DataFrame = {
     val ks = u.columns.toSeq
     def counted(df: DataFrame) =

@@ -4919,7 +4919,7 @@ object LlmQueries {
 
     QuerySpec(
       "l137_lm_durable_compact",
-      "COMPACTION of a manifest lineage — the maintenance face the O(delta)-write layout defers (every append adds a segment; merge-on-read pays one groupBy-sum per serve over the growing chain — the LSM trade): compactInc reads the fingerprint's segment union, applies EXACTLY the merge incModelOf performs at read time (pair counts groupBy-summed, token sets distinct'ed — serving semantics preserved by construction), writes ONE merged segment and swaps the manifest to name just it; content is unchanged, so the fingerprint stays the fingerprint and the superseded chain segments become vacuum stale data while the BASE generation's segment survives through its own manifest. Runs its OWN chain of the lineage under a sibling family (lm_bigram_inc_c): fingerprints are content-keyed and split-agnostic, so any chain whose union is the full corpus converges on the SAME fingerprint as l132's — and l132's write-amplification gate needs its chain UNCOMPACTED; the sibling family is exactly what a second independent deployment rooted at the same warehouse would be. Gates, in-query and hash-enforced: (1) after compaction the manifest names exactly ONE fresh segment; (2) compaction accrued ZERO durable-build seconds — it is bounded maintenance I/O over vocab-sized tables (ledgered under compact_lm_bigram_inc), never a training job; (3) a family vacuum sweeps exactly the superseded chain segments as stale with zero debris, and every base-manifest segment survives; (4) the lineage's OWN loader then serves l83's ENTIRE perplexity card from the compacted layout hash-identical to a full-corpus retrain (l83's oracle — the strongest read-semantics-preserved proof available). Deterministic on re-runs: a warm run re-compacts the single compacted segment and sweeps its predecessor. Oracle = l83's plus the literal gate columns",
+      "COMPACTION of a manifest lineage — the maintenance face the O(delta)-write layout defers (every append adds a segment; merge-on-read pays one groupBy-sum per serve over the growing chain — the LSM trade): compactInc reads the fingerprint's segment union, applies EXACTLY the merge incModelOf performs at read time (pair counts groupBy-summed, token sets distinct'ed — serving semantics preserved by construction), writes ONE merged segment and swaps the manifest to name just it — the swap is CRASH-ATOMIC (round 15: the new chain publishes as the next marker GENERATION via one create-if-absent; readers resolve the highest complete marker, so a kill anywhere serves either the old or the new chain, never an unbuilt fingerprint — DurableStoreSpec's kill-at-every-interleaving spec) and STAMP-NEUTRAL (the original ts= publish stamp carries through verbatim, so compaction cannot promote an old generation past newer ones under retention); content is unchanged, so the fingerprint stays the fingerprint and the superseded chain segments become vacuum stale data while the BASE generation's segment survives through its own manifest. Runs its OWN chain of the lineage under a sibling family (lm_bigram_inc_c): fingerprints are content-keyed and split-agnostic, so any chain whose union is the full corpus converges on the SAME fingerprint as l132's — and l132's write-amplification gate needs its chain UNCOMPACTED; the sibling family is exactly what a second independent deployment rooted at the same warehouse would be. Gates, in-query and hash-enforced: (1) after compaction the manifest names exactly ONE fresh segment; (2) compaction accrued ZERO durable-build seconds — it is bounded maintenance I/O over vocab-sized tables (ledgered under compact_lm_bigram_inc), never a training job; (3) a family vacuum sweeps exactly the superseded chain segments as stale with zero debris, and every base-manifest segment survives; (4) the lineage's OWN loader then serves l83's ENTIRE perplexity card from the compacted layout hash-identical to a full-corpus retrain (l83's oracle — the strongest read-semantics-preserved proof available); (5) BUCKET RECOVERY, plan-probed: the compacted single-segment part re-registers CLUSTERED BY prev and the merge-on-read aggregate plans with ZERO Exchange reading the registered table — compaction recovers the exchange-free serve the multi-segment union trades away. Deterministic on re-runs: a warm run re-compacts the single compacted segment and sweeps its predecessor. Oracle = l83's plus the literal gate columns",
       (s, dir) => {
         val st = graft.operators.NgramModelStore
         val ds = graft.operators.DurableStore
@@ -4956,15 +4956,30 @@ object LlmQueries {
         // l83's full-corpus-trained oracle proves read semantics
         // survived the layout contraction integer-for-integer
         val t = st.durableIncUpdateTo(s, baseFp, newFp, delta, fam)
+        // gate 5 (round 15 — BUCKET RECOVERY, plan-probed): compaction
+        // collapsed the chain to one segment, so manifestTables
+        // re-registered the bucketed pairs part CLUSTERED BY prev; the
+        // merge-on-read aggregate (groupBy prev,cur — a SUPERSET of
+        // the bucket key, so the bucket hash-partitioning satisfies
+        // its distribution) must plan with ZERO Exchange and read the
+        // registered catalog table — the exchange-free serve the
+        // multi-segment union forfeits is recovered by compaction
+        val mergedPairs = st.incModelOf(t).pairCounts
+        val segNow = ds.manifestSegments(s, fam, newFp).head
+        val bucketOk = !mergedPairs.queryExecution.executedPlan
+          .toString.contains("Exchange") &&
+          catalogLeaves(mergedPairs).contains(ds.registeredName(fam,
+            newFp, s"${segNow}_pairs").toLowerCase)
         cardOf(NgramLm.surprisalBits(docs, "doc_id", "text",
             st.incModelOf(t), 2))
           .withColumn("compact_single_segment_ok", lit(compactOk))
           .withColumn("compact_train_free_ok", lit(trainFree))
           .withColumn("superseded_swept_ok", lit(sweptOk))
+          .withColumn("compact_bucket_serve_ok", lit(bucketOk))
       },
       gatedOracle("l83_lm_perplexity",
         Seq("compact_single_segment_ok", "compact_train_free_ok",
-          "superseded_swept_ok")))
+          "superseded_swept_ok", "compact_bucket_serve_ok")))
   )
 
   val specs: Seq[QuerySpec] =

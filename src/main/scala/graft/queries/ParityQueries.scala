@@ -305,6 +305,93 @@ object ParityQueries {
              |  count(*) - count(ts) AS skipped,
              |  CAST(count(ts) * 100 AS DOUBLE) / count(*) AS success_rate,
              |  count(ts) AS n_in_sink
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    QuerySpec(
+      "p13_manifest_migrate",
+      "MANIFEST-BACKED migration sink — the reference pipeline composed with the durable segment tier: the reference re-migrates by FULL RESCAN + rewrite (its only delta story is truncate-everything, index.js:186-198, 321-336; p07/p12 reproduce that contract), where a standing deployment wants O(delta) — so here each migration run lands as an immutable SEGMENT of a per-series manifest family and a re-migration writes ONLY the source rows not yet in the sink. Day 1 migrates the base slice as one segment/generation; day 2's re-migration DISCOVERS its delta against the already-migrated sink itself (left_anti on the row identity — the l56 incremental-dedup shape lifted to the pipeline level; the sink side is the bucketed single-segment registration, so at 100 TB the anti-join co-locates on the sink's bucket key instead of shuffling the corpus) and publishes base segments + one delta segment under the grown corpus's fingerprint — one create-if-absent marker, zero data movement. Retention is vacuumKeepLatest: the base GENERATION retires while its SEGMENT stays pinned through the kept child manifest (reachability, the s15 contract). Gates, in-query and hash-enforced: (1) O(delta) WRITE on the sink — the published manifest is exactly base + one delta and the base segment's files are path+length+mtime-untouched (Gates.writeODeltaOk, the l131 discipline); (2) retention pinned the base segment while retiring its generation with zero debris; (3) the sink serves the FULL union from disk with a TOMBSTONED build body (rows match the oracle only if the persisted segments served). Census = base/delta row counts + union aggregate invariants over the served sink",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "mig_events"
+        // bucketed on the row identity: the re-migration's anti-join
+        // and any downstream point lookup co-locate on event_id
+        val parts = Seq(ds.Part("events", Some("event_id")))
+        try {
+          val src = Tables.load(s, dir, "events")
+            .where(col("ts").isNotNull && col("event_id").isNotNull)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("ts").as("time"))
+          val base = src.where(col("event_id") % 5 =!= 0)
+          val hashCols =
+            Seq("event_id", "user_id", "event_type", "value", "time")
+          val baseFp = ds.frameFingerprint(base, hashCols)
+          val newFp = ds.frameFingerprint(src, hashCols)
+          // day 1: the base migration — one segment, one generation
+          ds.loadOrBuildManifest(s, fam, baseFp, parts) {
+            Seq(ds.writeSegment(s, fam, parts, Map("events" -> base)))
+          }
+          val segsBase = ds.manifestSegments(s, fam, baseFp)
+          val statsBefore = Gates.manifestStats(s, fam, baseFp)
+          // day 2: the source grew; the re-migration discovers its
+          // delta against the SINK (not a source-side split — the sink
+          // is the standing truth a real migrator diffs against) and
+          // writes only those rows
+          val migrated = ds.manifestTables(s, fam, baseFp,
+            parts)("events")
+          val newRows = src.join(migrated.select(col("event_id")),
+            Seq("event_id"), "left_anti")
+          ds.loadOrBuildManifest(s, fam, newFp, parts) {
+            segsBase :+
+              ds.writeSegment(s, fam, parts, Map("events" -> newRows))
+          }
+          val odeltaOk = Gates.writeODeltaOk(s, fam, baseFp, newFp,
+            statsBefore)
+          // retention: keep the newest generation; the base generation
+          // retires but its segment is pinned through the kept child
+          val rep = ds.vacuumKeepLatest(s, fam, 1)
+          val pinnedOk = rep.stale == Seq(baseFp) &&
+            rep.debris.isEmpty &&
+            !ds.isBuilt(s, fam, baseFp) &&
+            segsBase.forall(g => ds.segmentComplete(s, fam, g))
+          // the sink serves the union from disk (tombstone build body)
+          val served = ds.loadOrBuildManifest(s, fam, newFp, parts)(
+            sys.error("published migration sink rebuilt"))("events")
+          served.agg(count(lit(1)).as("written"),
+              sum(col("event_id")).as("sum_id"),
+              countDistinct(col("user_id")).as("n_users"))
+            // one-row scalar attach of the base/delta census (the l56
+            // one-row-x-one-row shape; the frame below is checkpointed
+            // before returning — the temp store root is deleted)
+            .crossJoin(broadcast(src.agg(
+              count(when(col("event_id") % 5 =!= 0, 1)).as("n_base"),
+              count(when(col("event_id") % 5 === 0, 1)).as("n_delta"))))
+            .select(col("n_base"), col("n_delta"), col("written"),
+              col("sum_id"), col("n_users"),
+              lit(odeltaOk).as("write_odelta_ok"),
+              lit(pinnedOk).as("retention_pinning_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          // drop the seg-keyed registrations against the deleted root
+          val pfx = s"graft_store_${fam}_".toLowerCase
+          s.catalog.listTables().collect().map(_.name)
+            .filter(_.toLowerCase.startsWith(pfx))
+            .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT
+             |  count(CASE WHEN event_id % 5 <> 0 THEN 1 END) AS n_base,
+             |  count(CASE WHEN event_id % 5 = 0 THEN 1 END) AS n_delta,
+             |  count(*) AS written,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+             |  count(DISTINCT user_id) AS n_users,
+             |  TRUE AS write_odelta_ok, TRUE AS retention_pinning_ok
+             |FROM events
+             |WHERE ts IS NOT NULL AND event_id IS NOT NULL""".stripMargin))
   )
 }

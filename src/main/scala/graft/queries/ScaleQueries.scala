@@ -537,6 +537,85 @@ object ScaleQueries {
              |    AS n_union_rows,
              |  1 AS n_stale_plain, TRUE AS ordering_ok,
              |  TRUE AS segment_pinning_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "s16_store_vacuum_grace",
+      "WINDOW-FREE retention (s14/s15 prove the mechanics but require a maintenance window — deleting a layout a concurrent reader resolved paths through fails its scans mid-flight): vacuum/vacuumKeepLatest(graceMillis) age-gate the sweep, the Delta tombstone-retention discipline — a superseded generation sweeps only once its PUBLISH STAMP is older than the grace (a reader that resolved it has had the whole grace to drain), and debris/stale segments sweep only past the grace by mtime, which also protects an in-flight builder's complete-but-unpublished segments (the writeSegment->publishManifest window a grace-less sweep could race, permanently poisoning the publish — publishManifest additionally re-verifies and retracts on that race). Proven end-to-end on a scratch family in a private root: three stamped generations; a CONCURRENT READER resolves the middle one pre-vacuum; a graced keep-latest-1 (grace computed strictly between the two older generations' ages — no wall-clock luck) retires exactly the aged-out oldest while the freshly superseded middle SURVIVES and the reader still serves its rows (counted into the result AFTER the sweep); planted fresh in-flight state (one complete unreferenced segment, one half-written marker-less dir) survives the same graced pass; then the grace window closes (grace 0) and the leftovers sweep exactly — middle generation + orphan segment as stale, half-written dir as debris — while the kept newest serves from disk with a tombstoned build body. Census = reader/kept row counts + deterministic sweep gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "vacgrace"
+        val parts = Seq(ds.Part("t", None))
+        try {
+          def slice(m: Long) = Tables.load(s, dir, "documents")
+            .where(col("doc_id") % 10 === m).select(col("doc_id"))
+          def gen(fp: String, m: Long) =
+            ds.loadOrBuild(s, fam, fp, parts)(Map("t" -> slice(m)))
+          gen("genAncient", 1L)
+          // a measurable stamp gap (stamps are millis): everything
+          // after this line is provably younger than genAncient
+          Thread.sleep(120)
+          gen("genOld", 2L)
+          gen("genNew", 3L)
+          // the concurrent reader: paths resolved NOW, pre-vacuum
+          // (tombstone body — resolving must not rebuild)
+          val reader = ds.loadOrBuild(s, fam, "genOld", parts)(
+            sys.error("reader resolution rebuilt"))("t")
+          // fresh in-flight builder state: a complete unpublished
+          // segment and a half-written marker-less one
+          val inflight = ds.writeSegment(s, fam, parts,
+            Map("t" -> slice(4L)))
+          new java.io.File(s"$root/$fam/seg_halfwritten/t").mkdirs()
+          // grace strictly between the ages of genAncient and genOld:
+          // computed from the layouts' own publish stamps, so the gate
+          // cannot flake on build-time wall-clock variance
+          val aMs = ds.publishStampOf(s, fam, "genAncient")._1
+          val oMs = ds.publishStampOf(s, fam, "genOld")._1
+          require(oMs > aMs, "stamp gap fixture is vacuous")
+          val grace = System.currentTimeMillis() - (aMs + oMs) / 2
+          val rep1 = ds.vacuumKeepLatest(s, fam, 1, graceMillis = grace)
+          val graceOk = rep1.stale == Seq("genAncient") &&
+            rep1.debris.isEmpty &&
+            ds.isBuilt(s, fam, "genOld") &&
+            ds.segmentComplete(s, fam, inflight) &&
+            new java.io.File(s"$root/$fam/seg_halfwritten").exists()
+          // the pre-resolved reader still serves AFTER the graced
+          // sweep — counted eagerly, before the window closes below
+          val nReader = reader.count()
+          // the grace window closes: everything superseded sweeps
+          val rep2 = ds.vacuumKeepLatest(s, fam, 1)
+          val closedOk = rep2.stale.toSet == Set("genOld", inflight) &&
+            rep2.debris == Seq("seg_halfwritten") &&
+            !ds.isBuilt(s, fam, "genOld") &&
+            ds.isBuilt(s, fam, "genNew")
+          val served = ds.loadOrBuild(s, fam, "genNew", parts) {
+            Map("t" -> Tables.load(s, dir, "documents")
+              .where(lit(false)).select(col("doc_id")))
+          }("t")
+          served.agg(count(lit(1)).as("n_kept_rows"))
+            .select(col("n_kept_rows"),
+              lit(nReader).as("n_reader_rows"),
+              lit(graceOk).as("grace_survive_ok"),
+              lit(closedOk).as("window_closed_sweep_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          Seq("genAncient", "genOld", "genNew").foreach(fp =>
+            ds.dropRegistered(s, fam, fp, parts))
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT
+             |  count(CASE WHEN doc_id % 10 = 3 THEN 1 END)
+             |    AS n_kept_rows,
+             |  count(CASE WHEN doc_id % 10 = 2 THEN 1 END)
+             |    AS n_reader_rows,
+             |  TRUE AS grace_survive_ok,
+             |  TRUE AS window_closed_sweep_ok
              |FROM documents""".stripMargin))
   )
 }

@@ -2176,7 +2176,7 @@ object TimeSeriesQueries {
 
     QuerySpec(
       "t52_stream_ingest_republish",
-      "the ingest loop COMPOSED with the durable tier — the production cycle t51 (scratch state tables that die with the query) and t50 (cold boot of a batch-published layout) each prove half of: vectors ARRIVE as a stream, each micro-batch is assigned + PQ-encoded against the FROZEN base artifacts and lands as ONE immutable manifest SEGMENT (the O(delta)-write shape — writeSegment per batch, no training, no rename), and on drain the accumulated state is REPUBLISHED as a first-class durable fingerprint: one create-if-absent manifest naming base segments + the streamed segments. A cold boot then serves the UNION corpus exclusively from the published layout (marker + parquet-footer reads, serve-meta collect ledgered under ann_ingest_serve) answering the query-vector stream with >= 90% agreement against a frozen-model batch rebuild. The query opens with vacuum(keep = base) — prior runs' union generation and its streamed segments are swept while the standing base survives, exercising manifest-aware retention on a live family. Gates, in-query and hash-enforced: (1) the published union lists/codes/norms are multiset-equal to a frozen-artifact batch rebuild over the whole corpus and every base or streamed vector is indexed; (2) ZERO training seconds across ingest + publish + boot + serve (the deployment's durable build key and ann_index frozen after the base build); (3) O(delta) write — the published manifest is exactly base segments ++ the streamed segments and the base segment's files are byte-untouched; (4) the publish itself succeeded (create-if-absent won). Oracle = deterministic counts + literal true",
+      "the ingest loop COMPOSED with the durable tier — the production cycle t51 (scratch state tables that die with the query) and t50 (cold boot of a batch-published layout) each prove half of: vectors ARRIVE as a stream, each micro-batch is assigned + PQ-encoded against the FROZEN base artifacts and lands as ONE immutable manifest SEGMENT keyed by its batchId (foreachBatch is at-least-once: a retried batch re-invokes under the SAME id and must not publish a duplicate segment; the O(delta)-write shape — writeSegment per batch, no training, no rename), and on drain the accumulated state is REPUBLISHED as a first-class durable fingerprint: one create-if-absent manifest naming base segments + the streamed segments. A cold boot then serves the UNION corpus exclusively from the published layout (marker + parquet-footer reads, serve-meta collect ledgered under ann_ingest_serve) answering the query-vector stream with >= 90% agreement against a frozen-model batch rebuild. The query opens with vacuum(keep = base) — prior runs' union generation and its streamed segments are swept while the standing base survives, exercising manifest-aware retention on a live family. Gates, in-query and hash-enforced: (1) the published union lists/codes/norms are multiset-equal to a frozen-artifact batch rebuild over the whole corpus and every base or streamed vector is indexed; (2) ZERO training seconds across ingest + publish + boot + serve (the deployment's durable build key and ann_index frozen after the base build); (3) O(delta) write — the published manifest is exactly base segments ++ the streamed segments and the base segment's files are byte-untouched; (4) the publish itself succeeded (create-if-absent won). Oracle = deterministic counts + literal true",
       (s, dir) => {
         val S = graft.operators.Similarity
         val ds = graft.operators.DurableStore
@@ -2224,13 +2224,20 @@ object TimeSeriesQueries {
         // one immutable segment (the t13 CDC shape, durable form)
         val out = java.nio.file.Files
           .createTempDirectory("graft_ingest2_").toString
-        val segBuf = scala.collection.mutable.ListBuffer.empty[String]
+        // keyed by batchId, not appended: foreachBatch is AT-LEAST-ONCE,
+        // so a retried micro-batch re-invokes with the SAME id — a
+        // recorded segment for that id means the first attempt's write
+        // completed and the retry must not publish a duplicate (a write
+        // that failed mid-segment left only a marker-less dir — vacuum
+        // debris — and never recorded, so the retry replaces it)
+        val segByBatch =
+          scala.collection.mutable.SortedMap.empty[Long, String]
         val ingestBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
-          (batch, _) => {
-            val (l, c, n) = S.assignEncode(cent, cb, batch,
-              "vec_id", "embedding", m = st.DefaultM)
-            segBuf.synchronized {
-              segBuf += ds.writeSegment(s, fam, parts,
+          (batch, batchId) => segByBatch.synchronized {
+            if (!segByBatch.contains(batchId)) {
+              val (l, c, n) = S.assignEncode(cent, cb, batch,
+                "vec_id", "embedding", m = st.DefaultM)
+              segByBatch(batchId) = ds.writeSegment(s, fam, parts,
                 Map("lists" -> l, "codes" -> c, "norms" -> n))
             }
           }
@@ -2244,14 +2251,16 @@ object TimeSeriesQueries {
         q.awaitTermination()
         q.stop()
         // REPUBLISH: the drained state becomes a first-class durable
-        // generation — one marker, zero data movement
+        // generation — one marker, zero data movement; segments in
+        // batchId order (SortedMap), the stream's arrival order
+        val segsStreamed = segByBatch.values.toList
         val published = ds.publishManifest(s, fam, newFp,
-          segsBase ++ segBuf.toList)
+          segsBase ++ segsStreamed)
         // O(delta)-write gate: exactly base ++ streamed segments, base
         // bytes untouched
         val segsNew = ds.manifestSegments(s, fam, newFp)
-        val odeltaOk = published && segBuf.nonEmpty &&
-          segsNew == segsBase ++ segBuf.toList &&
+        val odeltaOk = published && segsStreamed.nonEmpty &&
+          segsNew == segsBase ++ segsStreamed &&
           segsBase.forall(g =>
             ds.segmentFileStats(s, fam, g) == statsBefore(g))
         // COLD BOOT: resolve the published layout fresh (marker +
