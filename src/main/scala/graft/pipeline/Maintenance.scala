@@ -71,6 +71,40 @@ object Maintenance {
       }
   }
 
+  /** Auto-compaction policy for a durable MANIFEST lineage (the
+    * operators-side counterpart of `compactParquet`): a segment chain
+    * grows by one per append and every serve pays the merge-on-read
+    * over the whole chain, so a standing deployment compacts past a
+    * CHAIN-LENGTH threshold rather than on a calendar. Fires
+    * `DurableStore.compactManifest` (crash-atomic swap, stamp-neutral)
+    * exactly when the published chain is LONGER than `maxSegments`;
+    * at or below the threshold it is a no-op — compaction is bounded
+    * maintenance I/O, but it still rewrites the merged artifact, so
+    * firing it on every append would reintroduce the O(corpus) write
+    * amplification the manifest layout exists to avoid. `transform`
+    * must be the lineage's own merge-on-read (e.g.
+    * `NgramModelStore.compactInc`'s groupBy-sum/distinct) so serving
+    * semantics are preserved by construction. Returns whether a
+    * compaction ran. Threshold guidance is measured, not guessed:
+    * `graft.ChainBench` records the serve cost at chain lengths
+    * 1/4/16 (BASELINE.md's chain-length slope row).
+    */
+  def autoCompactManifest(spark: SparkSession, family: String,
+      fp: String, parts: Seq[graft.operators.DurableStore.Part],
+      maxSegments: Int)(
+      transform: Map[String, org.apache.spark.sql.DataFrame] =>
+        Map[String, org.apache.spark.sql.DataFrame]): Boolean = {
+    require(maxSegments >= 1,
+      s"autoCompactManifest: maxSegments must be >= 1, got $maxSegments")
+    val chain = graft.operators.DurableStore
+      .manifestSegments(spark, family, fp).size
+    if (chain > maxSegments) {
+      graft.operators.DurableStore
+        .compactManifest(spark, family, fp, parts)(transform)
+      true
+    } else false
+  }
+
   /** Last-writer-wins upsert: merge an updates batch into a base table
     * keyed by `keys` and versioned by `versionCol` (higher wins; on a
     * version tie the updates side wins). Null keys must be excluded by

@@ -42,6 +42,47 @@ class MaintenanceSpec extends SparkSpec {
     assert(remaining.select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("autoCompactManifest fires exactly past the chain-length " +
+      "threshold, preserves the served multiset, and is a no-op at " +
+      "or below it") {
+    import spark.implicits._
+    import graft.operators.DurableStore
+    val root = Files.createTempDirectory("graft_autocompact_").toString
+    val saved = spark.conf.getOption("spark.graft.store.root")
+    spark.conf.set("spark.graft.store.root", root)
+    val fam = "spec_autocompact"
+    val parts = Seq(DurableStore.Part("t", None))
+    try {
+      def seg(lo: Int, hi: Int) = DurableStore.writeSegment(spark, fam,
+        parts, Map("t" -> (lo until hi).map(i => (i, i.toLong))
+          .toDF("k", "v")))
+      val chain = Seq(seg(0, 8), seg(8, 12), seg(12, 14))
+      DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(chain)
+      def rows() = DurableStore.loadOrBuildManifest(spark, fam, "fp0",
+        parts)(sys.error("rebuilt"))("t")
+        .collect().map(_.toString).toSeq.sorted
+      val expect = rows()
+      // AT the threshold (3 segments, max 3): must NOT fire
+      assert(!Maintenance.autoCompactManifest(spark, fam, "fp0", parts,
+        maxSegments = 3)(identity))
+      assert(DurableStore.manifestSegments(spark, fam, "fp0") === chain,
+        "a no-op policy pass changed the chain")
+      // PAST the threshold (3 > 2): must fire and collapse to one
+      assert(Maintenance.autoCompactManifest(spark, fam, "fp0", parts,
+        maxSegments = 2)(identity))
+      val after = DurableStore.manifestSegments(spark, fam, "fp0")
+      assert(after.size === 1 && !chain.contains(after.head))
+      assert(rows() === expect, "compaction changed the served multiset")
+      // and the compacted chain (1 <= 2) is below threshold again
+      assert(!Maintenance.autoCompactManifest(spark, fam, "fp0", parts,
+        maxSegments = 2)(identity))
+    } finally {
+      saved.fold(spark.conf.unset("spark.graft.store.root"))(v =>
+        spark.conf.set("spark.graft.store.root", v))
+      graft.pipeline.SinkFiles.deleteRecursive(root)
+    }
+  }
+
   test("upsert: newer wins, version tie prefers the update, new keys insert") {
     import spark.implicits._
     val base = Seq(

@@ -13,12 +13,24 @@ object RaceBarrier {
     val mine = new java.io.File(dir, s"${fam}_ready_$me")
     mine.getParentFile.mkdirs()
     mine.createNewFile()
-    val other = new java.io.File(dir,
-      s"${fam}_ready_${if (me == "child") "parent" else "child"}")
+    await(dir, s"${fam}_ready_${if (me == "child") "parent" else "child"}")
+  }
+
+  /** One-directional flag: the announcing side has finished a setup
+    * step (e.g. the shared base generation is published).
+    */
+  def announce(dir: String, name: String): Unit = {
+    val f = new java.io.File(dir, name)
+    f.getParentFile.mkdirs()
+    f.createNewFile()
+  }
+
+  def await(dir: String, name: String): Unit = {
+    val f = new java.io.File(dir, name)
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!other.exists()) {
+    while (!f.exists()) {
       if (System.nanoTime() > deadline)
-        sys.error(s"race barrier timed out waiting for $other")
+        sys.error(s"race barrier timed out waiting for $f")
       Thread.sleep(50)
     }
   }
@@ -53,6 +65,23 @@ object StoreRaceChild {
       require(who.length == 1, s"$fam served ${who.length} rows")
       println(s"RACE_SERVED $fam ${who.head}")
     }
+    // cross-JVM INGEST-REPUBLISH race (the t52 composition): the
+    // parent publishes a shared BASE generation, then both JVMs write
+    // their own delta segment for the SAME child fingerprint and race
+    // the one create-if-absent manifest publish — the loser must
+    // reclaim its unreferenced segment and serve the winner's union
+    val famM = "xjvm_manifest"
+    val partsM = Seq(DurableStore.Part("t", None))
+    RaceBarrier.await(barrier, "manifest_base_ready")
+    val servedM = DurableStore.loadOrBuildManifest(spark, famM,
+      "fpChild", partsM) {
+      val seg = DurableStore.writeSegment(spark, famM, partsM,
+        Map("t" -> Seq((1, "child")).toDF("k", "who")))
+      RaceBarrier.sync(barrier, famM, "child")
+      DurableStore.manifestSegments(spark, famM, "fpBase") :+ seg
+    }
+    val tags = servedM("t").collect().map(_.getString(1)).sorted
+    println(s"RACE_SERVED $famM ${tags.mkString(",")}")
     spark.stop()
   }
 }

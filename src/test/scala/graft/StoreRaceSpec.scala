@@ -15,7 +15,12 @@ import graft.operators.DurableStore
   * still serves. This is the cross-process face the in-process race
   * simulations (DurableStoreSpec's nested loadOrBuild) cannot model:
   * `loadOrBuild`'s `synchronized` protects only one JVM, so here the
-  * filesystem protocol alone carries the race.
+  * filesystem protocol alone carries the race. Round 15 adds the
+  * INGEST-REPUBLISH race (the t52 composition): both JVMs write their
+  * own delta segment for the same child fingerprint of one manifest
+  * family and race the create-if-absent publish — one winner, the
+  * loser reclaims its unreferenced segment, both serve the winner's
+  * union, zero debris.
   */
 class StoreRaceSpec extends SparkSpec {
 
@@ -66,6 +71,27 @@ class StoreRaceSpec extends SparkSpec {
         assert(rows.length === 1, s"$fam served ${rows.length} rows")
         fam -> rows.head.getString(1)
       }
+      // cross-JVM INGEST-REPUBLISH race (the t52 composition, the one
+      // in-process simulation cannot model): publish the shared base
+      // generation, signal the child, then both JVMs hold a complete
+      // delta segment for the SAME child fingerprint before either
+      // attempts the one create-if-absent manifest publish
+      val famM = "xjvm_manifest"
+      val partsM = Seq(DurableStore.Part("t", None))
+      val baseSeg = DurableStore.writeSegment(spark, famM, partsM,
+        Map("t" -> Seq((0, "base")).toDF("k", "who")))
+      DurableStore.loadOrBuildManifest(spark, famM, "fpBase", partsM)(
+        Seq(baseSeg))
+      RaceBarrier.announce(barrier, "manifest_base_ready")
+      val servedM = DurableStore.loadOrBuildManifest(spark, famM,
+        "fpChild", partsM) {
+        val seg = DurableStore.writeSegment(spark, famM, partsM,
+          Map("t" -> Seq((1, "parent")).toDF("k", "who")))
+        RaceBarrier.sync(barrier, famM, "parent")
+        DurableStore.manifestSegments(spark, famM, "fpBase") :+ seg
+      }
+      val myManifestTags = servedM("t").collect()
+        .map(_.getString(1)).sorted.mkString(",")
       assert(proc.waitFor(180, TimeUnit.SECONDS),
         "child JVM did not finish in time")
       val childOut = new String(
@@ -96,6 +122,24 @@ class StoreRaceSpec extends SparkSpec {
           sys.error("published race layout rebuilt"))
         assert(again("t").collect().head.getString(1) === tag)
       }
+      // the ingest-republish race: exactly one winner's union is
+      // served on BOTH sides (base + one delta), the loser reclaimed
+      // its unreferenced segment, and the layout is debris-free
+      assert(Set("base,child", "base,parent").contains(myManifestTags),
+        s"manifest union: $myManifestTags")
+      assert(childServed.get(famM) === Some(myManifestTags),
+        s"parent served '$myManifestTags', child served " +
+          s"'${childServed.get(famM)}' — the loser kept its own union")
+      assert(DurableStore.manifestSegments(spark, famM, "fpChild")
+        .size === 2, "child manifest must be base + exactly one delta")
+      val repM = DurableStore.vacuum(spark, famM)
+      assert(repM.debris.isEmpty && repM.stale.isEmpty,
+        s"ingest-republish race left debris: $repM")
+      assert(DurableStore.segmentComplete(spark, famM, baseSeg),
+        "the shared base segment was reclaimed")
+      assert(DurableStore.loadOrBuildManifest(spark, famM, "fpChild",
+        partsM)(sys.error("published union rebuilt"))("t")
+        .collect().length === 2)
     } finally {
       proc.destroyForcibly()
       spark.conf.unset("spark.graft.store.commit")
