@@ -82,6 +82,33 @@ object StoreRaceChild {
     }
     val tags = servedM("t").collect().map(_.getString(1)).sorted
     println(s"RACE_SERVED $famM ${tags.mkString(",")}")
+    // cross-JVM COMPACTION race: both processes compact the SAME
+    // published chain concurrently — the fault hook doubles as the
+    // barrier (both merged segments complete before either attempts
+    // the create-if-absent generation swap); exactly one swap wins,
+    // the loser reclaims its merged segment and serves the winner's
+    val famC = "xjvm_compact"
+    RaceBarrier.await(barrier, "compact_ready")
+    DurableStore.faultHook = step =>
+      if (step == "compact_segment_written")
+        RaceBarrier.sync(barrier, famC, "child")
+    try DurableStore.compactManifest(spark, famC, "fpC", partsM)(
+      identity)
+    finally DurableStore.faultHook = _ => ()
+    // the loser can return while the winner's marker content is still
+    // in its create->write window (resolution falls back to the old
+    // chain — correct serving behavior); poll briefly for the settled
+    // single-segment view before asserting on it
+    var segsC = DurableStore.manifestSegments(spark, famC, "fpC")
+    val segDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (segsC.size != 1 && System.nanoTime() < segDeadline) {
+      Thread.sleep(50)
+      segsC = DurableStore.manifestSegments(spark, famC, "fpC")
+    }
+    require(segsC.size == 1, s"$famC: post-race chain $segsC")
+    val nC = DurableStore.loadOrBuildManifest(spark, famC, "fpC",
+      partsM)(sys.error("compacted layout unbuilt"))("t").count()
+    println(s"RACE_SERVED $famC ${segsC.head}:$nC")
     spark.stop()
   }
 }

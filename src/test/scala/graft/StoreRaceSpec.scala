@@ -92,6 +92,34 @@ class StoreRaceSpec extends SparkSpec {
       }
       val myManifestTags = servedM("t").collect()
         .map(_.getString(1)).sorted.mkString(",")
+      // cross-JVM COMPACTION race: publish a two-segment chain, then
+      // both processes compact it concurrently — the fault hook is the
+      // barrier (both merged segments complete before either attempts
+      // the create-if-absent generation swap)
+      val famC = "xjvm_compact"
+      val cSeg1 = DurableStore.writeSegment(spark, famC, partsM,
+        Map("t" -> (0 until 6).map(i => (i, s"c$i")).toDF("k", "who")))
+      val cSeg2 = DurableStore.writeSegment(spark, famC, partsM,
+        Map("t" -> (6 until 10).map(i => (i, s"c$i")).toDF("k", "who")))
+      DurableStore.loadOrBuildManifest(spark, famC, "fpC", partsM)(
+        Seq(cSeg1, cSeg2))
+      RaceBarrier.announce(barrier, "compact_ready")
+      DurableStore.faultHook = step =>
+        if (step == "compact_segment_written")
+          RaceBarrier.sync(barrier, famC, "parent")
+      try DurableStore.compactManifest(spark, famC, "fpC", partsM)(
+        identity)
+      finally DurableStore.faultHook = _ => ()
+      // the loser can return while the winner's marker content is
+      // still in its create->write window (resolution falls back to
+      // the old chain — correct serving behavior); poll briefly for
+      // the settled single-segment view before asserting on it
+      var mySegsC = DurableStore.manifestSegments(spark, famC, "fpC")
+      val segDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (mySegsC.size != 1 && System.nanoTime() < segDeadline) {
+        Thread.sleep(50)
+        mySegsC = DurableStore.manifestSegments(spark, famC, "fpC")
+      }
       assert(proc.waitFor(180, TimeUnit.SECONDS),
         "child JVM did not finish in time")
       val childOut = new String(
@@ -140,6 +168,27 @@ class StoreRaceSpec extends SparkSpec {
       assert(DurableStore.loadOrBuildManifest(spark, famM, "fpChild",
         partsM)(sys.error("published union rebuilt"))("t")
         .collect().length === 2)
+      // the compaction race: exactly one winning merged segment,
+      // identical on both sides, full multiset preserved; the loser's
+      // merged segment was reclaimed, so a vacuum finds only the two
+      // superseded chain segments
+      assert(mySegsC.size === 1 &&
+        !Seq(cSeg1, cSeg2).contains(mySegsC.head),
+        s"$famC: post-race chain $mySegsC")
+      val childC = childServed.get(famC)
+      assert(childC === Some(s"${mySegsC.head}:10"),
+        s"$famC: parent resolved '${mySegsC.head}:10', child " +
+          s"'$childC' — the JVMs diverged on the winning swap")
+      assert(DurableStore.loadOrBuildManifest(spark, famC, "fpC",
+        partsM)(sys.error("compacted layout unbuilt"))("t")
+        .count() === 10)
+      val repC = DurableStore.vacuum(spark, famC)
+      assert(repC.stale.toSet === Set(cSeg1, cSeg2) &&
+        repC.debris.isEmpty,
+        s"$famC: loser's merged segment not reclaimed cleanly: $repC")
+      assert(DurableStore.loadOrBuildManifest(spark, famC, "fpC",
+        partsM)(sys.error("compacted layout swept"))("t")
+        .count() === 10)
     } finally {
       proc.destroyForcibly()
       spark.conf.unset("spark.graft.store.commit")
