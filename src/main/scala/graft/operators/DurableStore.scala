@@ -499,14 +499,18 @@ object DurableStore {
   // union as-is; additive count tables (LM pairs, DSIR buckets, NB
   // features) merge by a vocab-bounded groupBy-sum ON READ — the
   // LSM-tree trade. A lineage that accumulates many segments compacts
-  // by jumping to its retrain family's single-layout build (the
-  // periodic re-train that also refreshes frozen models), which is a
-  // bucketed parquet re-write, not new machinery.
+  // IN PLACE with `compactManifest` (crash-atomic versioned-marker
+  // swap, content and fingerprint unchanged — never a retrain;
+  // `Maintenance.autoCompactManifest` fires it past a chain-length
+  // threshold, the curve measured by graft.ChainBench), and the
+  // periodic retrain that refreshes frozen models remains the retrain
+  // family's single-layout build.
   //
-  // Trade-off vs `loadOrBuild`: the union read is a multi-dir parquet
-  // scan, so the single-table bucket registration (exchange-free
-  // serve joins) does not apply; each segment's files are still
-  // written bucketed, so compaction recovers co-location for free.
+  // Trade-off vs `loadOrBuild`: the multi-segment union read is a
+  // plain multi-dir parquet scan, so bucket co-location applies only
+  // once a part is carried by a SINGLE segment — base-generation
+  // frozen artifacts, and every part after compaction — which
+  // `manifestTables` re-registers CLUSTERED BY (l137's plan probe).
   // ------------------------------------------------------------------
 
   private def famDir(s: SparkSession, family: String): Path =

@@ -129,8 +129,9 @@ object NgramModelStore {
     * groupBy-sum / distinct, the LSM merge-on-read trade. A day's
     * publish therefore writes O(delta-vocab) bytes instead of
     * re-copying the corpus vocabulary (l132's file-stats gate);
-    * compaction, when the segment list grows long, is the jump to the
-    * retrain family's single bucketed layout.
+    * compaction, when the segment list grows long, is `compactInc`
+    * (the crash-atomic in-place swap, l137) — auto-firable past a
+    * chain-length threshold via Maintenance.autoCompactManifest.
     */
   val IncFamily = "lm_bigram_inc"
   val IncParts: Seq[DurableStore.Part] = Seq(
