@@ -795,6 +795,21 @@ object DurableStore {
         if (!referencedSegments(s, family).contains(seg))
           f.delete(new Path(famDir(s, family), seg), true)
       } else {
+        // post-win verification (the publishManifest discipline): a
+        // grace-less concurrent vacuum may have swept the merged
+        // segment — unreferenced until this marker existed — between
+        // writeSegment and the create; a generation naming deleted
+        // files would poison every read with no self-heal. Retract it:
+        // the superseded markers still exist (cleanup below has not
+        // run), so readers keep serving the OLD chain untouched — its
+        // segments were reference-protected throughout.
+        if (!segmentComplete(s, family, seg)) {
+          f.delete(next, false)
+          sys.error(s"compaction swap for $family/$fp raced a vacuum: " +
+            s"merged segment $seg is gone — swap retracted, the prior " +
+            "chain still serves; re-run compaction, or run vacuums " +
+            "with a grace next to live maintenance")
+        }
         faultHook("compact_marker_created")
         // cleanup, not correctness: readers already resolve g(cur+1)
         markerCandidates(f, base).filter(_._1 <= curGen)

@@ -831,6 +831,57 @@ class DurableStoreSpec extends SparkSpec {
     assert(servedRows() === rows)
   }
 
+  test("compaction swap retracts its marker when a raced vacuum swept " +
+      "the merged segment: the prior chain keeps serving untouched") {
+    import spark.implicits._
+    val fam = "spec_compact_vac_race"
+    val parts = Seq(DurableStore.Part("t", None))
+    def seg(lo: Int, hi: Int) = DurableStore.writeSegment(spark, fam,
+      parts, Map("t" -> (lo until hi).map(i => (i, i.toLong))
+        .toDF("k", "v")))
+    val s1 = seg(0, 8)
+    val s2 = seg(8, 12)
+    DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(
+      Seq(s1, s2))
+    def servedRows() = sortedRows(DurableStore.loadOrBuildManifest(
+      spark, fam, "fp0", parts)(sys.error("layout went unbuilt"))("t"))
+    val rows = servedRows()
+    // the race, injected at the exact boundary: a GRACE-LESS vacuum
+    // runs after the merged segment is written but before the swap
+    // create — it sweeps the merged segment as stale (complete,
+    // unreferenced until the marker exists)
+    DurableStore.faultHook = step =>
+      if (step == "compact_segment_written") {
+        val rep = DurableStore.vacuum(spark, fam)
+        assert(rep.stale.size === 1 && rep.debris.isEmpty,
+          s"the racing vacuum missed the in-flight segment: $rep")
+      }
+    try {
+      val ex = intercept[RuntimeException](
+        DurableStore.compactManifest(spark, fam, "fp0", parts)(identity))
+      assert(ex.getMessage.contains("raced a vacuum"), ex.getMessage)
+    } finally DurableStore.faultHook = _ => ()
+    // the swap was retracted: the prior chain serves, nothing unbuilt
+    assert(DurableStore.isBuilt(spark, fam, "fp0"))
+    assert(DurableStore.manifestSegments(spark, fam, "fp0")
+      === Seq(s1, s2), "the retracted swap changed the served chain")
+    assert(servedRows() === rows)
+    // the window-free alternative: with a GRACED vacuum in the same
+    // window the fresh merged segment survives and the swap completes
+    DurableStore.faultHook = step =>
+      if (step == "compact_segment_written") {
+        val rep = DurableStore.vacuum(spark, fam,
+          graceMillis = 3600L * 1000)
+        assert(rep.stale.isEmpty && rep.debris.isEmpty,
+          s"the graced vacuum swept fresh in-flight state: $rep")
+      }
+    try DurableStore.compactManifest(spark, fam, "fp0", parts)(identity)
+    finally DurableStore.faultHook = _ => ()
+    assert(DurableStore.manifestSegments(spark, fam, "fp0").size === 1)
+    assert(servedRows() === rows,
+      "the graced-window compaction changed the served multiset")
+  }
+
   test("publishManifest retracts its marker when a raced vacuum swept " +
       "a listed segment: the layout must never publish broken state") {
     import spark.implicits._
