@@ -541,7 +541,7 @@ object ScaleQueries {
 
     QuerySpec(
       "s16_store_vacuum_grace",
-      "WINDOW-FREE retention (s14/s15 prove the mechanics but require a maintenance window — deleting a layout a concurrent reader resolved paths through fails its scans mid-flight): vacuum/vacuumKeepLatest(graceMillis) age-gate the sweep, the Delta tombstone-retention discipline — a superseded generation sweeps only once its PUBLISH STAMP is older than the grace (a reader that resolved it has had the whole grace to drain), and debris/stale segments sweep only past the grace by mtime, which also protects an in-flight builder's complete-but-unpublished segments (the writeSegment->publishManifest window a grace-less sweep could race, permanently poisoning the publish — publishManifest additionally re-verifies and retracts on that race). Proven end-to-end on a scratch family in a private root: three stamped generations; a CONCURRENT READER resolves the middle one pre-vacuum; a graced keep-latest-1 (grace computed strictly between the two older generations' ages — no wall-clock luck) retires exactly the aged-out oldest while the freshly superseded middle SURVIVES and the reader still serves its rows (counted into the result AFTER the sweep); planted fresh in-flight state (one complete unreferenced segment, one half-written marker-less dir) survives the same graced pass; then the grace window closes (grace 0) and the leftovers sweep exactly — middle generation + orphan segment as stale, half-written dir as debris — while the kept newest serves from disk with a tombstoned build body. Census = reader/kept row counts + deterministic sweep gates",
+      "WINDOW-FREE retention (s14/s15 prove the mechanics but require a maintenance window — deleting a layout a concurrent reader resolved paths through fails its scans mid-flight): vacuum/vacuumKeepLatest(graceMillis) age-gate the sweep on the SUPERSESSION event, the Delta tombstone-retention discipline — an unkept generation sweeps only once the PUBLISH THAT DISPLACED IT from the retention window (the rank-i-minus-n layout's stamp, never its own) is older than the grace, so a reader that resolved it moments before supersession has the whole grace to drain; unreferenced complete segments age from a TOMBSTONE the first observing sweep plants (a compaction's superseded chain has historical mtimes but becomes unreferenced only at the swap), and half-written debris by mtime — which also protects an in-flight builder's complete-but-unpublished segments (the writeSegment->publishManifest window; publishManifest additionally re-verifies and retracts). Proven end-to-end on a scratch family in a private root: three stamped generations with a wide middle-to-newest stamp gap; a CONCURRENT READER resolves the middle one pre-vacuum; a graced keep-latest-1 (cutoff placed strictly between the middle and newest stamps, computed from the layouts' own stamps, biased low so scheduling delay cannot cross it) retires exactly the oldest — its displacing publish (the middle's) is aged out — while the freshly superseded middle SURVIVES even though its OWN publish stamp is also aged out (the discriminator against the retired publish-stamp gate) and the reader still serves its rows (counted AFTER the sweep); planted fresh in-flight state (one complete unreferenced segment — tombstoned, not deleted — and one half-written marker-less dir) survives the same graced pass; then the grace window closes (grace 0) and the leftovers sweep exactly — middle generation + orphan segment as stale, half-written dir as debris — while the kept newest serves from disk with a tombstoned build body. Census = reader/kept row counts + deterministic sweep gates",
       (s, dir) => {
         val ds = graft.operators.DurableStore
         val root = QuerySpec.tempSinkDir()
@@ -555,10 +555,11 @@ object ScaleQueries {
           def gen(fp: String, m: Long) =
             ds.loadOrBuild(s, fam, fp, parts)(Map("t" -> slice(m)))
           gen("genAncient", 1L)
-          // a measurable stamp gap (stamps are millis): everything
-          // after this line is provably younger than genAncient
-          Thread.sleep(120)
           gen("genOld", 2L)
+          // a WIDE stamp gap before the displacing publish: the graced
+          // gate below places its cutoff inside this gap, and the gap
+          // width (not wall-clock luck) is the scheduling tolerance
+          Thread.sleep(1600)
           gen("genNew", 3L)
           // the concurrent reader: paths resolved NOW, pre-vacuum
           // (tombstone body — resolving must not rebuild)
@@ -569,13 +570,19 @@ object ScaleQueries {
           val inflight = ds.writeSegment(s, fam, parts,
             Map("t" -> slice(4L)))
           new java.io.File(s"$root/$fam/seg_halfwritten/t").mkdirs()
-          // grace strictly between the ages of genAncient and genOld:
-          // computed from the layouts' own publish stamps, so the gate
-          // cannot flake on build-time wall-clock variance
+          // cutoff strictly between genOld's and genNew's stamps,
+          // biased low (delays only push it higher, toward genNew,
+          // with ~3/4 of the gap as slack): genAncient's DISPLACING
+          // publish (genOld's) is then aged out -> sweeps, while
+          // genOld's displacing publish (genNew's) is within grace ->
+          // survives, even though genOld's OWN stamp is aged out (the
+          // r15 ADVICE discriminator)
           val aMs = ds.publishStampOf(s, fam, "genAncient")._1
           val oMs = ds.publishStampOf(s, fam, "genOld")._1
-          require(oMs > aMs, "stamp gap fixture is vacuous")
-          val grace = System.currentTimeMillis() - (aMs + oMs) / 2
+          val nMs = ds.publishStampOf(s, fam, "genNew")._1
+          require(oMs >= aMs && nMs > oMs, "stamp gap fixture is vacuous")
+          val grace =
+            System.currentTimeMillis() - (oMs + (nMs - oMs) / 4)
           val rep1 = ds.vacuumKeepLatest(s, fam, 1, graceMillis = grace)
           val graceOk = rep1.stale == Seq("genAncient") &&
             rep1.debris.isEmpty &&
@@ -616,6 +623,89 @@ object ScaleQueries {
              |    AS n_reader_rows,
              |  TRUE AS grace_survive_ok,
              |  TRUE AS window_closed_sweep_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "s17_store_multiwriter_append",
+      "OPTIMISTIC MULTI-WRITER APPEND (the composition face the r15 cross-JVM race deliberately left open: there, the losing publisher's delta was DISCARDED — two independent ingesters appending different deltas to one family would silently diverge into sibling fingerprints): the family gains a HEAD pointer (_GRAFT_HEAD.v<k>, content = the fingerprint that IS version k; committing v(k+1) is ONE create-if-absent — the whole CAS, the Delta _delta_log discipline on the marker primitive) and appendManifest runs the commit-retry loop — read head, derive the child fingerprint by COMBINATION (the three fingerprint folds are associative-commutative, so fp(head ∪ delta) needs no scan of the head corpus: O(delta) compute to match the O(delta) write), publish child manifest = head segments ++ delta segment, CAS; a loser re-reads the new head and re-publishes its delta ON TOP. Proven in-query with two genuinely concurrent appender THREADS committing different document slices against one base: whatever the interleaving, the head lands at version 2, BOTH deltas are in the committed line (multiset-exact against base+d2+d3, and the head fingerprint equals the combined union fingerprint — a loser that dropped rows could not forge it), and keep-latest-1 retention (with the automatic head pin) sweeps the intermediate generation while every segment the head lists survives and re-serves from disk. Census = committed-line row count + head version + exactness/commit gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "mwappend"
+        val parts = Seq(ds.Part("t", None))
+        try {
+          def slice(m: Long) = Tables.load(s, dir, "documents")
+            .where(col("doc_id") % 10 === m).select(col("doc_id"))
+            .localCheckpoint(eager = true)
+          val base = slice(1L)
+          val d2 = slice(2L)
+          val d3 = slice(3L)
+          val baseFp = ds.frameFingerprint(base, Seq("doc_id"))
+          val segBase = ds.writeSegment(s, fam, parts, Map("t" -> base))
+          ds.loadOrBuildManifest(s, fam, baseFp, parts)(Seq(segBase))
+          val headInit = ds.initHead(s, fam, baseFp)
+          // deltas and their segments are prepared up front on the
+          // main thread: the concurrency under test is the COMMIT
+          // protocol (child-manifest publish + head CAS), pure file
+          // I/O with no Spark jobs inside the racing threads
+          val fp2 = ds.frameFingerprint(d2, Seq("doc_id"))
+          val fp3 = ds.frameFingerprint(d3, Seq("doc_id"))
+          val sg2 = ds.writeSegment(s, fam, parts, Map("t" -> d2))
+          val sg3 = ds.writeSegment(s, fam, parts, Map("t" -> d3))
+          val errs =
+            new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+          def appender(seg: String, fp: String) = new Thread(() =>
+            try { ds.appendManifest(s, fam, parts, seg, fp); () }
+            catch { case t: Throwable => errs.add(t) })
+          val tA = appender(sg2, fp2)
+          val tB = appender(sg3, fp3)
+          tA.start(); tB.start()
+          tA.join(120000); tB.join(120000)
+          require(errs.isEmpty,
+            s"concurrent append failed: ${errs.peek()}")
+          val (vHead, fpHead) = ds.headState(s, fam).getOrElse(
+            sys.error("no committed head after the appends"))
+          // both deltas are in the committed line whatever the
+          // interleaving; a commit that dropped rows could not forge
+          // the combined union fingerprint
+          val unionFp = ds.combineFingerprints(
+            ds.combineFingerprints(baseFp, fp2), fp3)
+          val headOk = vHead == 2L && fpHead == unionFp && headInit
+          val diff = ds.manifestTables(s, fam, fpHead, parts)("t")
+            .groupBy(col("doc_id")).count()
+            .join(base.unionAll(d2).unionAll(d3)
+              .groupBy(col("doc_id")).count()
+              .withColumnRenamed("count", "c2"),
+              Seq("doc_id"), "full_outer")
+            .where(col("count").isNull || col("c2").isNull ||
+              col("count") =!= col("c2"))
+            .count()
+          // retention: keep-latest-1 + the automatic head pin — the
+          // intermediate generation (and a CAS loser's abandoned
+          // off-head sibling, when the race collided) sweep; every
+          // segment the committed line lists survives and the line
+          // re-serves from disk
+          ds.vacuumKeepLatest(s, fam, 1)
+          ds.manifestTables(s, fam, fpHead, parts)("t")
+            .agg(count(lit(1)).as("n_rows"))
+            .select(col("n_rows"),
+              lit(vHead.toInt).as("head_version"),
+              lit(diff == 0L).as("append_exact_ok"),
+              lit(headOk).as("head_commit_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT
+             |  count(CASE WHEN doc_id % 10 IN (1, 2, 3) THEN 1 END)
+             |    AS n_rows,
+             |  2 AS head_version, TRUE AS append_exact_ok,
+             |  TRUE AS head_commit_ok
              |FROM documents""".stripMargin))
   )
 }

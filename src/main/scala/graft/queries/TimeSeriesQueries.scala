@@ -2176,7 +2176,7 @@ object TimeSeriesQueries {
 
     QuerySpec(
       "t52_stream_ingest_republish",
-      "the ingest loop COMPOSED with the durable tier — the production cycle t51 (scratch state tables that die with the query) and t50 (cold boot of a batch-published layout) each prove half of: vectors ARRIVE as a stream, each micro-batch is assigned + PQ-encoded against the FROZEN base artifacts and lands as ONE immutable manifest SEGMENT keyed by its batchId (foreachBatch is at-least-once: a retried batch re-invokes under the SAME id and must not publish a duplicate segment; the O(delta)-write shape — writeSegment per batch, no training, no rename), and on drain the accumulated state is REPUBLISHED as a first-class durable fingerprint: one create-if-absent manifest naming base segments + the streamed segments. A cold boot then serves the UNION corpus exclusively from the published layout (marker + parquet-footer reads, serve-meta collect ledgered under ann_ingest_serve) answering the query-vector stream with >= 90% agreement against a frozen-model batch rebuild. The query opens with vacuum(keep = base) — prior runs' union generation and its streamed segments are swept while the standing base survives, exercising manifest-aware retention on a live family. Gates, in-query and hash-enforced: (1) the published union lists/codes/norms are multiset-equal to a frozen-artifact batch rebuild over the whole corpus and every base or streamed vector is indexed; (2) ZERO training seconds across ingest + publish + boot + serve (the deployment's durable build key and ann_index frozen after the base build); (3) O(delta) write — the published manifest is exactly base segments ++ the streamed segments and the base segment's files are byte-untouched; (4) the publish itself succeeded (create-if-absent won). Oracle = deterministic counts + literal true",
+      "the ingest loop COMPOSED with the durable tier — the production cycle t51 (scratch state tables that die with the query) and t50 (cold boot of a batch-published layout) each prove half of: vectors ARRIVE as a stream, each micro-batch is assigned + PQ-encoded against the FROZEN base artifacts and lands as ONE immutable manifest SEGMENT recorded in the DURABLE batch ledger keyed by (runId, batchId) (foreachBatch is at-least-once along two axes — a same-run retry re-invokes under the SAME id, and a driver restart from checkpoint replays the last uncommitted batch into a fresh JVM — and writeBatchSegmentOnce makes both replays idempotent: one create-if-absent ledger file per batch, the kill-and-restart face proven end-to-end by t53; the O(delta)-write shape — writeSegment per batch, no training, no rename), and on drain the accumulated state is REPUBLISHED as a first-class durable fingerprint: one create-if-absent manifest naming base segments + the streamed segments. A cold boot then serves the UNION corpus exclusively from the published layout (marker + parquet-footer reads, serve-meta collect ledgered under ann_ingest_serve) answering the query-vector stream with >= 90% agreement against a frozen-model batch rebuild. The query opens with vacuum(keep = base) — prior runs' union generation and its streamed segments are swept while the standing base survives, exercising manifest-aware retention on a live family. Gates, in-query and hash-enforced: (1) the published union lists/codes/norms are multiset-equal to a frozen-artifact batch rebuild over the whole corpus and every base or streamed vector is indexed; (2) ZERO training seconds across ingest + publish + boot + serve (the deployment's durable build key and ann_index frozen after the base build); (3) O(delta) write — the published manifest is exactly base segments ++ the streamed segments and the base segment's files are byte-untouched; (4) the publish itself succeeded (create-if-absent won). Oracle = deterministic counts + literal true",
       (s, dir) => {
         val S = graft.operators.Similarity
         val ds = graft.operators.DurableStore
@@ -2224,22 +2224,27 @@ object TimeSeriesQueries {
         // one immutable segment (the t13 CDC shape, durable form)
         val out = java.nio.file.Files
           .createTempDirectory("graft_ingest2_").toString
-        // keyed by batchId, not appended: foreachBatch is AT-LEAST-ONCE,
-        // so a retried micro-batch re-invokes with the SAME id — a
-        // recorded segment for that id means the first attempt's write
-        // completed and the retry must not publish a duplicate (a write
-        // that failed mid-segment left only a marker-less dir — vacuum
-        // debris — and never recorded, so the retry replaces it)
-        val segByBatch =
-          scala.collection.mutable.SortedMap.empty[Long, String]
+        // keyed by (runId, batchId) through the DURABLE batch ledger:
+        // foreachBatch is at-least-once along TWO axes — a same-run
+        // retry re-invokes under the same id in this JVM, and a driver
+        // RESTART from checkpoint replays the last uncommitted batch
+        // into a fresh JVM with empty memory. writeBatchSegmentOnce
+        // covers both: the first attempt writes the segment and
+        // records it with one create-if-absent ledger file; every
+        // re-invocation returns the recorded segment without writing
+        // (t53 proves the kill-and-restart face end to end). The runId
+        // is the checkpoint's identity, so only attempts of THIS run
+        // dedup against each other.
+        val runId = "r" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(out))
         val ingestBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
-          (batch, batchId) => segByBatch.synchronized {
-            if (!segByBatch.contains(batchId)) {
+          (batch, batchId) => {
+            ds.writeBatchSegmentOnce(s, fam, runId, batchId, parts) {
               val (l, c, n) = S.assignEncode(cent, cb, batch,
                 "vec_id", "embedding", m = st.DefaultM)
-              segByBatch(batchId) = ds.writeSegment(s, fam, parts,
-                Map("lists" -> l, "codes" -> c, "norms" -> n))
+              Map("lists" -> l, "codes" -> c, "norms" -> n)
             }
+            ()
           }
         val q = Tables.loadStream(s, dir, "embeddings")
           .where(col("vec_id") % 5 === 0)
@@ -2251,9 +2256,11 @@ object TimeSeriesQueries {
         q.awaitTermination()
         q.stop()
         // REPUBLISH: the drained state becomes a first-class durable
-        // generation — one marker, zero data movement; segments in
-        // batchId order (SortedMap), the stream's arrival order
-        val segsStreamed = segByBatch.values.toList
+        // generation — one marker, zero data movement; the segment
+        // list comes from the DURABLE ledger in batchId order (the
+        // stream's arrival order), exactly what a restarted driver
+        // would do — process memory holds nothing the publish needs
+        val segsStreamed = ds.batchSegments(s, fam, runId).map(_._2)
         val published = ds.publishManifest(s, fam, newFp,
           segsBase ++ segsStreamed)
         // O(delta)-write gate: exactly base ++ streamed segments, base
@@ -2323,6 +2330,10 @@ object TimeSeriesQueries {
             lit(trainFree).as("ingest_train_free_ok"),
             lit(odeltaOk).as("write_odelta_ok"))
           .localCheckpoint(eager = true) // ckpt dir is deleted below
+        // the manifest now carries the references — drop the run's
+        // batch ledgers so retention is free to retire this
+        // generation later
+        ds.dropBatchLedgers(s, fam, runId)
         graft.pipeline.SinkFiles.deleteRecursive(out)
         res
       },
@@ -2334,6 +2345,97 @@ object TimeSeriesQueries {
              |    AS n_topk,
              |  TRUE AS stream_ok, TRUE AS ingest_exact_ok,
              |  TRUE AS ingest_train_free_ok, TRUE AS write_odelta_ok
-             |FROM embeddings""".stripMargin))
+             |FROM embeddings""".stripMargin)),
+
+    QuerySpec(
+      "t53_stream_ingest_restart",
+      "the RESTART face of the ingest->durable composition — the residual the r15 VERDICT named (t52 covers same-run retries; a driver restart from checkpoint replays the last uncommitted batch into a FRESH JVM whose dedup memory is empty, and without durable state the replay publishes a duplicate segment = duplicate rows in the published union): the batch ledger makes the replay idempotent, KILLED AND RESTARTED FOR REAL. Documents stage as exactly three files and stream maxFilesPerTrigger=1 (three deterministic micro-batches); each batch lands as one segment via writeBatchSegmentOnce; an injected fault kills the query inside foreachBatch of batch 1 AFTER its segment write and ledger record but BEFORE the batch commits to the checkpoint — the exact at-least-once window; a second query restarts from the SAME checkpoint dir, Structured Streaming replays batch 1 under the same id with the same file, and the replay finds the ledger and returns the recorded segment WITHOUT writing (gated: batch 1 was invoked at least twice while the ledger holds exactly one segment per batch); on drain the run publishes manifest = the ledgered segments in batch order — recovered from disk, as a restarted driver must — and a cold resolution serves the union MULTISET-EXACT against a batch read of the same staged files (no duplicate from the replay, nothing lost to the kill); ingest accrues zero build-ledger seconds (never a training job). Census = row/batch counts + replay/dedup/exactness gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "ingest_restart"
+        val parts = Seq(ds.Part("t", None))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_restart_").toString
+        val runId = "r" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(out))
+        try {
+          // stage the corpus as exactly three files -> three batches
+          Tables.load(s, dir, "documents").select(col("doc_id"))
+            .repartition(3).write.mode("overwrite")
+            .parquet(s"$out/stage")
+          val schema = s.read.parquet(s"$out/stage").schema
+          val invocations =
+            scala.collection.concurrent.TrieMap.empty[Long, Int]
+          val crashArmed =
+            new java.util.concurrent.atomic.AtomicBoolean(true)
+          val ingest: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, batchId) => {
+              invocations.updateWith(batchId)(o =>
+                Some(o.getOrElse(0) + 1))
+              ds.writeBatchSegmentOnce(s, fam, runId, batchId, parts)(
+                Map("t" -> batch))
+              // the kill: AFTER the durable write + ledger record,
+              // BEFORE foreachBatch returns — the checkpoint never
+              // commits batch 1, so the restart MUST replay it
+              if (batchId == 1L && crashArmed.getAndSet(false))
+                sys.error("injected driver crash after durable write")
+            }
+          def run(): Unit = {
+            val q = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(s"$out/stage")
+              .writeStream
+              .foreachBatch(ingest)
+              .option("checkpointLocation", s"$out/_ckpt")
+              .trigger(
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            try q.awaitTermination()
+            finally q.stop()
+          }
+          val crashed =
+            try { run(); false }
+            catch {
+              case _: org.apache.spark.sql.streaming
+                .StreamingQueryException => true
+            }
+          require(crashed, "the injected crash did not surface")
+          // the restart: same checkpoint dir, fresh query — batch 1
+          // replays under its id (ledger hit), batch 2 then drains
+          run()
+          val ledg = ds.batchSegments(s, fam, runId)
+          val replayOk = invocations.getOrElse(1L, 0) >= 2 &&
+            ledg.map(_._1) == Seq(0L, 1L, 2L) &&
+            ledg.map(_._2).distinct.size == 3
+          val fp = ds.frameFingerprint(
+            s.read.parquet(s"$out/stage"), Seq("doc_id"))
+          val published = ds.publishManifest(s, fam, fp, ledg.map(_._2))
+          val buildFree = ds.buildSeconds(fam) == 0.0
+          val served = ds.manifestTables(s, fam, fp, parts)("t")
+          val res = served.agg(count(lit(1)).as("n_rows"))
+            .crossJoin(broadcast(mismatches(served,
+              s.read.parquet(s"$out/stage"), "__mm")))
+            .select(col("n_rows"),
+              lit(ledg.size).as("n_batches"),
+              (col("__mm") === 0).as("restart_exact_ok"),
+              lit(replayOk).as("replay_dedup_ok"),
+              lit(published && buildFree).as("publish_train_free_ok"))
+            .localCheckpoint(eager = true)
+          ds.dropBatchLedgers(s, fam, runId)
+          res
+        } finally {
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+          graft.pipeline.SinkFiles.deleteRecursive(out)
+        }
+      },
+      Some("""SELECT count(*) AS n_rows, 3 AS n_batches,
+             |  TRUE AS restart_exact_ok, TRUE AS replay_dedup_ok,
+             |  TRUE AS publish_train_free_ok
+             |FROM documents""".stripMargin))
   )
 }

@@ -63,6 +63,18 @@ class DurableStoreSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq.sorted
 
+  /** Rewrite a marker file OUT OF BAND (simulating another format
+    * era or tampering): the local ChecksumFileSystem keeps a `.crc`
+    * shadow per file, which a bypassing write leaves stale — drop it
+    * so the store's Hadoop-side read sees the new content.
+    */
+  private def rewriteMarker(f: java.io.File, content: String): Unit = {
+    java.nio.file.Files.write(f.toPath,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+  }
+
   private def delta(family: String)(body: => Unit): Double = {
     val before = DurableStore.buildSeconds(family)
     body
@@ -911,34 +923,65 @@ class DurableStoreSpec extends SparkSpec {
       sys.error("published manifest rebuilt"))("t").count() === 1)
   }
 
-  test("graced vacuum is age-gated: fresh superseded generations and " +
-      "fresh debris survive, aged ones sweep") {
+  test("graced vacuum is SUPERSESSION-gated: a layout whose own " +
+      "publish is aged out but whose supersession is within the grace " +
+      "survives; it sweeps only once the SUPERSEDING publish ages out; " +
+      "fresh debris survives until grace 0") {
     import spark.implicits._
     val fam = "spec_vac_grace"
     val parts = Seq(DurableStore.Part("t", None))
     def gen(fp: String) = DurableStore.loadOrBuild(spark, fam, fp,
       parts)(Map("t" -> Seq((1, fp)).toDF("k", "who")))
     gen("genOld")
-    Thread.sleep(120) // a measurable stamp gap (stamps are millis)
+    Thread.sleep(1200) // a wide, scheduling-tolerant stamp gap (ms)
     gen("genNew")
-    // plant fresh debris: a half-written segment dir
+    Thread.sleep(1200)
+    // plant fresh debris: a half-written segment dir (mtime = now,
+    // a further gap after genNew's publish)
     java.nio.file.Files.createDirectories(
       new java.io.File(s"$storeRoot/$fam/seg_fresh/t").toPath)
-    // grace strictly between the two generations' ages: genOld is
-    // aged OUT, genNew's publish is within grace — and so is the
-    // debris (planted just now)
     val oldMs = DurableStore.publishStampOf(spark, fam, "genOld")._1
     val newMs = DurableStore.publishStampOf(spark, fam, "genNew")._1
     assert(newMs > oldMs, "stamp gap fixture is vacuous")
-    val grace = System.currentTimeMillis() - (oldMs + newMs) / 2
-    val rep = DurableStore.vacuum(spark, fam, keep = Set("genNew"),
-      graceMillis = grace)
-    assert(rep.stale === Seq("genOld"), s"aged generation kept: $rep")
-    assert(rep.debris.isEmpty, s"fresh debris swept under grace: $rep")
+    // the r15 ADVICE discriminator: cutoff strictly between the two
+    // publish stamps (biased low — delays only push it higher). The
+    // retired publish-stamp gate would sweep genOld here (its OWN
+    // stamp is aged out); the supersession gate must keep it, because
+    // the publish that DISPLACED it (genNew's) is within the grace —
+    // a reader that resolved genOld moments before genNew landed
+    // still has the whole grace to drain
+    val grace1 =
+      System.currentTimeMillis() - (oldMs + (newMs - oldMs) / 4)
+    val rep1 = DurableStore.vacuum(spark, fam, keep = Set("genNew"),
+      graceMillis = grace1)
+    assert(rep1.stale.isEmpty,
+      s"supersession-fresh generation swept under grace: $rep1")
+    assert(rep1.debris.isEmpty, s"fresh debris swept under grace: $rep1")
+    assert(DurableStore.isBuilt(spark, fam, "genOld"))
+    // the superseding publish ages out (cutoff now between genNew's
+    // stamp and the debris plant): genOld sweeps, the fresher debris
+    // still survives
+    val nowMs = System.currentTimeMillis()
+    val grace2 = nowMs - (newMs + (nowMs - newMs) / 4)
+    val rep2 = DurableStore.vacuum(spark, fam, keep = Set("genNew"),
+      graceMillis = grace2)
+    assert(rep2.stale === Seq("genOld"),
+      s"supersession-aged generation kept: $rep2")
+    assert(rep2.debris.isEmpty, s"fresh debris swept under grace: $rep2")
     assert(new java.io.File(s"$storeRoot/$fam/seg_fresh").exists())
     // grace elapsed (simulated by grace 0): the leftovers sweep
-    val rep2 = DurableStore.vacuum(spark, fam, keep = Set("genNew"))
-    assert(rep2.debris === Seq("seg_fresh"), s"aged debris kept: $rep2")
+    val rep3 = DurableStore.vacuum(spark, fam, keep = Set("genNew"))
+    assert(rep3.debris === Seq("seg_fresh"), s"aged debris kept: $rep3")
+    // explicit-keep fallback: with no KEPT layout newer than the
+    // unkept one (a caller keeping an older fingerprint), supersession
+    // degrades to the layout's own stamp — a grace covering that stamp
+    // protects it, grace 0 sweeps it
+    gen("genNewer")
+    val repK = DurableStore.vacuum(spark, fam, keep = Set("genNew"),
+      graceMillis = 3600L * 1000)
+    assert(repK.stale.isEmpty, s"own-stamp fallback swept fresh: $repK")
+    val repK0 = DurableStore.vacuum(spark, fam, keep = Set("genNew"))
+    assert(repK0.stale === Seq("genNewer"), s"$repK0")
     DurableStore.dropRegistered(spark, fam, "genOld", parts)
     DurableStore.dropRegistered(spark, fam, "genNew", parts)
   }
@@ -1019,6 +1062,431 @@ class DurableStoreSpec extends SparkSpec {
       assert(t("t").count() === 2)
     }
     assert(d === 0.0, s"kept manifest accrued build seconds: $d")
+  }
+
+  test("compaction's superseded chain is tombstone-graced: historical " +
+      "segment mtimes do not age it — a graced sweep plants tombstones " +
+      "and deletes only once the TOMBSTONE ages; a segment referenced " +
+      "again gets its tombstone cleared") {
+    import spark.implicits._
+    val fam = "spec_tomb"
+    val parts = Seq(DurableStore.Part("t", None))
+    def seg(lo: Int, hi: Int) = DurableStore.writeSegment(spark, fam,
+      parts, Map("t" -> (lo until hi).map(i => (i, i.toLong))
+        .toDF("k", "v")))
+    val s1 = seg(0, 6)
+    val s2 = seg(6, 10)
+    DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(
+      Seq(s1, s2))
+    DurableStore.compactManifest(spark, fam, "fp0", parts)(identity)
+    // the old chain is unreferenced NOW but its file mtimes are
+    // historical — the r15 ADVICE case: before round 16 ANY grace
+    // swept it instantly, failing a reader that resolved it moments
+    // before the swap. The graced sweep must tombstone, not delete.
+    val grace = 3600L * 1000
+    val rep1 = DurableStore.vacuum(spark, fam, graceMillis = grace)
+    assert(rep1.stale.isEmpty && rep1.debris.isEmpty, s"$rep1")
+    def tomb(g: String) = new java.io.File(
+      s"$storeRoot/$fam/$g/${DurableStore.SegmentTombstone}")
+    assert(tomb(s1).isFile && tomb(s2).isFile,
+      "graced sweep did not tombstone the superseded chain")
+    // RESURRECTION: a publish naming s1 again clears its tombstone
+    // (the aging clock resets — the segment is live state again)
+    assert(DurableStore.publishManifest(spark, fam, "fpPin", Seq(s1)))
+    val rep2 = DurableStore.vacuum(spark, fam, graceMillis = grace)
+    assert(rep2.stale.isEmpty, s"$rep2")
+    assert(!tomb(s1).exists(), "re-referenced segment kept its tombstone")
+    // age s2's tombstone past the grace: the next graced sweep deletes
+    assert(tomb(s2).setLastModified(
+      System.currentTimeMillis() - 2 * grace))
+    val rep3 = DurableStore.vacuum(spark, fam, graceMillis = grace)
+    assert(rep3.stale === Seq(s2), s"$rep3")
+    assert(!new java.io.File(s"$storeRoot/$fam/$s2").exists())
+    // the compacted layout and the pinning manifest still serve
+    assert(DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(
+      sys.error("compacted layout swept"))("t").count() === 10)
+    assert(DurableStore.loadOrBuildManifest(spark, fam, "fpPin", parts)(
+      sys.error("pinning manifest swept"))("t").count() === 6)
+  }
+
+  test("marker tear detection: a content-torn higher generation " +
+      "(prefix without the trailing stamp) falls back to the " +
+      "generation below; the grandfathered single-line '.' legacy " +
+      "marker still serves and upgrades in place") {
+    import spark.implicits._
+    val fam = "spec_torn_prefix"
+    val parts = Seq(DurableStore.Part("t", None))
+    val s1 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> Seq((1, "a"), (2, "b")).toDF("k", "v")))
+    DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(Seq(s1))
+    // a torn g1 whose PREFIX parses as a plausible manifest — the
+    // create/write/close content-lag window on HDFS/object stores;
+    // before round 16, head-line-only completeness resolved this as
+    // complete and silently served a TRUNCATED segment union
+    val torn = new java.io.File(
+      s"$storeRoot/$fam/fp0/_GRAFT_STORE_COMPLETE.g1")
+    java.nio.file.Files.write(torn.toPath,
+      "manifest\nseg_truncated".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    assert(DurableStore.manifestSegments(spark, fam, "fp0") === Seq(s1),
+      "a torn-prefix higher marker hijacked resolution")
+    assert(DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(
+      sys.error("torn marker forced a rebuild"))("t").count() === 2)
+    val rep = DurableStore.vacuum(spark, fam)
+    assert(rep.debris === Seq("fp0/_GRAFT_STORE_COMPLETE.g1"), s"$rep")
+    assert(!torn.exists())
+    // the legacy pre-stamp rename-mode marker — exactly '.' — is
+    // written inside the staging dir BEFORE the atomic publish rename,
+    // so it is never content-torn on the published side; standing
+    // pre-round-14 layouts still carry it and must keep serving
+    val fam2 = "spec_legacy_dot"
+    DurableStore.loadOrBuild(spark, fam2, "fpL", parts)(
+      Map("t" -> Seq((7, "legacy")).toDF("k", "v")))
+    val legacyMarker = new java.io.File(
+      s"$storeRoot/$fam2/fpL/_GRAFT_STORE_COMPLETE")
+    rewriteMarker(legacyMarker, ".")
+    DurableStore.dropRegistered(spark, fam2, "fpL", parts)
+    val served = DurableStore.loadOrBuild(spark, fam2, "fpL", parts)(
+      sys.error("legacy '.' marker forced a rebuild"))("t")
+    assert(served.collect().map(_.getString(1)).toSeq === Seq("legacy"))
+    // and it upgrades in place: next generation, fmt line, sentinel
+    // ts=0.0 stamp so it KEEPS sorting as the oldest generation
+    assert(DurableStore.upgradeLayoutFormat(spark, fam2, "fpL"))
+    assert(DurableStore.publishStampOf(spark, fam2, "fpL") === ((0L, 0L)))
+    assert(DurableStore.loadOrBuild(spark, fam2, "fpL", parts)(
+      sys.error("upgraded legacy layout rebuilt"))("t")
+      .collect().map(_.getString(1)).toSeq === Seq("legacy"))
+  }
+
+  test("marker format versioning: a format-1 (round-15) layout serves, " +
+      "upgrades under the same fingerprint and stamp, and a FUTURE " +
+      "format errors loudly instead of misreading or sweeping") {
+    import spark.implicits._
+    val fam = "spec_fmt"
+    val parts = Seq(DurableStore.Part("t", None))
+    val s1 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> (0 until 5).map(i => (i, i.toLong)).toDF("k", "v")))
+    DurableStore.loadOrBuildManifest(spark, fam, "fpV", parts)(Seq(s1))
+    val marker = new java.io.File(
+      s"$storeRoot/$fam/fpV/_GRAFT_STORE_COMPLETE")
+    def markerLines(f: java.io.File) = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    // rewrite the marker in the round-15 shape: no fmt= line
+    rewriteMarker(marker,
+      markerLines(marker).filterNot(_.startsWith("fmt=")).mkString("\n"))
+    val stamp0 = DurableStore.publishStampOf(spark, fam, "fpV")
+    assert(stamp0 !== ((0L, 0L)), "format-1 fixture lost its stamp")
+    val rows = sortedRows(DurableStore.loadOrBuildManifest(spark, fam,
+      "fpV", parts)(sys.error("format-1 layout rebuilt"))("t"))
+    assert(rows.length === 5)
+    // upgrade: next marker generation, fmt=2, stamp carried verbatim
+    assert(DurableStore.upgradeLayoutFormat(spark, fam, "fpV"))
+    assert(!DurableStore.upgradeLayoutFormat(spark, fam, "fpV"),
+      "an up-to-date layout must be a format no-op")
+    assert(DurableStore.publishStampOf(spark, fam, "fpV") === stamp0,
+      "the upgrade minted a fresh stamp — retention ordering broken")
+    assert(sortedRows(DurableStore.loadOrBuildManifest(spark, fam,
+      "fpV", parts)(sys.error("upgraded layout rebuilt"))("t")) === rows)
+    val g1 = new java.io.File(
+      s"$storeRoot/$fam/fpV/_GRAFT_STORE_COMPLETE.g1")
+    assert(g1.isFile && !marker.exists(),
+      "the upgrade did not swap marker generations")
+    assert(markerLines(g1).contains("fmt=2"))
+    // a future format fails loudly on every read/sweep path
+    val famF = "spec_fmt_future"
+    val s2 = DurableStore.writeSegment(spark, famF, parts,
+      Map("t" -> Seq((1, 1L)).toDF("k", "v")))
+    DurableStore.loadOrBuildManifest(spark, famF, "fpF", parts)(Seq(s2))
+    val mF = new java.io.File(
+      s"$storeRoot/$famF/fpF/_GRAFT_STORE_COMPLETE")
+    rewriteMarker(mF, markerLines(mF)
+      .map(l => if (l.startsWith("fmt=")) "fmt=99" else l)
+      .mkString("\n"))
+    val ex = intercept[IllegalArgumentException](
+      DurableStore.manifestSegments(spark, famF, "fpF"))
+    assert(ex.getMessage.contains("newer engine"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      DurableStore.vacuum(spark, famF))
+    assert(ex2.getMessage.contains("newer engine"), ex2.getMessage)
+  }
+
+  test("compaction retracts a resurrected lower generation: a stale " +
+      "compactor that wins the create of a generation the real winner " +
+      "already superseded and cleaned up must retract it and reclaim " +
+      "its merged segment") {
+    import spark.implicits._
+    val fam = "spec_gen_resurrect"
+    val parts = Seq(DurableStore.Part("t", None))
+    def seg(lo: Int, hi: Int) = DurableStore.writeSegment(spark, fam,
+      parts, Map("t" -> (lo until hi).map(i => (i, i.toLong))
+        .toDF("k", "v")))
+    val s1 = seg(0, 6)
+    val s2 = seg(6, 10)
+    DurableStore.loadOrBuildManifest(spark, fam, "fp0", parts)(
+      Seq(s1, s2))
+    def servedRows() = sortedRows(DurableStore.loadOrBuildManifest(
+      spark, fam, "fp0", parts)(sys.error("layout went unbuilt"))("t"))
+    val rows = servedRows()
+    // the r15 ADVICE interleaving: B merges against g0; between B's
+    // merge and B's create, A compacts TWICE (g0->g1, then g1->g2
+    // deleting g1 as cleanup) — so B's create of g1 SUCCEEDS against
+    // a chain that is already two generations ahead
+    var armed = true
+    DurableStore.faultHook = step =>
+      if (step == "compact_segment_written" && armed) {
+        armed = false // A's nested compactions re-enter this hook
+        DurableStore.compactManifest(spark, fam, "fp0", parts)(identity)
+        DurableStore.compactManifest(spark, fam, "fp0", parts)(identity)
+      }
+    try DurableStore.compactManifest(spark, fam, "fp0", parts)(identity)
+    finally DurableStore.faultHook = _ => ()
+    // B won its create but must have retracted: only A's g2 remains,
+    // and the layout serves A's chain with the multiset intact
+    val markers = Option(new java.io.File(s"$storeRoot/$fam/fp0")
+        .listFiles()).toSeq.flatten.map(_.getName)
+      .filter(_.startsWith("_GRAFT_STORE_COMPLETE")).sorted
+    assert(markers === Seq("_GRAFT_STORE_COMPLETE.g2"),
+      s"resurrected generation not retracted: $markers")
+    assert(servedRows() === rows)
+    // exactly A's superseded artifacts remain for the sweep: the two
+    // original chain segments and A's FIRST merged segment (B's was
+    // reclaimed by the retraction)
+    val rep = DurableStore.vacuum(spark, fam)
+    assert(rep.stale.size === 3 && rep.debris.isEmpty, s"$rep")
+    assert(servedRows() === rows)
+  }
+
+  test("writeBatchSegmentOnce is exactly-once per (runId, batchId): a " +
+      "replay returns the recorded segment without building; a torn " +
+      "ledger from a crashed writer is cleared and redone; ledgered " +
+      "segments are PINNED against any sweep until published") {
+    import spark.implicits._
+    val fam = "spec_batch_ledger"
+    val parts = Seq(DurableStore.Part("t", None))
+    var builds = 0
+    def once(b: Long) = DurableStore.writeBatchSegmentOnce(spark, fam,
+      "run1", b, parts) {
+      builds += 1
+      Map("t" -> Seq((b.toInt, s"b$b")).toDF("k", "v"))
+    }
+    val (segA, wroteA) = once(0L)
+    val (segA2, wroteA2) = once(0L) // the replayed batch
+    assert(wroteA && !wroteA2 && segA === segA2 && builds === 1,
+      "a replay re-built or re-wrote the batch segment")
+    val (segB, _) = once(1L)
+    assert(segB !== segA)
+    // ledgered-but-unpublished segments survive even a GRACE-0 sweep:
+    // they are REFERENCED through the ledger, not merely grace-aged —
+    // an outage of any length cannot lose a recorded batch
+    val rep = DurableStore.vacuum(spark, fam)
+    assert(rep.stale.isEmpty && rep.debris.isEmpty,
+      s"ledger pins ignored: $rep")
+    assert(DurableStore.segmentComplete(spark, fam, segA))
+    // restart recovery: the ledger enumerates the run in batch order
+    assert(DurableStore.batchSegments(spark, fam, "run1")
+      === Seq((0L, segA), (1L, segB)))
+    // a torn ledger older than the live-twin wait window is a crashed
+    // writer's: cleared and redone
+    val lp = new java.io.File(s"$storeRoot/$fam/_GRAFT_BATCH_run1_b2")
+    java.nio.file.Files.write(lp.toPath,
+      "seg_".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(lp.setLastModified(System.currentTimeMillis() - 60000L))
+    val (segC, wroteC) = once(2L)
+    assert(wroteC && DurableStore.segmentComplete(spark, fam, segC))
+    assert(DurableStore.batchSegments(spark, fam, "run1").map(_._1)
+      === Seq(0L, 1L, 2L))
+    // publish the run, then drop its ledgers (the manifest carries
+    // the references from here)
+    assert(DurableStore.publishManifest(spark, fam, "fpRun",
+      Seq(segA, segB, segC)))
+    assert(DurableStore.dropBatchLedgers(spark, fam, "run1") === 3)
+    val rep2 = DurableStore.vacuum(spark, fam)
+    assert(rep2.stale.isEmpty && rep2.debris.isEmpty, s"$rep2")
+    assert(DurableStore.loadOrBuildManifest(spark, fam, "fpRun", parts)(
+      sys.error("published run rebuilt"))("t").count() === 3)
+    // a run that published but never dropped its ledgers: the sweep
+    // classifies the now-redundant ledger as debris
+    val (segD, _) = DurableStore.writeBatchSegmentOnce(spark, fam,
+      "run2", 0L, parts)(Map("t" -> Seq((9, "d")).toDF("k", "v")))
+    assert(DurableStore.publishManifest(spark, fam, "fpRun2", Seq(segD)))
+    val rep3 = DurableStore.vacuum(spark, fam)
+    assert(rep3.debris === Seq("_GRAFT_BATCH_run2_b0"),
+      s"a published run's leftover ledger must sweep as debris: $rep3")
+    assert(DurableStore.segmentComplete(spark, fam, segD))
+  }
+
+  test("appendManifest: sequential appends advance the head; two " +
+      "CONCURRENT appenders with different deltas BOTH land (the " +
+      "loser retries on the new head); the combined fingerprint " +
+      "equals the direct union fingerprint; retention keeps the head") {
+    import spark.implicits._
+    val fam = "spec_append"
+    val parts = Seq(DurableStore.Part("t", None))
+    def df(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i, i.toLong)).toDF("k", "v")
+    val base = df(0, 8)
+    val baseFp = DurableStore.frameFingerprint(base, Seq("k", "v"))
+    val segBase = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> base))
+    DurableStore.loadOrBuildManifest(spark, fam, baseFp, parts)(
+      Seq(segBase))
+    assert(DurableStore.initHead(spark, fam, baseFp))
+    assert(DurableStore.headState(spark, fam) === Some((0L, baseFp)))
+    // fingerprint combinability: fp(base) ⊕ fp(delta) == fp(union) —
+    // the property that lets an appender commit a child fingerprint
+    // without scanning the base
+    val d1 = df(8, 12)
+    val d1Fp = DurableStore.frameFingerprint(d1, Seq("k", "v"))
+    assert(DurableStore.combineFingerprints(baseFp, d1Fp)
+      === DurableStore.frameFingerprint(base.unionAll(d1), Seq("k", "v")))
+    val seg1 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> d1))
+    val (v1, fp1) =
+      DurableStore.appendManifest(spark, fam, parts, seg1, d1Fp)
+    assert(v1 === 1L &&
+      DurableStore.headState(spark, fam) === Some((1L, fp1)))
+    assert(DurableStore.manifestSegments(spark, fam, fp1)
+      === Seq(segBase, seg1))
+    // an empty delta is a no-op commit
+    val segE = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> df(0, 0)))
+    assert(DurableStore.appendManifest(spark, fam, parts, segE,
+      DurableStore.frameFingerprint(df(0, 0), Seq("k", "v")))
+      === ((1L, fp1)))
+    // CONCURRENT appenders, collision forced: the fault hook holds
+    // both past their child publish so both CAS the same version —
+    // exactly one wins, the loser must re-publish on the new head
+    val d2 = df(12, 15)
+    val d3 = df(15, 20)
+    val fp2 = DurableStore.frameFingerprint(d2, Seq("k", "v"))
+    val fp3 = DurableStore.frameFingerprint(d3, Seq("k", "v"))
+    val sg2 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> d2))
+    val sg3 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> d3))
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    DurableStore.faultHook = step =>
+      if (step == "append_child_published") {
+        latch.countDown()
+        latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+    val th2 = new Thread(() =>
+      try results.add(
+        DurableStore.appendManifest(spark, fam, parts, sg2, fp2))
+      catch { case t: Throwable => errs.add(t) })
+    val th3 = new Thread(() =>
+      try results.add(
+        DurableStore.appendManifest(spark, fam, parts, sg3, fp3))
+      catch { case t: Throwable => errs.add(t) })
+    try {
+      th2.start(); th3.start()
+      th2.join(120000); th3.join(120000)
+    } finally DurableStore.faultHook = _ => ()
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    val (vHead, fpHead) = DurableStore.headState(spark, fam).get
+    val headFiles = Option(new java.io.File(s"$storeRoot/$fam")
+        .listFiles()).toSeq.flatten.map(_.getName)
+      .filter(_.startsWith("_GRAFT_HEAD")).sorted
+    assert(vHead === 3L, "both concurrent appends must commit; " +
+      s"results=${results.toArray.mkString(",")} heads=$headFiles")
+    assert(sortedRows(DurableStore.manifestTables(spark, fam, fpHead,
+      parts)("t")) === sortedRows(df(0, 20)),
+      "a concurrent appender's delta was lost")
+    assert(fpHead ===
+      DurableStore.frameFingerprint(df(0, 20), Seq("k", "v")),
+      "the committed head fingerprint drifted from the union's")
+    // retention: keep-latest-1 plus the automatic head pin — the
+    // intermediate generations and the loser's abandoned off-head
+    // sibling sweep; every segment the head lists survives
+    DurableStore.vacuumKeepLatest(spark, fam, 1)
+    assert(DurableStore.isBuilt(spark, fam, fpHead))
+    assert(sortedRows(DurableStore.manifestTables(spark, fam, fpHead,
+      parts)("t")) === sortedRows(df(0, 20)))
+  }
+
+  test("append racing a concurrent compaction: with a GRACED vacuum " +
+      "the append lands on the old chain and re-pins it; with a " +
+      "grace-less vacuum the publish retracts and the swept delta " +
+      "errors loudly — never published broken state") {
+    import spark.implicits._
+    val fam = "spec_append_compact"
+    val parts = Seq(DurableStore.Part("t", None))
+    def df(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i, i.toLong)).toDF("k", "v")
+    val base = df(0, 10)
+    val fp0 = DurableStore.frameFingerprint(base, Seq("k", "v"))
+    val s1 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> df(0, 6)))
+    val s2 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> df(6, 10)))
+    DurableStore.loadOrBuildManifest(spark, fam, fp0, parts)(
+      Seq(s1, s2))
+    assert(DurableStore.initHead(spark, fam, fp0))
+    // interleaving A: a compaction + GRACED vacuum land between the
+    // appender's head resolution and its publish — the old chain is
+    // tombstoned, not deleted, so the child manifest naming it
+    // publishes fine and re-pins it (the production discipline:
+    // vacuums next to live ingest carry a grace)
+    val dA = df(10, 13)
+    val fpA = DurableStore.frameFingerprint(dA, Seq("k", "v"))
+    val segA = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> dA))
+    var armA = true
+    DurableStore.faultHook = step =>
+      if (step == "append_head_resolved" && armA) {
+        armA = false
+        DurableStore.compactManifest(spark, fam, fp0, parts)(identity)
+        val rep = DurableStore.vacuum(spark, fam,
+          graceMillis = 3600L * 1000)
+        assert(rep.stale.isEmpty && rep.debris.isEmpty,
+          s"graced vacuum swept live race state: $rep")
+      }
+    val (vA, childA) =
+      try DurableStore.appendManifest(spark, fam, parts, segA, fpA)
+      finally DurableStore.faultHook = _ => ()
+    assert(vA === 1L)
+    assert(DurableStore.manifestSegments(spark, fam, childA)
+      === Seq(s1, s2, segA), "the append lost the pre-compaction chain")
+    assert(sortedRows(DurableStore.manifestTables(spark, fam, childA,
+      parts)("t")) === sortedRows(df(0, 13)))
+    // the re-pinned chain sheds its tombstones on the next sweep
+    DurableStore.vacuum(spark, fam, graceMillis = 3600L * 1000)
+    assert(!new java.io.File(
+      s"$storeRoot/$fam/$s1/${DurableStore.SegmentTombstone}").exists(),
+      "re-pinned segment kept its tombstone")
+    // interleaving B: a GRACE-LESS vacuum in the same window sweeps
+    // the superseded chain AND the in-flight delta — the publish
+    // retracts (never broken published state) and the lost delta
+    // errors loudly; the head and its chain are untouched
+    val dB = df(13, 16)
+    val fpB = DurableStore.frameFingerprint(dB, Seq("k", "v"))
+    val segB = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> dB))
+    var armB = true
+    DurableStore.faultHook = step =>
+      if (step == "append_head_resolved" && armB) {
+        armB = false
+        DurableStore.compactManifest(spark, fam, childA, parts)(identity)
+        DurableStore.vacuum(spark, fam)
+      }
+    val ex =
+      try intercept[IllegalArgumentException](
+        DurableStore.appendManifest(spark, fam, parts, segB, fpB))
+      finally DurableStore.faultHook = _ => ()
+    assert(ex.getMessage.contains("swept by a grace-less vacuum"),
+      ex.getMessage)
+    assert(DurableStore.headState(spark, fam) === Some((1L, childA)),
+      "the failed append moved the head")
+    val childBFp = DurableStore.combineFingerprints(childA, fpB)
+    assert(!DurableStore.isBuilt(spark, fam, childBFp),
+      "a manifest naming swept segments stayed published")
+    assert(DurableStore.manifestTables(spark, fam, childA,
+      parts)("t").count() === 13)
   }
 
   test("LM family: the l122 evict-reload shape serves identical count " +

@@ -34,6 +34,24 @@ object RaceBarrier {
       Thread.sleep(50)
     }
   }
+
+  /** Value-carrying announce: the content lands first, the `.ready`
+    * flag after, so a `get` never reads a torn value.
+    */
+  def put(dir: String, name: String, value: String): Unit = {
+    val f = new java.io.File(dir, name)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    announce(dir, name + ".ready")
+  }
+
+  def get(dir: String, name: String): String = {
+    await(dir, name + ".ready")
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, name).toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
 }
 
 /** Second-JVM half of the cross-JVM publish race (StoreRaceSpec): for
@@ -109,6 +127,61 @@ object StoreRaceChild {
     val nC = DurableStore.loadOrBuildManifest(spark, famC, "fpC",
       partsM)(sys.error("compacted layout unbuilt"))("t").count()
     println(s"RACE_SERVED $famC ${segsC.head}:$nC")
+    // cross-JVM MULTI-WRITER APPEND race: both processes append a
+    // DIFFERENT delta to one head-tracked family — the fault hook is
+    // the barrier (both child manifests published before either CASes
+    // the head), so the create-if-absent collides for real; the loser
+    // must re-read the new head and re-publish its delta ON TOP, and
+    // BOTH deltas survive in the committed line
+    val famA = "xjvm_append"
+    RaceBarrier.await(barrier, "append_ready")
+    val dC = Seq((2, "child")).toDF("k", "who")
+    val dCFp = DurableStore.frameFingerprint(dC, Seq("k", "who"))
+    val segC = DurableStore.writeSegment(spark, famA, partsM,
+      Map("t" -> dC))
+    DurableStore.faultHook = step =>
+      if (step == "append_child_published")
+        RaceBarrier.sync(barrier, famA, "child")
+    try DurableStore.appendManifest(spark, famA, partsM, segC, dCFp)
+    finally DurableStore.faultHook = _ => ()
+    var headA = DurableStore.headState(spark, famA).getOrElse(
+      sys.error(s"$famA: no head after append"))
+    val headDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (headA._1 < 2L && System.nanoTime() < headDeadline) {
+      Thread.sleep(50)
+      headA = DurableStore.headState(spark, famA).get
+    }
+    require(headA._1 == 2L, s"$famA: head stuck at $headA")
+    val tagsA = DurableStore.manifestTables(spark, famA, headA._2,
+      partsM)("t").collect().map(_.getString(1)).sorted.mkString(",")
+    println(s"RACE_SERVED $famA $tagsA")
+    // cross-JVM APPEND-vs-COMPACT race: the parent APPENDS while this
+    // process COMPACTS the same chain and runs a GRACED vacuum in the
+    // parent's resolve->publish window — the production discipline for
+    // maintenance beside live ingest. The old chain must be
+    // tombstoned, never deleted, so the parent's child manifest naming
+    // it publishes and re-pins it; this process then serves the
+    // committed head line
+    val famV = "xjvm_avc"
+    val fpV = RaceBarrier.get(barrier, "avc_fp")
+    RaceBarrier.await(barrier, "avc_parent_resolved")
+    DurableStore.compactManifest(spark, famV, fpV, partsM)(identity)
+    val repV = DurableStore.vacuum(spark, famV,
+      graceMillis = 3600L * 1000)
+    require(repV.stale.isEmpty && repV.debris.isEmpty,
+      s"$famV: graced vacuum swept live race state: $repV")
+    RaceBarrier.announce(barrier, "avc_child_swept")
+    var headV = DurableStore.headState(spark, famV).getOrElse(
+      sys.error(s"$famV: no head"))
+    val avcDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (headV._1 < 1L && System.nanoTime() < avcDeadline) {
+      Thread.sleep(50)
+      headV = DurableStore.headState(spark, famV).get
+    }
+    require(headV._1 == 1L, s"$famV: head stuck at $headV")
+    val nV = DurableStore.manifestTables(spark, famV, headV._2,
+      partsM)("t").count()
+    println(s"RACE_SERVED $famV n$nV")
     spark.stop()
   }
 }

@@ -20,7 +20,14 @@ import graft.operators.DurableStore
   * own delta segment for the same child fingerprint of one manifest
   * family and race the create-if-absent publish — one winner, the
   * loser reclaims its unreferenced segment, both serve the winner's
-  * union, zero debris.
+  * union, zero debris. Round 16 adds (a) the MULTI-WRITER APPEND race
+  * — different deltas onto one head-tracked family, a real head-CAS
+  * collision via the fault-hook barrier, and BOTH deltas must survive
+  * in the committed line (the assertion the r15 race deliberately did
+  * not make) — and (b) the APPEND-vs-COMPACT race: one JVM appends
+  * while the other compacts the same chain and runs a graced vacuum
+  * inside the appender's resolve->publish window; the old chain is
+  * tombstoned, not swept, so the append lands on it and re-pins it.
   */
 class StoreRaceSpec extends SparkSpec {
 
@@ -120,7 +127,73 @@ class StoreRaceSpec extends SparkSpec {
         Thread.sleep(50)
         mySegsC = DurableStore.manifestSegments(spark, famC, "fpC")
       }
-      assert(proc.waitFor(180, TimeUnit.SECONDS),
+      // cross-JVM MULTI-WRITER APPEND race (round 16): both JVMs
+      // append a DIFFERENT delta to one head-tracked family; the
+      // fault hook barriers both past their child publish so the head
+      // CAS collides for real — the assertion the r15 ingest-republish
+      // race deliberately did NOT make (there, the loser's delta was
+      // reclaimed; here BOTH deltas must survive in the committed line)
+      val famA = "xjvm_append"
+      val aBase = Seq((0, "base")).toDF("k", "who")
+      val aBaseFp = DurableStore.frameFingerprint(aBase, Seq("k", "who"))
+      val aSeg = DurableStore.writeSegment(spark, famA, partsM,
+        Map("t" -> aBase))
+      DurableStore.loadOrBuildManifest(spark, famA, aBaseFp, partsM)(
+        Seq(aSeg))
+      assert(DurableStore.initHead(spark, famA, aBaseFp))
+      RaceBarrier.announce(barrier, "append_ready")
+      val dP = Seq((1, "parent")).toDF("k", "who")
+      val dPFp = DurableStore.frameFingerprint(dP, Seq("k", "who"))
+      val segP = DurableStore.writeSegment(spark, famA, partsM,
+        Map("t" -> dP))
+      DurableStore.faultHook = step =>
+        if (step == "append_child_published")
+          RaceBarrier.sync(barrier, famA, "parent")
+      try DurableStore.appendManifest(spark, famA, partsM, segP, dPFp)
+      finally DurableStore.faultHook = _ => ()
+      var headA = DurableStore.headState(spark, famA).getOrElse(
+        sys.error(s"$famA: no head after append"))
+      val headDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (headA._1 < 2L && System.nanoTime() < headDeadline) {
+        Thread.sleep(50)
+        headA = DurableStore.headState(spark, famA).get
+      }
+      val myAppendTags = DurableStore.manifestTables(spark, famA,
+        headA._2, partsM)("t").collect().map(_.getString(1))
+        .sorted.mkString(",")
+      // cross-JVM APPEND-vs-COMPACT race (round 16): this JVM appends
+      // while the child compacts the same chain and runs a GRACED
+      // vacuum inside our resolve->publish window. The old chain is
+      // tombstoned, never deleted, so our child manifest naming it
+      // publishes fine and re-pins it — the append lands on the old
+      // chain and survives, asserted from both processes
+      val famV = "xjvm_avc"
+      val vSeg1 = DurableStore.writeSegment(spark, famV, partsM,
+        Map("t" -> (0 until 6).map(i => (i, s"v$i")).toDF("k", "who")))
+      val vSeg2 = DurableStore.writeSegment(spark, famV, partsM,
+        Map("t" -> (6 until 10).map(i => (i, s"v$i")).toDF("k", "who")))
+      val vBaseFp = DurableStore.frameFingerprint(
+        (0 until 10).map(i => (i, s"v$i")).toDF("k", "who"),
+        Seq("k", "who"))
+      DurableStore.loadOrBuildManifest(spark, famV, vBaseFp, partsM)(
+        Seq(vSeg1, vSeg2))
+      assert(DurableStore.initHead(spark, famV, vBaseFp))
+      RaceBarrier.put(barrier, "avc_fp", vBaseFp)
+      val dV = (100 until 103).map(i => (i, s"d$i")).toDF("k", "who")
+      val dVFp = DurableStore.frameFingerprint(dV, Seq("k", "who"))
+      val segV = DurableStore.writeSegment(spark, famV, partsM,
+        Map("t" -> dV))
+      var armedV = true
+      DurableStore.faultHook = step =>
+        if (step == "append_head_resolved" && armedV) {
+          armedV = false
+          RaceBarrier.announce(barrier, "avc_parent_resolved")
+          RaceBarrier.await(barrier, "avc_child_swept")
+        }
+      val (vVer, vChild) =
+        try DurableStore.appendManifest(spark, famV, partsM, segV, dVFp)
+        finally DurableStore.faultHook = _ => ()
+      assert(proc.waitFor(300, TimeUnit.SECONDS),
         "child JVM did not finish in time")
       val childOut = new String(
         java.nio.file.Files.readAllBytes(outFile.toPath),
@@ -189,6 +262,39 @@ class StoreRaceSpec extends SparkSpec {
       assert(DurableStore.loadOrBuildManifest(spark, famC, "fpC",
         partsM)(sys.error("compacted layout swept"))("t")
         .count() === 10)
+      // the multi-writer append race: the head reached version 2 and
+      // BOTH deltas are in the committed line, identically on both
+      // sides — the r15 race's loser-discards-delta outcome is gone
+      assert(headA._1 === 2L, s"$famA: head stuck at $headA")
+      assert(myAppendTags === "base,child,parent",
+        s"$famA: a concurrent appender's delta was lost: $myAppendTags")
+      assert(childServed.get(famA) === Some(myAppendTags),
+        s"$famA: parent served '$myAppendTags', child served " +
+          s"'${childServed.get(famA)}' — the JVMs diverged on the head")
+      // a sweep reclaims exactly the SUPERSEDED head pointers (v2,
+      // the highest complete head, is kept) and nothing else — the
+      // committed line keeps serving through it
+      val repA = DurableStore.vacuum(spark, famA)
+      assert(repA.debris.toSet ===
+        Set("_GRAFT_HEAD.v0", "_GRAFT_HEAD.v1") && repA.stale.isEmpty,
+        s"$famA sweep: $repA")
+      assert(DurableStore.headState(spark, famA) === Some(headA),
+        "the sweep lost the live head")
+      assert(DurableStore.manifestTables(spark, famA, headA._2,
+        partsM)("t").count() === 3)
+      // the append-vs-compact race: the append landed on the OLD
+      // chain — the child's graced vacuum tombstoned it instead of
+      // sweeping it, so the child manifest naming it published and
+      // re-pinned it — the head advanced exactly once, and both
+      // processes serve all 13 rows of the committed line
+      assert(vVer === 1L, s"$famV: head version $vVer")
+      assert(DurableStore.manifestSegments(spark, famV, vChild)
+        === Seq(vSeg1, vSeg2, segV),
+        "the append lost the pre-compaction chain")
+      assert(childServed.get(famV) === Some("n13"),
+        s"$famV: child served '${childServed.get(famV)}'")
+      assert(DurableStore.manifestTables(spark, famV, vChild,
+        partsM)("t").count() === 13)
     } finally {
       proc.destroyForcibly()
       spark.conf.unset("spark.graft.store.commit")
