@@ -350,9 +350,12 @@ object DurableStore {
       markerCandidates(f, base).iterator
         .flatMap { case (_, p) =>
           // a candidate may vanish between list and read (a concurrent
-          // compaction deleting the superseded generation): skip it
+          // compaction deleting the superseded generation) or be
+          // mid-write (ChecksumFileSystem throws EOF/Checksum on a
+          // file whose crc shadow lags the content): either way it is
+          // torn RIGHT NOW — skip it; resolution falls back or retries
           try Some(readFully(f, p).linesIterator.toSeq)
-          catch { case _: java.io.FileNotFoundException => None }
+          catch { case _: java.io.IOException => None }
         }
         .find(markerComplete)
         .map { lines => requireKnownFormat(lines, base.toString); lines }
@@ -714,7 +717,7 @@ object DurableStore {
           if (markerComplete(lines) && lines.head.startsWith("seg_"))
             Some(lines.head)
           else None
-        } catch { case _: java.io.FileNotFoundException => None }
+        } catch { case _: java.io.IOException => None }
       }
     (fromManifests ++ fromLedgers).toSet
   }
@@ -1038,7 +1041,7 @@ object DurableStore {
       catch { case _: java.io.FileNotFoundException => false }
     def readLines(p: Path): Option[Seq[String]] =
       try Some(readFully(f, p).linesIterator.toSeq)
-      catch { case _: java.io.FileNotFoundException => None }
+      catch { case _: java.io.IOException => None }
     // highest readable COMPLETE marker of a layout dir, no retry — a
     // mid-write publish is protected by the grace, not by waiting; a
     // future-format marker errors loudly (this engine cannot know what
@@ -1068,7 +1071,8 @@ object DurableStore {
     // whatever keep-set the caller names
     val headStates = children
       .filter(st => !st.isDirectory &&
-        st.getPath.getName.startsWith(HeadFilePrefix))
+        st.getPath.getName.startsWith(HeadFilePrefix) &&
+        headVersionOf(st.getPath.getName) >= 0)
       .flatMap { st =>
         readLines(st.getPath).filter(markerComplete).map { lines =>
           requireKnownFormat(lines, st.getPath.toString)
@@ -1347,7 +1351,7 @@ object DurableStore {
           requireKnownFormat(lines, lp.toString)
           Some(lines.head)
         } else None
-      } catch { case _: java.io.FileNotFoundException => None }
+      } catch { case _: java.io.IOException => None }
     var attempts = 0
     var out: Option[(String, Boolean)] = None
     while (out.isEmpty) {
@@ -1399,7 +1403,7 @@ object DurableStore {
         val id = st.getPath.getName.stripPrefix(pfx).toLongOption
         val lines =
           try Some(readFully(f, st.getPath).linesIterator.toSeq)
-          catch { case _: java.io.FileNotFoundException => None }
+          catch { case _: java.io.IOException => None }
         for {
           i <- id
           ls <- lines
@@ -1475,7 +1479,8 @@ object DurableStore {
     if (!f.exists(fam)) return None
     f.listStatus(fam).toSeq
       .filter(st => !st.isDirectory &&
-        st.getPath.getName.startsWith(HeadFilePrefix))
+        st.getPath.getName.startsWith(HeadFilePrefix) &&
+        headVersionOf(st.getPath.getName) >= 0)
       .sortBy(st => -headVersionOf(st.getPath.getName))
       .iterator
       .flatMap { st =>
@@ -1485,7 +1490,7 @@ object DurableStore {
             requireKnownFormat(lines, st.getPath.toString)
             Some((headVersionOf(st.getPath.getName), lines.head))
           } else None
-        } catch { case _: java.io.FileNotFoundException => None }
+        } catch { case _: java.io.IOException => None }
       }.nextOption()
   }
 
