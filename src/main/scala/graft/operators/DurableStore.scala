@@ -1553,7 +1553,7 @@ object DurableStore {
     * delta itself being swept is unrecoverable here and errors loudly.
     * Returns the committed (headVersion, childFingerprint).
     */
-  def appendManifest(s: SparkSession, family: String, parts: Seq[Part],
+  def appendManifest(s: SparkSession, family: String,
       deltaSeg: String, deltaFp: String,
       maxRetries: Int = 20): (Long, String) = {
     require(segmentComplete(s, family, deltaSeg),

@@ -657,7 +657,7 @@ object ScaleQueries {
           val errs =
             new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
           def appender(seg: String, fp: String) = new Thread(() =>
-            try { ds.appendManifest(s, fam, parts, seg, fp); () }
+            try { ds.appendManifest(s, fam, seg, fp); () }
             catch { case t: Throwable => errs.add(t) })
           val tA = appender(sg2, fp2)
           val tB = appender(sg3, fp3)

@@ -2436,6 +2436,105 @@ object TimeSeriesQueries {
       Some("""SELECT count(*) AS n_rows, 3 AS n_batches,
              |  TRUE AS restart_exact_ok, TRUE AS replay_dedup_ok,
              |  TRUE AS publish_train_free_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "t54_stream_ingest_headline",
+      "the FULL continuous-ingest lifecycle composed from the round-16 primitives — t52/t53 publish each run as a sibling FINGERPRINT, which is right for one writer but leaves the family without a linear history: here the drained batches COMMIT ONTO THE HEAD LINE. Base corpus (documents m<5) publishes as one segment and becomes head v0; the delta (m in 5..7) streams in two deterministic micro-batches, each landing as a ledgered segment (writeBatchSegmentOnce — the t53 restart discipline); on drain each ledgered segment is appended with appendManifest in batch order (child fingerprints derived by COMBINING the per-segment fingerprints read back from the segment's own parquet — the restarted-driver shape: nothing comes from process memory), advancing the head to v2 whose fingerprint must equal the independently computed fingerprint of the whole m<8 slice (a commit that dropped or duplicated rows could not forge the three-fold combination); the 3-segment head chain then crosses the auto-compaction threshold (Maintenance.autoCompactManifest, maxSegments=2) and compacts WITHOUT moving the head (fingerprint identity is content, chains are layout), keep-latest-1 retention with the automatic head pin retires the base and intermediate generations plus the superseded chain segments, ledgers are dropped, and the head line serves MULTISET-EXACT against a batch read of the m<8 slice with zero build-ledger seconds anywhere. Census = served rows + head version + fingerprint-forgery/exactness/maintenance gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "ingest_head"
+        val parts = Seq(ds.Part("t", None))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_headline_").toString
+        val runId = "r" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(out))
+        try {
+          val docs = Tables.load(s, dir, "documents")
+            .select(col("doc_id"))
+          val base = docs.where(col("doc_id") % 10 < 5)
+          val fp0 = ds.frameFingerprint(base, Seq("doc_id"))
+          val seg0 = ds.writeSegment(s, fam, parts, Map("t" -> base))
+          // ingest-loop publish, not a build: nothing in this query
+          // may touch the build ledger (the buildFree gate below)
+          require(ds.publishManifest(s, fam, fp0, Seq(seg0)),
+            "base publish lost a race in a private root")
+          require(ds.initHead(s, fam, fp0), "head init lost a race")
+          // the delta arrives as two deterministic micro-batches,
+          // each recorded through the durable batch ledger
+          docs.where(col("doc_id") % 10 >= 5 && col("doc_id") % 10 < 8)
+            .repartition(2).write.mode("overwrite")
+            .parquet(s"$out/stage")
+          val schema = s.read.parquet(s"$out/stage").schema
+          val ingest: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, batchId) => {
+              ds.writeBatchSegmentOnce(s, fam, runId, batchId, parts)(
+                Map("t" -> batch))
+              ()
+            }
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$out/stage")
+            .writeStream
+            .foreachBatch(ingest)
+            .option("checkpointLocation", s"$out/_ckpt")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally q.stop()
+          // COMMIT onto the head line, batch order, recovered purely
+          // from durable state: segment list from the ledger, each
+          // delta's fingerprint re-derived from the segment's own
+          // files — a restarted driver could run this line unchanged
+          val ledg = ds.batchSegments(s, fam, runId)
+          ledg.foreach { case (_, seg) =>
+            ds.appendManifest(s, fam, seg, ds.frameFingerprint(
+              s.read.parquet(s"$root/$fam/$seg/t"), Seq("doc_id")))
+          }
+          val (vHead, fpHead) = ds.headState(s, fam).getOrElse(
+            sys.error("no head after the ingest appends"))
+          // forgery gate: the committed head fingerprint must equal
+          // the independent fingerprint of the whole served slice
+          val fpFull = ds.frameFingerprint(
+            docs.where(col("doc_id") % 10 < 8), Seq("doc_id"))
+          val headOk = vHead == ledg.size.toLong && fpHead == fpFull
+          // maintenance: the 1+2-segment chain crosses the threshold;
+          // compaction must not move the head
+          val compacted = graft.pipeline.Maintenance
+            .autoCompactManifest(s, fam, fpHead, parts,
+              maxSegments = 2)(identity)
+          val headStable =
+            ds.headState(s, fam).contains((vHead, fpHead)) &&
+            ds.manifestSegments(s, fam, fpHead).size == 1
+          ds.dropBatchLedgers(s, fam, runId)
+          ds.vacuumKeepLatest(s, fam, 1)
+          val served = ds.manifestTables(s, fam, fpHead, parts)("t")
+          val buildFree = ds.buildSeconds(fam) == 0.0
+          served.agg(count(lit(1)).as("n_rows"))
+            .crossJoin(broadcast(mismatches(served,
+              docs.where(col("doc_id") % 10 < 8), "__mm")))
+            .select(col("n_rows"),
+              lit(vHead.toInt).as("head_version"),
+              (col("__mm") === 0).as("headline_exact_ok"),
+              lit(headOk).as("head_fp_combined_ok"),
+              lit(compacted && headStable && buildFree)
+                .as("maintenance_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+          graft.pipeline.SinkFiles.deleteRecursive(out)
+        }
+      },
+      Some("""SELECT count(CASE WHEN doc_id % 10 < 8 THEN 1 END)
+             |    AS n_rows,
+             |  2 AS head_version, TRUE AS headline_exact_ok,
+             |  TRUE AS head_fp_combined_ok, TRUE AS maintenance_ok
              |FROM documents""".stripMargin))
   )
 }

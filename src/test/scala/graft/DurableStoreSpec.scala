@@ -1343,7 +1343,7 @@ class DurableStoreSpec extends SparkSpec {
     val seg1 = DurableStore.writeSegment(spark, fam, parts,
       Map("t" -> d1))
     val (v1, fp1) =
-      DurableStore.appendManifest(spark, fam, parts, seg1, d1Fp)
+      DurableStore.appendManifest(spark, fam, seg1, d1Fp)
     assert(v1 === 1L &&
       DurableStore.headState(spark, fam) === Some((1L, fp1)))
     assert(DurableStore.manifestSegments(spark, fam, fp1)
@@ -1351,7 +1351,7 @@ class DurableStoreSpec extends SparkSpec {
     // an empty delta is a no-op commit
     val segE = DurableStore.writeSegment(spark, fam, parts,
       Map("t" -> df(0, 0)))
-    assert(DurableStore.appendManifest(spark, fam, parts, segE,
+    assert(DurableStore.appendManifest(spark, fam, segE,
       DurableStore.frameFingerprint(df(0, 0), Seq("k", "v")))
       === ((1L, fp1)))
     // CONCURRENT appenders, collision forced: the fault hook holds
@@ -1377,11 +1377,11 @@ class DurableStoreSpec extends SparkSpec {
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
     val th2 = new Thread(() =>
       try results.add(
-        DurableStore.appendManifest(spark, fam, parts, sg2, fp2))
+        DurableStore.appendManifest(spark, fam, sg2, fp2))
       catch { case t: Throwable => errs.add(t) })
     val th3 = new Thread(() =>
       try results.add(
-        DurableStore.appendManifest(spark, fam, parts, sg3, fp3))
+        DurableStore.appendManifest(spark, fam, sg3, fp3))
       catch { case t: Throwable => errs.add(t) })
     try {
       th2.start(); th3.start()
@@ -1447,7 +1447,7 @@ class DurableStoreSpec extends SparkSpec {
           s"graced vacuum swept live race state: $rep")
       }
     val (vA, childA) =
-      try DurableStore.appendManifest(spark, fam, parts, segA, fpA)
+      try DurableStore.appendManifest(spark, fam, segA, fpA)
       finally DurableStore.faultHook = _ => ()
     assert(vA === 1L)
     assert(DurableStore.manifestSegments(spark, fam, childA)
@@ -1476,7 +1476,7 @@ class DurableStoreSpec extends SparkSpec {
       }
     val ex =
       try intercept[IllegalArgumentException](
-        DurableStore.appendManifest(spark, fam, parts, segB, fpB))
+        DurableStore.appendManifest(spark, fam, segB, fpB))
       finally DurableStore.faultHook = _ => ()
     assert(ex.getMessage.contains("swept by a grace-less vacuum"),
       ex.getMessage)
@@ -1487,6 +1487,49 @@ class DurableStoreSpec extends SparkSpec {
       "a manifest naming swept segments stayed published")
     assert(DurableStore.manifestTables(spark, fam, childA,
       parts)("t").count() === 13)
+  }
+
+  test("the head line survives compaction and keeps accepting " +
+      "appends: compacting the head fingerprint changes its chain, " +
+      "not its identity — the next append lands on the merged chain") {
+    import spark.implicits._
+    val fam = "spec_head_compact"
+    val parts = Seq(DurableStore.Part("t", None))
+    def df(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i, i.toLong)).toDF("k", "v")
+    val base = df(0, 8)
+    val fp0 = DurableStore.frameFingerprint(base, Seq("k", "v"))
+    val seg0 = DurableStore.writeSegment(spark, fam, parts,
+      Map("t" -> base))
+    DurableStore.loadOrBuildManifest(spark, fam, fp0, parts)(Seq(seg0))
+    assert(DurableStore.initHead(spark, fam, fp0))
+    def append(lo: Int, hi: Int) = {
+      val d = df(lo, hi)
+      DurableStore.appendManifest(spark, fam,
+        DurableStore.writeSegment(spark, fam, parts, Map("t" -> d)),
+        DurableStore.frameFingerprint(d, Seq("k", "v")))
+    }
+    append(8, 12)
+    val (v2, fp2) = append(12, 16)
+    assert(v2 === 2L)
+    assert(DurableStore.manifestSegments(spark, fam, fp2).size === 3)
+    // auto-compaction fires on the HEAD fingerprint past the chain
+    // threshold; the fingerprint — and therefore the head pointer —
+    // is untouched: identity is content, chains are layout
+    assert(graft.pipeline.Maintenance.autoCompactManifest(spark, fam,
+      fp2, parts, maxSegments = 2)(identity))
+    assert(DurableStore.headState(spark, fam) === Some((2L, fp2)),
+      "compaction moved the head")
+    assert(DurableStore.manifestSegments(spark, fam, fp2).size === 1)
+    assert(sortedRows(DurableStore.manifestTables(spark, fam, fp2,
+      parts)("t")) === sortedRows(df(0, 16)))
+    // and the NEXT append lands on the merged chain: [merged, delta]
+    val (v3, fp3) = append(16, 20)
+    assert(v3 === 3L)
+    val segs3 = DurableStore.manifestSegments(spark, fam, fp3)
+    assert(segs3.size === 2, s"append after compaction: $segs3")
+    assert(sortedRows(DurableStore.manifestTables(spark, fam, fp3,
+      parts)("t")) === sortedRows(df(0, 20)))
   }
 
   test("LM family: the l122 evict-reload shape serves identical count " +

@@ -142,7 +142,7 @@ object StoreRaceChild {
     DurableStore.faultHook = step =>
       if (step == "append_child_published")
         RaceBarrier.sync(barrier, famA, "child")
-    try DurableStore.appendManifest(spark, famA, partsM, segC, dCFp)
+    try DurableStore.appendManifest(spark, famA, segC, dCFp)
     finally DurableStore.faultHook = _ => ()
     var headA = DurableStore.headState(spark, famA).getOrElse(
       sys.error(s"$famA: no head after append"))

@@ -149,7 +149,7 @@ class StoreRaceSpec extends SparkSpec {
       DurableStore.faultHook = step =>
         if (step == "append_child_published")
           RaceBarrier.sync(barrier, famA, "parent")
-      try DurableStore.appendManifest(spark, famA, partsM, segP, dPFp)
+      try DurableStore.appendManifest(spark, famA, segP, dPFp)
       finally DurableStore.faultHook = _ => ()
       var headA = DurableStore.headState(spark, famA).getOrElse(
         sys.error(s"$famA: no head after append"))
@@ -191,7 +191,7 @@ class StoreRaceSpec extends SparkSpec {
           RaceBarrier.await(barrier, "avc_child_swept")
         }
       val (vVer, vChild) =
-        try DurableStore.appendManifest(spark, famV, partsM, segV, dVFp)
+        try DurableStore.appendManifest(spark, famV, segV, dVFp)
         finally DurableStore.faultHook = _ => ()
       assert(proc.waitFor(300, TimeUnit.SECONDS),
         "child JVM did not finish in time")
