@@ -51,11 +51,14 @@ import graft.Tables
   *    attempt and serves the winner's. Readers resolve part paths
   *    through the marker, so a crash mid-build leaves only an
   *    unreferenced attempt prefix (never a half-readable store). The
-  *    residual window is the conditional CREATE itself — atomic on
-  *    HDFS/local and on object stores with conditional PUT (S3
-  *    If-None-Match); the protocol never depends on directory-rename
-  *    atomicity. This is the InfluxTable staged-driver-commit
-  *    discipline applied to the store layout.
+  *    residual window is the conditional CREATE itself, provided by
+  *    `createExclusive` on every store (HDFS namenode lease,
+  *    object-store conditional PUT — S3 If-None-Match — and an O_EXCL
+  *    slot reserve on local file systems, where Hadoop's
+  *    overwrite=false create is only check-then-act); the protocol
+  *    never depends on directory-rename atomicity. This is the
+  *    InfluxTable staged-driver-commit discipline applied to the
+  *    store layout.
   *
   * Bucketed parts are written with `bucketBy(Buckets, key)` and
   * re-registered in later applications with `CREATE TABLE ...
@@ -583,9 +586,9 @@ object DurableStore {
   //       created last, so a crashed writer leaves only a marker-less
   //       segment — debris, never a half-readable store);
   //   <root>/<family>/<fp>/_GRAFT_STORE_COMPLETE   the fingerprint's
-  //       MANIFEST: ONE create-if-absent (the marker-mode commit
-  //       discipline — atomic on HDFS/local and on object stores with
-  //       conditional PUT, never a directory rename) whose `seg_`
+  //       MANIFEST: ONE create-if-absent (`createExclusive` — the
+  //       marker-mode commit discipline, atomic on every supported
+  //       store, never a directory rename) whose `seg_`
   //       lines name the ordered segments composing the layout.
   //
   // Readers resolve each part as the UNION of the listed segments'

@@ -1532,6 +1532,33 @@ class DurableStoreSpec extends SparkSpec {
       parts)("t")) === sortedRows(df(0, 20)))
   }
 
+  test("combineFingerprints is commutative and associative with the " +
+      "empty fingerprint as identity — the algebra every head-line " +
+      "commit relies on (append order cannot change the committed " +
+      "fingerprint, and fp(head ∪ delta) is derivable without a scan)") {
+    val rnd = new scala.util.Random(16L)
+    def fp() = {
+      val n = rnd.between(0L, 1000000L)
+      val x = rnd.nextLong()
+      s"n${n}_x${java.lang.Long.toHexString(x)}" +
+        s"_s${java.lang.Long.toUnsignedString(rnd.nextLong(), 16)}"
+    }
+    val empty = "n0_x0_s0"
+    (0 until 500).foreach { _ =>
+      val (a, b, c) = (fp(), fp(), fp())
+      assert(DurableStore.combineFingerprints(a, b)
+        === DurableStore.combineFingerprints(b, a))
+      assert(DurableStore.combineFingerprints(
+          DurableStore.combineFingerprints(a, b), c)
+        === DurableStore.combineFingerprints(a,
+          DurableStore.combineFingerprints(b, c)))
+      assert(DurableStore.combineFingerprints(a, empty) === a)
+    }
+    // and a non-fingerprint string fails loudly, never silently
+    intercept[RuntimeException](
+      DurableStore.combineFingerprints("garbage", empty))
+  }
+
   test("LM family: the l122 evict-reload shape serves identical count " +
       "tables") {
     val fp = NgramModelStore.corpusFp(spark, fixtureDir)
