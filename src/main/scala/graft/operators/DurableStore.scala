@@ -1641,6 +1641,153 @@ object DurableStore {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Head-LINE READ FACES: the head files ARE the family's commit log
+  // (one `_GRAFT_HEAD.v<k>` per committed version, content = the
+  // fingerprint that IS version k), so three lakehouse read shapes
+  // fall out of the files that already exist — history listing, time
+  // travel, and change capture — with NO new write-path state:
+  //
+  //   headLineage        DESCRIBE HISTORY: every surviving version
+  //   manifestTablesAt   VERSION AS OF: serve the line as of v
+  //   changesBetween     CDC: the rows (vFrom, vTo] appended, read
+  //                      from ONLY the delta segments — O(delta),
+  //                      never a snapshot diff
+  //
+  // Readable depth = the retention grace: vacuum keeps only the
+  // highest head (and its layout) past the grace, so a swept version
+  // errors LOUDLY here instead of serving a half-alive layout — the
+  // Delta time-travel/CDF trade (their vacuumed log behaves the same
+  // way) re-expressed on the marker primitive. The streaming face of
+  // `changesBetween` is `graft.sources.StoreCdcProvider`
+  // ("graft-store"), whose offsets are exactly these head versions.
+  // ------------------------------------------------------------------
+
+  /** Every COMPLETE surviving head version of the family, ascending:
+    * (version, fingerprint) — the DESCRIBE HISTORY face. Torn CAS
+    * leftovers and retention-swept versions are simply absent (a torn
+    * candidate is unreadable by contract, not an error).
+    */
+  def headLineage(s: SparkSession, family: String): Seq[(Long, String)] = {
+    val fam = famDir(s, family)
+    val f = fsOf(s, fam)
+    if (!f.exists(fam)) return Nil
+    f.listStatus(fam).toSeq
+      .filter(st => !st.isDirectory &&
+        st.getPath.getName.startsWith(HeadFilePrefix) &&
+        headVersionOf(st.getPath.getName) >= 0)
+      .sortBy(st => headVersionOf(st.getPath.getName))
+      .flatMap { st =>
+        try {
+          val lines = readFully(f, st.getPath).linesIterator.toSeq
+          if (markerComplete(lines)) {
+            requireKnownFormat(lines, st.getPath.toString)
+            Some((headVersionOf(st.getPath.getName), lines.head))
+          } else None
+        } catch { case _: java.io.IOException => None }
+      }
+  }
+
+  /** The fingerprint head version `v` committed, when that head file
+    * still survives retention.
+    */
+  def headFingerprintAt(s: SparkSession, family: String,
+      v: Long): Option[String] =
+    headLineage(s, family).collectFirst { case (`v`, fp) => fp }
+
+  private def requireHeadFpAt(s: SparkSession, family: String,
+      v: Long, what: String): String =
+    headFingerprintAt(s, family, v).getOrElse(sys.error(
+      s"$what: head version $v of $family is not readable — never " +
+        "committed, a torn CAS, or swept by retention (vacuum keeps " +
+        "only the current head past the grace); read the current " +
+        "head via headState instead"))
+
+  /** TIME TRAVEL (VERSION AS OF): serve the family's line exactly as
+    * of head version `v`. Loud errors when the version — or the
+    * layout it names — has been swept: a time-travel read must never
+    * silently serve a different version.
+    */
+  def manifestTablesAt(s: SparkSession, family: String, v: Long,
+      parts: Seq[Part]): Map[String, DataFrame] = {
+    val fp = requireHeadFpAt(s, family, v, "time travel")
+    require(isBuilt(s, family, fp),
+      s"time travel: head version $v of $family names layout $fp, " +
+        "which retention has swept — only versions within the " +
+        "retention grace are readable")
+    manifestTables(s, family, fp, parts)
+  }
+
+  /** The ordered segments version `vTo` carries BEYOND version
+    * `vFrom` — the metadata core of change capture, shared by the
+    * batch (`changesBetween`) and streaming (`StoreCdcProvider`)
+    * faces. Sound only while `vFrom`'s segment list is a prefix-set
+    * of `vTo`'s: appends only ever add segments, but an in-place
+    * compaction REWRITES the chain (content identical, layout
+    * merged), after which the window's delta is no longer isolatable
+    * as files — that case errors loudly with the restart-from-
+    * snapshot instruction rather than double-reading merged rows.
+    */
+  def changedSegments(s: SparkSession, family: String, vFrom: Long,
+      vTo: Long): Seq[String] = {
+    require(vFrom <= vTo,
+      s"changedSegments: window ($vFrom, $vTo] of $family is reversed")
+    val fpTo = requireHeadFpAt(s, family, vTo, "change capture")
+    if (vFrom == vTo) return Nil
+    val fpFrom = requireHeadFpAt(s, family, vFrom, "change capture")
+    val sFrom = manifestSegments(s, family, fpFrom)
+    val sTo = manifestSegments(s, family, fpTo)
+    require(sFrom.toSet.subsetOf(sTo.toSet),
+      s"change capture: the chain of $family was compacted inside " +
+        s"the window ($vFrom, $vTo] (version $vFrom's segments are " +
+        "no longer all part of the head chain), so the window's " +
+        "delta is not isolatable as segment files — restart from a " +
+        "snapshot read of the current head")
+    sTo.filterNot(sFrom.toSet)
+  }
+
+  /** The existing part dirs of `part` across `segs` — a delta
+    * segment need not carry every part (frozen model artifacts live
+    * only in the base segment).
+    */
+  def segmentPartDirs(s: SparkSession, family: String,
+      segs: Seq[String], part: String): Seq[String] = {
+    val fam = famDir(s, family)
+    val f = fsOf(s, fam)
+    segs.map(seg => new Path(fam, new Path(seg, part)))
+      .filter(f.exists).map(_.toString)
+  }
+
+  /** CHANGE CAPTURE, batch face: per part, the rows the line gained
+    * in the window (vFrom, vTo] — read from ONLY the delta segments
+    * (O(delta) I/O however large the standing corpus; an s19 gate
+    * pins `inputFiles` to the delta dirs). A part no delta segment
+    * carries changed nothing: an EMPTY frame in the part's own
+    * schema, never an error.
+    */
+  def changesBetween(s: SparkSession, family: String, vFrom: Long,
+      vTo: Long, parts: Seq[Part]): Map[String, DataFrame] = {
+    val delta = changedSegments(s, family, vFrom, vTo)
+    val fpTo = requireHeadFpAt(s, family, vTo, "change capture")
+    val all = manifestSegments(s, family, fpTo)
+    parts.map { p =>
+      val dirs = segmentPartDirs(s, family, delta, p.name)
+      val df =
+        if (dirs.nonEmpty) s.read.parquet(dirs: _*)
+        else {
+          // schema from the serving chain's footers (metadata read)
+          val carrying = segmentPartDirs(s, family, all, p.name)
+          require(carrying.nonEmpty,
+            s"change capture: no segment of $family/$fpTo carries " +
+              s"part ${p.name}")
+          val schema = s.read.parquet(carrying.head).schema
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        }
+      p.name -> df
+    }.toMap
+  }
+
   /** One-time FORMAT migration of a published layout: re-emit the
     * effective marker's content in the CURRENT format as the next
     * marker GENERATION (the compaction-swap discipline — one

@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Bridge into `private[sql] classic.Dataset.ofRows` — a V1
+    * streaming Source's `getBatch` must hand the engine a DataFrame
+    * over a plan it built itself (an `isStreaming` relation over the
+    * micro-batch's files, the FileStreamSource discipline), which is
+    * exactly what `ofRows` constructs.
+    */
+  def ofRows(s: classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame = classic.Dataset.ofRows(s, plan)
 }
