@@ -706,6 +706,148 @@ object ScaleQueries {
              |    AS n_rows,
              |  2 AS head_version, TRUE AS append_exact_ok,
              |  TRUE AS head_commit_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "s18_store_time_travel",
+      "HEAD-LINE HISTORY + TIME TRAVEL (the read faces the s17 commit log already paid for: one _GRAFT_HEAD.v<k> file per committed version IS a DESCRIBE HISTORY/VERSION AS OF substrate, no new write-path state): a base and two appendManifest commits build versions 0..2 of a scratch family; headLineage must list exactly those versions with the COMBINED fingerprints the appends committed (the algebra gate — a lineage that dropped or reordered a commit could not forge the fold); manifestTablesAt(v1) serves the line EXACTLY as of version 1 (multiset-exact against base+delta2, the later delta3 invisible — version addressing, not latest-wins); then keep-latest-1 retention with the automatic head pin retires the old versions and the SAME read must fail LOUDLY (a time-travel read may never silently serve a different version — the Delta vacuumed-log trade re-expressed), while the pinned head still serves all three slices. Census = as-of/head row counts + lineage/exactness/loud-failure gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "timetravel"
+        val parts = Seq(ds.Part("t", None))
+        try {
+          def slice(m: Long) = Tables.load(s, dir, "documents")
+            .where(col("doc_id") % 10 === m).select(col("doc_id"))
+            .localCheckpoint(eager = true)
+          val base = slice(1L)
+          val fp0 = ds.frameFingerprint(base, Seq("doc_id"))
+          val seg0 = ds.writeSegment(s, fam, parts, Map("t" -> base))
+          require(ds.publishManifest(s, fam, fp0, Seq(seg0)),
+            "base publish lost a race in a private root")
+          require(ds.initHead(s, fam, fp0), "head init lost a race")
+          def append(m: Long): (Long, String) = {
+            val d = slice(m)
+            val seg = ds.writeSegment(s, fam, parts, Map("t" -> d))
+            ds.appendManifest(s, fam, seg,
+              ds.frameFingerprint(d, Seq("doc_id")))
+          }
+          val (v1, fp1) = append(2L)
+          val (v2, fp2) = append(3L)
+          val lineageOk = (v1, v2) == (1L, 2L) &&
+            ds.headLineage(s, fam) ==
+              Seq((0L, fp0), (1L, fp1), (2L, fp2))
+          // VERSION AS OF 1: base+delta2, the later delta3 invisible
+          val asOf = ds.manifestTablesAt(s, fam, 1L, parts)("t")
+          val nAsOf = asOf.count()
+          val asOfDiff = Gates.mismatches(asOf,
+            slice(1L).unionAll(slice(2L)), "__mm")
+            .collect()(0).getLong(0)
+          // retention sweeps versions 0/1: the as-of read must fail
+          // LOUDLY now, never serve something else
+          ds.vacuumKeepLatest(s, fam, 1)
+          val sweptLoud =
+            try { ds.manifestTablesAt(s, fam, 1L, parts); false }
+            catch { case e: RuntimeException =>
+              e.getMessage.contains("swept by retention") ||
+                e.getMessage.contains("not readable") }
+          val head = ds.manifestTablesAt(s, fam, 2L, parts)("t")
+          head.agg(count(lit(1)).as("n_head_rows"))
+            .select(col("n_head_rows"),
+              lit(nAsOf).as("n_asof_rows"),
+              lit(lineageOk).as("lineage_ok"),
+              lit(asOfDiff == 0L).as("asof_exact_ok"),
+              lit(sweptLoud).as("swept_asof_fails_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT
+             |  count(CASE WHEN doc_id % 10 IN (1, 2, 3) THEN 1 END)
+             |    AS n_head_rows,
+             |  count(CASE WHEN doc_id % 10 IN (1, 2) THEN 1 END)
+             |    AS n_asof_rows,
+             |  TRUE AS lineage_ok, TRUE AS asof_exact_ok,
+             |  TRUE AS swept_asof_fails_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "s19_store_cdc_batch",
+      "CHANGE CAPTURE, batch face (what the reference can only do by re-scanning the whole source and re-sending it, index.js:186-198 — here the commit log that ingest already writes IS the change feed): over the s18 line (base + two appended commits), changesBetween(0, 2) must return EXACTLY the two appended slices (multiset-exact) while its inputFiles stay entirely inside the two delta segments' dirs — the O(delta) read gate: however large the standing corpus, a change read costs the window's appends; the empty window (2, 2] is an empty frame in the part's schema, not an error; and after an in-place compaction rewrites the chain (content identical, layout merged) the SAME window must fail LOUDLY with the restart-from-snapshot instruction — merged files cannot isolate the window and double-reading them would emit base rows as changes — while the compacted head still serves the full line. Census = changed/head row counts + exactness/delta-only/empty/loud-failure gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "cdc_batch"
+        val parts = Seq(ds.Part("t", None))
+        try {
+          def slice(m: Long) = Tables.load(s, dir, "documents")
+            .where(col("doc_id") % 10 === m).select(col("doc_id"))
+            .localCheckpoint(eager = true)
+          val base = slice(1L)
+          val fp0 = ds.frameFingerprint(base, Seq("doc_id"))
+          val seg0 = ds.writeSegment(s, fam, parts, Map("t" -> base))
+          require(ds.publishManifest(s, fam, fp0, Seq(seg0)),
+            "base publish lost a race in a private root")
+          require(ds.initHead(s, fam, fp0), "head init lost a race")
+          def append(m: Long): String = {
+            val d = slice(m)
+            val seg = ds.writeSegment(s, fam, parts, Map("t" -> d))
+            ds.appendManifest(s, fam, seg,
+              ds.frameFingerprint(d, Seq("doc_id")))._2
+          }
+          append(2L)
+          val fpHead = append(3L)
+          val changes = ds.changesBetween(s, fam, 0L, 2L, parts)("t")
+          val nChanged = changes.count()
+          val cdcDiff = Gates.mismatches(changes,
+            slice(2L).unionAll(slice(3L)), "__mm")
+            .collect()(0).getLong(0)
+          // O(delta) read: every input file lives under a segment the
+          // window appended — the base segment is never opened
+          val deltaSegs = ds.changedSegments(s, fam, 0L, 2L).toSet
+          val deltaOnly = changes.inputFiles.nonEmpty &&
+            changes.inputFiles.forall(p =>
+              deltaSegs.exists(seg => p.contains(s"/$fam/$seg/")))
+          val empty = ds.changesBetween(s, fam, 2L, 2L, parts)("t")
+          val emptyOk = empty.count() == 0L &&
+            empty.schema.fieldNames.toSeq == Seq("doc_id")
+          // compaction merges the chain in place: the window is no
+          // longer isolatable as files and must refuse loudly
+          ds.compactManifest(s, fam, fpHead, parts)(identity)
+          val compactLoud =
+            try { ds.changedSegments(s, fam, 0L, 2L); false }
+            catch { case e: RuntimeException =>
+              e.getMessage.contains("snapshot read of the current head") }
+          val head = ds.manifestTables(s, fam, fpHead, parts)("t")
+          head.agg(count(lit(1)).as("n_head_rows"))
+            .select(col("n_head_rows"),
+              lit(nChanged).as("n_changed_rows"),
+              lit(cdcDiff == 0L).as("cdc_exact_ok"),
+              lit(deltaOnly).as("delta_only_read_ok"),
+              lit(emptyOk).as("empty_window_ok"),
+              lit(compactLoud).as("compacted_window_fails_ok"))
+            .localCheckpoint(eager = true)
+        } finally {
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT
+             |  count(CASE WHEN doc_id % 10 IN (1, 2, 3) THEN 1 END)
+             |    AS n_head_rows,
+             |  count(CASE WHEN doc_id % 10 IN (2, 3) THEN 1 END)
+             |    AS n_changed_rows,
+             |  TRUE AS cdc_exact_ok, TRUE AS delta_only_read_ok,
+             |  TRUE AS empty_window_ok,
+             |  TRUE AS compacted_window_fails_ok
              |FROM documents""".stripMargin))
   )
 }

@@ -2535,6 +2535,88 @@ object TimeSeriesQueries {
              |    AS n_rows,
              |  2 AS head_version, TRUE AS headline_exact_ok,
              |  TRUE AS head_fp_combined_ok, TRUE AS maintenance_ok
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "t55_stream_cdc_tail",
+      "STREAMING CHANGE CAPTURE of the head line — the consumer side of t54's producer loop, and the shape the reference cannot express at all (its only change detection is re-scanning the source and re-sending everything, index.js:186-198; a downstream consumer here TAILS the commit log ingest already writes): spark.readStream.format(graft-store) turns the family's head versions into stream OFFSETS, so each micro-batch is one commit window read from ONLY the segments it appended. Proven in-query: base (m<4) publishes and becomes head v0; a snapshot-mode stream's FIRST batch must be the whole line as of stream start (the Delta starting-snapshot semantics, counted per phase through a memory sink); two appendManifest commits then land WHILE THE STREAM RUNS and each drains as EXACTLY its own slice (per-phase sink deltas equal the slice counts — a batch that re-read the standing corpus would surface as duplicates); the drained sink is multiset-exact against a batch read of the m<6 slice, the head sits at v2, and the whole tail accrues zero build-ledger seconds (serving changes is never a training job). Census = total/snapshot/tail row counts + head version + exactness/train-free gates",
+      (s, dir) => {
+        val ds = graft.operators.DurableStore
+        val root = QuerySpec.tempSinkDir()
+        val saved = s.conf.getOption("spark.graft.store.root")
+        s.conf.set("spark.graft.store.root", root)
+        val fam = "cdc_tail"
+        val parts = Seq(ds.Part("t", None))
+        val sink = "t55_cdc_sink"
+        try {
+          val docs = Tables.load(s, dir, "documents")
+            .select(col("doc_id"))
+          def slice(m: Long) = docs.where(col("doc_id") % 10 === m)
+            .localCheckpoint(eager = true)
+          val base = docs.where(col("doc_id") % 10 < 4)
+            .localCheckpoint(eager = true)
+          val fp0 = ds.frameFingerprint(base, Seq("doc_id"))
+          val seg0 = ds.writeSegment(s, fam, parts, Map("t" -> base))
+          require(ds.publishManifest(s, fam, fp0, Seq(seg0)),
+            "base publish lost a race in a private root")
+          require(ds.initHead(s, fam, fp0), "head init lost a race")
+          s.sql(s"DROP VIEW IF EXISTS $sink")
+          val q = s.readStream.format("graft-store")
+            .option("family", fam).option("part", "t")
+            .option("startingVersion", "snapshot")
+            .load()
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            val nSnap = s.table(sink).count()
+            def append(m: Long): Long = {
+              val d = slice(m)
+              val seg = ds.writeSegment(s, fam, parts, Map("t" -> d))
+              ds.appendManifest(s, fam, seg,
+                ds.frameFingerprint(d, Seq("doc_id")))
+              q.processAllAvailable()
+              s.table(sink).count()
+            }
+            // each commit drains as exactly its own slice: the sink
+            // grows by the slice count, never by a corpus re-read
+            val n4 = append(4L)
+            val n5 = append(5L)
+            val tailOk = n4 - nSnap == slice(4L).count() &&
+              n5 - n4 == slice(5L).count()
+            val (vHead, _) = ds.headState(s, fam).getOrElse(
+              sys.error("no head after the tailed appends"))
+            val drained = s.table(sink).localCheckpoint(eager = true)
+            val buildFree = ds.buildSeconds(fam) == 0.0
+            drained.agg(count(lit(1)).as("n_total_rows"))
+              .crossJoin(broadcast(mismatches(drained,
+                docs.where(col("doc_id") % 10 < 6), "__mm")))
+              .select(col("n_total_rows"),
+                lit(nSnap).as("n_snapshot_rows"),
+                lit(n5 - nSnap).as("n_tail_rows"),
+                lit(vHead.toInt).as("head_version"),
+                (col("__mm") === 0 && lit(tailOk))
+                  .as("tail_exact_ok"),
+                lit(buildFree).as("train_free_ok"))
+              .localCheckpoint(eager = true)
+          } finally {
+            q.stop()
+            s.sql(s"DROP VIEW IF EXISTS $sink")
+          }
+        } finally {
+          saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
+            s.conf.set("spark.graft.store.root", v))
+          graft.pipeline.SinkFiles.deleteRecursive(root)
+        }
+      },
+      Some("""SELECT count(CASE WHEN doc_id % 10 < 6 THEN 1 END)
+             |    AS n_total_rows,
+             |  count(CASE WHEN doc_id % 10 < 4 THEN 1 END)
+             |    AS n_snapshot_rows,
+             |  count(CASE WHEN doc_id % 10 IN (4, 5) THEN 1 END)
+             |    AS n_tail_rows,
+             |  2 AS head_version, TRUE AS tail_exact_ok,
+             |  TRUE AS train_free_ok
              |FROM documents""".stripMargin))
   )
 }

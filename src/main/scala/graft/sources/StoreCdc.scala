@@ -68,7 +68,8 @@ final class StoreCdcProvider extends StreamSourceProvider
       schema.getOrElse(StoreCdcProvider.partSchema(s, parameters)),
       StoreCdcProvider.required(parameters, "family"),
       StoreCdcProvider.required(parameters, "part"),
-      parameters.getOrElse("startingVersion", "latest"))
+      parameters.getOrElse("startingVersion", "latest"),
+      metadataPath)
   }
 }
 
@@ -100,14 +101,36 @@ object StoreCdcProvider {
 
 final class StoreCdcSource(s: ClassicSession,
     override val schema: StructType, family: String, part: String,
-    startingVersion: String) extends Source {
+    startingVersion: String, metadataPath: String) extends Source {
 
-  /** The head version at stream start — `latest` mode's exclusive
+  /** The head version at stream START — `latest` mode's exclusive
     * lower bound, and the earliest version `snapshot` can serve.
+    * PERSISTED in the query's own source-metadata dir on first
+    * creation: a restart must replay a WAL-logged-but-uncommitted
+    * first batch against the ORIGINAL anchor, not whatever the head
+    * is after the outage (commits during the downtime would
+    * otherwise reverse the replayed window in `latest` mode).
     */
-  private val anchor: Long = DurableStore.headState(s, family)
-    .map(_._1).getOrElse(sys.error(
-      s"graft-store stream: family $family has no committed head"))
+  private val anchor: Long = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft_anchor")
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (f.exists(p)) {
+      val in = f.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else {
+      val v = DurableStore.headState(s, family).map(_._1)
+        .getOrElse(sys.error(
+          s"graft-store stream: family $family has no committed head"))
+      f.mkdirs(p.getParent)
+      val out = f.create(p, false)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      v
+    }
+  }
 
   // fail at STREAM DEFINITION on a malformed or already-unreadable
   // start, not at the first trigger

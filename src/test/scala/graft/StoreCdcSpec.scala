@@ -212,6 +212,59 @@ class StoreCdcSpec extends SparkSpec {
     }
   }
 
+  test("latest mode persists its anchor in the source-metadata dir: " +
+      "a checkpointed restart emits exactly the downtime commits, and " +
+      "the anchor file records the ORIGINAL stream-start version (the " +
+      "value a replayed first batch must be computed against, not the " +
+      "post-outage head)") {
+    withFamily { (_, fam) =>
+      buildLine(fam)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdc_ckpt_").toString
+      try {
+        def run(): Seq[Long] = {
+          val got =
+            new java.util.concurrent.ConcurrentLinkedQueue[Long]
+          val q = spark.readStream.format("graft-store")
+            .option("family", fam).option("part", "t")
+            .load()
+            .writeStream
+            .foreachBatch {
+              (df: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+                df.collect().foreach(r => got.add(r.getLong(0)))
+            }
+            .option("checkpointLocation", ckpt)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          scala.jdk.CollectionConverters
+            .IteratorHasAsScala(got.iterator()).asScala.toSeq.sorted
+        }
+        assert(run() === Seq.empty) // nothing after the v2 anchor yet
+        val anchorFile = new java.io.File(
+          s"$ckpt/sources/0/graft_anchor")
+        assert(anchorFile.isFile &&
+          new String(java.nio.file.Files
+            .readAllBytes(anchorFile.toPath)).trim === "2")
+        def append(from: Long, until: Long): Unit = {
+          val d = slice(from, until)
+          val seg = ds.writeSegment(spark, fam, parts, Map("t" -> d))
+          ds.appendManifest(spark, fam, seg,
+            ds.frameFingerprint(d, Seq("id")))
+          ()
+        }
+        append(24, 30)
+        assert(run() === (24L until 30L))
+        // the anchor stays the ORIGINAL stream-start version across
+        // restarts — never silently re-derived from the moved head
+        assert(new String(java.nio.file.Files
+          .readAllBytes(anchorFile.toPath)).trim === "2")
+      } finally {
+        graft.pipeline.SinkFiles.deleteRecursive(ckpt)
+      }
+    }
+  }
+
   test("graft-store stream, numeric startingVersion: replays from " +
       "that commit's window onward (not the base), and a version " +
       "outside the surviving lineage fails at stream DEFINITION") {
