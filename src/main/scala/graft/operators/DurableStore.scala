@@ -1497,9 +1497,22 @@ object DurableStore {
       }.nextOption()
   }
 
-  private def tryCreateHead(f: FileSystem, p: Path,
-      fp: String): Boolean =
-    createExclusive(f, p, s"$fp\n$fmtLine\n${stampLine()}")
+  /** One head-CAS attempt. An append records its commit's DELTA
+    * SEGMENT as a `seg_` line (optional metadata within the current
+    * marker format — every reader takes the fingerprint from the
+    * head line and ignores lines it does not ask for): the head
+    * files then form a self-contained commit log, so change-capture
+    * windows resolve WITHOUT the superseded manifests and survive
+    * an in-place compaction for as long as the delta segments
+    * themselves do (the retention grace). v0 and pre-continuation
+    * heads carry no seg line — `changedSegments` falls back to the
+    * manifest containment diff there.
+    */
+  private def tryCreateHead(f: FileSystem, p: Path, fp: String,
+      deltaSeg: Option[String] = None): Boolean =
+    createExclusive(f, p,
+      ((fp +: fmtLine +: deltaSeg.toSeq) :+ stampLine())
+        .mkString("\n"))
 
   /** Install version 0 of the family head naming the already-published
     * `fp` (one create-if-absent; false when a head already exists).
@@ -1598,7 +1611,8 @@ object DurableStore {
           }
         if (publishedOk) {
           faultHook("append_child_published")
-          if (tryCreateHead(f, headPath(s, family, v + 1), childFp))
+          if (tryCreateHead(f, headPath(s, family, v + 1), childFp,
+              deltaSeg = Some(deltaSeg)))
             committed = Some((v + 1, childFp))
           else {
             val now = headState(s, family)
@@ -1663,12 +1677,13 @@ object DurableStore {
   // ("graft-store"), whose offsets are exactly these head versions.
   // ------------------------------------------------------------------
 
-  /** Every COMPLETE surviving head version of the family, ascending:
-    * (version, fingerprint) — the DESCRIBE HISTORY face. Torn CAS
-    * leftovers and retention-swept versions are simply absent (a torn
-    * candidate is unreadable by contract, not an error).
+  /** COMPLETE surviving head files of the family, ascending:
+    * (version, marker lines). Torn CAS leftovers and retention-swept
+    * versions are simply absent (a torn candidate is unreadable by
+    * contract, not an error).
     */
-  def headLineage(s: SparkSession, family: String): Seq[(Long, String)] = {
+  private def headFileLines(s: SparkSession,
+      family: String): Seq[(Long, Seq[String])] = {
     val fam = famDir(s, family)
     val f = fsOf(s, fam)
     if (!f.exists(fam)) return Nil
@@ -1682,11 +1697,29 @@ object DurableStore {
           val lines = readFully(f, st.getPath).linesIterator.toSeq
           if (markerComplete(lines)) {
             requireKnownFormat(lines, st.getPath.toString)
-            Some((headVersionOf(st.getPath.getName), lines.head))
+            Some((headVersionOf(st.getPath.getName), lines))
           } else None
         } catch { case _: java.io.IOException => None }
       }
   }
+
+  /** Every COMPLETE surviving head version of the family, ascending:
+    * (version, fingerprint) — the DESCRIBE HISTORY face.
+    */
+  def headLineage(s: SparkSession, family: String): Seq[(Long, String)] =
+    headFileLines(s, family).map { case (v, lines) => (v, lines.head) }
+
+  /** The delta segment head version `v` recorded at commit time —
+    * the commit-log entry change capture prefers. None when the head
+    * file is swept, v is the base version 0, or the head predates
+    * the seg-line continuation (legacy commits fall back to the
+    * manifest diff).
+    */
+  def headDeltaSegAt(s: SparkSession, family: String,
+      v: Long): Option[String] =
+    headFileLines(s, family).collectFirst { case (`v`, lines) =>
+      lines.find(_.startsWith("seg_"))
+    }.flatten
 
   /** The fingerprint head version `v` committed, when that head file
     * still survives retention.
@@ -1721,12 +1754,19 @@ object DurableStore {
   /** The ordered segments version `vTo` carries BEYOND version
     * `vFrom` — the metadata core of change capture, shared by the
     * batch (`changesBetween`) and streaming (`StoreCdcProvider`)
-    * faces. Sound only while `vFrom`'s segment list is a prefix-set
-    * of `vTo`'s: appends only ever add segments, but an in-place
-    * compaction REWRITES the chain (content identical, layout
-    * merged), after which the window's delta is no longer isolatable
-    * as files — that case errors loudly with the restart-from-
-    * snapshot instruction rather than double-reading merged rows.
+    * faces. Resolution prefers the COMMIT LOG: each appended head
+    * file names its commit's delta segment, so the window is the
+    * versions' recorded segments in commit order — no manifest read
+    * at all, which makes a window IMMUNE to an in-place compaction
+    * (compaction rewrites manifests, never head files) for as long
+    * as the delta segments themselves survive: tombstone-graced
+    * after the swap, so a live tail has the whole retention grace to
+    * drain. Once a window's segment is actually swept — or a legacy
+    * head in the window predates the seg-line log — resolution falls
+    * back to the manifest containment diff (appends only ever add
+    * segments), and a chain compacted inside the window errors
+    * loudly with the restart-from-snapshot instruction rather than
+    * double-reading merged rows.
     */
   def changedSegments(s: SparkSession, family: String, vFrom: Long,
       vTo: Long): Seq[String] = {
@@ -1734,6 +1774,21 @@ object DurableStore {
       s"changedSegments: window ($vFrom, $vTo] of $family is reversed")
     val fpTo = requireHeadFpAt(s, family, vTo, "change capture")
     if (vFrom == vTo) return Nil
+    // commit-log path: every version in the window both survives and
+    // recorded its delta segment at CAS time
+    val logged = ((vFrom + 1) to vTo)
+      .map(v => headDeltaSegAt(s, family, v))
+    if (logged.forall(_.isDefined)) {
+      val segs = logged.flatten
+      val missing =
+        segs.filterNot(g => segmentComplete(s, family, g))
+      require(missing.isEmpty,
+        s"change capture: the window ($vFrom, $vTo] of $family " +
+          s"names delta segments $missing that retention has swept " +
+          "(a compacted chain's old segments survive only for the " +
+          "grace) — restart from a snapshot read of the current head")
+      return segs
+    }
     val fpFrom = requireHeadFpAt(s, family, vFrom, "change capture")
     val sFrom = manifestSegments(s, family, fpFrom)
     val sTo = manifestSegments(s, family, fpTo)

@@ -778,7 +778,7 @@ object ScaleQueries {
 
     QuerySpec(
       "s19_store_cdc_batch",
-      "CHANGE CAPTURE, batch face (what the reference can only do by re-scanning the whole source and re-sending it, index.js:186-198 — here the commit log that ingest already writes IS the change feed): over the s18 line (base + two appended commits), changesBetween(0, 2) must return EXACTLY the two appended slices (multiset-exact) while its inputFiles stay entirely inside the two delta segments' dirs — the O(delta) read gate: however large the standing corpus, a change read costs the window's appends; the empty window (2, 2] is an empty frame in the part's schema, not an error; and after an in-place compaction rewrites the chain (content identical, layout merged) the SAME window must fail LOUDLY with the restart-from-snapshot instruction — merged files cannot isolate the window and double-reading them would emit base rows as changes — while the compacted head still serves the full line. Census = changed/head row counts + exactness/delta-only/empty/loud-failure gates",
+      "CHANGE CAPTURE, batch face (what the reference can only do by re-scanning the whole source and re-sending it, index.js:186-198 — here the commit log that ingest already writes IS the change feed): over the s18 line (base + two appended commits), changesBetween(0, 2) must return EXACTLY the two appended slices (multiset-exact) while its inputFiles stay entirely inside the two delta segments' dirs — the O(delta) read gate: however large the standing corpus, a change read costs the window's appends; the empty window (2, 2] is an empty frame in the part's schema, not an error; an in-place compaction rewriting the chain (content identical, layout merged) must NOT disturb the window — each appended head file names its commit's delta segment, so windows resolve from the commit log without the superseded manifests and stay multiset-exact for as long as the tombstone-graced old segments survive (the live-tail-through-compaction contract); and once retention actually closes the grace (a grace-0 keep-latest sweep) the SAME window must fail LOUDLY — a change read may serve exactly the window or refuse, never a partial or doubled answer — while the compacted head still serves the full line. Census = changed/head row counts + exactness/delta-only/empty/compaction-survival/loud-failure gates",
       (s, dir) => {
         val ds = graft.operators.DurableStore
         val root = QuerySpec.tempSinkDir()
@@ -818,13 +818,23 @@ object ScaleQueries {
           val empty = ds.changesBetween(s, fam, 2L, 2L, parts)("t")
           val emptyOk = empty.count() == 0L &&
             empty.schema.fieldNames.toSeq == Seq("doc_id")
-          // compaction merges the chain in place: the window is no
-          // longer isolatable as files and must refuse loudly
+          // compaction merges the chain in place — the window must
+          // keep resolving from the commit log, multiset-exact
           ds.compactManifest(s, fam, fpHead, parts)(identity)
-          val compactLoud =
+          val survived = Gates.mismatches(
+            ds.changesBetween(s, fam, 0L, 2L, parts)("t"),
+            slice(2L).unionAll(slice(3L)), "__mm")
+            .collect()(0).getLong(0) == 0L
+          // the grace closes: superseded manifests, head files and
+          // the old segments sweep — the window must now refuse
+          // loudly, never serve a partial or doubled answer
+          ds.vacuumKeepLatest(s, fam, 1)
+          val sweptLoud =
             try { ds.changedSegments(s, fam, 0L, 2L); false }
             catch { case e: RuntimeException =>
-              e.getMessage.contains("snapshot read of the current head") }
+              e.getMessage.contains("not readable") ||
+                e.getMessage.contains(
+                  "snapshot read of the current head") }
           val head = ds.manifestTables(s, fam, fpHead, parts)("t")
           head.agg(count(lit(1)).as("n_head_rows"))
             .select(col("n_head_rows"),
@@ -832,7 +842,8 @@ object ScaleQueries {
               lit(cdcDiff == 0L).as("cdc_exact_ok"),
               lit(deltaOnly).as("delta_only_read_ok"),
               lit(emptyOk).as("empty_window_ok"),
-              lit(compactLoud).as("compacted_window_fails_ok"))
+              lit(survived).as("cdc_survives_compaction_ok"),
+              lit(sweptLoud).as("swept_window_fails_ok"))
             .localCheckpoint(eager = true)
         } finally {
           saved.fold(s.conf.unset("spark.graft.store.root"))(v =>
@@ -847,7 +858,8 @@ object ScaleQueries {
              |    AS n_changed_rows,
              |  TRUE AS cdc_exact_ok, TRUE AS delta_only_read_ok,
              |  TRUE AS empty_window_ok,
-             |  TRUE AS compacted_window_fails_ok
+             |  TRUE AS cdc_survives_compaction_ok,
+             |  TRUE AS swept_window_fails_ok
              |FROM documents""".stripMargin))
   )
 }

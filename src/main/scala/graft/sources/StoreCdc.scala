@@ -44,7 +44,11 @@ import graft.operators.DurableStore
   * the same immutable segments, so checkpoint recovery re-produces
   * the batch exactly — provided retention grace outlives the
   * recovery gap (a swept window errors loudly, never serves a
-  * different answer; the Delta CDF-after-vacuum trade).
+  * different answer; the Delta CDF-after-vacuum trade). An in-place
+  * COMPACTION does not disturb a live tail: windows resolve from
+  * the commit log (each head file names its commit's delta
+  * segment), and the superseded segments survive tombstone-graced
+  * for the whole retention grace.
   *
   * Scale: `getOffset` is one file listing; a micro-batch's plan
   * reads only the appended segments. Nothing ever rescans the

@@ -88,8 +88,10 @@ class StoreCdcSpec extends SparkSpec {
 
   test("changesBetween isolates exactly the window's rows and reads " +
       "ONLY delta segment files; the empty window is an empty frame " +
-      "in the part's schema; a compaction inside the window errors " +
-      "loudly with the restart-from-snapshot instruction") {
+      "in the part's schema; the window SURVIVES an in-place " +
+      "compaction (the head files are a commit log naming each " +
+      "commit's delta segment) and errors loudly only once a " +
+      "window segment is actually gone") {
     withFamily { (root, fam) =>
       val (_, _, fp2) = buildLine(fam)
       val w02 = ds.changesBetween(spark, fam, 0L, 2L, parts)("t")
@@ -106,15 +108,51 @@ class StoreCdcSpec extends SparkSpec {
       val w22 = ds.changesBetween(spark, fam, 2L, 2L, parts)("t")
       assert(w22.count() === 0L)
       assert(w22.schema.fieldNames.toSeq === Seq("id"))
-      // compaction rewrites the chain (content identical, layout
-      // merged): the window's delta is no longer isolatable as files
+      // compaction rewrites the MANIFEST chain in place — but the
+      // commit log (head files) still names each commit's delta
+      // segment, and the superseded segments survive under the
+      // grace, so the window keeps resolving exactly
+      ds.compactManifest(spark, fam, fp2, parts)(identity)
+      assert(ids(ds.changesBetween(spark, fam, 0L, 2L, parts)("t"))
+        === (8L until 24L))
+      assert(ids(ds.manifestTables(spark, fam, fp2, parts)("t"))
+        === (0L until 24L))
+      // once a window's segment is actually swept (the grace closed
+      // on the compacted chain — simulated by removing it), the
+      // window errors loudly instead of serving a partial answer
+      val victim = ds.changedSegments(spark, fam, 0L, 2L).head
+      graft.pipeline.SinkFiles.deleteRecursive(s"$root/$fam/$victim")
+      val e = intercept[RuntimeException](
+        ds.changedSegments(spark, fam, 0L, 2L))
+      assert(e.getMessage.contains("retention has swept") &&
+        e.getMessage.contains("snapshot read of the current head"))
+    }
+  }
+
+  test("a legacy head line without commit-log seg lines falls back " +
+      "to the manifest containment diff — and then refuses loudly " +
+      "when the chain was compacted inside the window") {
+    withFamily { (root, fam) =>
+      val (_, _, fp2) = buildLine(fam)
+      // strip the seg_ lines from every head file: the pre-log form
+      // (and drop the checksum shadows the out-of-band rewrite broke)
+      (0L to 2L).foreach { v =>
+        val p = java.nio.file.Paths.get(root, fam, s"_GRAFT_HEAD.v$v")
+        val kept = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
+          .filterNot(_.startsWith("seg_"))
+        java.nio.file.Files.write(p, kept.mkString("\n").getBytes)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(root, fam, s"._GRAFT_HEAD.v$v.crc"))
+      }
+      // fallback path still isolates the window from the manifests
+      assert(ids(ds.changesBetween(spark, fam, 0L, 2L, parts)("t"))
+        === (8L until 24L))
+      // a compaction inside the window is then genuinely unreadable
       ds.compactManifest(spark, fam, fp2, parts)(identity)
       val e = intercept[RuntimeException](
         ds.changedSegments(spark, fam, 0L, 2L))
-      assert(e.getMessage.contains("snapshot read of the current head"))
-      // the head itself still serves the full content
-      assert(ids(ds.manifestTables(spark, fam, fp2, parts)("t"))
-        === (0L until 24L))
+      assert(e.getMessage.contains("compacted inside the window"))
     }
   }
 
@@ -146,6 +184,11 @@ class StoreCdcSpec extends SparkSpec {
         append(8, 16)
         q.processAllAvailable()
         assert(ids(spark.table("cdc_latest")) === (8L until 16L))
+        // an in-place compaction between triggers must not disturb
+        // the tail: the next batch is still exactly its commit's
+        // delta (a merged-segment re-read would duplicate the base)
+        val (_, fpHead) = ds.headState(spark, fam).get
+        ds.compactManifest(spark, fam, fpHead, parts)(identity)
         append(16, 24)
         q.processAllAvailable()
         // a batch that re-read the base would show as duplicates here
