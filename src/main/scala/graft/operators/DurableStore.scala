@@ -1775,9 +1775,11 @@ object DurableStore {
     val fpTo = requireHeadFpAt(s, family, vTo, "change capture")
     if (vFrom == vTo) return Nil
     // commit-log path: every version in the window both survives and
-    // recorded its delta segment at CAS time
-    val logged = ((vFrom + 1) to vTo)
-      .map(v => headDeltaSegAt(s, family, v))
+    // recorded its delta segment at CAS time (one dir listing for
+    // the whole window, not one per version)
+    val byVersion = headFileLines(s, family).toMap
+    val logged = ((vFrom + 1) to vTo).map(v =>
+      byVersion.get(v).flatMap(_.find(_.startsWith("seg_"))))
     if (logged.forall(_.isDefined)) {
       val segs = logged.flatten
       val missing =
