@@ -117,10 +117,15 @@ object Doremi {
   def pairsFrame(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, refPred: Column): DataFrame =
     docs
+      // token array MATERIALIZED in its own projection before the ngram
+      // HOF reads it — the t28 lesson applied to the batch path (see
+      // NgramLm.pairRows: the inlined split is O(tokens^2) per document
+      // under the HOF + the explode's inferred filter)
       .select(col(idCol).as("doc_id"), col(groupCol).as("source"),
         when(refPred, 1L).otherwise(0L).as("is_r"),
-        explode(NgramLm.ngramPairs(
-          TextFunctions.tokens(col(textCol)), 2)).as("p"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("source"), col("is_r"),
+        explode(NgramLm.ngramPairs(col("__toks"), 2)).as("p"))
       .select(col("doc_id"), col("source"), col("is_r"),
         col("p.prev").as("prev"), col("p.cur").as("cur"))
 

@@ -59,6 +59,31 @@ object NgramLm {
       .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
   }
 
+  /** The exploded (doc_id, prev, cur) pair rows of every document, with
+    * the token array MATERIALIZED in its own projection before the
+    * ngram HOF reads it. This is the t28 lesson applied to the BATCH
+    * train/score paths (the serve tier learned it in round 10, these
+    * didn't): HOFs evaluate without common-subexpression elimination,
+    * so an inlined tokens(text) child is re-split by every slice/
+    * element_at inside the lambda — O(tokens^2) per document, doubled
+    * again by the filter InferFiltersFromGenerate synthesizes under the
+    * explode. r16's LmProbe measured the inline form at ~3.0 s of pure
+    * pair generation on sf0.1 (5k docs) vs 0.08 s for the split itself;
+    * the two-step projection is plan-neutral otherwise (same rows, same
+    * broadcast-join scoring on top). CollapseProject keeps the
+    * projection boundary because the alias is multiply-referenced and
+    * non-cheap.
+    */
+  private[graft] def pairRows(docs: DataFrame, idCol: String,
+      textCol: String, order: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(ngramPairs(col("__toks"), order))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"),
+        col("p.cur").as("cur"))
+
   /** The trained artifact: bigram counts (prev, cur, pair_c), context
     * counts (prev, ctx_c — the row sums of the pair table), and the
     * one-row vocab size (v). All three are vocab-bounded.
@@ -74,9 +99,8 @@ object NgramLm {
   def trainBigram(train: DataFrame, textCol: String,
       order: Int = 2): BigramModel = {
     val pc = train
-      .select(explode(
-          ngramPairs(TextFunctions.tokens(col(textCol)), order))
-        .as("p"))
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(ngramPairs(col("__toks"), order)).as("p"))
       .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
       .groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("pair_c"))
@@ -122,12 +146,7 @@ object NgramLm {
     */
   def surprisalBits(docs: DataFrame, idCol: String, textCol: String,
       model: BigramModel, order: Int = 2): DataFrame = {
-    val ap = docs
-      .select(col(idCol).as("doc_id"),
-        explode(ngramPairs(TextFunctions.tokens(col(textCol)), order))
-          .as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"),
-        col("p.cur").as("cur"))
+    val ap = pairRows(docs, idCol, textCol, order)
     val scored = ap
       .join(broadcast(model.pairCounts), Seq("prev", "cur"), "left")
       .join(broadcast(model.ctxCounts), Seq("prev"), "left")
@@ -167,12 +186,7 @@ object NgramLm {
     */
   def backoffBits(docs: DataFrame, idCol: String, textCol: String,
       model: BackoffModel): DataFrame = {
-    val ap = docs
-      .select(col(idCol).as("doc_id"),
-        explode(ngramPairs(TextFunctions.tokens(col(textCol)), 2))
-          .as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"),
-        col("p.cur").as("cur"))
+    val ap = pairRows(docs, idCol, textCol, 2)
     val pbd = coalesce(col("ctx_c"), lit(0L)) + col("v")
     val pud = col("n") + col("v")
     val num = (coalesce(col("pair_c"), lit(0L)) + lit(1L)) * pud +
@@ -232,12 +246,7 @@ object NgramLm {
     */
   def kneserNeyBits(docs: DataFrame, idCol: String, textCol: String,
       model: KneserNeyModel): DataFrame = {
-    val ap = docs
-      .select(col(idCol).as("doc_id"),
-        explode(ngramPairs(TextFunctions.tokens(col(textCol)), 2))
-          .as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"),
-        col("p.cur").as("cur"))
+    val ap = pairRows(docs, idCol, textCol, 2)
     val contDen = col("t") + col("v")
     val contNum = coalesce(col("cont_c"), lit(0L)) + lit(1L)
     val seen = col("ctx_c").isNotNull

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.cosineSim
+import graft.functions.{PqCodebookLocal, PqFunctions}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -440,12 +441,9 @@ object Similarity {
       seedCentroids(corpus, idCol, embCol, nCentroids), trainIters)
     val lists = argmaxAssign(corpus, idCol, embCol, cents)
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-    val blocks0 = subBlocks(c, "c_id", "c_emb", m)
-    val blocks =
-      if (pqTrainIters >= 1) blocks0.localCheckpoint(eager = true)
-      else blocks0
-    val codebook = pqTrainCodebook(c, blocks, m, nCodes, pqTrainIters)
-    AnnIndex(cents, lists, codebook, pqEncode(blocks, codebook),
+    val cb = pqTrainCodebookLocal(c, m, nCodes, pqTrainIters)
+    AnnIndex(cents, lists, codebookDf(corpus.sparkSession, cb),
+      encodeCodesDf(c, cb),
       c.select(col("c_id"), vecNorm(col("c_emb")).as("c_norm")))
   }
 
@@ -460,8 +458,11 @@ object Similarity {
       batch: DataFrame, idCol: String, embCol: String, m: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val b = batch.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val cb = collectCodebookLocal(codebook)
+    require(cb.m == m,
+      s"assignEncode: codebook has m=${cb.m} blocks, caller expected $m")
     (argmaxAssign(batch, idCol, embCol, centroids),
-      pqEncode(subBlocks(b, "c_id", "c_emb", m), codebook),
+      encodeCodesDf(b, cb),
       b.select(col("c_id"), vecNorm(col("c_emb")).as("c_norm")))
   }
 
@@ -658,34 +659,30 @@ object Similarity {
       trainIters: Int = 2, nCentroids: Int = 16, nProbe: Int = 4,
       rerank: Int = 0, candidatesOpt: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-    // The sub-block explode feeds every Lloyd round's assignment AND the
-    // encode pass (trainIters + 1 consumers); localCheckpoint runs the
-    // scan+slice once and lets each consumer read blocks (r7 measured
-    // the replays as l57's dominant job count). This is the transient
-    // index-BUILD input — the artifact a production pipeline persists is
-    // `codes` (m bytes + a norm per vector), never this frame.
-    val blocks0 = subBlocks(c, "c_id", "c_emb", m)
-    val blocks =
-      if (trainIters >= 1) blocks0.localCheckpoint(eager = true) else blocks0
-    val codebook = pqTrainCodebook(c, blocks, m, nCodes, trainIters)
-    val codes = pqEncode(blocks, codebook)
-    val cNorms = c.select(col("c_id"), vecNorm(col("c_emb")).as("c_norm"))
+    // Train driver-side (treeAggregate, O(codebook) state per partition
+    // — the Opq.fitRotation sync-point shape) and ship the tiny codebook
+    // inside the encode/ADC expressions: the retired formulation ran a
+    // broadcast-join + two shuffled aggregates per Lloyd round plus a
+    // sub-block-exploded encode join, and r16's phase probe (PqProbe)
+    // measured that machinery at 2.9 s train + 3.0 s score on a
+    // 2000-row corpus — all Exchange/job floor, no data. The transient
+    // per-(vector, block) frame no longer exists at all; the artifact a
+    // production pipeline persists is still `codes` (m small values + a
+    // norm per vector).
+    val cb = pqTrainCodebookLocal(c, m, nCodes, trainIters)
+    val cEnc = c.select(col("c_id"),
+      PqFunctions.encodeCodes(cb, col("c_emb")).as("__codes"),
+      vecNorm(col("c_emb")).as("c_norm"))
     val cand = candidatesOpt.getOrElse(
       ivfCandidates(spark, queries, corpus, idCol, embCol,
         nCentroids, nProbe, trainIters = 0))
-    adcTopK(renameQ(queries, idCol, embCol), c, codebook, codes, cNorms,
-      cand, k, m, rerank)
+    adcTopKLocal(renameQ(queries, idCol, embCol), c, cb, cEnc, cand, k,
+      rerank)
   }
 
   private def vecNorm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
-
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double"))
-          * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
 
   private def dotp(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -707,61 +704,201 @@ object Similarity {
         slice(col(emb), col("blk") * col("__sub") + 1, col("__sub"))
           .as("sub"))
 
-  /** Per-sub-block codebook training (seeded smallest-hash init +
-    * `trainIters` Lloyd rounds, min-L2 assignment as a max-of-struct
-    * aggregate). Returns the (blk, code, cent) codebook, checkpointed:
-    * the trained frame is m*nCodes rows but its PLAN chains through the
-    * whole training lineage (and, untrained, through the corpus-scanning
-    * seed sample); it is broadcast-evaluated by the encode join and the
-    * ADC table independently, so checkpoint the tiny frame once instead
-    * of replaying the lineage per consumer.
+  /** Per-sub-block codebook training: seeded smallest-hash init (the
+    * ivf pattern — the nCodes smallest-hash rows seed EVERY block's
+    * codebook with their own sub-vector; the sampled id is the code id,
+    * unique + ordered, the only properties assignment tie-breaks need),
+    * then `trainIters` Lloyd rounds each as ONE treeAggregate pass with
+    * per-(block, code) sub-vector sums/counts — O(codebook) state per
+    * partition, the Opq.fitRotation sync-point shape. Replaces the
+    * retired broadcast-join + two-shuffled-aggregates round (guide
+    * §2.3/§2.4: aggregate without exploding (vector, block, code) rows,
+    * and no Exchange at all). Per-element d2 arithmetic and the
+    * smallest-code tie-break are bit-identical to the retired SQL
+    * formulation (see PqCodebookLocal's contract); only the mean's
+    * summation ORDER differs (treeAggregate vs shuffled avg) — codebook
+    * training was never bit-deterministic across runs, which is why
+    * every PQ consumer is gate-compared, not hash-compared.
     */
-  private def pqTrainCodebook(c: DataFrame, blocks: DataFrame, m: Int,
-      nCodes: Int, trainIters: Int): DataFrame = {
-    // Seeded deterministic init, exactly the ivf pattern: the nCodes
-    // smallest-hash rows seed EVERY block's codebook with their own
-    // sub-vector; the sampled id is the code id (unique + ordered, the
-    // only properties assignment tie-breaks need).
-    val seeds = c.select(col("c_id"), col("c_emb"),
+  private[graft] def pqTrainCodebookLocal(c: DataFrame, m: Int,
+      nCodes: Int, trainIters: Int): PqCodebookLocal = {
+    val seedRows = c.select(col("c_id"), col("c_emb"),
         xxhash64(col("c_id")).as("__h"))
+      .where(col("c_emb").isNotNull)
       .orderBy(col("__h"), col("c_id")).limit(nCodes)
-      .select(col("c_id").as("code"), col("c_emb"))
-    var codebook = subBlocks(seeds, "code", "c_emb", m)
-      .select(col("blk"), col("code"), col("sub").as("cent"))
-    for (_ <- 1 to trainIters) {
-      val assigned = blocks.join(broadcast(codebook), Seq("blk"))
-        .select(col("c_id"), col("blk"), col("sub"), col("code"),
-          l2sq(col("sub"), col("cent")).as("__d2"))
-        .groupBy(col("c_id"), col("blk"))
-        .agg(min(struct(col("__d2"), col("code"), col("sub").as("s")))
-          .as("m"))
-        .select(col("blk"), col("m.code").as("code"), col("m.s").as("sub"))
-      val means = assigned
-        .select(col("blk"), col("code"), posexplode(col("sub")))
-        .groupBy(col("blk"), col("code"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("mn"))
-        .groupBy(col("blk"), col("code"))
-        .agg(collect_list(struct(col("pos"), col("mn"))).as("pm"))
-        .select(col("blk"), col("code"),
-          transform(array_sort(col("pm")),
-            x => x.getField("mn").cast("float")).as("newc"))
-      codebook = codebook.join(means, Seq("blk", "code"), "left")
-        .select(col("blk"), col("code"),
-          coalesce(col("newc"), col("cent")).as("cent"))
+      .select(col("c_id"), col("c_emb")).collect()
+    require(seedRows.nonEmpty, "pqTrainCodebookLocal: empty corpus")
+    val seeds = seedRows
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val d = seeds.head._2.length
+    require(d % m == 0 && d >= m,
+      s"pqTopK: embedding dimension must be a positive multiple of m=$m, got $d")
+    val sub = d / m
+    val codeIds = seeds.map(_._1)
+    val n = codeIds.length
+    val cents0 = new Array[Float](m * n * sub)
+    var j = 0
+    while (j < n) {
+      require(seeds(j)._2.length == d,
+        s"pqTopK: ragged embedding: ${seeds(j)._2.length} != $d")
+      var blk = 0
+      while (blk < m) {
+        var k = 0
+        while (k < sub) {
+          cents0((blk * n + j) * sub + k) = seeds(j)._2(blk * sub + k)
+          k += 1
+        }
+        blk += 1
+      }
+      j += 1
     }
-    codebook.localCheckpoint(eager = true)
+    var cb = PqCodebookLocal(m, sub, codeIds, cents0)
+    if (trainIters >= 1) {
+      val rows = c.select(col("c_emb")).where(col("c_emb").isNotNull)
+        .rdd.map(_.getSeq[Float](0).toArray)
+      val persisted = trainIters > 1
+      if (persisted)
+        rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var it = 0
+        while (it < trainIters) {
+          val cbIt = cb
+          val zero = (new Array[Double](m * n * sub), new Array[Long](m * n))
+          val (sums, counts) = rows.treeAggregate(zero)(
+            seqOp = { case ((s, cnt), x) =>
+              if (x.length != d) throw new IllegalArgumentException(
+                s"pqTopK: ragged embedding: ${x.length} != $d")
+              var blk = 0
+              while (blk < m) {
+                val dense = cbIt.nearestDense(x, blk)
+                val off = (blk * n + dense) * sub
+                var k = 0
+                while (k < sub) {
+                  s(off + k) += x(blk * sub + k).toDouble
+                  k += 1
+                }
+                cnt(blk * n + dense) += 1L
+                blk += 1
+              }
+              (s, cnt)
+            },
+            combOp = { case ((s1, c1), (s2, c2)) =>
+              var i = 0
+              while (i < s1.length) { s1(i) += s2(i); i += 1 }
+              i = 0
+              while (i < c1.length) { c1(i) += c2(i); i += 1 }
+              (s1, c1)
+            })
+          val next = new Array[Float](m * n * sub)
+          var cell = 0
+          while (cell < m * n) {
+            val cnt = counts(cell)
+            var k = 0
+            while (k < sub) {
+              // empty cells keep their previous centroid (the retired
+              // coalesce(newc, cent) contract)
+              next(cell * sub + k) =
+                if (cnt == 0L) cbIt.cents(cell * sub + k)
+                else (sums(cell * sub + k) / cnt).toFloat
+              k += 1
+            }
+            cell += 1
+          }
+          cb = PqCodebookLocal(m, sub, codeIds, next)
+          it += 1
+        }
+      } finally if (persisted) rows.unpersist(blocking = false)
+    }
+    cb
   }
 
-  /** Encode: min-L2 code per (vector, block) — the corpus' entire PQ
+  /** The (blk, code, cent) codebook frame of a driver-side codebook —
+    * the persistable artifact (m*nCodes rows, no job to build).
+    */
+  private[graft] def codebookDf(spark: SparkSession,
+      cb: PqCodebookLocal): DataFrame = {
+    import spark.implicits._
+    (for (blk <- 0 until cb.m; j <- 0 until cb.nCodes) yield
+      (blk, cb.codeIds(j),
+        Seq.tabulate(cb.subDim)(k =>
+          cb.cents((blk * cb.nCodes + j) * cb.subDim + k))))
+      .toDF("blk", "code", "cent")
+  }
+
+  /** A persisted/returned (blk, code, cent) codebook frame collected
+    * back to the driver-side form (m*nCodes rows — the boot-bounded
+    * collectServeMeta discipline).
+    */
+  private[graft] def collectCodebookLocal(codebook: DataFrame)
+      : PqCodebookLocal = {
+    val rows = codebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, "collectCodebookLocal: empty codebook")
+    val m = rows.iterator.map(_._1).max + 1
+    val codeIds = rows.filter(_._1 == 0).map(_._2).sorted
+    val n = codeIds.length
+    val sub = rows.head._3.length
+    require(rows.length == m * n,
+      s"collectCodebookLocal: ragged codebook: ${rows.length} != $m x $n")
+    val idx = codeIds.zipWithIndex.toMap
+    val cents = new Array[Float](m * n * sub)
+    rows.foreach { case (blk, code, cent) =>
+      require(cent.length == sub,
+        s"collectCodebookLocal: ragged centroid: ${cent.length} != $sub")
+      System.arraycopy(cent, 0, cents, (blk * n + idx(code)) * sub, sub)
+    }
+    PqCodebookLocal(m, sub, codeIds, cents)
+  }
+
+  /** Encode: the (c_id, blk, code) frame — one narrow codegen'd
+    * projection + posexplode against the driver-side codebook (the
+    * retired formulation paid a broadcast join and a shuffled min-of-
+    * struct aggregate per consumer). The corpus' entire PQ
     * representation is these m small codes + one norm scalar.
     */
-  private def pqEncode(blocks: DataFrame, codebook: DataFrame): DataFrame =
-    blocks.join(broadcast(codebook), Seq("blk"))
-      .select(col("c_id"), col("blk"), col("code"),
-        l2sq(col("sub"), col("cent")).as("__d2"))
-      .groupBy(col("c_id"), col("blk"))
-      .agg(min(struct(col("__d2"), col("code"))).as("m"))
-      .select(col("c_id"), col("blk"), col("m.code").as("code"))
+  private def encodeCodesDf(c: DataFrame, cb: PqCodebookLocal): DataFrame =
+    c.select(col("c_id"),
+        posexplode(PqFunctions.encodeCodes(cb, col("c_emb"))))
+      .select(col("c_id"), col("pos").cast("int").as("blk"),
+        col("col").as("code"))
+
+  /** `adcTopK` with the codebook inside the expressions: candidates
+    * equi-join the (codes, norm) projection once and every ADC score is
+    * one codegen'd per-row fold — no dtab join, no shuffled partial-dot
+    * aggregate (and the per-candidate sum is deterministic, ascending
+    * blocks, unlike the shuffled sum it replaces; approximate scores
+    * stay gate-compared by the l07/l16 contract). `cEnc` is the
+    * (c_id, __codes, c_norm) projection of the corpus.
+    */
+  private def adcTopKLocal(q: DataFrame, cVecs: DataFrame,
+      cb: PqCodebookLocal, cEnc: DataFrame, cand: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    val scored = cand.join(cEnc, Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (PqFunctions.adcDot(cb, col("q_emb"), col("__codes")) /
+          (vecNorm(col("q_emb")) * col("c_norm"))).as("pq_cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("pq_cos").desc, col("c_id"))
+    val pqRanked = scored.withColumn("rk", row_number().over(w))
+    if (rerank <= 1) {
+      pqRanked.where(col("rk") <= k)
+        .select(col("q_id"), col("c_id"), col("pq_cos").as("score"),
+          col("rk"))
+    } else {
+      val short = pqRanked.where(col("rk") <= k * rerank)
+        .select(col("q_id"), col("c_id"))
+      val exact = short.join(cVecs, Seq("c_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+      val w2 = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      exact.withColumn("rk", row_number().over(w2))
+        .where(col("rk") <= k)
+        .select(col("q_id"), col("c_id"), col("cos").as("score"), col("rk"))
+    }
+  }
 
   /** ADC rank + optional full-precision re-rank over an EXISTING
     * candidate set and PQ representation — the zero-training scoring

@@ -3761,7 +3761,12 @@ object LlmQueries {
       "PCA-ROTATED product quantization — the OPQ baseline (Ge et al. 2013, 'Optimized Product Quantization': rotate so the subspace split aligns with the principal axes before PQ; PCA rotation is the paper's non-iterative baseline, their R0): the l101 model's full-rank UNWHITENED projection is an exact rotation (norms and dot products preserved), applied once as an index-build pass, and the l57 fidelity gate re-runs entirely in the rotated space. Two gates: (1) rotation invariance — brute-force exact top-10 in the rotated space agrees >= 95% with the original space (pure-rotation geometry; fp drift only flips knife-edge ties), (2) the rotated IVF-PQ top-10 agrees >= 90% with the rotated full-precision ranking of the same candidates (l57's gate, now on the compaction-aligned codes). Oracle = exact query-count arithmetic + literal true",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val model = Pca.fit(e, "embedding")
+        // the PCA seed is the SAME Pca.fit the standing OpqModelStore
+        // trains and persists for l112/l116 — consume the shared build
+        // instead of re-fitting per run (r16: one fewer treeAggregate
+        // pass over the corpus; the gates are agreement-thresholded, so
+        // which equally-valid fitted draw serves them is immaterial)
+        val model = graft.operators.OpqModelStore.shared(s, dir)._1
         val rot = e.select(col("vec_id"),
             transform(Pca.projectExpr(model, col("embedding"), model.dim,
               whiten = false), x => x.cast("float")).as("embedding"))
