@@ -507,10 +507,28 @@ object Similarity {
   def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, m: Int,
       codebook: DataFrame, codes: DataFrame, norms: DataFrame,
-      candidates: DataFrame, rerank: Int = 0): DataFrame =
-    adcTopK(renameQ(queries, idCol, embCol),
+      candidates: DataFrame, rerank: Int = 0): DataFrame = {
+    // r16: the codebook is collected once at plan time (m*nCodes rows —
+    // the collectServeMeta boot discipline) and ADC becomes the same
+    // codegen'd per-row fold the in-query build path uses; the
+    // candidate-bounded code arrays are reconstructed from the persisted
+    // (c_id, blk, code) rows, replacing the retired dtab broadcast-join
+    // + shuffled partial-dot aggregate. Scores are deterministic per
+    // row now, but stay agreement-gated (never hash-compared) by the
+    // l07/l16 contract.
+    val cb = collectCodebookLocal(codebook)
+    require(cb.m == m,
+      s"pqTopKFromIndex: codebook has m=${cb.m} blocks, caller expected $m")
+    val codesArr = candidates.select(col("c_id")).distinct()
+      .join(codes, Seq("c_id"))
+      .groupBy(col("c_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("blk"), col("code")))),
+        x => x.getField("code")).as("__codes"))
+    adcTopKLocal(renameQ(queries, idCol, embCol),
       corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb")),
-      codebook, codes, norms, candidates, k, m, rerank)
+      cb, codesArr.join(norms, Seq("c_id")), candidates, k, rerank)
+  }
 
   /** The serving tier's in-process view of the index's TINY artifacts:
     * centroids (nCentroids rows) and codebook (m*nCodes sub-vectors),
@@ -687,22 +705,6 @@ object Similarity {
   private def dotp(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-
-  // Fail loudly on a dimension/m mismatch: size/m silently floors, so
-  // dim < m would score every candidate 0.0 (empty sub-vectors) and
-  // dim % m != 0 would drop the trailing dimensions from ADC while the
-  // norms still use the full vector — both wrong answers, not errors.
-  private def subBlocks(df: DataFrame, id: String, emb: String,
-      m: Int): DataFrame =
-    df.select(col(id), col(emb),
-        when(size(col(emb)) % m === 0 && size(col(emb)) >= m,
-          (size(col(emb)) / m).cast("int"))
-          .otherwise(raise_error(concat(
-            lit(s"pqTopK: embedding dimension must be a positive multiple of m=$m, got "),
-            size(col(emb)).cast("string")))).as("__sub"))
-      .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("blk"),
-        slice(col(emb), col("blk") * col("__sub") + 1, col("__sub"))
-          .as("sub"))
 
   /** Per-sub-block codebook training: seeded smallest-hash init (the
     * ivf pattern — the nCodes smallest-hash rows seed EVERY block's
@@ -900,55 +902,6 @@ object Similarity {
     }
   }
 
-  /** ADC rank + optional full-precision re-rank over an EXISTING
-    * candidate set and PQ representation — the zero-training scoring
-    * core shared by `pqTopK` (which builds its index in-query) and
-    * `pqTopKFromIndex` (which reads a persisted one). `q` is the
-    * renamed (q_id, q_emb) query frame; `cVecs` the (c_id, c_emb)
-    * corpus frame, touched only by the rerank fetch.
-    */
-  private def adcTopK(q: DataFrame, cVecs: DataFrame, codebook: DataFrame,
-      codes: DataFrame, cNorms: DataFrame, cand: DataFrame, k: Int,
-      m: Int, rerank: Int): DataFrame = {
-    val qNorms = q.select(col("q_id"), vecNorm(col("q_emb")).as("q_norm"))
-    val dtab = subBlocks(q, "q_id", "q_emb", m)
-      .join(broadcast(codebook), Seq("blk"))
-      .select(col("q_id"), col("blk"), col("code"),
-        dotp(col("sub"), col("cent")).as("pdot"))
-    val scored = cand.join(codes, Seq("c_id"))
-      .join(broadcast(dtab), Seq("q_id", "blk", "code"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("pdot")).as("__adot"))
-      .join(cNorms, Seq("c_id")).join(broadcast(qNorms), Seq("q_id"))
-      .select(col("q_id"), col("c_id"),
-        (col("__adot") / (col("q_norm") * col("c_norm"))).as("pq_cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("pq_cos").desc, col("c_id"))
-    val pqRanked = scored.withColumn("rk", row_number().over(w))
-    if (rerank <= 1) {
-      // Same output schema as the rerank branch: (q_id, c_id, score, rk) —
-      // a tuning knob must not change the result shape.
-      pqRanked.where(col("rk") <= k)
-        .select(col("q_id"), col("c_id"), col("pq_cos").as("score"), col("rk"))
-    } else {
-      // Standard IVF-PQ+rerank: ADC prunes the candidate list to k*rerank
-      // per query, and only that short list is re-scored full-precision —
-      // at 100 TB the float vectors are fetched for k*rerank rows per
-      // query, never for the candidate set, never for the corpus.
-      val short = pqRanked.where(col("rk") <= k * rerank)
-        .select(col("q_id"), col("c_id"))
-      val exact = short.join(cVecs, Seq("c_id"))
-        .join(broadcast(q), Seq("q_id"))
-        .select(col("q_id"), col("c_id"),
-          cosineSim(col("q_emb"), col("c_emb")).as("cos"))
-      val w2 = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      exact.withColumn("rk", row_number().over(w2))
-        .where(col("rk") <= k)
-        .select(col("q_id"), col("c_id"), col("cos").as("score"), col("rk"))
-    }
-  }
-
   /** Approximate top-k via multi-table hyperplane LSH (standard
     * OR-amplification): `tables` independent b-bit bucketings; a corpus
     * vector is scored for a query iff they share a bucket in ANY table.
@@ -1031,31 +984,47 @@ object Similarity {
     * This is deliberately the exact all-pairs baseline (the same oracle
     * role as `l02`/`l05`); at scale the identical vote runs over
     * `lshTopK`/`ivfTopK` candidates instead of the cross product — the
-    * vote plan (two bounded windows + one map-side-combined count) is
-    * unchanged.
+    * vote plan (bounded top-k aggregate + map-side-combined count + one
+    * winner window over <= |labels| rows per query) is unchanged.
     */
   def knnClassify(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 10): DataFrame = {
     val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_emb"),
       col(labelCol).as("a_label"))
-    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_emb"),
-      col(labelCol).as("b_label"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_emb"))
     val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+      .select(col("a_id"), col("a_label"), col("b_id"),
         cosineSim(col("a_emb"), col("b_emb")).as("cos"))
-    voteTopK(scored, k)
+    voteTopK(scored,
+      df.select(col(idCol).as("b_id"), col(labelCol).as("b_label")), k)
   }
 
   /** The vote plan shared by the exact and ANN-candidate classifiers:
-    * bounded neighbor window (cos DESC, b_id) -> per-(a, label) count ->
-    * bounded winner window (votes DESC, label ASC). Expects columns
-    * (a_id, a_label, b_id, b_label, cos).
+    * bounded neighbor top-k as the map-side-combinable GroupedTopK
+    * aggregator (tieBreak -b_id makes (cos DESC, b_id ASC) one
+    * descending total order) -> neighbor-label attach -> per-(a, label)
+    * count -> bounded winner window (votes DESC, label ASC). Expects
+    * (a_id, a_label, b_id, cos) plus a (b_id, b_label) label frame.
+    *
+    * r16: the neighbor stage was a row_number window, which shuffled
+    * and sorted EVERY scored row — over the exact classifier's
+    * all-pairs join that is an O(|Q|*|C|) exchange carrying the label
+    * strings; the aggregator exchanges at most k (cos, id) pairs per
+    * (query, partition) and the labels attach to the n*k survivors
+    * (guide §2.3 — aggregate before you shuffle, project early). The
+    * label-attach join is UNHINTED: AQE broadcasts the label table at
+    * fixture scale, but at 100 TB labels are corpus-sized and the
+    * exploded top-k (n*k rows) is the small side — the planner must
+    * stay free to flip.
     */
-  private def voteTopK(scored: DataFrame, k: Int): DataFrame = {
-    val wN = Window.partitionBy(col("a_id"))
-      .orderBy(col("cos").desc, col("b_id"))
-    val votes = scored.withColumn("rk", row_number().over(wN))
-      .where(col("rk") <= k)
+  private def voteTopK(scored: DataFrame, labels: DataFrame,
+      k: Int): DataFrame = {
+    val top = scored.groupBy(col("a_id"), col("a_label"))
+      .agg(GroupedTopK.topK(k)(col("cos"), -col("b_id")).as("__top"))
+    val votes = top
+      .select(col("a_id"), col("a_label"), explode(col("__top")).as("t"))
+      .select(col("a_id"), col("a_label"), (-col("t._2")).as("b_id"))
+      .join(labels, Seq("b_id"))
       .groupBy(col("a_id"), col("a_label"), col("b_label"))
       .agg(count(lit(1)).as("n_votes"))
     val wV = Window.partitionBy(col("a_id"))
@@ -1077,17 +1046,15 @@ object Similarity {
     val labels = df.select(col(idCol).as("__lid"),
       col(labelCol).as("__lbl"))
     val cand = ivfTopK(spark, df, df, idCol, vecCol, k, nCentroids, nProbe)
-    // label attach is UNHINTED: AQE broadcasts the label table at fixture
-    // scale, but at 100 TB labels are corpus-sized and the candidate set
-    // (n*k rows) is the small side — the planner must stay free to flip
+    // query-label attach is UNHINTED for the same reason as the
+    // neighbor-label attach inside voteTopK
     val scored = cand
       .join(labels, col("q_id") === col("__lid"))
       .withColumnRenamed("__lbl", "a_label").drop("__lid")
-      .join(labels, col("c_id") === col("__lid"))
-      .withColumnRenamed("__lbl", "b_label").drop("__lid")
       .select(col("q_id").as("a_id"), col("a_label"),
-        col("c_id").as("b_id"), col("b_label"), col("cos"))
-    voteTopK(scored, k)
+        col("c_id").as("b_id"), col("cos"))
+    voteTopK(scored,
+      df.select(col(idCol).as("b_id"), col(labelCol).as("b_label")), k)
   }
 
   /** Embedding-column preflight — the sanity census every similarity /

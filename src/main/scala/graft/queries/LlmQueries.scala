@@ -4591,9 +4591,15 @@ object LlmQueries {
           codes = idx.codes, norms = idx.norms, candidates = cand,
           rerank = 8)
         val pqTables = catalogLeaves(pq)
+        // r16: pqTopKFromIndex boot-collects the codebook (the
+        // collectServeMeta discipline), so the registered codebook table
+        // is consumed at plan-build time and no longer appears as a leaf
+        // of the pq plan — probe the frame the collect reads instead;
+        // codes/norms stay in-plan leaves
+        val cbTables = catalogLeaves(idx.codebook)
         val fromStore = Seq(
             "cent" -> candTables, "lists" -> candTables,
-            "codebook" -> pqTables, "codes" -> pqTables,
+            "codebook" -> cbTables, "codes" -> pqTables,
             "norms" -> pqTables)
           .forall { case (p, ts) =>
             ts.contains(ds.registeredName(st.DurableFamily, fp, p)) }
