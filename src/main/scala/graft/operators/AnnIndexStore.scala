@@ -247,8 +247,11 @@ object AnnIndexStore {
   }
 
   /** The serve-tier view of the shared index (t22's boot artifacts):
-    * the driver-collected meta (dense codebook + centroids) and the
-    * per-vector dense-code arrays, cached alongside the index.
+    * the driver-collected meta (codebook + centroids) and the index's
+    * own ARRAY-form codes table (already checkpointed by
+    * `sharedIndex`) — since r17 the persisted codes ARE the serve
+    * layout, so boot is just the two tiny collects, with zero
+    * reconstruction jobs.
     */
   private val serveCache = scala.collection.mutable.Map.empty[
     Key, (Similarity.AnnServeMeta, org.apache.spark.sql.DataFrame)]
@@ -263,9 +266,8 @@ object AnnIndexStore {
       // belong to the ann_index ledger key, not ann_serve's
       val idx = sharedIndex(s, dir)
       serveCache.getOrElseUpdate(key, StoreBuildLedger.timed("ann_serve") {
-        val meta = Similarity.collectServeMeta(idx.centroids, idx.codebook)
-        (meta, Similarity.codesAsDenseArray(s, idx.codes, meta)
-          .localCheckpoint(eager = true))
+        (Similarity.collectServeMeta(idx.centroids, idx.codebook),
+          idx.codes)
       })
     }
 }

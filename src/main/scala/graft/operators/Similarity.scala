@@ -27,6 +27,37 @@ object Similarity {
   private def renameQ(queries: DataFrame, idCol: String, embCol: String) =
     queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
 
+  /** Bounded per-query top-k over a scored (q_id, c_id, score) frame
+    * via the map-side-combinable `GroupedTopK` aggregator: each
+    * partition reduces to <= k (score, id) pairs per query BEFORE the
+    * exchange, so the shuffled data is O(queries * k) instead of every
+    * scored candidate row (guide §2.3 — aggregate before you shuffle;
+    * the r16 voteTopK lesson applied to the ranking tier). Output rows
+    * are IDENTICAL to
+    * `row_number().over(partitionBy(q_id).orderBy(score desc, c_id)) <= k`
+    * — scores carry through the typed aggregator bit-exactly and the
+    * rank is the position in its descending order, so hash-compared
+    * consumers (l06 et al.) are unaffected.
+    *
+    * Contract (the voteTopK/GroupedTopK contract, documented where the
+    * retired window was laxer): `c_id` must be a signed integral id
+    * above Long.MinValue (the -id tie-break encode), and scores must
+    * be non-null finite doubles — cosines of non-null finite vectors
+    * are; a null score fails the typed encoder loudly rather than
+    * ranking last, and NaN would rank last rather than first.
+    */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String,
+      k: Int): DataFrame = {
+    val idType = scored.schema("c_id").dataType
+    scored.groupBy(col("q_id"))
+      .agg(GroupedTopK.topK(k)(col(scoreCol),
+        -col("c_id").cast("long")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (-col("col._2")).cast(idType).as("c_id"),
+        col("col._1").as(scoreCol),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Exact cosine top-k of each query against the corpus (query rows are
     * broadcast; ties broken by corpus id).
     */
@@ -37,11 +68,11 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         cosineSim(col("q_emb"), col("c_emb")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    // bounded top-k (r17): the all-pairs SCORING is this twin's
+    // contract; the ranking over it is not — the aggregator reduces
+    // each partition to k pairs per query before the exchange instead
+    // of shuffling and sorting the whole scored cross product
+    topKPerQuery(scored, "cos", k)
   }
 
   /** b-bit random-hyperplane signature per vector, as one narrow codegen'd
@@ -173,11 +204,9 @@ object Similarity {
     val scored = candidates.join(c, "c_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
         cosineSim(col("q_emb"), col("c_emb")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    // bounded top-k (r17): probe-bounded candidates still fan out to
+    // O(|Q| * list size) scored rows — rank them map-side-bounded
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Seeded deterministic centroid init with NO driver-side pass over
@@ -420,9 +449,11 @@ object Similarity {
     * (nCentroids rows, broadcast side of probing), the inverted `lists`
     * assignment (c_id, cent_id — bucket by cent_id on write so the probe
     * join is shuffle-free on the index side, the l60 pattern), the PQ
-    * `codebook` (m*nCodes rows), the encoded `codes` (m small codes per
-    * vector — the memory-bound corpus representation), and the exact
-    * `norms` (one scalar per vector, turning ADC dots into cosines).
+    * `codebook` (m*nCodes rows), the encoded `codes` in ARRAY form —
+    * (c_id, codes array<long>), m small raw code ids in one row fetch,
+    * the memory-bound corpus representation a serve tier reads without
+    * reconstruction — and the exact `norms` (one scalar per vector,
+    * turning ADC dots into cosines).
     */
   final case class AnnIndex(centroids: DataFrame, lists: DataFrame,
     codebook: DataFrame, codes: DataFrame, norms: DataFrame)
@@ -507,27 +538,27 @@ object Similarity {
   def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, m: Int,
       codebook: DataFrame, codes: DataFrame, norms: DataFrame,
-      candidates: DataFrame, rerank: Int = 0): DataFrame = {
-    // r16: the codebook is collected once at plan time (m*nCodes rows —
-    // the collectServeMeta boot discipline) and ADC becomes the same
-    // codegen'd per-row fold the in-query build path uses; the
-    // candidate-bounded code arrays are reconstructed from the persisted
-    // (c_id, blk, code) rows, replacing the retired dtab broadcast-join
-    // + shuffled partial-dot aggregate. Scores are deterministic per
-    // row now, but stay agreement-gated (never hash-compared) by the
-    // l07/l16 contract.
-    val cb = collectCodebookLocal(codebook)
+      candidates: DataFrame, rerank: Int = 0,
+      cbLocalOpt: Option[PqCodebookLocal] = None): DataFrame = {
+    // r17: `codes` is persisted in ARRAY form — (c_id, codes), the
+    // serving-tier record layout encode produces natively — so serving
+    // is ONE equi-join of candidates against (codes, norm) plus the
+    // codegen'd per-row ADC fold. The r16 shape rebuilt the arrays per
+    // serve (distinct + join + collect_list + array_sort: three extra
+    // exchange-bearing stages per query), which the driver measured as
+    // the l72/t22 2x regression. Callers that already hold the boot-
+    // collected codebook (the sharedServe meta) pass it via
+    // `cbLocalOpt`, skipping the per-call driver collect; persisted-
+    // table callers (l72/l116/l123) keep the collect — their contract
+    // is that serving boots from the store.
+    val cb = cbLocalOpt.getOrElse(collectCodebookLocal(codebook))
     require(cb.m == m,
       s"pqTopKFromIndex: codebook has m=${cb.m} blocks, caller expected $m")
-    val codesArr = candidates.select(col("c_id")).distinct()
-      .join(codes, Seq("c_id"))
-      .groupBy(col("c_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("blk"), col("code")))),
-        x => x.getField("code")).as("__codes"))
+    val cEnc = codes.select(col("c_id"), col("codes").as("__codes"))
+      .join(norms, Seq("c_id"))
     adcTopKLocal(renameQ(queries, idCol, embCol),
       corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb")),
-      cb, codesArr.join(norms, Seq("c_id")), candidates, k, rerank)
+      cb, cEnc, candidates, k, rerank)
   }
 
   /** The serving tier's in-process view of the index's TINY artifacts:
@@ -541,52 +572,21 @@ object Similarity {
     * (Structured Streaming forbids window functions).
     */
   final case class AnnServeMeta(cents: Seq[(Long, Seq[Float])],
-      codebookArr: Seq[Seq[Float]], m: Int, subDim: Int, nCodes: Int,
-      codeIdx: Map[(Int, Long), Int])
+      cb: PqCodebookLocal)
 
-  /** The codebook is collected DENSE: per block the (arbitrary) code
-    * ids are remapped to 0..nCodes-1 (sorted order) and the
-    * sub-vectors laid out as one array indexed blk*nCodes + dense — so
-    * the per-candidate ADC lookup is an O(1) array index, not a scan
-    * of a map literal (Spark's literal-map element_at is linear; at
-    * m=16 x 64 codes that is 1024 comparisons per block per candidate,
-    * the difference between a serve tier and a table scan). `codeIdx`
-    * carries the remap for `codesAsDenseArray`.
+  /** The boot collect: centroids as a sorted (cent_id, emb) literal
+    * for per-row probing, and the codebook in the same driver-side
+    * dense-array form the build/encode tier uses (`PqCodebookLocal` —
+    * binary-searched raw-code lookup, O(log nCodes) per block, no
+    * literal-map scan). Columns resolved by NAME so a persisted
+    * layout's column order cannot silently misread.
     */
   def collectServeMeta(centroids: DataFrame,
       codebook: DataFrame): AnnServeMeta = {
-    val cs = centroids.collect()
+    val cs = centroids.select(col("cent_id"), col("cent_emb")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
       .sortBy(_._1).toSeq
-    val rows = codebook.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq))
-    val m = rows.iterator.map(_._1).max + 1
-    val nCodes = rows.count(_._1 == 0)
-    val codeIdx = rows.map(r => (r._1, r._2)).sorted.zipWithIndex
-      .map { case ((blk, code), i) => (blk, code) -> (i - blk * nCodes) }
-      .toMap
-    val arr = rows.sortBy(r => (r._1, r._2)).map(_._3).toSeq
-    require(arr.size == m * nCodes,
-      s"ragged codebook: ${arr.size} entries != $m x $nCodes")
-    AnnServeMeta(cs, arr, m, rows.head._3.size, nCodes, codeIdx)
-  }
-
-  /** `codes` pivoted to one blk-ordered DENSE-code array per vector —
-    * the serving-tier record layout (m small values in one row fetch),
-    * with raw code ids remapped through the collected codebook's dense
-    * indexing by a broadcast join (never a per-row literal-map scan).
-    */
-  def codesAsDenseArray(spark: SparkSession, codes: DataFrame,
-      meta: AnnServeMeta): DataFrame = {
-    import spark.implicits._
-    val remap = meta.codeIdx.toSeq
-      .map { case ((blk, code), i) => (blk, code, i) }
-      .toDF("blk", "code", "dense")
-    codes.join(broadcast(remap), Seq("blk", "code"))
-      .groupBy(col("c_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("blk"), col("dense")))),
-        x => x.getField("dense")).as("codes"))
+    AnnServeMeta(cs, collectCodebookLocal(codebook))
   }
 
   /** Window-free per-row probe: the query's top-nProbe cent_ids against
@@ -602,27 +602,25 @@ object Similarity {
           c.getField("_1").as("cent_id")))), 1, nProbe),
       s => s.getField("cent_id"))
 
-  /** Per-row ADC cosine against the collected codebook: a sequential
-    * fold over the m blocks (deterministic, unlike the batch path's
-    * shuffled partial-dot sum — approximate scores are gate-compared,
-    * never hash-compared, by the l07/l16 contract). The candidate's m
-    * small codes and one norm scalar are the ONLY per-candidate data
-    * touched; the full-precision corpus vector never is.
+  /** Per-row ADC cosine against the collected codebook: the SAME
+    * codegen'd per-row fold the build/batch tier uses (`PqAdcDot` —
+    * deterministic, ascending blocks; approximate scores are
+    * gate-compared, never hash-compared, by the l07/l16 contract). The
+    * candidate's m small raw codes and one norm scalar are the ONLY
+    * per-candidate data touched; the full-precision corpus vector
+    * never is. `qNorm` is precomputed ONCE per query row in the caller
+    * (r17 — the retired formulation re-ran the O(dim) norm fold per
+    * scored (q, c) row).
     */
   def adcCosineLocal(meta: AnnServeMeta, qEmb: Column, codesArr: Column,
-      cNorm: Column): Column = {
-    val cbLit = typedLit(meta.codebookArr)
-    val terms = zip_with(codesArr, sequence(lit(0), lit(meta.m - 1)),
-      (dense, blk) => dotp(
-        slice(qEmb, blk * lit(meta.subDim) + lit(1), lit(meta.subDim)),
-        element_at(cbLit, blk * lit(meta.nCodes) + dense + lit(1))))
-    aggregate(terms, lit(0.0), (acc, v) => acc + v) /
-      (vecNorm(qEmb) * cNorm)
-  }
+      qNorm: Column, cNorm: Column): Column =
+    PqFunctions.adcDot(meta.cb, qEmb, codesArr) / (qNorm * cNorm)
 
   /** Stateless serve scoring over a (possibly STREAMING) query frame:
     * per-row probe (literal centroids) -> equi-join the persisted lists
     * on cent_id -> fetch codes+norm by c_id -> per-row ADC cosine.
+    * `codesArr` is the ARRAY-form codes table (c_id, codes) the index
+    * persists — one row fetch per candidate, no reconstruction.
     * Every join is a stream-static equi-join; no window, no aggregation,
     * no training job anywhere in the plan. The stateful top-k lives in
     * `StreamingOps.annTopKState` (batch callers can use a plain window
@@ -634,14 +632,15 @@ object Similarity {
     queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .select(col("q_id"), col("q_emb"),
+        vecNorm(col("q_emb")).as("q_norm"),
         explode(probeTopLocal(meta, col("q_emb"), nProbe)).as("cent_id"))
       .join(lists, Seq("cent_id"))
       .where(col("q_id") =!= col("c_id"))
       .join(codesArr, Seq("c_id"))
       .join(norms, Seq("c_id"))
       .select(col("q_id"), col("c_id"),
-        adcCosineLocal(meta, col("q_emb"), col("codes"), col("c_norm"))
-          .as("pq_cos"))
+        adcCosineLocal(meta, col("q_emb"), col("codes"), col("q_norm"),
+          col("c_norm")).as("pq_cos"))
 
   /** IVF-PQ: the memory-bound rung of the ANN ladder. Each corpus
     * vector is stored as m codebook codes (one byte-scale code per
@@ -701,10 +700,6 @@ object Similarity {
   private def vecNorm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
-
-  private def dotp(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
 
   /** Per-sub-block codebook training: seeded smallest-hash init (the
     * ivf pattern — the nCodes smallest-hash rows seed EVERY block's
@@ -833,7 +828,10 @@ object Similarity {
     */
   private[graft] def collectCodebookLocal(codebook: DataFrame)
       : PqCodebookLocal = {
-    val rows = codebook.collect()
+    // columns resolved by NAME: a persisted layout or caller-built
+    // frame with reordered columns must fail loudly, not misread
+    val rows = codebook.select(col("blk"), col("code"), col("cent"))
+      .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
     require(rows.nonEmpty, "collectCodebookLocal: empty codebook")
     val m = rows.iterator.map(_._1).max + 1
@@ -852,17 +850,18 @@ object Similarity {
     PqCodebookLocal(m, sub, codeIds, cents)
   }
 
-  /** Encode: the (c_id, blk, code) frame — one narrow codegen'd
-    * projection + posexplode against the driver-side codebook (the
-    * retired formulation paid a broadcast join and a shuffled min-of-
-    * struct aggregate per consumer). The corpus' entire PQ
-    * representation is these m small codes + one norm scalar.
+  /** Encode: the (c_id, codes) frame — one narrow codegen'd projection
+    * against the driver-side codebook (the retired formulations paid a
+    * broadcast join + shuffled min-of-struct aggregate per consumer,
+    * then r16 a posexplode whose array every serve path had to rebuild
+    * with a distinct + join + collect_list — the driver-measured l72/
+    * t22 regression). ARRAY form is the serving-tier record layout:
+    * the corpus' entire PQ representation is m small raw code ids in
+    * one row fetch plus one norm scalar.
     */
   private def encodeCodesDf(c: DataFrame, cb: PqCodebookLocal): DataFrame =
     c.select(col("c_id"),
-        posexplode(PqFunctions.encodeCodes(cb, col("c_emb"))))
-      .select(col("c_id"), col("pos").cast("int").as("blk"),
-        col("col").as("code"))
+      PqFunctions.encodeCodes(cb, col("c_emb")).as("codes"))
 
   /** `adcTopK` with the codebook inside the expressions: candidates
     * equi-join the (codes, norm) projection once and every ADC score is
@@ -875,29 +874,33 @@ object Similarity {
   private def adcTopKLocal(q: DataFrame, cVecs: DataFrame,
       cb: PqCodebookLocal, cEnc: DataFrame, cand: DataFrame, k: Int,
       rerank: Int): DataFrame = {
+    // q_norm is computed ONCE per query row inside the broadcast side
+    // (r17 — the retired formulation re-ran the O(dim) norm fold per
+    // scored (q, c) row)
+    val qN = q.withColumn("__q_norm", vecNorm(col("q_emb")))
     val scored = cand.join(cEnc, Seq("c_id"))
-      .join(broadcast(q), Seq("q_id"))
+      .join(broadcast(qN), Seq("q_id"))
       .select(col("q_id"), col("c_id"),
         (PqFunctions.adcDot(cb, col("q_emb"), col("__codes")) /
-          (vecNorm(col("q_emb")) * col("c_norm"))).as("pq_cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("pq_cos").desc, col("c_id"))
-    val pqRanked = scored.withColumn("rk", row_number().over(w))
+          (col("__q_norm") * col("c_norm"))).as("pq_cos"))
+    // bounded ADC ranking (r17): the scored candidate frame is the
+    // probe fan-out — rank it with the map-side-bounded aggregator
+    // instead of a full shuffle+sort window (guide §2.3)
     if (rerank <= 1) {
-      pqRanked.where(col("rk") <= k)
+      topKPerQuery(scored, "pq_cos", k)
         .select(col("q_id"), col("c_id"), col("pq_cos").as("score"),
           col("rk"))
     } else {
-      val short = pqRanked.where(col("rk") <= k * rerank)
+      val short = topKPerQuery(scored, "pq_cos", k * rerank)
         .select(col("q_id"), col("c_id"))
       val exact = short.join(cVecs, Seq("c_id"))
         .join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("c_id"),
           cosineSim(col("q_emb"), col("c_emb")).as("cos"))
-      val w2 = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      exact.withColumn("rk", row_number().over(w2))
-        .where(col("rk") <= k)
+      // the rerank window's input is already k*rerank-bounded per
+      // query — the aggregator still spares the sort and keeps the
+      // one top-k shape
+      topKPerQuery(exact, "cos", k)
         .select(col("q_id"), col("c_id"), col("cos").as("score"), col("rk"))
     }
   }
@@ -929,11 +932,8 @@ object Similarity {
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
         cosineSim(col("q_emb"), col("c_emb")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    // bounded top-k (r17) — see topKPerQuery
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Per-group centroid-distance outlier score on an integer-quantized
@@ -1019,8 +1019,14 @@ object Similarity {
     */
   private def voteTopK(scored: DataFrame, labels: DataFrame,
       k: Int): DataFrame = {
+    // contract (same as topKPerQuery's): b_id is a signed integral id
+    // above Long.MinValue (explicit cast — a non-numeric id column must
+    // fail analysis loudly, not coerce) and cos is non-null finite
+    // (cosines of non-null finite vectors are; the typed aggregator
+    // would fail a null loudly rather than rank it last)
     val top = scored.groupBy(col("a_id"), col("a_label"))
-      .agg(GroupedTopK.topK(k)(col("cos"), -col("b_id")).as("__top"))
+      .agg(GroupedTopK.topK(k)(col("cos"), -col("b_id").cast("long"))
+        .as("__top"))
     val votes = top
       .select(col("a_id"), col("a_label"), explode(col("__top")).as("t"))
       .select(col("a_id"), col("a_label"), (-col("t._2")).as("b_id"))

@@ -302,12 +302,15 @@ class DedupSimilaritySpec extends SparkSpec {
         norms = spark.table(s"${pfx}_norms"),
         candidates = cand, rerank = 8)
       // plan probe: the serve path must contain ZERO training machinery —
-      // Lloyd rounds are the only users of posexplode in this module, so
-      // their marker must be absent from both optimized plans, and the
-      // candidate plan must actually read the persisted index tables.
+      // Lloyd rounds are the only code in this module that explodes the
+      // per-centroid t_emb vectors (r17: posexplode itself is no longer a
+      // training marker — the bounded top-k explodes its k-row arrays
+      // with it), so the Lloyd marker must be absent from both optimized
+      // plans, and the candidate plan must actually read the persisted
+      // index tables.
       val planStr = pq.queryExecution.optimizedPlan.toString +
         cand.queryExecution.optimizedPlan.toString
-      assert(!planStr.toLowerCase.contains("posexplode"),
+      assert(!planStr.contains("posexplode(t_emb"),
         "training machinery leaked into the serve path")
       assert(cand.queryExecution.optimizedPlan.toString.contains(s"${pfx}_lists"),
         "candidates do not read the persisted inverted lists")
